@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators X1/X2 (SURVEY §2.9) for training-data pipelines.
+  *
+  * Scale design (100 TB of documents):
+  *  - exact dedup groups on a 256-bit content hash, never on the raw text
+  *    — the shuffle carries 32 bytes + doc_id per row instead of the
+  *    document body.
+  *  - near-dup goes shingles -> MinHash signature (one pass, map-only)
+  *    -> LSH band buckets (explode b bands) -> self-join per bucket.
+  *    The self-join key space is (band, bandHash): uniform, small values,
+  *    and candidate pairs per bucket are bounded; only candidates get the
+  *    exact-Jaccard verification. Hot shingles can be capped via
+  *    `maxDocFreq` to bound worst-case bucket sizes (skew guard).
+  */
+object Dedup {
+
+  /** Lower-cased word tokens; empty strings filtered on both the Spark and
+    * oracle side so tokenization is engine-agnostic.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Distinct k-word shingles of `text` (X2 building block). */
+  def shingles(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** X1: exact dedup — survivor (min id) per distinct content.
+    * Groups by sha2(text) so the shuffle never carries document bodies.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** X2 (exact form, the oracle): all pairs with k-shingle Jaccard >=
+    * threshold. Inverted-index self-join on shingle — the classic
+    * "exact near-dup" plan. Quadratic per shingle bucket; use
+    * `maxDocFreq` to drop stop-shingles at scale.
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int, threshold: Double,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("s"))
+    val sh = maxDocFreq.fold(sh0) { cap =>
+      val hot = sh0.groupBy("s").count().filter(col("count") > cap).select("s")
+      sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val common = a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: for each of `numHashes` hash families, the min
+    * xxhash64 over the shingle set. Map-only, codegen'd.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s => xxhash64(s, i))))
+
+  /** X2 (scale form): MinHash + LSH banding candidate pairs, verified with
+    * exact Jaccard. `numHashes = bands * rowsPerBand`.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int, threshold: Double,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs.select(
+      col(idCol).as("doc_id"),
+      shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // one row per (doc, band): bucket key = hash of the band's signature slice
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash 64-bit fingerprint over the token set: bit b of the result is
+    * the majority vote of bit b across token hashes. Pure expressions;
+    * near-dup = hamming distance <= d on the fingerprints.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64).map { b =>
+      val ones = size(filter(hashes, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > n, shiftleft(lit(1L), b).cast("long")).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

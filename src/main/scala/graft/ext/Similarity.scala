@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** X3/X4: similarity search over embedding columns (SURVEY §2.9).
+  *
+  * Scale design (billions of vectors):
+  *  - the query set is small -> `broadcast(queries)`, so brute-force is a
+  *    map-only broadcast nested-loop: no shuffle of the corpus, perfectly
+  *    parallel, and the per-query top-k is a bounded window per query key.
+  *  - the LSH path (random hyperplanes) buckets the corpus once (map-only
+  *    signature) and joins query buckets to corpus buckets — probing only
+  *    a fraction of the corpus per query; recall is tunable via number of
+  *    hyperplanes / multi-probe.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns. Codegen'd
+    * zip_with/aggregate — no UDF.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force exact top-k cosine neighbors for each query vector.
+    * `queries` is broadcast; ties broken by neighbor id ascending.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH: `planes(i)(d)`. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign of dot(vec, plane_i). Map-only. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(zip_with(vec, typedLit(p), (x, w) => x * w),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Cosine of a vector column against a literal vector (codegen'd). */
+  private def cosineLit(vec: Column, w: Seq[Double]): Column = {
+    val dot = aggregate(zip_with(vec, typedLit(w), (x, p) => x * p),
+      lit(0.0d), (acc, v) => acc + v)
+    val nv = sqrt(aggregate(vec, lit(0.0d), (acc, v) => acc + v * v))
+    val nw = math.sqrt(w.map(x => x * x).sum)
+    dot / (nv * lit(nw))
+  }
+
+  /** IVF-Flat approximate top-k (the scale path for weakly-clustered
+    * embeddings, where sign-LSH single-probe recall collapses):
+    *  1. pick `nlist` centroids deterministically (hash-sampled corpus rows;
+    *     a k-means refinement can be slotted in without changing the plan),
+    *  2. assign every corpus vector to its nearest centroid — map-only,
+    *     centroids are literals baked into one codegen'd argmax expression,
+    *  3. each query probes its `nprobe` nearest centroid cells and re-ranks
+    *     exactly within them: probes ~nprobe/nlist of the corpus.
+    * At 100 TB the corpus-side assignment is a one-off bucketing write
+    * (partitionBy(cell)) and queries touch only probed cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 32, nprobe: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    // deterministic centroid sample: nlist corpus rows with smallest hash(id)
+    val cents: Seq[(Int, Seq[Double])] = c
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .limit(nlist).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }.toIndexedSeq
+    // argmax over literal centroids: struct(sim, -cid) is max-ordered by
+    // sim then smaller cid on ties
+    def nearestCell(vec: Column): Column =
+      greatest(cents.map { case (cid, w) =>
+        struct(cosineLit(vec, w).as("s"), lit(-cid).as("nc"))
+      }: _*).getField("nc") * -1
+    def probeCells(vec: Column): Column =
+      slice(reverse(array_sort(array(cents.map { case (cid, w) =>
+        struct(cosineLit(vec, w).as("s"), lit(-cid).as("nc"))
+      }: _*))), 1, nprobe)
+    val assigned = c.withColumn("cell", nearestCell(col("cv")))
+    val probed = broadcast(queries.select(
+        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("probe", explode(probeCells(col("qv"))))
+      .withColumn("cell", col("probe.nc") * -1).drop("probe"))
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Approximate top-k: bucket corpus + queries with sign-LSH, rank only
+    * within the query's bucket. Trades recall for probing ~corpus/2^p.
+    * NOTE: single-probe sign-LSH only has useful recall when true
+    * neighbors are strongly similar (sim >~ 0.8); for weakly-correlated
+    * corpora prefer `ivfTopK`.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, numPlanes: Int,
+              dim: Int, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes)))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,424 @@
+package graft.queries
+
+import graft.Tables
+import graft.gen.RecordGen
+import graft.operators.{ConfigResolve, Counters, Routing, Snapshots}
+import graft.ext.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The declared oracle query catalog (SURVEY §5.2): every operator row of
+  * SURVEY §2 exercised as a concrete query over the parquet fixtures, with
+  * a DuckDB-equivalent SQL oracle where SQL can express it.
+  *
+  * Conventions (driver hash-compare):
+  *  - every output column aliased identically on both sides
+  *  - deterministic ORDER BY on a full key everywhere
+  *  - doubles rounded (sums to 2dp, ratios to 4-6dp) on both sides
+  *  - timestamps truncated/cast so DuckDB's ns precision matches Spark's us
+  */
+object Declared {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- core relational (SURVEY §2.5-2.6) ----
+
+    "q01_pricing_summary" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS cnt
+             |FROM lineitem WHERE l_quantity < 45
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q02_topk_orders" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    "q03_revenue_by_nation" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("cnt"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(*) AS cnt
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // A1: running count per key (DataGenerator.java:548-551)
+    "q04_user_counts" -> Q(
+      (s, dir) => Counters.countPerKey(t(s, dir, "events"), "user_id")
+        .orderBy("user_id"),
+      Some("SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // J1: snapshot diff (CounterProgressCheck.java:44-46) as lag-window
+    "q05_snapshot_delta" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        Snapshots.snapshotDelta(c, Seq("user_id"), "bucket", "cnt")
+          .orderBy("user_id", "bucket")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, date_trunc('day', ts)::timestamp AS bucket, count(*) AS cnt
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, bucket, cnt,
+             |  cnt - coalesce(lag(cnt) OVER (PARTITION BY user_id ORDER BY bucket), 0) AS delta
+             |FROM c ORDER BY user_id, bucket""".stripMargin)),
+
+    // A2: group-by type + collected member list (DataGenerator.java:256-258)
+    "q06_group_collect" -> Q(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             |  count(*) AS cnt
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // A3/A4/A5: sum + min/max instants + predicated count
+    "q07_counter_stats" -> Q(
+      (s, dir) => Counters.counterStats(t(s, dir, "events"),
+        col("value"), date_trunc("second", col("ts")), col("value") > 300),
+      Some("""SELECT round(sum(value), 2) AS total,
+             |  min(date_trunc('second', ts))::timestamp AS earliest,
+             |  max(date_trunc('second', ts))::timestamp AS latest,
+             |  count(CASE WHEN value > 300 THEN 1 END) AS inactive,
+             |  count(*) AS n
+             |FROM events""".stripMargin)),
+
+    // A7: zero-fill cross product (DataGenerator.java:225-235)
+    "q08_zero_fill" -> Q(
+      (s, dir) => Counters.zeroFill(
+        t(s, dir, "region").select("r_name"),
+        t(s, dir, "nation").select("n_nationkey"))
+        .orderBy("r_name", "n_nationkey"),
+      Some("""SELECT r_name, n_nationkey, 0::bigint AS cnt
+             |FROM region CROSS JOIN nation ORDER BY r_name, n_nationkey""".stripMargin)),
+
+    // F5: staleness severity tiers (CounterProgressCheck.java:61-66)
+    "q09_severity_tiers" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("sev", Snapshots.severity(col("value")))
+        .groupBy("sev")
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+        .orderBy("sev"),
+      Some("""SELECT CASE WHEN value < 180 THEN 'debug'
+             |  WHEN value < 240 THEN 'info' ELSE 'warn' END AS sev,
+             |  count(*) AS cnt, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J2: config coalesce lookup (ClientConfigFactory.java:98-113)
+    "q10_coalesce_lookup" -> Q(
+      (s, dir) => {
+        val nation = t(s, dir, "nation")
+        ConfigResolve.resolve(
+          nation.select(col("n_name").as("name")),
+          nation.filter(col("n_nationkey") % 3 === 0)
+            .select(col("n_name").as("name"), concat(lit("ov_"), col("n_name")).as("value")),
+          nation.select(col("n_name").as("name"), concat(lit("def_"), col("n_name")).as("value")))
+          .orderBy("name")
+      },
+      Some("""WITH names AS (SELECT n_name AS name FROM nation),
+             |o AS (SELECT n_name AS name, 'ov_' || n_name AS v FROM nation WHERE n_nationkey % 3 = 0),
+             |d AS (SELECT n_name AS name, 'def_' || n_name AS v FROM nation)
+             |SELECT names.name, coalesce(o.v, d.v) AS resolved
+             |FROM names LEFT JOIN o USING (name) LEFT JOIN d USING (name)
+             |ORDER BY name""".stripMargin)),
+
+    // J3: round-robin routing (DataGenerator.java:507)
+    "q11_round_robin" -> Q(
+      (s, dir) => Routing.assignByIndex(
+        t(s, dir, "events").select("event_id"), "event_id", 3)
+        .orderBy("event_id"),
+      Some("""SELECT event_id, (row_number() OVER (ORDER BY event_id) - 1) % 3 AS slot
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // P3/P6/P7/P8: scalar transforms
+    "q12_scalar_transforms" -> Q(
+      (s, dir) => t(s, dir, "nation").select(
+        col("n_nationkey"),
+        base64(encode(col("n_name"), "UTF-8")).as("b64"),
+        lower(conv((col("n_nationkey") + 10).cast("string"), 10, 36)).as("suffix36"),
+        format_string("console-datagen-group-%s-%d", col("n_name"), col("n_nationkey")).as("group_id"),
+        format_string("console_datagen_%03d-%s", col("n_nationkey"), lower(col("n_name"))).as("topic"),
+        lpad(col("n_nationkey").cast("string"), 3, "0").as("padded"),
+        regexp_replace(concat(lit("\""), col("n_name"), lit("\"")), "(^[\"'])|([\"']$)", "").as("unquoted"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             |  base64(n_name::blob) AS b64,
+             |  lower(to_base(n_nationkey + 10, 36)) AS suffix36,
+             |  printf('console-datagen-group-%s-%d', n_name, n_nationkey) AS group_id,
+             |  printf('console_datagen_%03d-%s', n_nationkey, lower(n_name)) AS topic,
+             |  lpad(n_nationkey::varchar, 3, '0') AS padded,
+             |  regexp_replace('"' || n_name || '"', '(^["''])|(["'']$)', '', 'g') AS unquoted
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // P4: timestamp -> ISO-8601 string (DataGenerator.java:484)
+    "q13_time_format" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // JSON extraction (the reference's JSON value plane, SURVEY §1.3)
+    "q14_json_extract" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, json_extract_string(props, '$.k')::int AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // set ops (SURVEY §2.6)
+    "q15_setops" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+        val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+        c.intersect(sup).withColumn("tag", lit("both"))
+          .unionAll(c.except(sup).withColumn("tag", lit("customer_only")))
+          .unionAll(sup.except(c).withColumn("tag", lit("supplier_only")))
+          .orderBy("nk", "tag")
+      },
+      Some("""WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+             |s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+             |SELECT nk, 'both' AS tag FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+             |UNION ALL SELECT nk, 'customer_only' AS tag FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+             |UNION ALL SELECT nk, 'supplier_only' AS tag FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+             |ORDER BY nk, tag""".stripMargin)),
+
+    // time-bucketed aggregation (SURVEY §2.6 rate-formula bucketing)
+    "q16_hourly_window" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("wstart"), col("cnt"), col("total"))
+        .orderBy("wstart"),
+      Some("""SELECT date_trunc('hour', ts)::timestamp AS wstart,
+             |  count(*) AS cnt, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P6/P7 + §1.5: the generated topic-name dimension
+    "q17_topic_names" -> Q(
+      (s, _) => RecordGen.topicNamesDF(s, groups = 4, topicsPerGroup = 3)
+        .orderBy("group_no", "group_type", "topic_no"),
+      Some("""SELECT g.group_no, t.group_type, n.topic_no,
+             |  printf('console_datagen_%03d-%s', g.group_no,
+             |    t.group_type || '-' || lower(to_base(n.topic_no + 10, 36))) AS topic
+             |FROM range(4) g(group_no)
+             |CROSS JOIN (VALUES ('consumer'), ('share'), ('streams')) t(group_type)
+             |CROSS JOIN range(3) n(topic_no)
+             |ORDER BY g.group_no, t.group_type, n.topic_no""".stripMargin)),
+
+    // ---- extension operators (SURVEY §2.9) ----
+
+    // X1: exact dedup via content hash
+    "x01_dedup_exact" -> Q(
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // X2 (exact oracle form): n-gram Jaccard near-dup pairs
+    "x02_jaccard_pairs" -> Q(
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
+        "text", "doc_id", k = 3, threshold = 0.2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, jaccard FROM (
+             |  SELECT id_a, id_b,
+             |    round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+             |  FROM common
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b)
+             |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // X3: brute-force exact top-k cosine (oracle); LSH variant below
+    "x03_cosine_topk" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+             |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // X4: distinct counting (exact form = oracle; approx form below)
+    "x04_distinct_exact" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("nd"), count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS nd, count(*) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    "x04_distinct_approx" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("nd_approx"))
+        .orderBy("event_type"),
+      None),
+
+    // X5: token counting + per-language stats
+    "x05_token_stats" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          TextStats.tokenCount(col("text")).as("tok"))
+        .groupBy("lang")
+        .agg(sum("tok").as("n_tokens"), sum("n_chars").as("sum_chars"),
+          count(lit(1)).as("n_docs"), round(avg("tok"), 4).as("avg_tokens"))
+        .orderBy("lang"),
+      Some("""WITH t AS (
+             |  SELECT lang, n_chars,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+             |  FROM documents)
+             |SELECT lang, sum(tok) AS n_tokens, sum(n_chars) AS sum_chars,
+             |  count(*) AS n_docs, round(avg(tok), 4) AS avg_tokens
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // X5: per-document quality features
+    "x06_quality_score" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.punctRatio(col("text")).as("punct_ratio"),
+          TextStats.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text,
+              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+              |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+              |    length(text) AS nchars
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, nchars,
+              |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+              |    round(len(list_filter(toks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+              |      / greatest(len(toks), 1), 6) AS stopword_ratio
+              |  FROM t)
+              |SELECT doc_id, punct_ratio, stopword_ratio,
+              |  round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+              |         WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+              |    + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+              |    + 0.2
+              |    - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // X6: content fingerprint
+    "x07_fingerprint" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, sha256(text) AS fp FROM documents ORDER BY doc_id")),
+
+    // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
+
+    // X5: heuristic language ID
+    "x08_langid" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    // X2 (scale form): MinHash LSH near-dup — verified vs x02 in tests
+    "x09_minhash_pairs" -> Q(
+      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"),
+        "text", "doc_id", k = 3, threshold = 0.2)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // X2: SimHash fingerprints
+    "x10_simhash" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    // X3 (scale form): IVF-Flat ANN — recall vs x03 covered in tests/Smoke
+    "x11_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e,
+          k = 5, nlist = 32, nprobe = 8)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse -> count)
+    "gen_roundtrip_counts" -> Q(
+      (s, _) => {
+        val wire = RecordGen.toWire(RecordGen.records(s, n = 3000L, numPartitions = 4))
+        RecordGen.parseWire(wire)
+          .groupBy("topic", "partition")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("key.messageId")).as("n_keys"))
+          .orderBy("topic", "partition")
+      },
+      None)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, Q(_, Some(sql))) => n -> sql }.toMap
+}
