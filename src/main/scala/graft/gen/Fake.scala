@@ -132,12 +132,16 @@ object Fake {
     * (reference: DataGenerator.java:456,:466,:500). Derivation: chained
     * sha256 blocks over (seed, id, blockIdx), hex → unhex → base64.
     * Pure built-in functions, codegen-friendly.
+    *
+    * Spark's `base64()` is MIME-chunked (CRLF every 76 chars); the
+    * reference uses the unchunked `Base64.getEncoder` — strip the CRLFs
+    * so the wire format matches.
     */
   def payloadBase64(seed: Long, id: Column, bytes: Int = 500): Column = {
     val blocks = (bytes + 31) / 32 // sha256 = 32 bytes per block
     val hexAll = concat_ws("", transform(
       sequence(lit(0), lit(blocks - 1)),
       i => sha2(concat_ws(":", lit(seed), id.cast("string"), i.cast("string")), 256)))
-    base64(unhex(substring(hexAll, 1, bytes * 2)))
+    translate(base64(unhex(substring(hexAll, 1, bytes * 2))), "\r\n", "")
   }
 }

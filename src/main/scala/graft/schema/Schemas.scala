@@ -10,26 +10,27 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
-  /** Record key — reference DataGenerator.java:474-480. */
+  /** Record key — reference DataGenerator.java:474-480.
+    * Fields are declared nullable to match `from_json` output semantics. */
   val keySchema: StructType = StructType(Seq(
-    StructField("storeId", StringType, nullable = false),
-    StructField("operatorId", StringType, nullable = false),
-    StructField("messageId", StringType, nullable = false)
+    StructField("storeId", StringType, nullable = true),
+    StructField("operatorId", StringType, nullable = true),
+    StructField("messageId", StringType, nullable = true)
   ))
 
   /** Beer element — reference DataGenerator.java:468-472. */
   val beerSchema: StructType = StructType(Seq(
-    StructField("name", StringType, nullable = false),
-    StructField("style", StringType, nullable = false)
+    StructField("name", StringType, nullable = true),
+    StructField("style", StringType, nullable = true)
   ))
 
   /** Address — reference DataGenerator.java:489-494. */
   val addressSchema: StructType = StructType(Seq(
-    StructField("number", StringType, nullable = false),
-    StructField("street", StringType, nullable = false),
-    StructField("city", StringType, nullable = false),
-    StructField("region", StringType, nullable = false),
-    StructField("postalCode", StringType, nullable = false)
+    StructField("number", StringType, nullable = true),
+    StructField("street", StringType, nullable = true),
+    StructField("city", StringType, nullable = true),
+    StructField("region", StringType, nullable = true),
+    StructField("postalCode", StringType, nullable = true)
   ))
 
   /** Record value — reference DataGenerator.java:482-503.
@@ -37,22 +38,22 @@ object Schemas {
     * as the reference emits them.
     */
   val valueSchema: StructType = StructType(Seq(
-    StructField("timestamp", StringType, nullable = false),
+    StructField("timestamp", StringType, nullable = true),
     StructField("user", StructType(Seq(
-      StructField("lastName", StringType, nullable = false),
-      StructField("firstName", StringType, nullable = false),
-      StructField("birthDate", StringType, nullable = false),
-      StructField("address", addressSchema, nullable = false),
-      StructField("favoriteBeers", ArrayType(beerSchema, containsNull = false), nullable = false)
-    )), nullable = false),
-    StructField("payload", StringType, nullable = false)
+      StructField("lastName", StringType, nullable = true),
+      StructField("firstName", StringType, nullable = true),
+      StructField("birthDate", StringType, nullable = true),
+      StructField("address", addressSchema, nullable = true),
+      StructField("favoriteBeers", ArrayType(beerSchema, containsNull = true), nullable = true)
+    )), nullable = true),
+    StructField("payload", StringType, nullable = true)
   ))
 
   /** Kafka `headers` column shape — reference DataGenerator.java:509-510
     * mapped per SURVEY §1.6.
     */
   val headersSchema: ArrayType = ArrayType(StructType(Seq(
-    StructField("key", StringType, nullable = false),
-    StructField("value", BinaryType, nullable = false)
-  )), containsNull = false)
+    StructField("key", StringType, nullable = true),
+    StructField("value", BinaryType, nullable = true)
+  )), containsNull = true)
 }

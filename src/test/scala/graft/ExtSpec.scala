@@ -1,0 +1,120 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("X2 shingles: known sentence") {
+    val df = Seq("The quick brown fox jumps").toDF("text")
+    val got = df.select(Dedup.shingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(got.toSet == Set("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("X2 shingles: short text yields empty array, not error") {
+    val df = Seq("one two").toDF("text")
+    assert(df.select(Dedup.shingles(col("text"), 3)).collect()(0).getSeq[String](0).isEmpty)
+  }
+
+  test("X1 exact dedup collapses identical texts to min id") {
+    val df = Seq((1L, "same text here"), (2L, "same text here"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+    assert(got(0).getLong(2) == 2L) // n_copies
+  }
+
+  test("X2 jaccardPairs finds crafted near-duplicates with exact score") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " iota"),  // high overlap
+      (3L, "totally unrelated words appear in this document only")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "text", "doc_id", k = 3, threshold = 0.5).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // shingles: doc1 has 6, doc2 has 7, common 6 -> j = 6/7 = 0.857143
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 0.857143) < 1e-6)
+  }
+
+  test("X2 minhashLshPairs finds the same crafted pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base), (2L, base + " iota"),
+      (3L, "totally unrelated words appear in this document only")).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, "text", "doc_id", k = 3, threshold = 0.5).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+  }
+
+  test("X2 simhash: near-identical texts have small hamming distance") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      ("c", "entirely different content about databases and distributed query engines"))
+      .toDF("id", "text")
+    val fp = df.select(col("id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp("a"), fp("b")) < ham(fp("a"), fp("c")))
+    assert(ham(fp("a"), fp("b")) <= 16)
+  }
+
+  test("X3 cosine: hand-computed value") {
+    val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // 1 / (sqrt2 * sqrt2)
+  }
+
+  test("X3 bruteForceTopK ranks by cosine, ties by id") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 1L), corpus, k = 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(4L, 2L)) // 4 closer to (1,0) than 2; 3 orthogonal
+  }
+
+  test("X3 ivfTopK returns exact sims for the neighbors it probes") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val bf = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(e.filter($"vec_id" < 3), e, k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // nprobe == nlist -> probes everything -> must equal brute force
+    assert(ivf == bf)
+  }
+
+  test("X4: approx distinct within 10% of exact on fixtures") {
+    val ev = Tables.load(spark, sf(), "events")
+    val exact = ev.select(countDistinct($"user_id")).collect()(0).getLong(0)
+    val approx = ev.select(approx_count_distinct($"user_id")).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  test("X5 tokenCount + punctRatio on known strings") {
+    val df = Seq("Hello, world! This is fine.").toDF("text")
+    val r = df.select(TextStats.tokenCount(col("text")),
+      TextStats.punctRatio(col("text"))).collect()(0)
+    assert(r.getInt(0) == 5)
+    assert(math.abs(r.getDouble(1) - 3.0 / 27) < 1e-4)
+  }
+
+  test("X5 langId: marker-based detection") {
+    val df = Seq(
+      ("en", "the cat and the dog ran to the house of the baker"),
+      ("de", "der hund und die katze sind nicht mit dem mann"),
+      ("fr", "le chien est dans la maison pour les enfants"),
+      ("zh", "你好世界"),
+      ("und", "xylophone zebra quartz")).toDF("expect", "text")
+    val got = df.select(col("expect"), TextStats.langId(col("text"))).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("X6 fingerprint equals sha-256 hex") {
+    val got = Seq("abc").toDF("t").select(TextStats.fingerprint(col("t"))).collect()(0).getString(0)
+    assert(got == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("A1 countPerKey matches manual counts") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 1), ("a", 3)).toDF("k", "v")
+    val got = Counters.countPerKey(df, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("A2 collectPerType sorts members deterministically") {
+    val df = Seq(("t1", "z"), ("t1", "a"), ("t1", "a"), ("t2", "m")).toDF("t", "m")
+    val got = Counters.collectPerType(df, "t", "m").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("t1") == Seq("a", "z") && got("t2") == Seq("m"))
+  }
+
+  test("A3-A5 counterStats: sum/min/max/predicated count") {
+    val df = Seq(
+      (10L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (20L, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (30L, Timestamp.valueOf("2024-01-03 00:00:00"))).toDF("v", "ts")
+    val r = Counters.counterStats(df, col("v"), col("ts"), col("v") >= 20).collect()(0)
+    assert(r.getLong(0) == 60L)
+    assert(r.getTimestamp(1) == Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(2) == Timestamp.valueOf("2024-01-03 00:00:00"))
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L)
+  }
+
+  test("A7 zeroFill is the full cross product with zero counts") {
+    val t = Seq("x", "y").toDF("topic")
+    val p = Seq(0, 1, 2).toDF("part")
+    val rows = Counters.zeroFill(t, p).collect()
+    assert(rows.length == 6 && rows.forall(_.getLong(2) == 0L))
+  }
+
+  test("J1 snapshotDelta: first snapshot diffs against 0") {
+    val df = Seq(("k1", 1, 5L), ("k1", 2, 9L), ("k1", 3, 9L), ("k2", 1, 2L))
+      .toDF("k", "snap", "cnt")
+    val got = Snapshots.snapshotDelta(df, Seq("k"), "snap", "cnt")
+      .orderBy("k", "snap").collect().map(_.getLong(3))
+    assert(got.toSeq == Seq(5L, 4L, 0L, 2L))
+  }
+
+  test("F5 severity tier boundaries (CounterProgressCheck.java:61-66)") {
+    val df = Seq(0, 179, 180, 239, 240, 10000).toDF("s")
+    val got = df.select(Snapshots.severity(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("debug", "debug", "info", "info", "warn", "warn"))
+  }
+
+  test("F5 isInactive: 5 minute threshold (reference :80-88)") {
+    val now = Timestamp.valueOf("2024-01-01 01:00:00")
+    val df = Seq(
+      Timestamp.valueOf("2024-01-01 00:54:00"),  // 6 min stale -> inactive
+      Timestamp.valueOf("2024-01-01 00:56:00"))  // 4 min stale -> active
+      .toDF("last")
+    val got = df.select(Snapshots.isInactive(col("last"), lit(now))).collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, false))
+  }
+
+  test("J2 config resolve: override beats default, default fills gaps") {
+    val names = Seq("acks", "linger.ms", "batch.size").toDF("name")
+    val over = Seq(("acks", "all")).toDF("name", "value")
+    val defs = Seq(("acks", "1"), ("linger.ms", "5")).toDF("name", "value")
+    val got = ConfigResolve.resolve(names, over, defs).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("acks" -> Some("all"), "linger.ms" -> Some("5"), "batch.size" -> None))
+  }
+
+  test("J3 assignByIndex is positional round-robin (reference :507)") {
+    val df = spark.range(10).toDF("id")
+    val got = Routing.assignByIndex(df, "id", 3).orderBy("id").collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(0L, 1L, 2L, 0L, 1L, 2L, 0L, 1L, 2L, 0L))
+  }
+
+  test("J3 assignByKey is stable and bounded") {
+    val df = spark.range(100).toDF("id")
+    val a = df.select(Routing.assignByKey(col("id"), 7)).collect().map(_.getLong(0))
+    val b = df.select(Routing.assignByKey(col("id"), 7)).collect().map(_.getLong(0))
+    assert(a.sameElements(b) && a.forall(s => s >= 0 && s < 7))
+  }
+}
