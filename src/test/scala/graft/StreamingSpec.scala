@@ -1,0 +1,127 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("S1 rate waveform: virtual wave reproduces 10/110/210/310/410 steps") {
+    // 50 virtual seconds = one full period
+    val perSec = RateShape.virtualWave(spark, 50)
+      .groupBy("sec").count().orderBy("sec").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // each 10s step admits the step rate
+    val expected = (0 until 50).map(s => s.toLong -> (100L * ((s / 10) % 5) + 10L))
+    assert(perSec.toSeq == expected)
+    // mean rate = 210/s (reference BASELINE: mean producer rate)
+    assert(perSec.map(_._2).sum / 50 == 210)
+  }
+
+  test("A1 streaming running counts via MemoryStream, update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Int)]
+    val counts = StreamCounters.runningCounts(
+      input.toDF().toDF("cluster", "topic", "partition"))
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("rc").start()
+    try {
+      input.addData(("c1", "t1", 0), ("c1", "t1", 0), ("c1", "t2", 1))
+      q.processAllAvailable()
+      input.addData(("c1", "t1", 0))
+      q.processAllAvailable()
+      val got = spark.table("rc")
+        .groupBy("cluster", "topic", "partition").agg(max("count").as("count"))
+        .collect().map(r => (r.getString(1), r.getLong(3))).toMap
+      assert(got == Map("t1" -> 3L, "t2" -> 1L))
+    } finally q.stop()
+  }
+
+  test("J1/F5 progressMonitor: snapshot deltas carried across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamCounters.CounterEvent]
+    val t0 = 1704067200000L
+    val monitor = StreamCounters.progressMonitor(input.toDS(), nowMs = () => t0 + 1000, enableTimeout = false)
+    val q = monitor.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("pm").start()
+    try {
+      input.addData(
+        StreamCounters.CounterEvent("c1", "t1", 0, 5L, t0),
+        StreamCounters.CounterEvent("c1", "t1", 0, 3L, t0 + 500))
+      q.processAllAvailable()
+      input.addData(StreamCounters.CounterEvent("c1", "t1", 0, 4L, t0 + 900))
+      q.processAllAvailable()
+      val rows = spark.table("pm").orderBy("count").collect()
+      // batch 1: count 8 delta 8; batch 2: count 12 delta 4
+      assert(rows.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+        Seq((8L, 8L), (12L, 4L)))
+      assert(rows.forall(!_.getBoolean(6))) // fresh activity -> not stale
+    } finally q.stop()
+  }
+
+  test("F5 staleness: events older than 5 min flag stale") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamCounters.CounterEvent]
+    val t0 = 1704067200000L
+    // "now" is 6 minutes after the event time
+    val monitor = StreamCounters.progressMonitor(input.toDS(),
+      nowMs = () => t0 + 6 * 60 * 1000, enableTimeout = false)
+    val q = monitor.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("pm2").start()
+    try {
+      input.addData(StreamCounters.CounterEvent("c1", "t1", 0, 5L, t0))
+      q.processAllAvailable()
+      assert(spark.table("pm2").collect().head.getBoolean(6))
+    } finally q.stop()
+  }
+
+  test("producer pipeline e2e: batch form generates valid wire records") {
+    val wire = Pipelines.producerBatch(spark, seconds = 5)
+    val parsed = gen.RecordGen.parseWire(wire)
+    val n = parsed.count()
+    // 5 virtual seconds at 10 r/s (first step of the wave) = 50 records
+    assert(n == 50L)
+    assert(parsed.filter(col("key.storeId").isNull).count() == 0)
+    assert(parsed.filter(col("value.user.firstName").isNull).count() == 0)
+  }
+
+  test("producer streaming pipeline runs on the rate source") {
+    val q = Pipelines.producer(spark, rowsPerSecond = 50)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("prod").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      val got = spark.table("prod")
+      assert(got.columns.toSeq == Seq("topic", "partition", "key", "value", "headers"))
+    } finally q.stop()
+  }
+
+  test("K5 truncation plan: depth trigger + consumer-offset keying") {
+    val offsets = Seq(
+      ("t1", 0, 0L, 6000L, 5500L),   // depth 6000 -> truncate before 5500
+      ("t1", 1, 1000L, 5500L, 5200L), // depth 4500 -> keep
+      ("t2", 0, 0L, 5000L, 4800L))   // depth 5000 -> truncate (>=)
+      .toDF("topic", "partition", "earliest", "latest", "currentOffset")
+    val plan = Truncation.plan(offsets).orderBy("topic").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(plan.toSeq == Seq(("t1", 0, 5500L), ("t2", 0, 4800L)))
+    var recorded = Vector.empty[(String, Int, Long)]
+    Truncation.execute(Truncation.plan(offsets), new Truncation.TruncateAction {
+      def deleteRecords(t: String, p: Int, o: Long): Unit =
+        recorded :+= ((t, p, o))
+    })
+    assert(recorded.toSet == Set(("t1", 0, 5500L), ("t2", 0, 4800L)))
+  }
+
+  test("F3 sampling trigger: every 5000th record only") {
+    val df = Seq(4999L, 5000L, 5001L, 10000L, 12500L).toDF("cnt")
+    val got = Truncation.sampled(df).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(5000L, 10000L))
+  }
+}
