@@ -46,6 +46,28 @@ object Similarity {
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Brute-force exact top-k via the custom bounded-heap aggregate
+    * (graft.functions.TopKByScore) instead of window+row_number: one hash
+    * aggregation with map-side partial reduction to k rows per group —
+    * the plan to run at 100 TB (same results as `bruteForceTopK`).
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        cosine(col("qv"), col("cv")).as("sim"), col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("sim"))
+  }
+
   /** Deterministic random hyperplanes for sign-LSH: `planes(i)(d)`. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

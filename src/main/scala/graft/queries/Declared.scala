@@ -302,6 +302,28 @@ object Declared {
              |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // X3 via the custom bounded-heap aggregate (graft.functions.TopKByScore):
+    // same oracle as x03 — proves the Catalyst aggregate exactly matches
+    // the window formulation while shuffling only k rows per group
+    "x03_cosine_topk_agg" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.bruteForceTopKAgg(e.filter(col("vec_id") % 50 === 0), e, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             |scored AS (
+             |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+             |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // X4: distinct counting (exact form = oracle; approx form below)
     "x04_distinct_exact" -> Q(
       (s, dir) => t(s, dir, "events")

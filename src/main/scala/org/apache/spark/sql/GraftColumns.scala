@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the classic Column <-> Expression conversion, which Spark 4
+  * moved behind `private[sql]` (Column is a ColumnNode wrapper since 4.0).
+  * Standard extension-library technique: expose the two conversions from
+  * inside the `org.apache.spark.sql` package.
+  */
+object GraftColumns {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

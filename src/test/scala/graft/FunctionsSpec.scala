@@ -1,0 +1,71 @@
+package graft
+
+import graft.ext.{Multimodal, Similarity}
+import graft.functions.TopKByScore.top_k_by_score
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("top_k_by_score keeps the k best with deterministic tie-break") {
+    val df = Seq(
+      ("g1", 0.9, 1L), ("g1", 0.5, 2L), ("g1", 0.9, 3L), ("g1", 0.1, 4L),
+      ("g2", 0.3, 5L)).toDF("g", "s", "id")
+    val got = df.groupBy("g").agg(top_k_by_score(col("s"), col("id"), 2).as("t"))
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getDouble(0), x.getLong(1))))
+    // g1: two 0.9s, tie -> smaller id first; 0.5 evicted
+    assert(got(0)._2 == Seq((0.9, 1L), (0.9, 3L)))
+    assert(got(1)._2 == Seq((0.3, 5L)))
+  }
+
+  test("top_k_by_score survives partial aggregation across partitions") {
+    val df = spark.range(0, 10000, 1, 16)
+      .select(lit("g").as("g"), (col("id") % 997).cast("double").as("s"), col("id"))
+    val got = df.groupBy("g").agg(top_k_by_score(col("s"), col("id"), 3).as("t"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    // max score 996 at ids 996, 1993, 2990 -> smallest ids win ties
+    assert(got == Seq((996.0, 996L), (996.0, 1993L), (996.0, 2990L)))
+  }
+
+  test("bruteForceTopKAgg equals window-based bruteForceTopK") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val win = Similarity.bruteForceTopK(q, e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val agg = Similarity.bruteForceTopKAgg(q, e, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(agg == win)
+  }
+
+  test("multimodal decode: schema, determinism, fixed feature width") {
+    val media = Multimodal.syntheticMedia(spark, 60)
+    val decoded = Multimodal.decode(media)
+    assert(decoded.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "meta", "features"))
+    val a = decoded.collect().sortBy(_.media_id)
+    val b = Multimodal.decode(Multimodal.syntheticMedia(spark, 60)).collect().sortBy(_.media_id)
+    assert(a.map(_.features.toSeq) sameElements b.map(_.features.toSeq))
+    assert(a.forall(_.features.length == Multimodal.featureDim))
+    assert(a.map(_.kind).toSet == Set("image", "audio", "video"))
+  }
+
+  test("multimodal frameSample: every nth fixed-size chunk") {
+    val media = Multimodal.syntheticMedia(spark, 9).filter($"kind" === "video")
+    val frames = Multimodal.frameSample(media, everyNth = 2, frameBytes = 128)
+    val perMedia = frames.groupBy("media_id").count().collect().map(_.getLong(1))
+    // 512 bytes / 128 = 4 chunks, every 2nd -> 2 frames
+    assert(perMedia.nonEmpty && perMedia.forall(_ == 2L))
+    val sizes = frames.select(length($"frame_bytes")).collect().map(_.getInt(0))
+    assert(sizes.forall(_ == 128))
+  }
+
+  test("multimodal inventory aggregates by kind") {
+    val inv = Multimodal.inventory(
+      Multimodal.decode(Multimodal.syntheticMedia(spark, 30)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inv == Map("image" -> 10L, "audio" -> 10L, "video" -> 10L))
+  }
+}
