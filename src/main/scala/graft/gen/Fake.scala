@@ -138,10 +138,10 @@ object Fake {
     * so the wire format matches.
     */
   def payloadBase64(seed: Long, id: Column, bytes: Int = 500): Column = {
-    val blocks = (bytes + 31) / 32 // sha256 = 32 bytes per block
+    val blocks = (bytes + 63) / 64 // sha512 = 64 bytes per block
     val hexAll = concat_ws("", transform(
       sequence(lit(0), lit(blocks - 1)),
-      i => sha2(concat_ws(":", lit(seed), id.cast("string"), i.cast("string")), 256)))
+      i => sha2(concat_ws(":", lit(seed), id.cast("string"), i.cast("string")), 512)))
     translate(base64(unhex(substring(hexAll, 1, bytes * 2))), "\r\n", "")
   }
 }
