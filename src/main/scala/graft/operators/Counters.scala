@@ -38,6 +38,20 @@ object Counters {
       count(when(stalePredicate, 1)).as("inactive"),
       count(lit(1)).as("n"))
 
+  /** A1 under skew: two-phase salted aggregation. Phase 1 aggregates on
+    * (key, salt) — hot keys split across `salt` reducers — phase 2 merges
+    * the partials. Same result as `countPerKey`; use when a counter key
+    * (one topic-partition) receives a disproportionate share of records.
+    */
+  def countPerKeySalted(df: DataFrame, salt: Int, keys: String*): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as("cnt"))
+  }
+
   /** A7: zero-fill — cross product of two small dimensions with count 0
     * (reference: DataGenerator.java:225-235). Dims are tiny: Spark plans
     * this as a broadcast nested-loop join, no shuffle.

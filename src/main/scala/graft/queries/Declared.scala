@@ -353,7 +353,7 @@ object Declared {
              |  SELECT lang, n_chars,
              |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
              |  FROM documents)
-             |SELECT lang, sum(tok) AS n_tokens, sum(n_chars) AS sum_chars,
+             |SELECT lang, sum(tok)::bigint AS n_tokens, sum(n_chars)::bigint AS sum_chars,
              |  count(*) AS n_docs, round(avg(tok), 4) AS avg_tokens
              |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
 
@@ -385,6 +385,42 @@ object Declared {
               |    - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
               |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // X5: BPE-ish subword counting + quality gate pass rate per source
+    "x12_subword_stats" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          TextStats.subwordCount(col("text")).as("sw"),
+          (TextStats.qualityScore(col("text")) >= 0.7).cast("int").as("pass"))
+        .groupBy("source")
+        .agg(sum("sw").as("n_subwords"), sum("pass").as("n_pass"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some(s"""WITH t AS (
+              |  SELECT source, text,
+              |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9.,;:!?'']+'), x -> x <> ''))
+              |      + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS sw,
+              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+              |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+              |    length(text) AS nchars
+              |  FROM documents),
+              |f AS (
+              |  SELECT source, sw, nchars,
+              |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+              |    round(len(list_filter(toks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+              |      / greatest(len(toks), 1), 6) AS stopword_ratio
+              |  FROM t),
+              |q AS (
+              |  SELECT source, sw,
+              |    CASE WHEN round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+              |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+              |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+              |      + 0.2
+              |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) >= 0.7
+              |      THEN 1 ELSE 0 END AS pass
+              |  FROM f)
+              |SELECT source, sum(sw)::bigint AS n_subwords, sum(pass)::bigint AS n_pass, count(*) AS n_docs
+              |FROM q GROUP BY source ORDER BY source""".stripMargin)),
+
     // X6: content fingerprint
     "x07_fingerprint" -> Q(
       (s, dir) => t(s, dir, "documents")
@@ -394,12 +430,33 @@ object Declared {
 
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
 
-    // X5: heuristic language ID
+    // X5: heuristic language ID — oracle replicates the marker scoring
+    // with an explicit tie-break cascade (Spark side: greatest over
+    // (score, lang) structs = max score, ties to the later lang name)
     "x08_langid" -> Q(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, has_cjk,
+             |    len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+             |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+             |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+             |    len(list_filter(toks, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+             |  FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN has_cjk THEN 'zh'
+             |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+             |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+             |    WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+             |    WHEN s_de > 0 THEN 'de'
+             |    ELSE 'und' END AS lang_pred
+             |FROM s ORDER BY doc_id""".stripMargin)),
 
     // X2 (scale form): MinHash LSH near-dup — verified vs x02 in tests
     "x09_minhash_pairs" -> Q(

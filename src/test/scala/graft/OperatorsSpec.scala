@@ -85,4 +85,13 @@ class OperatorsSpec extends SparkSuite {
     val b = df.select(Routing.assignByKey(col("id"), 7)).collect().map(_.getLong(0))
     assert(a.sameElements(b) && a.forall(s => s >= 0 && s < 7))
   }
+
+  test("A1-salted countPerKeySalted equals countPerKey") {
+    val ev = Tables.load(spark, sf(), "events")
+    val plain = Counters.countPerKey(ev, "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Counters.countPerKeySalted(ev, salt = 8, "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
 }
