@@ -428,6 +428,70 @@ object Declared {
         .orderBy("doc_id"),
       Some("SELECT doc_id, sha256(text) AS fp FROM documents ORDER BY doc_id")),
 
+    // gap-based sessionization over the event stream (lag + cumulative
+    // window) — the canonical training-data activity segmentation
+    "x13_sessionize" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val e = t(s, dir, "events").select(col("user_id"), col("ts"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_no",
+            sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        e.groupBy("user_id", "session_no")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""WITH e AS (SELECT user_id, ts::timestamp AS ts FROM events),
+             |l AS (SELECT user_id, ts,
+             |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |    OR floor(epoch(ts))::bigint - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))::bigint > 1800
+             |    THEN 1 ELSE 0 END AS new_s FROM e),
+             |s AS (SELECT user_id, ts,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_no
+             |  FROM l)
+             |SELECT user_id, session_no::bigint AS session_no, count(*) AS n_events,
+             |  min(ts) AS start_ts, max(ts) AS end_ts
+             |FROM s GROUP BY user_id, s.session_no ORDER BY user_id, session_no""".stripMargin)),
+
+    // corpus n-gram document-frequency table (explode at scale: map-side
+    // explode -> hash agg; the shuffle carries (ngram, partial count))
+    "x14_ngram_freq" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(50),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+             |  FROM toks, unnest(range(1, greatest(len(w), 1))) AS t(i))
+             |SELECT ngram, count(*) AS cnt FROM sh GROUP BY ngram
+             |ORDER BY cnt DESC, ngram ASC LIMIT 50""".stripMargin)),
+
+    // exact percentiles of document length per language (quality-filter
+    // calibration; exact `percentile` so the DuckDB oracle matches)
+    "x15_percentiles" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+             |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+             |  count(*) AS n
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
 
     // X5: heuristic language ID — oracle replicates the marker scoring
