@@ -117,4 +117,25 @@ class ExtSpec extends SparkSuite {
     val got = Seq("abc").toDF("t").select(TextStats.fingerprint(col("t"))).collect()(0).getString(0)
     assert(got == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
   }
+
+  test("X3 lshTopK recovers neighbors in the strong-similarity regime") {
+    // two tight clusters: LSH single-probe works when true neighbors are
+    // nearly parallel (sim ~0.99); this is its documented regime
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Seq[Float]) = base.map(x => x + rnd.nextFloat() * 0.01f)
+    val c1 = Seq.fill(8)(1.0f) ++ Seq.fill(8)(0.0f)
+    val c2 = Seq.fill(8)(0.0f) ++ Seq.fill(8)(1.0f)
+    val rows = (0L until 10L).map(i => (i, jitter(c1))) ++
+      (10L until 20L).map(i => (i, jitter(c2)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val got = ext.Similarity.lshTopK(
+      corpus.filter($"vec_id" === 0L || $"vec_id" === 10L), corpus,
+      k = 3, numPlanes = 4, dim = 16, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // every retrieved neighbor comes from the query's own cluster
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) =>
+      assert((q < 10) == (n < 10), s"cross-cluster neighbor $q -> $n")
+    }
+  }
 }
