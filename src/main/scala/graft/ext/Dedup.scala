@@ -141,4 +141,24 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= threshold.
+    * Exact form: self-join on a coarse sign-LSH prefix bucket would prune
+    * at scale; for the oracle the join is full n^2 over the (small)
+    * embedding dimension table. At 100 TB use
+    * [[Similarity.ivfTopK]]-style cell assignment first and run the
+    * pairwise check within cells only.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = embeddings.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
 }

@@ -84,6 +84,20 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Average-pool "resize" of a feature vector to `outDim` (outDim must
+    * divide the input width). Real arithmetic — works unchanged when the
+    * fake decoder is swapped for a real one.
+    */
+  def resize(decoded: Dataset[DecodedRow], outDim: Int): Dataset[DecodedRow] = {
+    import decoded.sparkSession.implicits._
+    require(featureDim % outDim == 0, s"$outDim must divide $featureDim")
+    val window = featureDim / outDim
+    decoded.map { r =>
+      r.copy(features = r.features.grouped(window)
+        .map(g => g.sum / g.length).toArray)
+    }
+  }
+
   /** Content-hash + metadata summary over a decoded media set — the
     * dedup/inventory query a media pipeline runs first.
     */

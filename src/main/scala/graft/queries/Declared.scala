@@ -529,12 +529,25 @@ object Declared {
         .orderBy("id_a", "id_b"),
       None),
 
-    // X2: SimHash fingerprints
+    // X2: SimHash + rolling shingle fingerprints
     "x10_simhash" -> Q(
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"),
+          TextStats.shingleFingerprint(col("text")).as("shingle_fp"))
         .orderBy("doc_id"),
       None),
+
+    // embedding-cosine near-dup pairs (north-star dedup family)
+    "x16_embedding_dups" -> Q(
+      (s, dir) => Dedup.embeddingNearDupPairs(
+        t(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT id_a, id_b, sim FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_cosine_similarity(a.v, b.v), 6) AS sim
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
 
     // X3 (scale form): IVF-Flat ANN — recall vs x03 covered in tests/Smoke
     "x11_ann_ivf" -> Q(

@@ -68,4 +68,14 @@ class FunctionsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(inv == Map("image" -> 10L, "audio" -> 10L, "video" -> 10L))
   }
+
+  test("multimodal resize: average pooling halves the width") {
+    val decoded = Multimodal.decode(Multimodal.syntheticMedia(spark, 10))
+    val resized = Multimodal.resize(decoded, 32).collect().sortBy(_.media_id)
+    val orig = decoded.collect().sortBy(_.media_id)
+    assert(resized.forall(_.features.length == 32))
+    // first pooled cell = mean of first two original cells
+    val expect = (orig(0).features(0) + orig(0).features(1)) / 2
+    assert(math.abs(resized(0).features(0) - expect) < 1e-6f)
+  }
 }
