@@ -34,6 +34,8 @@ object Bench {
     SparkEntry.queries.values.foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    gen.RecordGen.toWire(gen.RecordGen.records(spark, 100000L, numPartitions = cpus.toInt))
+      .select(sum(length(col("value")))).collect()
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

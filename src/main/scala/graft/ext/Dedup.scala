@@ -24,8 +24,18 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Distinct k-word shingles of `text` (X2 building block). */
-  def shingles(text: Column, k: Int): Column = {
+  /** Distinct k-word shingles of `text` (X2 building block) — native
+    * single-pass expression (see graft.functions.WordShingles for why the
+    * built-ins form is quadratic per row).
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.WordShingles.word_shingles(text, k)
+
+  /** Built-ins-only shingles (zero custom surface). NOTE: the
+    * tokenization re-evaluates inside the lambda — O(len * shingles) per
+    * row; prefer `shingles`.
+    */
+  def shinglesBuiltins(text: Column, k: Int): Column = {
     val w = tokens(text)
     when(size(w) >= k,
       array_distinct(transform(

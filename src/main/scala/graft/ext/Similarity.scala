@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns. Codegen'd
-    * zip_with/aggregate — no UDF.
+  /** Cosine similarity of two array<double> columns — native one-pass
+    * expression (graft.functions.CosineSimilarity); bit-identical to the
+    * built-ins form below but with no per-row array allocation.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_sim(a, b)
+
+  /** Built-ins-only formulation (zip_with/aggregate) — kept as the
+    * zero-custom-surface fallback; same accumulation order and final
+    * divide as the native expression.
+    */
+  def cosineBuiltins(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
     val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
@@ -108,25 +116,18 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     // deterministic centroid sample: nlist corpus rows with smallest hash(id)
-    val cents: Seq[(Int, Seq[Double])] = c
+    val cents: Array[Array[Double]] = c
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
-      .limit(nlist).collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }.toIndexedSeq
-    // argmax over literal centroids: struct(sim, -cid) is max-ordered by
-    // sim then smaller cid on ties
-    def nearestCell(vec: Column): Column =
-      greatest(cents.map { case (cid, w) =>
-        struct(cosineLit(vec, w).as("s"), lit(-cid).as("nc"))
-      }: _*).getField("nc") * -1
-    def probeCells(vec: Column): Column =
-      slice(reverse(array_sort(array(cents.map { case (cid, w) =>
-        struct(cosineLit(vec, w).as("s"), lit(-cid).as("nc"))
-      }: _*))), 1, nprobe)
-    val assigned = c.withColumn("cell", nearestCell(col("cv")))
+      .limit(nlist).collect()
+      .map(_.getSeq[Double](1).toArray)
+    // centroid argmax/top-nprobe via the native NearestCells expression —
+    // centroids ride as a codegen reference object, not literals
+    import graft.functions.NearestCells.nearest_cells
+    val assigned = c.withColumn("cell",
+      element_at(nearest_cells(col("cv"), cents, 1), 1))
     val probed = broadcast(queries.select(
         col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("probe", explode(probeCells(col("qv"))))
-      .withColumn("cell", col("probe.nc") * -1).drop("probe"))
+      .withColumn("cell", explode(nearest_cells(col("qv"), cents, nprobe))))
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))

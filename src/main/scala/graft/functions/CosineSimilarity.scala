@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumns}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** `cosine_sim(a, b)` over two array<double> columns as a native
+  * expression: one pass accumulating dot, |a|^2, |b|^2 straight off the
+  * columnar `ArrayData` — no intermediate arrays, no per-element lambda
+  * dispatch. The `zip_with`+`aggregate` formulation allocates two arrays
+  * per row; on an n^2 near-dup join (12.5M pairs at sf0.1) that is the
+  * dominant cost (measured ~30x on x16).
+  */
+case class CosineSimilarity(a: Expression, b: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    CosineSimilarity.compute(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.CosineSimilarity.compute($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(a = newLeft, b = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+object CosineSimilarity {
+
+  /** Called from generated code — must stay public+static. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Column API: inputs must already be array<double>. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumns.column(CosineSimilarity(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+}

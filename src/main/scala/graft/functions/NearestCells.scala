@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumns}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** `nearest_cells(vec)` — the `n` centroid ids nearest (by cosine) to an
+  * array<double> vector, ordered best-first.
+  *
+  * The centroid matrix rides along as a codegen REFERENCE OBJECT
+  * (`ctx.addReferenceObj`), not as literals: inlining nlist x dim doubles
+  * into the expression tree makes janino compile a multi-thousand-line
+  * class per query instantiation (measured ~8s cold per IVF plan build).
+  * Here the generated code is one static call regardless of nlist/dim.
+  */
+case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCells.compute(input.asInstanceOf[ArrayData], cents, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCells.compute($c, $ref, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
+
+  // centroid identity for semanticEquals/codegen cache: content-based
+  override lazy val canonicalized: Expression =
+    copy(child = child.canonicalized)
+}
+
+object NearestCells {
+
+  /** Called from generated code — must stay public+static. */
+  def compute(vec: ArrayData, cents: Array[Array[Double]], n: Int): ArrayData = {
+    val dim = vec.numElements()
+    val sims = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      var dot = 0.0; var nv = 0.0; var nw = 0.0
+      var i = 0
+      val m = math.min(dim, w.length)
+      while (i < m) {
+        val x = vec.getDouble(i); val y = w(i)
+        dot += x * y; nv += x * x; nw += y * y
+        i += 1
+      }
+      sims(c) = dot / (math.sqrt(nv) * math.sqrt(nw))
+      c += 1
+    }
+    // top-n by sim desc, cell id asc (selection over nlist entries)
+    val k = math.min(n, cents.length)
+    val picked = new Array[Any](k)
+    val used = new Array[Boolean](cents.length)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < cents.length) {
+        if (!used(c2) && (best < 0 || sims(c2) > sims(best))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  /** Column API: `vec` must be array<double>. */
+  def nearest_cells(vec: Column, cents: Array[Array[Double]], n: Int): Column =
+    GraftColumns.column(NearestCells(GraftColumns.expression(vec), cents, n))
+}

@@ -138,4 +138,24 @@ class ExtSpec extends SparkSuite {
       assert((q < 10) == (n < 10), s"cross-cluster neighbor $q -> $n")
     }
   }
+
+  test("native cosine_sim is bit-identical to the built-ins formulation") {
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+    val diff = pairs.select(
+      (Similarity.cosine(col("a.v"), col("b.v")) -
+        Similarity.cosineBuiltins(col("a.v"), col("b.v"))).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diff == 0.0)
+  }
+
+  test("native word_shingles equals the built-ins formulation on fixtures") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val diff = docs.select(
+      array_sort(Dedup.shingles(col("text"), 3)).as("a"),
+      array_sort(Dedup.shinglesBuiltins(col("text"), 3)).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
 }
