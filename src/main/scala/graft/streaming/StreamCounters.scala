@@ -78,6 +78,22 @@ object StreamCounters {
       }
   }
 
+  /** Event-time windowed counts with a watermark — the streaming form of
+    * the rate-bucketing/time-window analyses (SURVEY §2.6): late data
+    * beyond `lateness` is dropped and window state is reclaimed, which is
+    * what makes the aggregation runnable indefinitely at scale.
+    */
+  def windowedCounts(records: DataFrame, tsCol: String,
+                     window: String = "1 minute",
+                     lateness: String = "5 minutes"): DataFrame =
+    records
+      .withWatermark(tsCol, lateness)
+      .groupBy(functions.window(col(tsCol), window))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("cnt"))
+
+  private val functions = org.apache.spark.sql.functions
+
   /** Health rollup over the monitor output (A3/A4/A5/A6): the liveness
     * datum — UP iff no partition is stale
     * (reference: CounterProgressCheck.java:118-121).

@@ -145,4 +145,24 @@ class StreamingSpec extends SparkSuite {
     }
     assert(wire.columns.toSeq == Seq("topic", "partition", "key", "value", "headers"))
   }
+
+  test("watermarked windowed counts: append mode emits closed windows only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = StreamCounters.windowedCounts(
+      input.toDF().toDF("ts", "v"), "ts", window = "1 minute", lateness = "0 seconds")
+    val q = counts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wc").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 00:00:10"), "a"), (t("2024-01-01 00:00:50"), "b"))
+      q.processAllAvailable()
+      // advance event time past the first window -> it closes and emits
+      input.addData((t("2024-01-01 00:02:05"), "c"))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(rows == Map("2024-01-01 00:00:00.0" -> 2L))
+    } finally q.stop()
+  }
 }
