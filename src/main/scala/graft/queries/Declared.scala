@@ -176,6 +176,7 @@ object Declared {
       (s, dir) => t(s, dir, "nation").select(
         col("n_nationkey"),
         base64(encode(col("n_name"), "UTF-8")).as("b64"),
+        decode(unbase64(base64(encode(col("n_name"), "UTF-8"))), "UTF-8").as("roundtrip"),
         lower(conv((col("n_nationkey") + 10).cast("string"), 10, 36)).as("suffix36"),
         format_string("console-datagen-group-%s-%d", col("n_name"), col("n_nationkey")).as("group_id"),
         format_string("console_datagen_%03d-%s", col("n_nationkey"), lower(col("n_name"))).as("topic"),
@@ -184,6 +185,7 @@ object Declared {
         .orderBy("n_nationkey"),
       Some("""SELECT n_nationkey,
              |  base64(n_name::blob) AS b64,
+             |  decode(from_base64(base64(n_name::blob))) AS roundtrip,
              |  lower(to_base(n_nationkey + 10, 36)) AS suffix36,
              |  printf('console-datagen-group-%s-%d', n_name, n_nationkey) AS group_id,
              |  printf('console_datagen_%03d-%s', n_nationkey, lower(n_name)) AS topic,
