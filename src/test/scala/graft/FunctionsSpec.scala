@@ -78,4 +78,21 @@ class FunctionsSpec extends SparkSuite {
     val expect = (orig(0).features(0) + orig(0).features(1)) / 2
     assert(math.abs(resized(0).features(0) - expect) < 1e-6f)
   }
+
+  test("SQL registration: custom functions usable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS c,
+        |  word_shingles('the quick brown fox', 3) AS sh,
+        |  length(deterministic_base64(42L, 7L, 20)) AS len""".stripMargin)
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(r.getSeq[String](1) == Seq("the quick brown", "quick brown fox"))
+    assert(r.getInt(2) == 28) // base64(20 bytes) = 28 chars
+    val agg = spark.sql(
+      """SELECT g, top_k_by_score(s, id, 2) AS t FROM VALUES
+        |  ('a', 0.9d, 1L), ('a', 0.1d, 2L), ('a', 0.5d, 3L) AS v(g, s, id)
+        |GROUP BY g""".stripMargin).collect()(0)
+    assert(agg.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(1L, 3L))
+  }
 }
