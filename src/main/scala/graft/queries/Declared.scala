@@ -494,6 +494,24 @@ object Declared {
              |  count(*) AS n
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // stratified per-group head sample (dataset curation: first n docs
+    // per language by id — deterministic, partition-local at scale)
+    "x17_stratified_sample" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, rn, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
 
     // X5: heuristic language ID — oracle replicates the marker scoring
