@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (SURVEY §2.9 north-star family):
+  * PII redaction, repetition-based quality, benchmark decontamination,
+  * deterministic weighted sampling, and sequence packing.
+  *
+  * Scale design (100 TB of documents):
+  *  - redaction / repetition / sampling are pure column expressions —
+  *    map-only, codegen'd, no shuffle at any scale.
+  *  - decontamination joins the corpus against the *benchmark* shingle
+  *    set, which is small by construction (benchmarks are ~10^3..10^5
+  *    items) — always a broadcast join; the corpus is never shuffled.
+  *  - packing orders within a partition column (lang/source shard), so
+  *    the window is parallel across shards; no global sort.
+  */
+object Curation {
+
+  // RE2-safe patterns (no backrefs/lookahead) so Spark (java.util.regex)
+  // and the DuckDB oracle (RE2) agree.
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ssnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails, SSNs and phone numbers with typed placeholders.
+    * SSN before phone: the patterns are disjoint (3-2-4 vs 3-3-4 digit
+    * groups) but a fixed order keeps the output deterministic anyway.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ssnRe, "<SSN>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-class PII hit counts (audit metric for a redaction pass). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailRe)),
+    "n_ssns" -> regexp_count(text, lit(ssnRe)),
+    "n_phones" -> regexp_count(text, lit(phoneRe)))
+
+  /** Token-level repetition ratio: 1 - distinct/total tokens. High values
+    * flag boilerplate / degenerate documents (C4-style repetition filter).
+    */
+  def repetitionRatio(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    round(lit(1.0d) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)), 6)
+  }
+
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct k-shingles shared with any benchmark document. Docs with
+    * `n_overlap >= minOverlap` should be dropped from training data.
+    *
+    * The benchmark side is collapsed to its distinct shingle set and
+    * broadcast — the (100 TB) corpus side stays map-local: explode,
+    * broadcast-semi-join, partial count. No corpus shuffle before the
+    * per-doc aggregation, and that shuffle carries (doc_id, count) only.
+    */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+                           textCol: String, idCol: String,
+                           k: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.shingles(col(textCol), k)).as("s"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("s"))
+      .join(broadcast(benchShingles), "s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Deterministic hash-gate for weighted sampling: keep a row iff the
+    * first byte of md5(salt || key) is below the per-row threshold
+    * (2 hex chars, so rate = parseInt(threshold,16)/256). md5 hex is
+    * identical across engines, making sampled sets oracle-checkable —
+    * unlike `rand()`. Map-only at any scale.
+    */
+  def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft"): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 2) < thresholdHex
+
+  /** Sequence packing (pretraining batch prep): concatenate documents in
+    * a deterministic order within each shard and split at `capacity`
+    * tokens — chunk_id = floor(preceding_tokens / capacity). Running sum
+    * is per-shard (partitionCol), so shards pack in parallel; no global
+    * ordering is required at scale.
+    */
+  def packChunks(docs: DataFrame, partitionCol: String, orderCol: String,
+                 tokens: Column, capacity: Int): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+    docs
+      .withColumn("tok", tokens)
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("chunk_id", floor((col("cum") - col("tok")) / capacity))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.gen.RecordGen
 import graft.operators.{ConfigResolve, Counters, Routing, Snapshots}
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -511,6 +511,126 @@ object Declared {
              |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
              |  FROM documents)
              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // PII detection + redaction (curation): synthetic contact block is
+    // appended deterministically from doc_id so both engines see the same
+    // PII; counts audit the patterns, md5 proves identical redacted text
+    "x18_pii_redact" -> Q(
+      (s, dir) => {
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" id 123-45-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val counts = Curation.piiCounts(pii).map { case (n, c) => c.cast("long").as(n) }
+        t(s, dir, "documents")
+          .select(Seq(col("doc_id")) ++ counts ++ Seq(
+            md5(Curation.redactPii(pii)).as("redacted_md5")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || doc_id::varchar || '@example.com call 555-'
+             |      || lpad((doc_id % 1000)::varchar, 3, '0') || '-'
+             |      || lpad((doc_id % 10000)::varchar, 4, '0') || ' id 123-45-'
+             |      || lpad((doc_id % 10000)::varchar, 4, '0') AS pii
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(pii, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::bigint AS n_emails,
+             |  len(regexp_extract_all(pii, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::bigint AS n_ssns,
+             |  len(regexp_extract_all(pii, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::bigint AS n_phones,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(pii,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // token repetition ratio (C4-style degenerate-document filter)
+    "x19_repetition" -> Q(
+      (s, dir) => {
+        val toks = Dedup.tokens(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tok"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            Curation.repetitionRatio(col("text")).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents)
+             |SELECT doc_id, len(w)::bigint AS n_tok,
+             |  len(list_distinct(w))::bigint AS n_distinct,
+             |  round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: corpus docs sharing >= 5 distinct
+    // 3-shingles with the benchmark set (doc_id % 37 = 0 stands in for
+    // the eval suite); benchmark shingle set is broadcast at scale
+    "x20_decontam" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.contaminationOverlap(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "text", "doc_id", k = 3, minOverlap = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+             |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0)
+             |SELECT doc_id, count(*) AS n_overlap
+             |FROM sh JOIN bench USING (s)
+             |WHERE doc_id % 37 <> 0
+             |GROUP BY doc_id HAVING count(*) >= 5 ORDER BY doc_id""".stripMargin)),
+
+    // deterministic weighted sampling: md5 hash-gate with per-language
+    // rates — reproducible (oracle-checkable) unlike rand(), map-only
+    "x21_hash_sample" -> Q(
+      (s, dir) => {
+        val thr = when(col("lang") === "en", "40")
+          .when(col("lang") === "de", "80")
+          .when(col("lang") === "fr", "c0")
+          .when(col("lang") === "es", "ff")
+          .otherwise("20")
+        t(s, dir, "documents")
+          .filter(Curation.hashKeep(col("doc_id"), thr))
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""SELECT lang, doc_id FROM documents
+             |WHERE substr(md5('graft' || doc_id::varchar), 1, 2) <
+             |  CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN '80'
+             |    WHEN 'fr' THEN 'c0' WHEN 'es' THEN 'ff' ELSE '20' END
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // sequence packing: concatenate docs per language shard in doc_id
+    // order, split at 2048 tokens; per-chunk fill stats
+    "x22_pack_chunks" -> Q(
+      (s, dir) => Curation.packChunks(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"), col("text")),
+        "lang", "doc_id", graft.ext.TextStats.tokenCount(col("text")), capacity = 2048)
+        .groupBy("lang", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+        .orderBy("lang", "chunk_id"),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, doc_id, tok,
+             |    sum(tok) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t)
+             |SELECT lang, floor((cum - tok) / 2048)::bigint AS chunk_id,
+             |  count(*) AS n_docs, sum(tok)::bigint AS sum_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin)),
 
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
 

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ext.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("PII redaction replaces email, SSN and phone with typed placeholders") {
+    val df = Seq("mail a.b+c@test.org or call 555-123-4567; ssn 123-45-6789 stays out")
+      .toDF("text")
+    val got = df.select(Curation.redactPii(col("text"))).collect()(0).getString(0)
+    assert(got == "mail <EMAIL> or call <PHONE>; ssn <SSN> stays out")
+  }
+
+  test("PII counts per class, zero when clean") {
+    val df = Seq(
+      "a@b.co and c@d.io, ssn 111-22-3333",
+      "no pii at all").toDF("text")
+    val got = df
+      .select(Curation.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    assert(got(0).getInt(0) == 2 && got(0).getInt(1) == 1 && got(0).getInt(2) == 0)
+    assert(got(1).getInt(0) == 0 && got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
+  }
+
+  test("repetition ratio: degenerate doc scores high, varied doc low") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),        // 5 tokens, 1 distinct -> 0.8
+      (2L, "all words here are different")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Curation.repetitionRatio(col("text")))
+      .orderBy("doc_id").collect()
+    assert(got(0).getDouble(1) == 0.8)
+    assert(got(1).getDouble(1) == 0.0)
+  }
+
+  test("contamination overlap: only docs sharing >= minOverlap shingles flagged") {
+    val bench = Seq((100L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five six seven extra"),   // shares 5 shingles
+      (2L, "one two three only"),                        // shares 2
+      (3L, "nothing in common at all here")).toDF("doc_id", "text")
+    val got = Curation.contaminationOverlap(corpus, bench, "text", "doc_id",
+      k = 3, minOverlap = 5).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 5L)
+  }
+
+  test("hash sampling is deterministic and rate tracks threshold") {
+    val df = spark.range(2000).toDF("id")
+    val kept = df.filter(Curation.hashKeep(col("id"), lit("40"))).count()
+    // threshold 0x40/0x100 = 25%; md5 is uniform -> expect ~500 of 2000
+    assert(kept > 380 && kept < 620, s"kept=$kept")
+    val kept2 = df.filter(Curation.hashKeep(col("id"), lit("40"))).count()
+    assert(kept == kept2) // deterministic, unlike rand()
+    assert(df.filter(Curation.hashKeep(col("id"), lit("ff"))).count() > kept)
+  }
+
+  test("sequence packing: chunk boundaries respect capacity per shard") {
+    val docs = Seq(
+      ("en", 1L, 1000L), ("en", 2L, 1000L), ("en", 3L, 500L),
+      ("de", 1L, 2000L), ("de", 2L, 100L)).toDF("lang", "doc_id", "n")
+    val got = Curation.packChunks(docs, "lang", "doc_id", col("n"), capacity = 2048)
+      .select("lang", "doc_id", "chunk_id").orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // en: cum-before = 0, 1000, 2000 -> chunks 0, 0, 0 (2000 < 2048)
+    // de: cum-before = 0, 2000 -> chunks 0, 0
+    assert(got.toSeq == Seq(("de", 1L, 0L), ("de", 2L, 0L),
+      ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 0L)))
+    val got2 = Curation.packChunks(docs, "lang", "doc_id", col("n"), capacity = 1024)
+      .select("lang", "doc_id", "chunk_id").orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // capacity 1024 -> en: 0, 0 (cum-before 1000 < 1024), 1 (cum-before 2000)
+    assert(got2.toSeq == Seq(("de", 1L, 0L), ("de", 2L, 1L),
+      ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L)))
+  }
+}
