@@ -152,6 +152,44 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair list (the step that turns pair-finding into an actual dedup —
+    * keep `min(doc_id)` per cluster, drop the rest).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round a node takes the min label among itself and its
+    * neighbors; fixpoint = every node holds the min id of its component.
+    * Rounds needed = graph diameter, and near-dup components are
+    * star/clique shaped (diameter 2-4) — so a handful of rounds even at
+    * 100 TB. Each round shuffles only (node, label) long pairs;
+    * `localCheckpoint` truncates the lineage so plans stay flat across
+    * iterations. (The large-star/small-star algorithm halves round count
+    * for pathological chain graphs; not needed for dedup graphs.)
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node"), col("src").as("label")).distinct()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      done = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs: all (a, b) with cosine >= threshold.
     * Exact form: self-join on a coarse sign-LSH prefix bucket would prune
     * at scale; for the oracle the join is full n^2 over the (small)

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword search over the documents table: BM25 ranking (the standard
+  * lexical retrieval scorer; Lucene's idf variant `ln(1 + (N-df+0.5)/(df+0.5))`
+  * so idf is always positive).
+  *
+  * Scale design (100 TB of documents):
+  *  - the term explode is filtered to the QUERY terms immediately — the
+  *    per-(doc, term) shuffle carries only rows whose term is in the
+  *    query, i.e. output is proportional to matching docs, not corpus size.
+  *  - corpus-level stats (N, avgdl) and per-term df are tiny aggregates,
+  *    re-joined via broadcast; the corpus is shuffled once, on doc_id,
+  *    for the per-doc score sum.
+  *  - top-k goes through orderBy+limit, which Spark plans as
+  *    TakeOrderedAndProject: per-partition bounded heaps, k rows to the
+  *    driver — no global sort at any scale.
+  */
+object Search {
+
+  /** BM25 top-k documents for a bag-of-words query. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("w"))
+    val lens = toks.select(col("doc_id"), size(col("w")).as("dl")).persist()
+    val global = lens.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    // only query-term postings survive the explode
+    val postings = toks
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = postings.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = postings.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(global))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+}

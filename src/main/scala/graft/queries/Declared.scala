@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.gen.RecordGen
 import graft.operators.{ConfigResolve, Counters, Routing, Snapshots}
-import graft.ext.{Curation, Dedup, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Search, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -631,6 +631,66 @@ object Declared {
              |SELECT lang, floor((cum - tok) / 2048)::bigint AS chunk_id,
              |  count(*) AS n_docs, sum(tok)::bigint AS sum_tokens
              |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin)),
+
+    // duplicate-cluster resolution: connected components over the exact
+    // jaccard near-dup pairs — every clustered doc labeled with the min
+    // doc_id of its component (DuckDB oracle: recursive reachability)
+    "x23_dup_clusters" -> Q(
+      (s, dir) => Dedup.dupClusters(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, threshold = 0.2))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT id_a, id_b,
+             |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+             |    FROM common
+             |    JOIN sizes sa ON sa.doc_id = id_a
+             |    JOIN sizes sb ON sb.doc_id = id_b)
+             |  WHERE jaccard >= 0.2),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach(node, root) AS (
+             |  SELECT DISTINCT src, src FROM edges
+             |  UNION
+             |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+             |SELECT node AS doc_id, min(root) AS cluster_id
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // BM25 keyword search: top-20 docs for a 3-term query (Lucene idf
+    // variant); ordered by rounded score so both engines agree on ties
+    "x24_bm25" -> Q(
+      (s, dir) => Search.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "vector", "stream"), k = 20),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |d AS (SELECT doc_id, len(w) AS dl FROM toks),
+             |g AS (SELECT count(*)::double AS n, avg(dl) AS avgdl FROM d),
+             |t AS (
+             |  SELECT doc_id, u.term AS term FROM toks, unnest(w) AS u(term)
+             |  WHERE u.term IN ('spark', 'vector', 'stream')),
+             |tf AS (SELECT doc_id, term, count(*)::double AS tf FROM t GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id)::double AS df FROM t GROUP BY 1),
+             |s AS (
+             |  SELECT tf.doc_id,
+             |    round(sum(ln(1 + (g.n - df.df + 0.5) / (df.df + 0.5))
+             |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))), 6) AS score
+             |  FROM tf JOIN df USING (term) JOIN d ON d.doc_id = tf.doc_id CROSS JOIN g
+             |  GROUP BY 1)
+             |SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
 

@@ -158,4 +158,42 @@ class ExtSpec extends SparkSuite {
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0)
   }
+
+  test("dup clusters: components labeled with min member id") {
+    import spark.implicits._
+    // components: {1,2,3} (chain 1-2, 2-3), {7,9}, singleton pairs absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = ext.Dedup.dupClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("dup clusters: long chain converges within diameter rounds") {
+    import spark.implicits._
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = ext.Dedup.dupClusters(pairs).collect()
+    assert(got.length == 10 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("bm25: doc with more query-term hits outranks, scores positive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine"),
+      (3L, "nothing relevant here at all")).toDF("doc_id", "text")
+    val got = ext.Search.bm25TopK(docs, "text", "doc_id", Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no hit -> absent
+    assert(got(0)._2 > got(1)._2 && got(1)._2 > 0)
+  }
+
+  test("bm25: idf favors rarer term at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common other words"), (3L, "common words too"),
+      (4L, "filler text body")).toDF("doc_id", "text")
+    val s = (t: String) => ext.Search.bm25TopK(docs, "text", "doc_id", Seq(t), k = 1)
+      .collect()(0).getDouble(1)
+    assert(s("rare") > s("common"))
+  }
 }
