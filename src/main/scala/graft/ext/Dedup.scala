@@ -174,6 +174,11 @@ object Dedup {
     var labels = edges.select(col("src").as("node"), col("src").as("label")).distinct()
     var iter = 0
     var done = false
+    // convergence signature: per-node labels are monotonically
+    // non-increasing (the node's own label is in the min), so an
+    // unchanged (count, sum(label)) pair means fixpoint — one scalar
+    // aggregate per round instead of a self-join diff
+    var prevSig: (Long, Long) = (-1L, -1L)
     while (!done && iter < maxIter) {
       val nbr = edges
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
@@ -181,8 +186,10 @@ object Dedup {
       val next = labels.union(nbr)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      done = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).isEmpty
+      val sigRow = next.agg(count(lit(1)), sum(col("label"))).collect()(0)
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      done = sig == prevSig
+      prevSig = sig
       labels = next
       iter += 1
     }
@@ -204,9 +211,13 @@ object Dedup {
       col(vecCol).cast("array<double>").as("va"))
     val b = embeddings.select(col(idCol).as("id_b"),
       col(vecCol).cast("array<double>").as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
-      .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+    // the threshold lives INSIDE the join condition: the nested-loop join
+    // then evaluates cosine on a zero-copy JoinedRow and only MATCHING
+    // pairs are materialized — vs. filtering after the join, which copies
+    // both embedding arrays into every one of the n^2/2 output rows.
+    // (id_a < id_b first: And short-circuits, halving cosine evals.)
+    val sim = round(Similarity.cosine(col("va"), col("vb")), 6)
+    a.join(b, col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
   }
 }

@@ -29,10 +29,13 @@ object Search {
     val lens = toks.select(col("doc_id"), size(col("w")).as("dl")).persist()
     val global = lens.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
-    // only query-term postings survive the explode
+    // prune to query terms INSIDE the array, before explode — the
+    // exploded row count is proportional to query-term hits, not to
+    // total corpus tokens
     val postings = toks
-      .select(col("doc_id"), explode(col("w")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"),
+        explode(filter(col("w"),
+          t => queryTerms.map(q => t === q).reduce(_ || _))).as("term"))
     val tf = postings.groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
     val df = postings.select("doc_id", "term").distinct()
