@@ -165,4 +165,46 @@ class StreamingSpec extends SparkSuite {
       assert(rows == Map("2024-01-01 00:00:00.0" -> 2L))
     } finally q.stop()
   }
+
+  test("streaming dedup: replayed (topic, partition, offset) dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, Long, Long)]
+    val records = input.toDF().toDF("topic", "partition", "offset", "secs")
+      .withColumn("timestamp", timestamp_seconds(col("secs")))
+    val q = StreamDedup.exactlyOnce(records)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdedup").start()
+    try {
+      // batch 1: in-batch duplicate of offset 0
+      input.addData(("t1", 0, 0L, 10L), ("t1", 0, 0L, 10L), ("t1", 0, 1L, 11L))
+      q.processAllAvailable()
+      // batch 2: cross-batch replay of offset 1 (at-least-once rewind)
+      input.addData(("t1", 0, 1L, 12L), ("t1", 0, 2L, 13L), ("t2", 0, 1L, 13L))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").select("topic", "offset").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // offset 1 survives once on t1, and separately on t2 (identity is
+      // the full (topic, partition, offset) triple)
+      assert(got == Set(("t1", 0L), ("t1", 1L), ("t1", 2L), ("t2", 1L)))
+      assert(spark.table("sdedup").count() == 4)
+    } finally q.stop()
+  }
+
+  test("streaming content dedup: first doc per content hash survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = StreamDedup.firstPerContent(docs, "text", "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cdedup").start()
+    try {
+      input.addData((1L, "same body", 10L), (2L, "other body", 11L))
+      q.processAllAvailable()
+      input.addData((3L, "same body", 12L))
+      q.processAllAvailable()
+      val ids = spark.table("cdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L))
+    } finally q.stop()
+  }
 }
