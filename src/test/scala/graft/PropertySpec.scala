@@ -99,4 +99,36 @@ class PropertySpec extends SparkSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(df(0), df(1)) < ham(df(0), df(2)))
   }
+
+  test("dupClusters equals brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 5) {
+      val n = 2 + rnd.nextInt(30)
+      val edges = (0 until (1 + rnd.nextInt(40)))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (edges.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // normalize: min member id per component
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val expect = nodes.groupBy(find).flatMap { case (_, ms) =>
+          val root = ms.min; ms.map(_ -> root)
+        }.toMap
+        val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"n=$n edges=$edges")
+      }
+    }
+  }
 }
