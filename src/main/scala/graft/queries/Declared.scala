@@ -702,14 +702,18 @@ object Declared {
         val dropDups = Dedup.dupClusters(
           Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+        // gate order = cost order: md5 hash-gate (bytes on the id) first,
+        // language second, the token-heavy quality/repetition expressions
+        // only on what survives — all gates are independent, so this is
+        // semantically identical and row-minimal at any scale
         docs
+          .filter(Curation.hashKeep(col("doc_id"), lit("c0")))
           .withColumn("lang_pred", TextStats.langId(col("text")))
+          .filter(col("lang_pred") === "en")
           .withColumn("quality", TextStats.qualityScore(col("text")))
           .withColumn("rep_ratio", Curation.repetitionRatio(col("text")))
-          .filter(col("lang_pred") === "en" &&
-            col("quality") >= 0.8 && col("rep_ratio") <= 0.6)
+          .filter(col("quality") >= 0.8 && col("rep_ratio") <= 0.6)
           .join(dropDups, Seq("doc_id"), "left_anti")
-          .filter(Curation.hashKeep(col("doc_id"), lit("c0")))
           .select("doc_id", "quality", "rep_ratio")
           .orderBy("doc_id")
       },
