@@ -494,6 +494,20 @@ object Declared {
              |  count(*) AS n
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // x15's scale form: approx_percentile (single-pass mergeable sketch —
+    // the only way percentiles run at 100 TB; exact `percentile` buffers
+    // every value per group). Accuracy vs x15 is spec-asserted;
+    // rows-only here since the sketch is engine-specific.
+    "x15_percentiles_approx" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          expr("approx_percentile(n_chars, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(n_chars, 0.9, 1000)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("lang"),
+      None),
+
     // stratified per-group head sample (dataset curation: first n docs
     // per language by id — deterministic, partition-local at scale)
     "x17_stratified_sample" -> Q(

@@ -196,4 +196,18 @@ class ExtSpec extends SparkSuite {
       .collect()(0).getDouble(1)
     assert(s("rare") > s("common"))
   }
+
+  test("approx percentiles track exact within sketch tolerance") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val exact = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = docs.groupBy("lang")
+      .agg(expr("approx_percentile(n_chars, 0.5, 1000)").as("p50")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble)).toMap
+    exact.foreach { case (lang, e) =>
+      assert(math.abs(approx(lang) - e) / math.max(e, 1.0) < 0.05,
+        s"$lang approx=${approx(lang)} exact=$e")
+    }
+  }
 }
