@@ -22,4 +22,23 @@ class SinkSpec extends SparkSuite {
     val scanned = back.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!scanned.contains("lang=en") || scanned.contains("lang=de"))
   }
+
+  test("JSONL transport: wire values round-trip through text files with declared schema") {
+    import graft.gen.RecordGen
+    import graft.schema.Schemas
+    val dir = java.nio.file.Files.createTempDirectory("wire_jsonl").toString
+    val wire = RecordGen.toWire(RecordGen.records(spark, 200L, numPartitions = 4))
+    // the wire value IS a JSON document (reference: UTF-8 JSON bytes) —
+    // dump as JSONL text, one record per line
+    wire.select(col("value").cast("string")).write.mode("overwrite").text(dir)
+    // spark.read.json with the DECLARED schema (never inferred — the
+    // reference's schema is fixed; SURVEY §1.6)
+    val back = spark.read.schema(Schemas.valueSchema).json(dir)
+    assert(back.count() == 200L)
+    // no corrupt-record column, every struct field populated
+    assert(back.filter(col("user.lastName").isNull ||
+      col("user.address.city").isNull || col("payload").isNull).count() == 0)
+    // beers array keeps its fixed length 2
+    assert(back.filter(size(col("user.favoriteBeers")) =!= 2).count() == 0)
+  }
 }
