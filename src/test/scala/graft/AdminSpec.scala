@@ -93,4 +93,34 @@ class AdminSpec extends AnyFunSuite {
     assert(injected("ssl.truststore.type") == "PEM")
     assert(injected("ssl.truststore.certificates") == "PEM(broker:9093)")
   }
+
+  test("liveness HTTP: 200 when all checks UP, 503 with failing check, SmallRye JSON shape") {
+    import graft.health.Liveness
+    import Liveness.CheckResult
+    @volatile var consumerUp = true
+    val server = new Liveness.Server(0, () => Seq(
+      CheckResult("admin-connectivity", up = true, Map("clusters" -> "1/1")),
+      CheckResult("producer-progress", up = true, Map("records" -> "5000")),
+      CheckResult("consumer-progress", consumerUp, Map("records" -> "4800"))))
+    try {
+      def probe(): (Int, String) = {
+        val url = new java.net.URL(s"http://127.0.0.1:${server.boundPort}/health/live")
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = scala.io.Source.fromInputStream(is).mkString
+        (code, body)
+      }
+      val (okCode, okBody) = probe()
+      assert(okCode == 200)
+      assert(okBody.contains("\"status\":\"UP\""))
+      assert(okBody.contains("\"name\":\"consumer-progress\""))
+      assert(okBody.contains("\"records\":\"5000\""))
+      consumerUp = false
+      val (downCode, downBody) = probe()
+      assert(downCode == 503)
+      assert(downBody.startsWith("{\"status\":\"DOWN\""))
+      assert(downBody.contains("{\"name\":\"consumer-progress\",\"status\":\"DOWN\""))
+    } finally server.stop()
+  }
 }
