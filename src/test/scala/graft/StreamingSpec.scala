@@ -207,4 +207,34 @@ class StreamingSpec extends SparkSuite {
       assert(ids == Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("health e2e: MemoryStream -> progressMonitor -> bridge -> HTTP /health/live") {
+    import graft.health.{Liveness, ProgressBridge}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamCounters.CounterEvent]
+    val t0 = 1704067200000L
+    val monitor = StreamCounters.progressMonitor(input.toDS(), nowMs = () => t0 + 1000,
+      enableTimeout = false)
+    val bridge = new ProgressBridge
+    val q = monitor.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch((b: org.apache.spark.sql.Dataset[StreamCounters.ProgressStatus],
+                     _: Long) => bridge.update(b.collect().toSeq))
+      .start()
+    val server = new Liveness.Server(0, () => Seq(bridge.check("consumer-progress")))
+    try {
+      input.addData(
+        StreamCounters.CounterEvent("c1", "t1", 0, 5L, t0),
+        StreamCounters.CounterEvent("c1", "t1", 1, 7L, t0))
+      q.processAllAvailable()
+      val url = new java.net.URL(s"http://127.0.0.1:${server.boundPort}/health/live")
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val body = scala.io.Source.fromInputStream(conn.getInputStream).mkString
+      assert(body.contains("\"status\":\"UP\""))
+      assert(body.contains("\"records\":\"12\""))
+      assert(body.contains("\"partitions\":\"2\""))
+      assert(body.contains("\"inactivePartitions\":\"0\""))
+    } finally { server.stop(); q.stop() }
+  }
 }
