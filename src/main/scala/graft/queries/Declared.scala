@@ -78,6 +78,34 @@ object Declared {
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // part-dimension revenue share (TPC-H Q14 family): fact scans prune
+    // to 4 columns, part broadcasts, and the grand total is a scalar
+    // aggregate broadcast back via crossJoin — NOT an unpartitioned
+    // window (which would funnel every group through one task at scale)
+    "q18_part_type_share" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+        val byType = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy("p_type")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("cnt"))
+        val total = byType.agg(sum("revenue").as("tot"))
+        byType.crossJoin(broadcast(total))
+          .withColumn("share", round(col("revenue") / col("tot"), 6))
+          .drop("tot")
+          .orderBy("p_type")
+      },
+      Some("""WITH r AS (
+             |  SELECT p_type,
+             |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |    count(*) AS cnt
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY p_type)
+             |SELECT p_type, revenue, cnt,
+             |  round(revenue / sum(revenue) OVER (), 6) AS share
+             |FROM r ORDER BY p_type""".stripMargin)),
+
     // A1: running count per key (DataGenerator.java:548-551)
     "q04_user_counts" -> Q(
       (s, dir) => Counters.countPerKey(t(s, dir, "events"), "user_id")
