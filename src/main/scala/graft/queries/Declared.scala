@@ -85,11 +85,15 @@ object Declared {
     "q18_part_type_share" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+        // persist the aggregated frame (one row per p_type — bounded by
+        // dimension cardinality, not data volume): the grand-total branch
+        // then reads 6 cached rows instead of re-scanning the fact table
         val byType = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .groupBy("p_type")
           .agg(
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
             count(lit(1)).as("cnt"))
+          .persist()
         val total = byType.agg(sum("revenue").as("tot"))
         byType.crossJoin(broadcast(total))
           .withColumn("share", round(col("revenue") / col("tot"), 6))
