@@ -24,24 +24,26 @@ object Search {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("w"))
-    val lens = toks.select(col("doc_id"), size(col("w")).as("dl")).persist()
-    val global = lens.agg(count(lit(1)).cast("double").as("n"),
+    val toks = Dedup.tokens(col(textCol))
+    // ONE corpus scan: doc length for the global stats, plus the tokens
+    // pruned to the query terms INSIDE the array (before explode — the
+    // exploded row count is proportional to query-term hits, not total
+    // corpus tokens). The persisted frame is (id, int, tiny array).
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).as("dl"),
+      filter(toks, t => queryTerms.map(q => t === q).reduce(_ || _)).as("qtoks"))
+      .persist()
+    val global = base.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
-    // prune to query terms INSIDE the array, before explode — the
-    // exploded row count is proportional to query-term hits, not to
-    // total corpus tokens
-    val postings = toks
-      .select(col("doc_id"),
-        explode(filter(col("w"),
-          t => queryTerms.map(q => t === q).reduce(_ || _))).as("term"))
+    // dl rides along with the postings — no separate length join
+    val postings = base.select(col("doc_id"), col("dl"),
+      explode(col("qtoks")).as("term"))
     val tf = postings.groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
     val df = postings.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(global))
       .withColumn("contrib",
         log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
