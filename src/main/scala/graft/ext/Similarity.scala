@@ -110,16 +110,59 @@ object Similarity {
     * At 100 TB the corpus-side assignment is a one-off bucketing write
     * (partitionBy(cell)) and queries touch only probed cells.
     */
+  /** Deterministic centroid init: the `k` corpus rows with smallest
+    * hash(id) — an unbiased sample that is stable across runs/engines.
+    */
+  def sampledCentroids(corpus: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** IVF training: Lloyd iterations with cosine assignment (spherical
+    * k-means; centroid scale is irrelevant to cosine, so means are not
+    * normalized). Each iteration is ONE distributed pass: assignment is
+    * map-only (centroids ride as a codegen reference object), and the
+    * mean update posexplodes to (cell, pos, x) — map-side partial
+    * aggregation means the shuffle carries k*dim partial sums per task,
+    * never the vectors. Only k*dim means hit the driver per iteration.
+    * Deterministic: hash-sampled init + fixed iteration count. Empty
+    * cells keep their previous centroid.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    import graft.functions.NearestCells.nearest_cells
+    val c = corpus.select(col(vecCol).cast("array<double>").as("v")).persist()
+    var cents = sampledCentroids(corpus, k, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val meanRows = c
+        .withColumn("cell", element_at(nearest_cells(col("v"), cents, 1), 1))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val byCell = meanRows.groupBy(_.getInt(0))
+      cents = Array.tabulate(k) { i =>
+        byCell.get(i) // nearest_cells emits 0-based centroid indices
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+          .getOrElse(cents(i))
+      }
+    }
+    c.unpersist()
+    cents
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 32, nprobe: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-    // deterministic centroid sample: nlist corpus rows with smallest hash(id)
-    val cents: Array[Array[Double]] = c
-      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
-      .limit(nlist).collect()
-      .map(_.getSeq[Double](1).toArray)
+    // deterministic centroid sample unless trained centroids are supplied
+    val cents: Array[Array[Double]] =
+      centroids.getOrElse(sampledCentroids(corpus, nlist, idCol, vecCol))
     // centroid argmax/top-nprobe via the native NearestCells expression —
     // centroids ride as a codegen reference object, not literals
     import graft.functions.NearestCells.nearest_cells

@@ -210,4 +210,42 @@ class ExtSpec extends SparkSuite {
         s"$lang approx=${approx(lang)} exact=$e")
     }
   }
+
+  test("kmeans centroids: deterministic, correct shape, improves cell coherence") {
+    import ext.Similarity
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val init = Similarity.sampledCentroids(emb, 8)
+    val trained = Similarity.kmeansCentroids(emb, 8, iters = 3)
+    assert(trained.length == 8 && trained.forall(_.length == init.head.length))
+    // deterministic across runs
+    val trained2 = Similarity.kmeansCentroids(emb, 8, iters = 3)
+    assert(trained.zip(trained2).forall { case (a, b) => a.sameElements(b) })
+    // objective: mean cosine of each vector to its nearest centroid
+    import graft.functions.NearestCells.nearest_cells
+    import graft.functions.CosineSimilarity
+    def objective(cents: Array[Array[Double]]): Double = {
+      val c = emb.select(col("embedding").cast("array<double>").as("v"))
+      val withBest = c.withColumn("cell",
+        element_at(nearest_cells(col("v"), cents, 1), 1))
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      withBest
+        .withColumn("sim", CosineSimilarity.cosine_sim(col("v"),
+          element_at(centLit, col("cell") + 1)))
+        .agg(avg("sim")).collect()(0).getDouble(0)
+    }
+    val (o0, o3) = (objective(init), objective(trained))
+    assert(o3 > o0, s"trained=$o3 init=$o0")
+  }
+
+  test("ivfTopK with trained centroids matches brute force at full probe") {
+    import ext.Similarity
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val trained = Similarity.kmeansCentroids(emb, 4, iters = 2)
+    val ivf = Similarity.ivfTopK(q, emb, k = 5, nlist = 4, nprobe = 4,
+      centroids = Some(trained)).collect()
+    val bf = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+    assert(ivf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
