@@ -42,6 +42,13 @@ object Curation {
     "n_ssns" -> regexp_count(text, lit(ssnRe)),
     "n_phones" -> regexp_count(text, lit(phoneRe)))
 
+  /** URLs (web-corpus cleaning): RE2-safe pattern, count + strip. */
+  val urlRe = "https?://[a-zA-Z0-9./_%?&=#~-]+"
+
+  def urlCount(text: Column): Column = regexp_count(text, lit(urlRe))
+
+  def stripUrls(text: Column): Column = regexp_replace(text, urlRe, "<URL>")
+
   /** Token-level repetition ratio: 1 - distinct/total tokens. High values
     * flag boilerplate / degenerate documents (C4-style repetition filter).
     */

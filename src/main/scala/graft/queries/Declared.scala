@@ -593,6 +593,34 @@ object Declared {
              |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // URL detection + stripping (web-corpus cleaning): synthetic URLs
+    // appended deterministically from doc_id so both engines see the same
+    // text; map-only like the PII pass
+    "x26_url_strip" -> Q(
+      (s, dir) => {
+        val withUrl = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" see https://example.com/d/"), col("doc_id").cast("string"),
+              lit("?ref=x and http://mirror.example.org/"),
+              col("doc_id").cast("string"))).otherwise(lit("")))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            Curation.urlCount(withUrl).cast("long").as("n_urls"),
+            md5(Curation.stripUrls(withUrl)).as("stripped_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    text || CASE WHEN doc_id % 3 = 0
+             |      THEN ' see https://example.com/d/' || doc_id::varchar
+             |        || '?ref=x and http://mirror.example.org/' || doc_id::varchar
+             |      ELSE '' END AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t, 'https?://[a-zA-Z0-9./_%?&=#~-]+'))::bigint AS n_urls,
+             |  md5(regexp_replace(t, 'https?://[a-zA-Z0-9./_%?&=#~-]+', '<URL>', 'g')) AS stripped_md5
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // token repetition ratio (C4-style degenerate-document filter)
     "x19_repetition" -> Q(
       (s, dir) => {

@@ -74,4 +74,15 @@ class CurationSpec extends SparkSuite {
     assert(got2.toSeq == Seq(("de", 1L, 0L), ("de", 2L, 1L),
       ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L)))
   }
+
+  test("URL count and strip") {
+    val df = Seq(
+      "read https://a.example.com/x?q=1 or http://b.org/p nothing else",
+      "no links").toDF("text")
+    val got = df.select(Curation.urlCount(col("text")).as("n"),
+      Curation.stripUrls(col("text")).as("s")).collect()
+    assert(got(0).getInt(0) == 2)
+    assert(got(0).getString(1) == "read <URL> or <URL> nothing else")
+    assert(got(1).getInt(0) == 0 && got(1).getString(1) == "no links")
+  }
 }
