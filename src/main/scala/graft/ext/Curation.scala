@@ -81,6 +81,30 @@ object Curation {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Corpus-statistical quality score (CCNet-style): per-document mean
+    * unigram log-probability under the corpus's own term distribution.
+    * Degenerate/rare-token documents score low; fluent ones high — the
+    * statistical complement to the heuristic [[TextStats.qualityScore]].
+    *
+    * Scale: the term-frequency table is a standard shuffle aggregate
+    * (partial map-side combine), re-joined to the postings on term —
+    * both sides shuffle (term, counts)-shaped rows only; the per-doc
+    * score is one more (doc_id, partial-avg) aggregation. In a real
+    * pipeline the frequency table is trained once and reused.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf")).persist()
+    val tot = freq.agg(sum("tf").cast("double").as("tot"))
+    toks.join(freq, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", log(col("tf").cast("double") / col("tot")))
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 6).as("avg_logp"),
+        count(lit(1)).as("n_tok"))
+  }
+
   /** Deterministic hash-gate for weighted sampling: keep a row iff the
     * first byte of md5(salt || key) is below the per-row threshold
     * (2 hex chars, so rate = parseInt(threshold,16)/256). md5 hex is

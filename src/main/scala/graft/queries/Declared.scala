@@ -665,6 +665,23 @@ object Declared {
              |WHERE doc_id % 37 <> 0
              |GROUP BY doc_id HAVING count(*) >= 5 ORDER BY doc_id""".stripMargin)),
 
+    // corpus-statistical quality (CCNet-style): mean unigram log-prob of
+    // each doc under the corpus term distribution
+    "x27_unigram_logprob" -> Q(
+      (s, dir) => Curation.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, u.term AS term
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |    FROM documents), unnest(w) AS u(term)),
+             |freq AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+             |tot AS (SELECT sum(tf)::double AS tot FROM freq)
+             |SELECT doc_id, round(avg(ln(tf / tot)), 6) AS avg_logp,
+             |  count(*) AS n_tok
+             |FROM toks JOIN freq USING (term) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // deterministic weighted sampling: md5 hash-gate with per-language
     // rates — reproducible (oracle-checkable) unlike rand(), map-only
     "x21_hash_sample" -> Q(

@@ -85,4 +85,17 @@ class CurationSpec extends SparkSuite {
     assert(got(0).getString(1) == "read <URL> or <URL> nothing else")
     assert(got(1).getInt(0) == 0 && got(1).getString(1) == "no links")
   }
+
+  test("unigram log-prob: common-token doc outscores rare-token doc") {
+    val df = Seq(
+      (1L, "common common common words"),
+      (2L, "common words"),
+      (3L, "zyx qwv unique singleton")).toDF("doc_id", "text")
+    val rows = Curation.unigramLogProb(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(rows(1L)._1 > rows(3L)._1 && rows(2L)._1 > rows(3L)._1)
+    // n_tok matches token counts
+    assert(rows.view.mapValues(_._2).toMap == Map(1L -> 4L, 2L -> 2L, 3L -> 4L))
+  }
 }
