@@ -41,4 +41,43 @@ class SinkSpec extends SparkSuite {
     // beers array keeps its fixed length 2
     assert(back.filter(size(col("user.favoriteBeers")) =!= 2).count() == 0)
   }
+
+  test("bucketed tables join co-located: SortMergeJoin with zero shuffle beneath it") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val o = Tables.load(spark, sf(), "orders")
+    val l = Tables.load(spark, sf(), "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    o.write.option("path", s"$wh/orders_b")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.option("path", s"$wh/lineitem_b")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("lineitem_b").join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      // AQE wraps the plan; collect() doesn't traverse into the adaptive
+      // wrapper, so unwrap to the current physical plan first
+      val plan = j.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val smj = plan.collect { case s: SortMergeJoinExec => s }
+      assert(smj.nonEmpty, "expected a SortMergeJoin over bucketed tables")
+      // co-located: bucket layout satisfies the join distribution on BOTH
+      // sides — no shuffle anywhere under the join
+      assert(smj.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"unexpected shuffle under the bucketed join:\n${smj.head}")
+      assert(j.count() ==
+        l.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
