@@ -880,6 +880,60 @@ object Declared {
               |  AND substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // corpus report: the per-shard inventory a data team runs first —
+    // doc counts, token volume, quality distribution, corpus share per
+    // language. One scan + one (lang)-keyed aggregation; the share's
+    // grand total reuses the tiny aggregated frame (q18 pattern).
+    "x28_corpus_report" -> Q(
+      (s, dir) => {
+        val byLang = t(s, dir, "documents")
+          .select(col("lang"),
+            TextStats.tokenCount(col("text")).cast("long").as("tok"),
+            TextStats.qualityScore(col("text")).as("q"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("sum_tokens"),
+            round(avg(col("tok")), 4).as("avg_tokens"),
+            round(avg(col("q")), 6).as("avg_quality"),
+            round(min(col("q")), 6).as("min_quality"))
+          .persist()
+        val total = byLang.agg(sum("n_docs").as("tot"))
+        byLang.crossJoin(broadcast(total))
+          .withColumn("doc_share", round(col("n_docs") / col("tot"), 6))
+          .drop("tot")
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT lang, text,
+              |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok,
+              |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toklen,
+              |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+              |    length(text) AS nchars
+              |  FROM documents),
+              |f AS (
+              |  SELECT lang, tok, nchars,
+              |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+              |    round(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+              |        x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+              |      / greatest(toklen, 1), 6) AS stopword_ratio
+              |  FROM t),
+              |q AS (
+              |  SELECT lang, tok,
+              |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+              |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+              |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+              |      + 0.2
+              |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS q
+              |  FROM f),
+              |g AS (
+              |  SELECT lang, count(*) AS n_docs, sum(tok)::bigint AS sum_tokens,
+              |    round(avg(tok), 4) AS avg_tokens,
+              |    round(avg(q), 6) AS avg_quality, round(min(q), 6) AS min_quality
+              |  FROM q GROUP BY lang)
+              |SELECT lang, n_docs, sum_tokens, avg_tokens, avg_quality, min_quality,
+              |  round(n_docs::double / sum(n_docs) OVER (), 6) AS doc_share
+              |FROM g ORDER BY lang""".stripMargin)),
+
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
 
     // X5: heuristic language ID — oracle replicates the marker scoring
