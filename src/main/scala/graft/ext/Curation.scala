@@ -112,7 +112,10 @@ object Curation {
     * unlike `rand()`. Map-only at any scale.
     */
   def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft"): Column =
-    substring(md5(concat(lit(salt), key.cast("string"))), 1, 2) < thresholdHex
+    // lower(): md5 hex is lowercase, and an uppercase threshold ('C0')
+    // sorts below all lowercase a-f by ASCII — it would silently skew the
+    // sampling rate instead of meaning parseInt(threshold, 16)/256
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 2) < lower(thresholdHex)
 
   /** Sequence packing (pretraining batch prep): concatenate documents in
     * a deterministic order within each shard and split at `capacity`

@@ -194,6 +194,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters did not converge within maxIter=$maxIter rounds — a " +
+          "component with diameter > maxIter yields split clusters; raise " +
+          "maxIter (near-dup graphs converge in a handful of rounds, so " +
+          "this usually indicates a pathological chain-shaped pair list)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

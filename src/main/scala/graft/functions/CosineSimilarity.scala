@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumns}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** `cosine_sim(a, b)` over two array<double> columns as a native
   * expression: one pass accumulating dot, |a|^2, |b|^2 straight off the
@@ -14,12 +14,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * dominant cost (measured ~30x on x16).
   */
 case class CosineSimilarity(a: Expression, b: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
   override def left: Expression = a
   override def right: Expression = b
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // analysis-time contract: coerce array<float/int/...> to array<double>
+  // (getDouble on a 4-byte-stride ArrayData would silently read garbage)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override protected def nullSafeEval(x: Any, y: Any): Any =
     CosineSimilarity.compute(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])

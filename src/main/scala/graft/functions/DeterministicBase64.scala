@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumns}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `deterministic_base64(seed, id)` — the reference's 500-random-bytes
@@ -19,12 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * "Fast Splittable Pseudorandom Number Generators" (OOPSLA 2014).
   */
 case class DeterministicBase64(seed: Expression, id: Expression, numBytes: Int)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
   override def left: Expression = seed
   override def right: Expression = id
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override protected def nullSafeEval(s: Any, i: Any): Any =
     DeterministicBase64.gen(s.asInstanceOf[Long], i.asInstanceOf[Long], numBytes)

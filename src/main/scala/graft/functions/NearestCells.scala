@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumns}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** `nearest_cells(vec)` — the `n` centroid ids nearest (by cosine) to an
   * array<double> vector, ordered best-first.
@@ -16,10 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * Here the generated code is one static call regardless of nlist/dim.
   */
 case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   override protected def nullSafeEval(input: Any): Any =
     NearestCells.compute(input.asInstanceOf[ArrayData], cents, n)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumns}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, ImplicitCastInputTypes, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -27,7 +27,12 @@ case class TopKByScore(
     score: Expression, payload: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
-  with TernaryLike[Expression] {
+  with TernaryLike[Expression] with ImplicitCastInputTypes {
+
+  // analysis-time contract: score coerces to double, payload to long, k to
+  // int — without this, update()'s asInstanceOf throws at runtime instead
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, IntegerType)
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
   require(kExpr.foldable, "k must be a literal")

@@ -30,14 +30,27 @@ object RateShape {
     * reference's duty cycle. `value` is the rate source's monotonically
     * increasing row id.
     */
-  def admit(tsCol: Column, valueCol: Column, peak: Long = peakRate): Column =
+  def admit(tsCol: Column, valueCol: Column, peak: Long = peakRate): Column = {
+    requirePeak(peak)
     pmod(valueCol, lit(peak)) < rateFor(unix_timestamp(tsCol))
+  }
+
+  /** The source rate is the admission modulus: below the 410 r/s waveform
+    * peak the upper square-wave steps would silently clip to the source
+    * rate, distorting the reference 10/110/210/310/410 shape.
+    */
+  private def requirePeak(peak: Long): Unit =
+    require(peak >= peakRate,
+      s"rate-source peak must be >= $peakRate rows/s (the waveform's top " +
+        s"step); got $peak — steps above the source rate would clip")
 
   /** Apply the admission filter to a rate-source stream with columns
     * (timestamp, value).
     */
-  def shape(rateStream: DataFrame, peak: Long = peakRate): DataFrame =
+  def shape(rateStream: DataFrame, peak: Long = peakRate): DataFrame = {
+    requirePeak(peak)
     rateStream.filter(admit(col("timestamp"), col("value"), peak))
+  }
 
   /** Batch form for tests/oracles: a virtual-time clock of `seconds`
     * seconds at `peak` rows/s, admitted by the same predicate. Proves the
@@ -45,6 +58,7 @@ object RateShape {
     */
   def virtualWave(spark: org.apache.spark.sql.SparkSession, seconds: Int,
                   peak: Long = peakRate): DataFrame = {
+    requirePeak(peak)
     val n = seconds * peak
     spark.range(n)
       .withColumn("sec", floor(col("id") / peak))

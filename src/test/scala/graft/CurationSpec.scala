@@ -54,6 +54,11 @@ class CurationSpec extends SparkSuite {
     val kept2 = df.filter(Curation.hashKeep(col("id"), lit("40"))).count()
     assert(kept == kept2) // deterministic, unlike rand()
     assert(df.filter(Curation.hashKeep(col("id"), lit("ff"))).count() > kept)
+    // uppercase threshold means the same rate as its lowercase form —
+    // without lower() 'C0' sorted below all a-f hex and skewed the rate
+    val lo = df.filter(Curation.hashKeep(col("id"), lit("c0"))).count()
+    val up = df.filter(Curation.hashKeep(col("id"), lit("C0"))).count()
+    assert(lo == up, s"lowercase kept $lo but uppercase kept $up")
   }
 
   test("sequence packing: chunk boundaries respect capacity per shard") {

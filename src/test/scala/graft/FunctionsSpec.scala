@@ -79,6 +79,28 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(resized(0).features(0) - expect) < 1e-6f)
   }
 
+  test("input-type coercion: array<float>/int args cast at analysis, bad types rejected") {
+    graft.functions.GraftFunctions.register(spark)
+    // array<float> coerces to array<double> — same answer as the double form
+    // (without inputTypes, getDouble on 4-byte-stride data read garbage)
+    val r = spark.sql(
+      """SELECT cosine_sim(cast(array(1.0, 0.0) AS array<float>),
+        |                  cast(array(1.0, 1.0) AS array<float>)) AS c""".stripMargin)
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+    // int score/id coerce for the aggregate
+    val agg = spark.sql(
+      """SELECT top_k_by_score(s, id, 1) AS t FROM VALUES
+        |  (9, 1), (1, 2) AS v(s, id)""".stripMargin).collect()(0)
+    assert(agg.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)) == Seq(1L))
+    // non-castable input fails at ANALYSIS time, not with a runtime CCE
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles(array(1, 2), 3)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("word_shingles") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("SQL registration: custom functions usable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

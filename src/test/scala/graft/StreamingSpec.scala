@@ -90,7 +90,7 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("producer streaming pipeline runs on the rate source") {
-    val q = Pipelines.producer(spark, rowsPerSecond = 50)
+    val q = Pipelines.producer(spark, rowsPerSecond = RateShape.peakRate)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("prod").start()
     try {
@@ -100,6 +100,18 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("prod")
       assert(got.columns.toSeq == Seq("topic", "partition", "key", "value", "headers"))
     } finally q.stop()
+  }
+
+  test("S1 waveform guard: source rate below the 410 r/s peak is rejected") {
+    // a sub-peak source rate would silently clip the 210/310/410 steps to
+    // the source rate, distorting the reference waveform — reject instead
+    val e = intercept[IllegalArgumentException] {
+      RateShape.virtualWave(spark, 10, peak = 100)
+    }
+    assert(e.getMessage.contains("410"))
+    intercept[IllegalArgumentException] {
+      Pipelines.producer(spark, rowsPerSecond = 50)
+    }
   }
 
   test("K5 truncation plan: depth trigger + consumer-offset keying") {
@@ -129,7 +141,7 @@ class StreamingSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_wire").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     // producer -> file sink (the no-broker stand-in for the Kafka sink)
-    val q = Pipelines.producer(spark, rowsPerSecond = 100)
+    val q = Pipelines.producer(spark, rowsPerSecond = RateShape.peakRate)
       .writeStream.format("parquet")
       .option("path", dir).option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
