@@ -95,7 +95,9 @@ object Curation {
   def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.tokens(col(textCol))).as("term"))
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf")).persist()
+    // eager localCheckpoint, not persist(): the frequency table feeds both
+    // the total and the re-join without leaking a CacheManager entry
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf")).localCheckpoint(true)
     val tot = freq.agg(sum("tf").cast("double").as("tot"))
     toks.join(freq, "term")
       .crossJoin(broadcast(tot))

@@ -69,7 +69,11 @@ object Dedup {
       val hot = sh0.groupBy("h").count().filter(col("count") > cap).select("h")
       sh0.join(broadcast(hot), Seq("h"), "left_anti")
     }
-    val sh = capped.persist()
+    // eager localCheckpoint, not persist(): computed once for the three
+    // downstream uses, no CacheManager entry to leak in a long-lived
+    // session (blocks are reclaimed by the ContextCleaner when the plan
+    // is garbage-collected)
+    val sh = capped.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b, col("a.h") === col("b.h") &&
@@ -107,7 +111,7 @@ object Dedup {
       shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist()
+      .localCheckpoint(true) // see jaccardPairs: cache-leak-free reuse
     // one SLIM row per (doc, band): the LSH join must shuffle only
     // (band, bucket, id) — shingle arrays are re-joined after the
     // candidate pairs are deduplicated, never carried through the

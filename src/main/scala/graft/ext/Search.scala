@@ -33,7 +33,9 @@ object Search {
       col(idCol).as("doc_id"),
       size(toks).as("dl"),
       filter(toks, t => queryTerms.map(q => t === q).reduce(_ || _)).as("qtoks"))
-      .persist()
+      // eager localCheckpoint, not persist(): reused by the stats + postings
+      // branches without leaking a CacheManager entry per invocation
+      .localCheckpoint(true)
     val global = base.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
     // dl rides along with the postings — no separate length join

@@ -22,5 +22,19 @@ object Routing {
     df.withColumn("slot", ((row_number().over(w) - 1).cast("long")) % n)
   }
 
-  def assignByKey(key: Column, n: Int): Column = pmod(xxhash64(key), lit(n))
+  /** Hash-routing (the 100 TB form): map-only, stateless, no ordering.
+    * The hash family is pluggable — xxhash64 (codegen'd, fastest) by
+    * default; [[portableHash]] when the assignment must be reproducible
+    * outside Spark (oracle checks, cross-engine handoffs).
+    */
+  def assignByKey(key: Column, n: Int,
+                  hash: Column => Column = xxhash64(_)): Column =
+    pmod(hash(key), lit(n.toLong))
+
+  /** Engine-portable hash: first byte of md5(key) as 0..255. md5 hex is
+    * identical across engines (unlike xxhash64, whose value depends on
+    * Spark's internal row encoding), so slots are oracle-checkable.
+    */
+  def portableHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
 }

@@ -85,15 +85,17 @@ object Declared {
     "q18_part_type_share" -> Q(
       (s, dir) => {
         val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
-        // persist the aggregated frame (one row per p_type — bounded by
-        // dimension cardinality, not data volume): the grand-total branch
-        // then reads 6 cached rows instead of re-scanning the fact table
+        // eagerly checkpoint the aggregated frame (one row per p_type —
+        // bounded by dimension cardinality, not data volume): the
+        // grand-total branch then reads 6 materialized rows instead of
+        // re-scanning the fact table, and unlike persist() nothing is
+        // left in the CacheManager to leak across invocations
         val byType = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
           .groupBy("p_type")
           .agg(
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
             count(lit(1)).as("cnt"))
-          .persist()
+          .localCheckpoint(true)
         val total = byType.agg(sum("revenue").as("tot"))
         byType.crossJoin(broadcast(total))
           .withColumn("share", round(col("revenue") / col("tot"), 6))
@@ -202,6 +204,26 @@ object Declared {
         .orderBy("event_id"),
       Some("""SELECT event_id, (row_number() OVER (ORDER BY event_id) - 1) % 3 AS slot
              |FROM events ORDER BY event_id""".stripMargin)),
+
+    // J3 (scale form): hash routing — assignByKey with the portable md5
+    // hash so DuckDB reproduces the exact slot assignment. Map-only and
+    // order-free (vs q11's window form, which funnels through one task);
+    // n_users makes the check per-row-strong: any one key hashing to a
+    // different slot moves its whole user between distribution rows.
+    "q19_hash_routing" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"),
+          Routing.assignByKey(col("user_id"), 6, Routing.portableHash).as("slot"))
+        .groupBy("slot")
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("slot"),
+      Some("""WITH h AS (
+             |  SELECT user_id,
+             |    ((strpos('0123456789abcdef', substr(md5(user_id::varchar), 1, 1)) - 1) * 16
+             |      + (strpos('0123456789abcdef', substr(md5(user_id::varchar), 2, 1)) - 1))::bigint % 6 AS slot
+             |  FROM events)
+             |SELECT slot, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+             |FROM h GROUP BY slot ORDER BY slot""".stripMargin)),
 
     // P3/P6/P7/P8: scalar transforms
     "q12_scalar_transforms" -> Q(
@@ -725,11 +747,16 @@ object Declared {
 
     // duplicate-cluster resolution: connected components over the exact
     // jaccard near-dup pairs — every clustered doc labeled with the min
-    // doc_id of its component (DuckDB oracle: recursive reachability)
+    // doc_id of its component (DuckDB oracle: recursive reachability).
+    // maxDocFreq=100 exercises the hot-shingle skew cap in the declared
+    // plan (one stop-shingle bucket is quadratic at scale); the fixture
+    // max shingle df is 7 at sf0.01 / 25 at sf0.1, so no shingle is
+    // actually dropped and the oracle hash still matches — the capping
+    // semantics themselves are proven in ExtSpec's degenerate-corpus test
     "x23_dup_clusters" -> Q(
       (s, dir) => Dedup.dupClusters(
         Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-          k = 3, threshold = 0.2))
+          k = 3, threshold = 0.2, maxDocFreq = Some(100)))
         .orderBy("doc_id"),
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
@@ -790,8 +817,11 @@ object Declared {
     "x25_curation_e2e" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // maxDocFreq: skew cap exercised in-plan; above fixture max df
+        // (25 at sf0.1) so results are unchanged — see x23 note
         val dropDups = Dedup.dupClusters(
-          Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
+          Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2,
+            maxDocFreq = Some(100)))
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
         // gate order = cost order: md5 hash-gate (bytes on the id) first,
         // language second, the token-heavy quality/repetition expressions
@@ -896,7 +926,7 @@ object Declared {
             round(avg(col("tok")), 4).as("avg_tokens"),
             round(avg(col("q")), 6).as("avg_quality"),
             round(min(col("q")), 6).as("min_quality"))
-          .persist()
+          .localCheckpoint(true) // q18 pattern: tiny frame, cache-leak-free
         val total = byLang.agg(sum("n_docs").as("tot"))
         byLang.crossJoin(broadcast(total))
           .withColumn("doc_share", round(col("n_docs") / col("tot"), 6))

@@ -39,6 +39,31 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.857143) < 1e-6)
   }
 
+  test("X2 jaccardPairs maxDocFreq bounds the hot-shingle bucket") {
+    // degenerate corpus: every doc carries the same boilerplate sentence
+    // (the stop-shingle pattern that makes one inverted-index bucket
+    // quadratic at scale); only docs 1 and 2 are genuine near-dups
+    val boiler = "this document is licensed under the creative commons attribution license"
+    val df = (Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon"),
+      (2L, s"$boiler alpha beta gamma delta zeta")) ++
+      (3L to 6L).map(i => (i, s"$boiler unique$i content$i words$i only$i")))
+      .toDF("doc_id", "text")
+    // uncapped at a tiny threshold: the boilerplate bucket alone connects
+    // every pair — C(6,2) = 15 candidate pairs, quadratic in the corpus
+    val uncapped = Dedup.jaccardPairs(df, "text", "doc_id", k = 3, threshold = 0.01)
+    assert(uncapped.count() == 15)
+    // capped below the boilerplate df (6): hot shingles leave the index,
+    // only the genuine near-dup pair survives — same tiny threshold
+    val capped = Dedup.jaccardPairs(df, "text", "doc_id", k = 3,
+      threshold = 0.01, maxDocFreq = Some(4)).collect()
+    assert(capped.length == 1)
+    assert(capped(0).getLong(0) == 1L && capped(0).getLong(1) == 2L)
+    // jaccard is over the CAPPED shingle universe: docs 1/2 keep 5
+    // shingles each (boundary + suffix), 4 common -> 4/6
+    assert(math.abs(capped(0).getDouble(2) - 0.666667) < 1e-6)
+  }
+
   test("X2 minhashLshPairs finds the same crafted pair") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(
