@@ -31,6 +31,11 @@ object Smoke {
     println(s"MINHASH exact=${ex.size} lsh=${mh.size} " +
       s"recall=${if (ex.isEmpty) 1.0 else ex.intersect(mh).size.toDouble / ex.size}")
 
+    val exEmb = pairs("x16_embedding_dups")
+    val blEmb = pairs("x29_embedding_dups_blocked")
+    println(s"EMB_BLOCKED exact=${exEmb.size} blocked=${blEmb.size} " +
+      s"recall=${if (exEmb.isEmpty) 1.0 else exEmb.intersect(blEmb).size.toDouble / exEmb.size}")
+
     def topk(name: String) =
       SparkEntry.queries(name)(spark, sfDir)
         .select("query_id", "neighbor_id").collect()

@@ -230,4 +230,47 @@ object Dedup {
     a.join(b, col("id_a") < col("id_b") && sim >= threshold)
       .select(col("id_a"), col("id_b"), sim.as("sim"))
   }
+
+  /** Embedding near-dup pairs, cell-blocked (the 100 TB form of
+    * [[embeddingNearDupPairs]]): every vector is assigned to its `nprobe`
+    * nearest IVF cells (multi-probe hedges pairs straddling a cell
+    * boundary) and the pairwise cosine check runs WITHIN cells only — an
+    * equi-join on cell instead of the n² nested loop, so candidate volume
+    * is ~n²·nprobe²/nlist and each cell's block is independent work.
+    *
+    * Scale notes:
+    *  - the join shuffles (cell, id, vector) and partitions by cell, so
+    *    parallelism is bounded by nlist: size nlist ~ sqrt(n) (and train
+    *    centroids with [[Similarity.kmeansCentroids]]) as the corpus
+    *    grows, keeping per-cell blocks bounded.
+    *  - the threshold lives inside the join condition (zero-copy
+    *    JoinedRow — see [[embeddingNearDupPairs]]); only matching pairs
+    *    materialize, then multi-probe duplicates collapse via distinct
+    *    over (id_a, id_b, sim) — sim is deterministic per pair.
+    *  - recall < 1 is the price of blocking: a pair is found iff the two
+    *    vectors share one of their nprobe cells. Near-dup pairs (high
+    *    sim) rank cells near-identically, so recall concentrates exactly
+    *    where dedup needs it (verified in ExtSpec + Smoke vs the exact
+    *    form; full-probe nprobe = nlist is exhaustive by construction).
+    */
+  def embeddingNearDupPairsBlocked(embeddings: DataFrame, threshold: Double,
+                                   nlist: Int = 32, nprobe: Int = 2,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding",
+                                   centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells
+    val cents = centroids.getOrElse(
+      Similarity.sampledCentroids(embeddings, nlist, idCol, vecCol))
+    val cells = embeddings
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", explode(nearest_cells(col("v"), cents, nprobe)))
+    val a = cells.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = cells.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val sim = round(Similarity.cosine(col("va"), col("vb")), 6)
+    a.as("a").join(b.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .distinct()
+  }
 }

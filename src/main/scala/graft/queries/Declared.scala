@@ -1021,6 +1021,16 @@ object Declared {
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
 
+    // X2 (scale form of x16): cell-blocked embedding near-dup — pairwise
+    // cosine within IVF cells only (no n^2 nested loop). Approximate by
+    // construction (recall vs x16 asserted in ExtSpec + Smoke), so
+    // rows-only here.
+    "x29_embedding_dups_blocked" -> Q(
+      (s, dir) => Dedup.embeddingNearDupPairsBlocked(
+        t(s, dir, "embeddings"), threshold = 0.45, nlist = 16, nprobe = 4)
+        .orderBy("id_a", "id_b"),
+      None),
+
     // X3 (scale form): IVF-Flat ANN — recall vs x03 covered in tests/Smoke
     "x11_ann_ivf" -> Q(
       (s, dir) => {
