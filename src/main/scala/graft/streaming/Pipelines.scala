@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * Transport is pluggable (SURVEY §5.2 item 4): the same wire DataFrame
   * goes to `format("kafka")` in production or `format("memory")` /
   * MemorySink in tests — no broker exists in this environment, so
-  * everything up to the sink boundary is exercised without Kafka, and the
-  * Kafka sink is exactly `writeStream.format("kafka").option(...)` on the
-  * same columns (topic, key, value, headers).
+  * everything up to the sink boundary is exercised without Kafka. The
+  * Kafka side of the boundary is [[KafkaSink]]: connector-resolution
+  * check (ServiceLoader, same lookup `format("kafka")` does), per-cluster
+  * option resolution via [[graft.config.ClusterConfigs]], and the
+  * fail-fast `writeStream.format("kafka")` writer over these exact
+  * columns (topic, key, value, headers).
   */
 object Pipelines {
 
