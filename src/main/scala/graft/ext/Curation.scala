@@ -122,13 +122,29 @@ object Curation {
   /** Sequence packing (pretraining batch prep): concatenate documents in
     * a deterministic order within each shard and split at `capacity`
     * tokens — chunk_id = floor(preceding_tokens / capacity). Running sum
-    * is per-shard (partitionCol), so shards pack in parallel; no global
-    * ordering is required at scale.
+    * is per-shard, so shards pack in parallel; no global ordering is
+    * required at scale.
+    *
+    * Parallelism: the shard key is `(partitionCol, shard)` where `shard =
+    * portable_md5(orderCol) % nShards` — with the default `nShards = 1`
+    * the window is per-`partitionCol` only, which caps concurrency at the
+    * number of distinct values (5 languages = 5 tasks at 100 TB: wrong).
+    * Set `nShards` so that (#partitionCol values x nShards) comfortably
+    * exceeds the cluster's cores AND each shard's rows fit one task;
+    * deterministic, engine-portable (md5), and chunks remain capacity-
+    * bounded per shard — packing semantics are unchanged, chunk ids just
+    * become per-(shard) instead of per-(partitionCol).
     */
   def packChunks(docs: DataFrame, partitionCol: String, orderCol: String,
-                 tokens: Column, capacity: Int): DataFrame = {
-    val w = Window.partitionBy(col(partitionCol)).orderBy(col(orderCol))
+                 tokens: Column, capacity: Int, nShards: Int = 1): DataFrame = {
+    val shard =
+      if (nShards <= 1) lit(0L)
+      else graft.operators.Routing.assignByKey(
+        col(orderCol), nShards, graft.operators.Routing.portableHash)
+    val w = Window.partitionBy(col(partitionCol), col("shard"))
+      .orderBy(col(orderCol))
     docs
+      .withColumn("shard", shard)
       .withColumn("tok", tokens)
       .withColumn("cum", sum(col("tok")).over(w))
       .withColumn("chunk_id", floor((col("cum") - col("tok")) / capacity))

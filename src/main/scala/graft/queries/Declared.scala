@@ -745,6 +745,32 @@ object Declared {
              |  count(*) AS n_docs, sum(tok)::bigint AS sum_tokens
              |FROM c GROUP BY 1, 2 ORDER BY lang, chunk_id""".stripMargin)),
 
+    // x22 scale form: sub-sharded packing — the window key is
+    // (lang, md5-shard) so parallelism is langs x nShards instead of
+    // being capped at ~5 concurrent tasks by lang alone; portable md5
+    // shard lets DuckDB reproduce chunk ids exactly (hash-match check)
+    "x22_pack_chunks_sharded" -> Q(
+      (s, dir) => Curation.packChunks(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"), col("text")),
+        "lang", "doc_id", graft.ext.TextStats.tokenCount(col("text")),
+        capacity = 2048, nShards = 4)
+        .groupBy("lang", "shard", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+        .orderBy("lang", "shard", "chunk_id"),
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |    ((strpos('0123456789abcdef', substr(md5(doc_id::varchar), 1, 1)) - 1) * 16
+             |      + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 2, 1)) - 1))::bigint % 4 AS shard,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT lang, shard, doc_id, tok,
+             |    sum(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t)
+             |SELECT lang, shard, floor((cum - tok) / 2048)::bigint AS chunk_id,
+             |  count(*) AS n_docs, sum(tok)::bigint AS sum_tokens
+             |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, chunk_id""".stripMargin)),
+
     // duplicate-cluster resolution: connected components over the exact
     // jaccard near-dup pairs — every clustered doc labeled with the min
     // doc_id of its component (DuckDB oracle: recursive reachability).

@@ -80,6 +80,33 @@ class CurationSpec extends SparkSuite {
       ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L)))
   }
 
+  test("sub-sharded packing: every doc packed once, capacity held per shard") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select(col("lang"), col("doc_id"),
+        graft.ext.TextStats.tokenCount(col("text")).as("n"))
+    val packed = Curation.packChunks(docs, "lang", "doc_id", col("n"),
+      capacity = 2048, nShards = 4)
+    // partition-preserving: same docs, one row each, shard in range
+    assert(packed.count() == docs.count())
+    assert(packed.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
+    // shard assignment is the portable hash — content-independent of lang
+    val perKey = packed.groupBy("lang", "shard").count().count()
+    assert(perKey > 5, s"expected > 5 (lang, shard) windows, got $perKey")
+    // capacity bound: a chunk's preceding-docs total never reaches
+    // capacity + its own tok (i.e. every doc starts before the boundary)
+    val bad = packed.filter(col("cum") - col("tok") >= (col("chunk_id") + 1) * 2048)
+      .count()
+    assert(bad == 0)
+    // nShards = 1 degenerates to the unsharded form exactly
+    val one = Curation.packChunks(docs, "lang", "doc_id", col("n"),
+      capacity = 2048, nShards = 1)
+      .select("lang", "doc_id", "chunk_id").collect().toSet
+    val base = Curation.packChunks(docs, "lang", "doc_id", col("n"),
+      capacity = 2048)
+      .select("lang", "doc_id", "chunk_id").collect().toSet
+    assert(one == base)
+  }
+
   test("URL count and strip") {
     val df = Seq(
       "read https://a.example.com/x?q=1 or http://b.org/p nothing else",
