@@ -249,4 +249,58 @@ class StreamingSpec extends SparkSuite {
       assert(body.contains("\"inactivePartitions\":\"0\""))
     } finally { server.stop(); q.stop() }
   }
+
+  test("health e2e DOWN transition: liveness flips 200 -> 503 -> 200 across the 5-min threshold") {
+    // the reference's CounterProgressCheck DOWN path
+    // (CounterProgressCheck.java:80-121): a partition whose last activity
+    // is >= 5 min before "now" turns the whole probe DOWN. Driven here
+    // with a VIRTUAL clock: same monitor, the clock advances past the
+    // threshold between micro-batches (no wall-clock sleeping).
+    import graft.health.{Liveness, ProgressBridge}
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamCounters.CounterEvent]
+    val t0 = 1704067200000L
+    @volatile var now = t0 + 1000L
+    val monitor = StreamCounters.progressMonitor(input.toDS(), nowMs = () => now,
+      enableTimeout = false)
+    val bridge = new ProgressBridge
+    val q = monitor.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch((b: org.apache.spark.sql.Dataset[StreamCounters.ProgressStatus],
+                     _: Long) => bridge.update(b.collect().toSeq))
+      .start()
+    val server = new Liveness.Server(0, () => Seq(bridge.check("consumer-progress")))
+    def probe(): (Int, String) = {
+      val url = new java.net.URL(s"http://127.0.0.1:${server.boundPort}/health/live")
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val stream = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(stream).mkString)
+    }
+    try {
+      // 1. fresh activity -> UP
+      input.addData(StreamCounters.CounterEvent("c1", "t1", 0, 5L, t0))
+      q.processAllAvailable()
+      val (codeUp, bodyUp) = probe()
+      assert(codeUp == 200 && bodyUp.contains("\"status\":\"UP\""))
+      // 2. clock passes the threshold; the next monitor tick carries no
+      //    new activity for the partition (delta 0, stale event time) —
+      //    exactly 5 min is already DOWN (>=, reference :80)
+      now = t0 + StreamCounters.inactivityMs
+      input.addData(StreamCounters.CounterEvent("c1", "t1", 0, 0L, t0))
+      q.processAllAvailable()
+      val (codeDown, bodyDown) = probe()
+      assert(codeDown == 503, s"expected 503 at the staleness threshold, got $codeDown")
+      assert(bodyDown.contains("\"status\":\"DOWN\""))
+      assert(bodyDown.contains("\"inactivePartitions\":\"1\""))
+      // counter survives the stale period (reference keeps counts)
+      assert(bodyDown.contains("\"records\":\"5\""))
+      // 3. activity resumes -> UP again, count accumulated
+      input.addData(StreamCounters.CounterEvent("c1", "t1", 0, 2L, now))
+      q.processAllAvailable()
+      val (codeBack, bodyBack) = probe()
+      assert(codeBack == 200 && bodyBack.contains("\"status\":\"UP\""))
+      assert(bodyBack.contains("\"records\":\"7\""))
+    } finally { server.stop(); q.stop() }
+  }
 }
