@@ -24,6 +24,104 @@ object Declared {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // Shared oracle for the curation e2e pipelines: x25 (exact-Jaccard
+  // pair path) and x30 (MinHash LSH scale path) must produce
+  // IDENTICAL output — LSH candidates are exact-verified (precision 1)
+  // and recall is 1.0 on the fixtures (Smoke, sf0.01 and sf0.1), so
+  // both hash-match one oracle; any LSH recall loss turns the x30 row
+  // red rather than hiding.
+  /** The curation e2e gate chain shared by x25/x30: gate order = cost
+    * order — md5 hash-gate (bytes on the id) first, language second, the
+    * token-heavy quality/repetition expressions only on what survives;
+    * all gates are independent, so this is semantically identical and
+    * row-minimal at any scale. `dropDups` is the (doc_id) set to remove
+    * (non-survivor cluster members), joined left_anti.
+    */
+  private def curationGates(docs: DataFrame, dropDups: DataFrame): DataFrame =
+    docs
+      .filter(Curation.hashKeep(col("doc_id"), lit("c0")))
+      .withColumn("lang_pred", TextStats.langId(col("text")))
+      .filter(col("lang_pred") === "en")
+      .withColumn("quality", TextStats.qualityScore(col("text")))
+      .withColumn("rep_ratio", Curation.repetitionRatio(col("text")))
+      .filter(col("quality") >= 0.8 && col("rep_ratio") <= 0.6)
+      .join(dropDups, Seq("doc_id"), "left_anti")
+      .select("doc_id", "quality", "rep_ratio")
+      .orderBy("doc_id")
+
+  private val curationE2eOracle: String =
+    s"""WITH RECURSIVE t0 AS (
+              |  SELECT doc_id, text,
+              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+              |  FROM documents),
+              |lid AS (
+              |  SELECT doc_id,
+              |    CASE WHEN has_cjk THEN 'zh'
+              |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+              |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+              |      WHEN s_de > 0 THEN 'de'
+              |      ELSE 'und' END AS lang_pred
+              |  FROM (
+              |    SELECT doc_id, regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+              |      len(list_filter(w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+              |      len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+              |      len(list_filter(w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+              |      len(list_filter(w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+              |    FROM t0)),
+              |qual AS (
+              |  SELECT doc_id,
+              |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+              |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+              |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+              |      + 0.2
+              |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+              |  FROM (
+              |    SELECT doc_id, nchars,
+              |      round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+              |      round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+              |        / greatest(len(w), 1), 6) AS stopword_ratio
+              |    FROM (
+              |      SELECT doc_id, w,
+              |        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+              |        length(text) AS nchars
+              |      FROM t0))),
+              |rep AS (
+              |  SELECT doc_id,
+              |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
+              |  FROM t0),
+              |sh AS (
+              |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              |  FROM t0, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |common AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT id_a, id_b,
+              |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+              |    FROM common
+              |    JOIN sizes sa ON sa.doc_id = id_a
+              |    JOIN sizes sb ON sb.doc_id = id_b)
+              |  WHERE jaccard >= 0.2),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(node, root) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+              |cc AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)
+              |SELECT d.doc_id, q.quality, r.rep_ratio
+              |FROM documents d
+              |JOIN lid USING (doc_id) JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+              |WHERE lid.lang_pred = 'en' AND q.quality >= 0.8 AND r.rep_ratio <= 0.6
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+              |  AND substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
+              |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- core relational (SURVEY §2.5-2.6) ----
@@ -849,92 +947,26 @@ object Declared {
           Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2,
             maxDocFreq = Some(100)))
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-        // gate order = cost order: md5 hash-gate (bytes on the id) first,
-        // language second, the token-heavy quality/repetition expressions
-        // only on what survives — all gates are independent, so this is
-        // semantically identical and row-minimal at any scale
-        docs
-          .filter(Curation.hashKeep(col("doc_id"), lit("c0")))
-          .withColumn("lang_pred", TextStats.langId(col("text")))
-          .filter(col("lang_pred") === "en")
-          .withColumn("quality", TextStats.qualityScore(col("text")))
-          .withColumn("rep_ratio", Curation.repetitionRatio(col("text")))
-          .filter(col("quality") >= 0.8 && col("rep_ratio") <= 0.6)
-          .join(dropDups, Seq("doc_id"), "left_anti")
-          .select("doc_id", "quality", "rep_ratio")
-          .orderBy("doc_id")
+        curationGates(docs, dropDups)
       },
-      Some(s"""WITH RECURSIVE t0 AS (
-              |  SELECT doc_id, text,
-              |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-              |  FROM documents),
-              |lid AS (
-              |  SELECT doc_id,
-              |    CASE WHEN has_cjk THEN 'zh'
-              |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-              |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-              |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-              |      WHEN s_de > 0 THEN 'de'
-              |      ELSE 'und' END AS lang_pred
-              |  FROM (
-              |    SELECT doc_id, regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
-              |      len(list_filter(w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
-              |      len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
-              |      len(list_filter(w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
-              |      len(list_filter(w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
-              |    FROM t0)),
-              |qual AS (
-              |  SELECT doc_id,
-              |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
-              |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
-              |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
-              |      + 0.2
-              |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
-              |  FROM (
-              |    SELECT doc_id, nchars,
-              |      round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
-              |      round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
-              |        / greatest(len(w), 1), 6) AS stopword_ratio
-              |    FROM (
-              |      SELECT doc_id, w,
-              |        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
-              |        length(text) AS nchars
-              |      FROM t0))),
-              |rep AS (
-              |  SELECT doc_id,
-              |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
-              |  FROM t0),
-              |sh AS (
-              |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-              |  FROM t0, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-              |common AS (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2),
-              |pairs AS (
-              |  SELECT id_a, id_b FROM (
-              |    SELECT id_a, id_b,
-              |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
-              |    FROM common
-              |    JOIN sizes sa ON sa.doc_id = id_a
-              |    JOIN sizes sb ON sb.doc_id = id_b)
-              |  WHERE jaccard >= 0.2),
-              |edges AS (
-              |  SELECT id_a AS src, id_b AS dst FROM pairs
-              |  UNION ALL SELECT id_b, id_a FROM pairs),
-              |reach(node, root) AS (
-              |  SELECT DISTINCT src, src FROM edges
-              |  UNION
-              |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
-              |cc AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)
-              |SELECT d.doc_id, q.quality, r.rep_ratio
-              |FROM documents d
-              |JOIN lid USING (doc_id) JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
-              |WHERE lid.lang_pred = 'en' AND q.quality >= 0.8 AND r.rep_ratio <= 0.6
-              |  AND d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
-              |  AND substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
-              |ORDER BY d.doc_id""".stripMargin)),
+      Some(curationE2eOracle)),
+
+    // curation e2e, SCALE path: identical gates, but pair-finding goes
+    // MinHash signature -> LSH band buckets -> exact-verify (the plan
+    // that runs at 100 TB — no inverted-index self-join) before the same
+    // connected-components dedup. LSH candidates are exact-verified, so
+    // precision is 1 and fixture recall is 1.0 (Smoke, sf0.01 + sf0.1):
+    // the output hash-matches the SAME oracle as x25 — a red row here
+    // would mean the scale path silently lost a duplicate cluster.
+    "x30_curation_scale_e2e" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dropDups = Dedup.dupClusters(
+          Dedup.minhashLshPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
+          .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+        curationGates(docs, dropDups)
+      },
+      Some(curationE2eOracle)),
 
     // corpus report: the per-shard inventory a data team runs first —
     // doc counts, token volume, quality distribution, corpus share per
