@@ -119,6 +119,59 @@ object Curation {
     // sampling rate instead of meaning parseInt(threshold, 16)/256
     substring(md5(concat(lit(salt), key.cast("string"))), 1, 2) < lower(thresholdHex)
 
+  /** Training-mixture temperature reweighting (data mixing): per-group
+    * keep-rates that flatten the corpus distribution toward uniform.
+    * Group g with share p_g gets weight p_g^alpha (alpha < 1 boosts
+    * under-represented groups; alpha = 1 is proportional); the total kept
+    * volume targets `budgetFrac` of the corpus, capped at rate 1 per
+    * group.
+    *
+    * Returns one row per group: (groupCol, n_docs, rate, thr) where
+    * `thr` is the 2-hex-char md5 gate threshold realizing `rate` (null =
+    * keep everything). Scale: two tiny aggregate frames (one row per
+    * group / one scalar) cross-joined broadcast — the corpus is scanned
+    * once for counts; nothing group-shaped ever funnels.
+    *
+    * alpha = 0.5 uses sqrt (IEEE-correctly-rounded in every engine, so
+    * thresholds are reproducible cross-engine); other alphas use pow.
+    */
+  def temperatureRates(docs: DataFrame, groupCol: String,
+                       alpha: Double = 0.5,
+                       budgetFrac: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").cast("double").as("tot"))
+    def weight(share: Column): Column =
+      if (alpha == 0.5) sqrt(share)
+      else if (alpha == 1.0) share
+      else pow(share, lit(alpha))
+    val weighted = counts.crossJoin(broadcast(tot))
+      .withColumn("w", weight(col("n_docs") / col("tot")))
+      .localCheckpoint(true) // tiny (one row per group); leak-free reuse
+    val wsum = weighted.agg(sum("w").as("wsum"))
+    weighted.crossJoin(broadcast(wsum))
+      .withColumn("rate",
+        least(lit(1.0), col("w") / col("wsum") * col("tot") * budgetFrac / col("n_docs")))
+      .withColumn("thr",
+        when(col("rate") >= 1.0, lit(null).cast("string"))
+          .otherwise(format_string("%02x", floor(col("rate") * 256).cast("int"))))
+      .select(col(groupCol), col("n_docs"), col("rate"), col("thr"))
+  }
+
+  /** Apply [[temperatureRates]]: deterministic per-group hash-gate
+    * sampling of the corpus (md5 gate — see [[hashKeep]] — so the kept
+    * set is exact-reproducible and oracle-checkable). The rates frame is
+    * group-sized, always broadcast; the corpus side is map-only.
+    */
+  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
+                        alpha: Double = 0.5,
+                        budgetFrac: Double = 0.5): DataFrame = {
+    val rates = temperatureRates(docs, groupCol, alpha, budgetFrac)
+      .select(col(groupCol), col("thr"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(col("thr").isNull || hashKeep(col(idCol), col("thr")))
+      .drop("thr")
+  }
+
   /** Sequence packing (pretraining batch prep): concatenate documents in
     * a deterministic order within each shard and split at `capacity`
     * tokens — chunk_id = floor(preceding_tokens / capacity). Running sum
