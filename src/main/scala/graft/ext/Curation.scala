@@ -108,16 +108,17 @@ object Curation {
   }
 
   /** Deterministic hash-gate for weighted sampling: keep a row iff the
-    * first byte of md5(salt || key) is below the per-row threshold
-    * (2 hex chars, so rate = parseInt(threshold,16)/256). md5 hex is
+    * first `width` hex chars of md5(salt || key) are below the per-row
+    * threshold (rate = parseInt(threshold,16) / 16^width). md5 hex is
     * identical across engines, making sampled sets oracle-checkable —
     * unlike `rand()`. Map-only at any scale.
     */
-  def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft"): Column =
+  def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft",
+               width: Int = 2): Column =
     // lower(): md5 hex is lowercase, and an uppercase threshold ('C0')
     // sorts below all lowercase a-f by ASCII — it would silently skew the
     // sampling rate instead of meaning parseInt(threshold, 16)/256
-    substring(md5(concat(lit(salt), key.cast("string"))), 1, 2) < lower(thresholdHex)
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, width) < lower(thresholdHex)
 
   /** Training-mixture temperature reweighting (data mixing): per-group
     * keep-rates that flatten the corpus distribution toward uniform.
@@ -127,8 +128,11 @@ object Curation {
     * group.
     *
     * Returns one row per group: (groupCol, n_docs, rate, thr) where
-    * `thr` is the 2-hex-char md5 gate threshold realizing `rate` (null =
-    * keep everything). Scale: two tiny aggregate frames (one row per
+    * `thr` is the 4-hex-char md5 gate threshold realizing `rate` (null =
+    * keep everything). The gate floors the realized rate to a multiple of
+    * 1/65536, so any group with 0 < rate < 1/65536 is dropped entirely —
+    * the minimum representable keep-rate. Scale: two tiny aggregate
+    * frames (one row per
     * group / one scalar) cross-joined broadcast — the corpus is scanned
     * once for counts; nothing group-shaped ever funnels.
     *
@@ -153,7 +157,7 @@ object Curation {
         least(lit(1.0), col("w") / col("wsum") * col("tot") * budgetFrac / col("n_docs")))
       .withColumn("thr",
         when(col("rate") >= 1.0, lit(null).cast("string"))
-          .otherwise(format_string("%02x", floor(col("rate") * 256).cast("int"))))
+          .otherwise(format_string("%04x", floor(col("rate") * 65536).cast("int"))))
       .select(col(groupCol), col("n_docs"), col("rate"), col("thr"))
   }
 
@@ -168,7 +172,7 @@ object Curation {
     val rates = temperatureRates(docs, groupCol, alpha, budgetFrac)
       .select(col(groupCol), col("thr"))
     docs.join(broadcast(rates), Seq(groupCol))
-      .filter(col("thr").isNull || hashKeep(col(idCol), col("thr")))
+      .filter(col("thr").isNull || hashKeep(col(idCol), col("thr"), width = 4))
       .drop("thr")
   }
 

@@ -49,6 +49,27 @@ object Declared {
       .select("doc_id", "quality", "rep_ratio")
       .orderBy("doc_id")
 
+  /** Shared CTE prefix for the temperature-mixing oracles: per-lang
+    * counts -> sqrt(share) weights -> budget-scaled keep-rate -> 4-hex
+    * md5 gate threshold (operand order mirrors Curation.temperatureRates
+    * exactly so the IEEE doubles are bit-identical cross-engine).
+    */
+  private def temperatureRatesOracle(select: String): String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |tot AS (SELECT sum(n_docs)::double AS tot FROM c),
+       |w AS (SELECT lang, n_docs, sqrt(n_docs / tot) AS w FROM c CROSS JOIN tot),
+       |ws AS (SELECT sum(w) AS wsum FROM w),
+       |r AS (
+       |  SELECT lang, n_docs,
+       |    least(1.0, w / wsum * tot * 0.5 / n_docs) AS rate
+       |  FROM w CROSS JOIN tot CROSS JOIN ws),
+       |thr AS (
+       |  SELECT lang, n_docs, rate,
+       |    CASE WHEN rate >= 1.0 THEN NULL
+       |      ELSE printf('%04x', floor(rate * 65536)::int) END AS thr
+       |  FROM r)
+       |$select""".stripMargin
+
   private val curationE2eOracle: String =
     s"""WITH RECURSIVE t0 AS (
               |  SELECT doc_id, text,
@@ -1021,6 +1042,31 @@ object Declared {
               |SELECT lang, n_docs, sum_tokens, avg_tokens, avg_quality, min_quality,
               |  round(n_docs::double / sum(n_docs) OVER (), 6) AS doc_share
               |FROM g ORDER BY lang""".stripMargin)),
+
+    // training-mixture temperature reweighting (alpha=0.5, budget=50%):
+    // per-language keep-rates flattening the corpus toward uniform. The
+    // sqrt weighting and the 4-hex md5 gate threshold are both
+    // IEEE/engine-portable, so the rate table hash-matches DuckDB.
+    "x32_temperature_rates" -> Q(
+      (s, dir) => Curation.temperatureRates(t(s, dir, "documents"), "lang")
+        .withColumn("rate", round(col("rate"), 6))
+        .orderBy("lang"),
+      Some(temperatureRatesOracle("SELECT lang, n_docs, round(rate, 6) AS rate, thr FROM thr ORDER BY lang"))),
+
+    // apply the temperature rates: deterministic md5-gated kept doc set
+    // (the data-mixing analogue of x21's fixed-rate sample) — the exact
+    // kept row set must match, not just the per-group cardinality
+    "x31_temperature_mix" -> Q(
+      (s, dir) => Curation.temperatureSample(
+        t(s, dir, "documents").select(col("lang"), col("doc_id")),
+        "lang", "doc_id")
+        .orderBy("lang", "doc_id"),
+      Some(temperatureRatesOracle(
+        """SELECT d.lang, d.doc_id
+          |FROM documents d JOIN thr t USING (lang)
+          |WHERE t.thr IS NULL
+          |   OR substr(md5('graft' || d.doc_id::varchar), 1, 4) < t.thr
+          |ORDER BY lang, doc_id""".stripMargin))),
 
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
 

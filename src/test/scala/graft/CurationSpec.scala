@@ -107,6 +107,46 @@ class CurationSpec extends SparkSuite {
     assert(one == base)
   }
 
+  test("temperature rates: budget adherence, flattening, rate-1 cap") {
+    // skewed corpus: 9000 'en', 900 'de', 10 'xx' — alpha=0.5 boosts the
+    // tail; the tiny group caps at rate 1 (thr null = keep everything)
+    val docs = spark.range(9910).select(col("id").as("doc_id"),
+      when(col("id") < 9000, "en").when(col("id") < 9900, "de")
+        .otherwise("xx").as("lang"))
+    val rates = Curation.temperatureRates(docs, "lang", alpha = 0.5, budgetFrac = 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), Option(r.getString(3)))).toMap
+    // flattening: keep-rate strictly increases as group size shrinks
+    assert(rates("en")._2 < rates("de")._2 && rates("de")._2 < rates("xx")._2)
+    // the tiny group is capped at exactly 1 and gated by nothing
+    assert(rates("xx")._2 == 1.0 && rates("xx")._3.isEmpty)
+    // sampled groups carry a 4-hex threshold realizing the rate (floored
+    // to 1/65536 granularity)
+    for (g <- Seq("en", "de")) {
+      val (_, rate, thr) = rates(g)
+      assert(thr.get.length == 4)
+      assert(Integer.parseInt(thr.get, 16) == math.floor(rate * 65536).toInt)
+    }
+    // budget adherence: expected kept volume = sum(n_g * rate_g) targets
+    // budgetFrac * N minus the cap surplus (the capped group wanted more
+    // than its size); md5 uniformity keeps the realized sample within a
+    // few percent of that expectation
+    val expectedKept = rates.values.map { case (n, r, _) => n * r }.sum
+    assert(expectedKept >= 0.3 * 9910 * 0.95, s"expectedKept=$expectedKept")
+    val kept = Curation.temperatureSample(docs, "lang", "doc_id",
+      alpha = 0.5, budgetFrac = 0.3)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("xx") == 10L) // capped group fully kept
+    val total = byLang.values.sum
+    assert(math.abs(total - expectedKept) < 0.05 * (0.3 * 9910),
+      s"kept=$total expected=$expectedKept")
+    // deterministic: same plan, same kept set
+    assert(kept.collect().toSet ==
+      Curation.temperatureSample(docs, "lang", "doc_id",
+        alpha = 0.5, budgetFrac = 0.3).collect().toSet)
+  }
+
   test("URL count and strip") {
     val df = Seq(
       "read https://a.example.com/x?q=1 or http://b.org/p nothing else",
