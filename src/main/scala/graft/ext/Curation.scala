@@ -95,10 +95,12 @@ object Curation {
   def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.tokens(col(textCol))).as("term"))
-    // eager localCheckpoint, not persist(): the frequency table feeds both
-    // the total and the re-join without leaking a CacheManager entry
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf")).localCheckpoint(true)
-    val tot = freq.agg(sum("tf").cast("double").as("tot"))
+    // the vocabulary frame is consumed exactly ONCE (the re-join), so it
+    // needs no materialization at all — fully lazy, lineage intact. The
+    // grand total sum(tf) equals the corpus token count, so it comes from
+    // a map-only count over `toks` instead of re-aggregating `freq`.
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val tot = toks.agg(count(lit(1)).cast("double").as("tot"))
     toks.join(freq, "term")
       .crossJoin(broadcast(tot))
       .withColumn("lp", log(col("tf").cast("double") / col("tot")))

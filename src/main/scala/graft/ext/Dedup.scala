@@ -69,25 +69,30 @@ object Dedup {
       val hot = sh0.groupBy("h").count().filter(col("count") > cap).select("h")
       sh0.join(broadcast(hot), Seq("h"), "left_anti")
     }
-    // eager localCheckpoint, not persist(): computed once for the three
-    // downstream uses, no CacheManager entry to leak in a long-lived
-    // session (blocks are reclaimed by the ContextCleaner when the plan
-    // is garbage-collected)
-    val sh = capped.localCheckpoint(true)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b, col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // materialization policy: the exploded-shingle frame is CORPUS-sized
+    // (~10x corpus rows), so it gets persist(MEMORY_AND_DISK) — lineage
+    // stays intact, and on a preemptible cluster a lost executor's blocks
+    // recompute instead of failing the job. The RESULT (the pair list,
+    // orders of magnitude smaller) is driven eagerly so the cache can be
+    // unpersisted in finally — leak-free AND recomputable.
+    val sh = capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val common = a.join(b, col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (col("sz_a") + col("sz_b") - col("common")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /** MinHash signature: for each of `numHashes` hash families, the min
@@ -106,38 +111,44 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // materialize (id, shingles, signature) once — the signature is the
     // expensive expression (numHashes x |shingles| hashing)
+    // corpus-sized (shingles + 64-hash signature per doc): persist with
+    // lineage + unpersist in finally; the result pair list is driven
+    // eagerly — see jaccardPairs for the materialization policy
     val withSig = docs.select(
       col(idCol).as("doc_id"),
       shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .localCheckpoint(true) // see jaccardPairs: cache-leak-free reuse
-    // one SLIM row per (doc, band): the LSH join must shuffle only
-    // (band, bucket, id) — shingle arrays are re-joined after the
-    // candidate pairs are deduplicated, never carried through the
-    // quadratic part of the plan
-    val banded = withSig.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64((Seq(b) ++ (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val shA = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one SLIM row per (doc, band): the LSH join must shuffle only
+      // (band, bucket, id) — shingle arrays are re-joined after the
+      // candidate pairs are deduplicated, never carried through the
+      // quadratic part of the plan
+      val banded = withSig.select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64((Seq(b) ++ (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      val a = banded.as("a"); val b = banded.as("b")
+      val cand = a.join(b,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val shA = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val shB = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      cand.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(true)
+    } finally withSig.unpersist()
   }
 
   /** SimHash 64-bit fingerprint over the token set: bit b of the result is

@@ -33,27 +33,31 @@ object Search {
       col(idCol).as("doc_id"),
       size(toks).as("dl"),
       filter(toks, t => queryTerms.map(q => t === q).reduce(_ || _)).as("qtoks"))
-      // eager localCheckpoint, not persist(): reused by the stats + postings
-      // branches without leaking a CacheManager entry per invocation
-      .localCheckpoint(true)
-    val global = base.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl")).as("avgdl"))
-    // dl rides along with the postings — no separate length join
-    val postings = base.select(col("doc_id"), col("dl"),
-      explode(col("qtoks")).as("term"))
-    val tf = postings.groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
-    val df = postings.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(df), "term")
-      .crossJoin(broadcast(global))
-      .withColumn("contrib",
-        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-          col("tf") * (k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(round(sum(col("contrib")), 6).as("score"))
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(k)
+      // corpus-sized (one slim row per doc): persist with lineage so a
+      // lost executor recomputes its blocks; the k-row result below is
+      // driven eagerly and the cache released in finally — leak-free
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val global = base.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      // dl rides along with the postings — no separate length join
+      val postings = base.select(col("doc_id"), col("dl"),
+        explode(col("qtoks")).as("term"))
+      val tf = postings.groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      val df = postings.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(global))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+            col("tf") * (k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum(col("contrib")), 6).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(k)
+        .localCheckpoint(true)
+    } finally base.unpersist()
   }
 }
