@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-regression gate: asserts the physical-plan SHAPE of the declared
+  * queries, not just their results. A future change that un-pushes a
+  * filter, drops a broadcast hint, or sneaks a shuffle into a map-only
+  * pipeline turns these red even while the oracle rows stay green.
+  *
+  * Queries whose operator eagerly materializes a result-sized frame
+  * (x02/x09/x23/x24/x25/x30 — see Dedup/Search materialization policy)
+  * present as an ExistingRDD scan here; their internal plans are audited
+  * via the operators directly where it matters (no-cartesian check
+  * below).
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+  }
+
+  // map-only pipelines: the ONLY exchange allowed is the range partition
+  // of the final presentation sort — a hash/single-partition shuffle or a
+  // broadcast appearing here means the pipeline stopped being map-only
+  private val mapOnly = Seq("x06_quality_score", "x07_fingerprint",
+    "x18_pii_redact", "x19_repetition", "x21_hash_sample", "x26_url_strip")
+
+  test("map-only queries shuffle only for the presentation sort") {
+    for (q <- mapOnly) {
+      val p = planOf(q)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(exchanges == rangeExchanges,
+        s"$q: non-range exchange in a map-only plan:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$q: unexpected broadcast:\n$p")
+    }
+  }
+
+  // dimension joins must broadcast — a SortMergeJoin here would shuffle
+  // the fact side on the join key at 100 TB for no reason
+  test("dimension joins are broadcast, not shuffled") {
+    for (q <- Seq("q03_revenue_by_nation", "q18_part_type_share", "x20_decontam")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: no broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: dimension join shuffled:\n$p")
+    }
+  }
+
+  // x17's per-stratum rank <= n filter must plan as WindowGroupLimit:
+  // per-partition bounded heaps instead of sorting whole strata
+  test("stratified sample rank filter plans as WindowGroupLimit") {
+    val p = planOf("x17_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), s"plan:\n$p")
+  }
+
+  // top-k via orderBy+limit must plan as TakeOrderedAndProject — a global
+  // Sort followed by a limit would be a single-task funnel at scale
+  test("top-k queries plan as TakeOrderedAndProject, not global sort") {
+    val p = planOf("q02_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"q02: plan:\n$p")
+  }
+
+  // the custom top-k aggregate must run a map-side partial: the shuffle
+  // then carries one bounded heap per (partition, group) instead of every
+  // scored pair
+  test("top-k aggregate is partial before the shuffle") {
+    val p = planOf("x03_cosine_topk_agg")
+    assert(p.contains("partial_top_k_by_score"), s"plan:\n$p")
+  }
+
+  // nothing may plan a cartesian product except the two declared n²
+  // oracles (x03 brute-force top-k, x16 exact embedding pairs) whose
+  // scale twins (x11, x29) exist precisely to avoid it
+  private val nSquaredOracles =
+    Set("x03_cosine_topk", "x03_cosine_topk_agg", "x16_embedding_dups")
+
+  test("no cartesian product outside the declared n-squared oracles") {
+    for (q <- SparkEntry.queries.keys.toSeq.sorted
+         if !nSquaredOracles.contains(q)) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
+    }
+  }
+
+  // scans must prune columns: the documents scan of a two-column query
+  // must not read the text body (ReadSchema check on the parquet scan)
+  test("column pruning reaches the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: the AQE wrapper hides its input plan
+    // from collect() until execution
+    def scans(df: DataFrame) = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    // x21 selects (lang, doc_id): the text column must not be scanned
+    val df = SparkEntry.queries("x21_hash_sample")(spark, sf())
+    val cols = scans(df).flatMap(_.schema.fieldNames).toSet
+    assert(cols == Set("lang", "doc_id"), s"scanned: $cols")
+  }
+
+  // filter pushdown: a doc_id predicate over the parquet scan must reach
+  // PushedFilters, not evaluate post-scan
+  test("filter pushdown reaches the parquet scan") {
+    val df = graft.Tables.load(spark, sf(), "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 42L)
+      .select("doc_id", "lang")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"),
+      s"plan:\n$p")
+  }
+}
