@@ -31,10 +31,15 @@ object Routing {
                   hash: Column => Column = xxhash64(_)): Column =
     pmod(hash(key), lit(n.toLong))
 
-  /** Engine-portable hash: first byte of md5(key) as 0..255. md5 hex is
-    * identical across engines (unlike xxhash64, whose value depends on
-    * Spark's internal row encoding), so slots are oracle-checkable.
+  /** Engine-portable hash: first 15 hex chars (60 bits, fits a signed
+    * long) of md5(key). md5 hex is identical across engines (unlike
+    * xxhash64, whose value depends on Spark's internal row encoding), so
+    * slots are oracle-checkable — DuckDB form:
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT`. 60 bits (not one byte)
+    * so `assignByKey(_, n, portableHash)` stays uniform for any
+    * realistic slot count — with a single byte, n > 256 left slots
+    * >= 256 permanently empty and non-divisors of 256 skewed.
     */
   def portableHash(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("long")
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 }

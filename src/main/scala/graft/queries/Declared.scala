@@ -338,8 +338,7 @@ object Declared {
         .orderBy("slot"),
       Some("""WITH h AS (
              |  SELECT user_id,
-             |    ((strpos('0123456789abcdef', substr(md5(user_id::varchar), 1, 1)) - 1) * 16
-             |      + (strpos('0123456789abcdef', substr(md5(user_id::varchar), 2, 1)) - 1))::bigint % 6 AS slot
+             |    ('0x' || substr(md5(user_id::varchar), 1, 15))::BIGINT % 6 AS slot
              |  FROM events)
              |SELECT slot, count(*) AS n_events, count(DISTINCT user_id) AS n_users
              |FROM h GROUP BY slot ORDER BY slot""".stripMargin)),
@@ -878,8 +877,7 @@ object Declared {
         .orderBy("lang", "shard", "chunk_id"),
       Some("""WITH t AS (
              |  SELECT lang, doc_id,
-             |    ((strpos('0123456789abcdef', substr(md5(doc_id::varchar), 1, 1)) - 1) * 16
-             |      + (strpos('0123456789abcdef', substr(md5(doc_id::varchar), 2, 1)) - 1))::bigint % 4 AS shard,
+             |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::BIGINT % 4 AS shard,
              |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
              |  FROM documents),
              |c AS (

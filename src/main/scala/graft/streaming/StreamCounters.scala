@@ -57,7 +57,7 @@ object StreamCounters {
           val prior = state.getOption.getOrElse(ProgressState(0L, 0L, 0L))
           def armTimeout(): Unit = if (enableTimeout) state.setTimeoutDuration(inactivityMs)
           if (state.hasTimedOut) {
-            // no activity for >= 5 min: report stale, keep the counter
+            // no activity for > 5 min: report stale, keep the counter
             val next = prior.copy(prevCount = prior.count)
             state.update(next)
             armTimeout()
@@ -71,7 +71,10 @@ object StreamCounters {
             val next = ProgressState(prior.count + added, prior.count, lastActivity)
             state.update(next)
             armTimeout()
-            val stale = nowMs() - lastActivity >= inactivityMs
+            // strict >: the reference's isBefore(now - 5min) keeps a
+            // partition UP at exactly the 5-minute mark
+            // (CounterProgressCheck.java:87)
+            val stale = nowMs() - lastActivity > inactivityMs
             ProgressStatus(key.cluster, key.topic, key.partition,
               next.count, next.count - next.prevCount, lastActivity, stale)
           }

@@ -86,6 +86,21 @@ class OperatorsSpec extends SparkSuite {
     assert(a.sameElements(b) && a.forall(s => s >= 0 && s < 7))
   }
 
+  test("J3 portable hash family fills slot counts beyond 256 uniformly") {
+    // the 60-bit portable hash must not cap parallelism: with one md5
+    // byte, n = 1000 left slots >= 256 permanently empty
+    val df = spark.range(20000).toDF("id")
+    val slots = df.select(
+      Routing.assignByKey(col("id"), 1000, Routing.portableHash).as("s"))
+    val n = slots.distinct().count()
+    assert(n == 1000, s"only $n of 1000 slots populated")
+    // and non-power-of-two slot counts stay near-uniform (no mod bias)
+    val counts = slots.groupBy("s").count().agg(
+      min("count").as("mn"), max("count").as("mx")).collect()(0)
+    assert(counts.getLong(0) >= 5 && counts.getLong(1) <= 45,
+      s"skewed: min=${counts.getLong(0)} max=${counts.getLong(1)}")
+  }
+
   test("A1-salted countPerKeySalted equals countPerKey") {
     val ev = Tables.load(spark, sf(), "events")
     val plain = Counters.countPerKey(ev, "user_id").collect()

@@ -283,10 +283,17 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val (codeUp, bodyUp) = probe()
       assert(codeUp == 200 && bodyUp.contains("\"status\":\"UP\""))
-      // 2. clock passes the threshold; the next monitor tick carries no
-      //    new activity for the partition (delta 0, stale event time) —
-      //    exactly 5 min is already DOWN (>=, reference :80)
+      // 2a. at EXACTLY the 5-minute mark the partition is still UP —
+      //     the reference's isBefore(now - 5min) is strict
+      //     (CounterProgressCheck.java:87)
       now = t0 + StreamCounters.inactivityMs
+      input.addData(StreamCounters.CounterEvent("c1", "t1", 0, 0L, t0))
+      q.processAllAvailable()
+      val (codeEdge, bodyEdge) = probe()
+      assert(codeEdge == 200 && bodyEdge.contains("\"status\":\"UP\""),
+        s"exactly 5 min must still be UP, got $codeEdge")
+      // 2b. one tick past the threshold, still no new activity -> DOWN
+      now = t0 + StreamCounters.inactivityMs + 1
       input.addData(StreamCounters.CounterEvent("c1", "t1", 0, 0L, t0))
       q.processAllAvailable()
       val (codeDown, bodyDown) = probe()
