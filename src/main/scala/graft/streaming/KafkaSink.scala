@@ -49,17 +49,137 @@ object KafkaSink {
     "org.apache.kafka:kafka-clients",
     "org.apache.commons:commons-pool2")
 
-  /** Producer config names the reference's client factory knows
-    * (ClientConfigFactory.java:61-113 intersects known names with
-    * overrides); `group.id` is a consumer-only config and is excluded
-    * from producer resolution (reference :87-90).
+  /** The reference resolves cluster overrides against the FULL
+    * `ProducerConfig.configNames()` set (ClientConfigFactory.java:76);
+    * `group.id` is not a producer config at all — the reference filters
+    * it only on the consumer path (ClientConfigFactory.java:87-90).
+    *
+    * When kafka-clients is on the classpath the exact same call is made
+    * (reflectively, so this module compiles and tests without the jar);
+    * otherwise a static snapshot of the Kafka 3.x name set is used, so
+    * cluster overrides like `ssl.keystore.location`, `ssl.key.password`
+    * or `sasl.login.*` are never silently dropped — a writer that
+    * assembled fine must not fail auth at start() because its security
+    * configs were filtered out.
     */
-  val knownProducerConfigs: Set[String] = Set(
-    "bootstrap.servers", "acks", "batch.size", "linger.ms",
-    "compression.type", "max.request.size", "security.protocol",
-    "sasl.mechanism", "sasl.jaas.config", "ssl.truststore.location",
-    "ssl.truststore.password", "client.id", "retries",
-    "delivery.timeout.ms", "group.id")
+  def knownProducerConfigs: Set[String] =
+    configNamesOf("org.apache.kafka.clients.producer.ProducerConfig")
+      .getOrElse(producerConfigSnapshot ++ securityConfigSnapshot)
+
+  /** Consumer plane (reference ClientConfigFactory.java:85-97): full
+    * `ConsumerConfig.configNames()` minus `group.id` — "Do not allow a
+    * group Id to be set for this application".
+    */
+  def knownConsumerConfigs: Set[String] =
+    (configNamesOf("org.apache.kafka.clients.consumer.ConsumerConfig")
+      .getOrElse(consumerConfigSnapshot ++ securityConfigSnapshot)) - "group.id"
+
+  /** Admin plane (reference ClientConfigFactory.java:63-70):
+    * `AdminClientConfig.configNames()`.
+    */
+  def knownAdminConfigs: Set[String] =
+    configNamesOf("org.apache.kafka.clients.admin.AdminClientConfig")
+      .getOrElse(adminConfigSnapshot ++ securityConfigSnapshot)
+
+  /** Reflective `<cls>.configNames()` — exactly what the reference calls,
+    * without a compile-time dependency on kafka-clients.
+    */
+  private def configNamesOf(className: String): Option[Set[String]] =
+    Try {
+      Class.forName(className).getMethod("configNames").invoke(null)
+        .asInstanceOf[java.util.Set[String]].asScala.toSet
+    }.toOption
+
+  /** Static snapshot of ProducerConfig.configNames() (Kafka 3.x, minus
+    * the security family below).
+    */
+  private val producerConfigSnapshot: Set[String] = Set(
+    "acks", "batch.size", "bootstrap.servers", "buffer.memory",
+    "client.dns.lookup", "client.id", "compression.type",
+    "connections.max.idle.ms", "delivery.timeout.ms", "enable.idempotence",
+    "interceptor.classes", "key.serializer", "linger.ms", "max.block.ms",
+    "max.in.flight.requests.per.connection", "max.request.size",
+    "metadata.max.age.ms", "metadata.max.idle.ms", "metric.reporters",
+    "metrics.num.samples", "metrics.recording.level",
+    "metrics.sample.window.ms", "partitioner.adaptive.partitioning.enable",
+    "partitioner.availability.timeout.ms", "partitioner.class",
+    "partitioner.ignore.keys", "receive.buffer.bytes",
+    "reconnect.backoff.max.ms", "reconnect.backoff.ms",
+    "request.timeout.ms", "retries", "retry.backoff.max.ms",
+    "retry.backoff.ms", "send.buffer.bytes",
+    "socket.connection.setup.timeout.max.ms",
+    "socket.connection.setup.timeout.ms", "transaction.timeout.ms",
+    "transactional.id", "value.serializer")
+
+  /** Static snapshot of ConsumerConfig.configNames() (Kafka 3.x, minus
+    * the security family below). Includes group.id — the exclusion is
+    * applied in [[knownConsumerConfigs]], mirroring the reference.
+    */
+  private val consumerConfigSnapshot: Set[String] = Set(
+    "allow.auto.create.topics", "auto.commit.interval.ms",
+    "auto.offset.reset", "bootstrap.servers", "check.crcs",
+    "client.dns.lookup", "client.id", "client.rack",
+    "connections.max.idle.ms", "default.api.timeout.ms",
+    "enable.auto.commit", "exclude.internal.topics",
+    "fetch.max.bytes", "fetch.max.wait.ms", "fetch.min.bytes",
+    "group.id", "group.instance.id", "heartbeat.interval.ms",
+    "interceptor.classes", "internal.leave.group.on.close",
+    "isolation.level", "key.deserializer", "max.partition.fetch.bytes",
+    "max.poll.interval.ms", "max.poll.records", "metadata.max.age.ms",
+    "metric.reporters", "metrics.num.samples", "metrics.recording.level",
+    "metrics.sample.window.ms", "partition.assignment.strategy",
+    "receive.buffer.bytes", "reconnect.backoff.max.ms",
+    "reconnect.backoff.ms", "request.timeout.ms", "retry.backoff.max.ms",
+    "retry.backoff.ms", "send.buffer.bytes", "session.timeout.ms",
+    "socket.connection.setup.timeout.max.ms",
+    "socket.connection.setup.timeout.ms", "value.deserializer")
+
+  /** Static snapshot of AdminClientConfig.configNames() (Kafka 3.x,
+    * minus the security family below).
+    */
+  private val adminConfigSnapshot: Set[String] = Set(
+    "bootstrap.servers", "client.dns.lookup", "client.id",
+    "connections.max.idle.ms", "default.api.timeout.ms",
+    "metadata.max.age.ms", "metric.reporters", "metrics.num.samples",
+    "metrics.recording.level", "metrics.sample.window.ms",
+    "receive.buffer.bytes", "reconnect.backoff.max.ms",
+    "reconnect.backoff.ms", "request.timeout.ms", "retries",
+    "retry.backoff.max.ms", "retry.backoff.ms", "send.buffer.bytes",
+    "socket.connection.setup.timeout.max.ms",
+    "socket.connection.setup.timeout.ms")
+
+  /** The security/SSL/SASL family (CommonClientConfigs + SslConfigs +
+    * SaslConfigs) shared by all three client planes.
+    */
+  private val securityConfigSnapshot: Set[String] = Set(
+    "security.protocol", "security.providers",
+    "sasl.client.callback.handler.class", "sasl.jaas.config",
+    "sasl.kerberos.kinit.cmd", "sasl.kerberos.min.time.before.relogin",
+    "sasl.kerberos.service.name", "sasl.kerberos.ticket.renew.jitter",
+    "sasl.kerberos.ticket.renew.window.factor",
+    "sasl.login.callback.handler.class", "sasl.login.class",
+    "sasl.login.connect.timeout.ms", "sasl.login.read.timeout.ms",
+    "sasl.login.refresh.buffer.seconds",
+    "sasl.login.refresh.min.period.seconds",
+    "sasl.login.refresh.window.factor", "sasl.login.refresh.window.jitter",
+    "sasl.login.retry.backoff.max.ms", "sasl.login.retry.backoff.ms",
+    "sasl.mechanism", "sasl.oauthbearer.clock.skew.seconds",
+    "sasl.oauthbearer.expected.audience", "sasl.oauthbearer.expected.issuer",
+    "sasl.oauthbearer.jwks.endpoint.refresh.ms",
+    "sasl.oauthbearer.jwks.endpoint.retry.backoff.max.ms",
+    "sasl.oauthbearer.jwks.endpoint.retry.backoff.ms",
+    "sasl.oauthbearer.jwks.endpoint.url",
+    "sasl.oauthbearer.scope.claim.name", "sasl.oauthbearer.sub.claim.name",
+    "sasl.oauthbearer.token.endpoint.url",
+    "ssl.cipher.suites", "ssl.enabled.protocols",
+    "ssl.endpoint.identification.algorithm", "ssl.engine.factory.class",
+    "ssl.key.password", "ssl.keymanager.algorithm",
+    "ssl.keystore.certificate.chain", "ssl.keystore.key",
+    "ssl.keystore.location", "ssl.keystore.password", "ssl.keystore.type",
+    "ssl.protocol", "ssl.provider", "ssl.secure.random.implementation",
+    "ssl.trustmanager.algorithm", "ssl.truststore.certificates",
+    "ssl.truststore.location", "ssl.truststore.password",
+    "ssl.truststore.type")
 
   /** True iff `format("kafka")` resolves in this JVM — the identical
     * ServiceLoader scan Spark's DataSource.lookupDataSource performs.
@@ -81,8 +201,11 @@ object KafkaSink {
         " (e.g. --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version>)."
 
   /** Resolve the per-cluster producer options into the `kafka.*` map the
-    * sink takes. `group.id` never reaches a producer (reference
-    * ClientConfigFactory.java:87-90); values are quote-stripped.
+    * sink takes. `group.id` can never reach a producer because it is not
+    * a producer config name (the reference's explicit exclusion lives on
+    * the consumer path only, ClientConfigFactory.java:87-90 — the belt
+    * here is redundant with the name set but kept as a guard for the
+    * static-snapshot fallback); values are quote-stripped.
     */
   def sinkOptions(settings: DataGenSettings, cluster: String,
                   defaults: Map[String, String] = Map.empty): Map[String, String] =

@@ -16,7 +16,15 @@ class KafkaSinkSpec extends SparkSuite {
       "bootstrap.servers" -> "\"broker1:9092,broker2:9092\"",
       "acks" -> "all",
       "group.id" -> "should-never-reach-a-producer",
-      "not.a.known.config" -> "dropped")))
+      "not.a.known.config" -> "dropped",
+      // the full security family must survive resolution — a writer
+      // that silently drops these assembles fine and fails auth at
+      // start() (the round-3 curated subset did exactly that)
+      "ssl.keystore.location" -> "/etc/tls/keystore.p12",
+      "ssl.keystore.password" -> "\"secret\"",
+      "ssl.key.password" -> "secret2",
+      "sasl.login.callback.handler.class" -> "com.example.OauthHandler",
+      "enable.idempotence" -> "true")))
 
   test("K1 sinkOptions: resolve + quote-strip + group.id exclusion + kafka. prefix") {
     val opts = KafkaSink.sinkOptions(settings, "prod",
@@ -27,10 +35,40 @@ class KafkaSinkSpec extends SparkSuite {
     assert(opts("kafka.acks") == "all")
     // default fills a hole
     assert(opts("kafka.compression.type") == "zstd")
-    // group.id is consumer-only (reference ClientConfigFactory.java:87-90)
+    // group.id is not a producer config name (the reference excludes it
+    // only on the consumer path, ClientConfigFactory.java:87-90)
     assert(!opts.contains("kafka.group.id"))
     // unknown names don't pass through
     assert(!opts.exists(_._1.contains("not.a.known")))
+    // arbitrary valid producer configs pass through — the name set is
+    // ProducerConfig.configNames() (reflective when kafka-clients is on
+    // the classpath, full static snapshot otherwise), not a curated list
+    assert(opts("kafka.ssl.keystore.location") == "/etc/tls/keystore.p12")
+    assert(opts("kafka.ssl.keystore.password") == "secret")
+    assert(opts("kafka.ssl.key.password") == "secret2")
+    assert(opts("kafka.sasl.login.callback.handler.class") == "com.example.OauthHandler")
+    assert(opts("kafka.enable.idempotence") == "true")
+  }
+
+  test("K1-K4 option planes mirror the reference's three configNames() sets") {
+    // producer: group.id is absent, the SSL/SASL family is present
+    assert(!KafkaSink.knownProducerConfigs.contains("group.id"))
+    assert(KafkaSink.knownProducerConfigs.contains("transactional.id"))
+    // consumer: the reference strips group.id from the full name set but
+    // keeps group.instance.id (ClientConfigFactory.java:87-90)
+    assert(!KafkaSink.knownConsumerConfigs.contains("group.id"))
+    assert(KafkaSink.knownConsumerConfigs.contains("group.instance.id"))
+    assert(KafkaSink.knownConsumerConfigs.contains("max.poll.records"))
+    // admin: connection-plane names only, no serializers
+    assert(KafkaSink.knownAdminConfigs.contains("request.timeout.ms"))
+    assert(!KafkaSink.knownAdminConfigs.contains("key.serializer"))
+    // every plane can carry cluster security overrides
+    for (plane <- Seq(KafkaSink.knownProducerConfigs,
+        KafkaSink.knownConsumerConfigs, KafkaSink.knownAdminConfigs)) {
+      assert(plane.contains("ssl.keystore.location"))
+      assert(plane.contains("sasl.jaas.config"))
+      assert(plane.contains("security.protocol"))
+    }
   }
 
   test("K1 connector check mirrors format(\"kafka\") resolution exactly") {
