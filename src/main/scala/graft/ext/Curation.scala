@@ -122,6 +122,24 @@ object Curation {
     // sampling rate instead of meaning parseInt(threshold, 16)/256
     substring(md5(concat(lit(salt), key.cast("string"))), 1, width) < lower(thresholdHex)
 
+  /** The standard curation gate sequence (the x25/x30 composition minus
+    * the batch-global near-dup drop): deterministic hash sample ->
+    * language gate -> quality + repetition filters. Every gate is a pure
+    * column expression — map-only at 100 TB, and equally valid on a
+    * STREAMING DataFrame (see graft.streaming.StreamCurate), so the
+    * batch and streaming paths cannot drift apart.
+    */
+  def standardGates(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    sampleThr: String = "c0"): DataFrame =
+    docs
+      .filter(hashKeep(col(idCol), lit(sampleThr)))
+      .withColumn("lang_pred", TextStats.langId(col(textCol)))
+      .filter(col("lang_pred") === "en")
+      .withColumn("quality", TextStats.qualityScore(col(textCol)))
+      .withColumn("rep_ratio", repetitionRatio(col(textCol)))
+      .filter(col("quality") >= 0.8 && col("rep_ratio") <= 0.6)
+
   /** Training-mixture temperature reweighting (data mixing): per-group
     * keep-rates that flatten the corpus distribution toward uniform.
     * Group g with share p_g gets weight p_g^alpha (alpha < 1 boosts

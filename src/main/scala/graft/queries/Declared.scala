@@ -38,13 +38,7 @@ object Declared {
     * (non-survivor cluster members), joined left_anti.
     */
   private def curationGates(docs: DataFrame, dropDups: DataFrame): DataFrame =
-    docs
-      .filter(Curation.hashKeep(col("doc_id"), lit("c0")))
-      .withColumn("lang_pred", TextStats.langId(col("text")))
-      .filter(col("lang_pred") === "en")
-      .withColumn("quality", TextStats.qualityScore(col("text")))
-      .withColumn("rep_ratio", Curation.repetitionRatio(col("text")))
-      .filter(col("quality") >= 0.8 && col("rep_ratio") <= 0.6)
+    Curation.standardGates(docs)
       .join(dropDups, Seq("doc_id"), "left_anti")
       .select("doc_id", "quality", "rep_ratio")
       .orderBy("doc_id")

@@ -1,0 +1,34 @@
+package graft.streaming
+
+import graft.ext.Curation
+import org.apache.spark.sql.DataFrame
+
+/** Streaming curation (the x25 pipeline's streaming form): the SAME gate
+  * sequence as the batch path — [[Curation.standardGates]] is shared, so
+  * the two cannot drift — followed by streaming exact content dedup.
+  *
+  * What is and is not streamable, by construction:
+  *  - the hash sample / language / quality / repetition gates are pure
+  *    column expressions: identical semantics batch vs. stream, map-only
+  *    per micro-batch, no state.
+  *  - exact content dedup streams via `dropDuplicatesWithinWatermark`
+  *    keyed on the 256-bit content hash — state bounded by the horizon.
+  *  - NEAR-dup cluster resolution (x23) is a batch/global computation
+  *    (connected components over the full pair graph); a stream can at
+  *    best approximate it within a window. The intended deployment is
+  *    this stream for ingest-time gating + a periodic batch x25/x30 pass
+  *    for near-dup sweeps.
+  */
+object StreamCurate {
+
+  /** Gate + dedup a streaming documents frame. `tsCol` must be a
+    * timestamp column (event time) for the dedup watermark.
+    */
+  def curate(docs: DataFrame, tsCol: String,
+             idCol: String = "doc_id", textCol: String = "text",
+             sampleThr: String = "c0",
+             watermark: String = "10 minutes"): DataFrame =
+    StreamDedup.firstPerContent(
+      Curation.standardGates(docs, idCol, textCol, sampleThr),
+      textCol, tsCol, watermark)
+}

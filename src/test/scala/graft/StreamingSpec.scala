@@ -220,6 +220,52 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming curation e2e: replayed fixture batches match the batch gates") {
+    implicit val sqlCtx = spark.sqlContext
+    // replay the real documents fixture in 3 micro-batches, plus an
+    // exact duplicate of a known-surviving doc injected in a later batch
+    // (fresh id so it passes the hash sample independently)
+    val fixture = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchKept = graft.ext.Curation.standardGates(
+      Tables.load(spark, sf(), "documents"))
+      .select("doc_id", "quality", "rep_ratio").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(batchKept.nonEmpty, "fixture produced no gate survivors")
+    val survivorText = fixture.toMap.apply(batchKept.keys.min)
+    // an id whose hash gate also keeps it, carrying duplicate content
+    val dupId = (1000000L to 1001000L).find { id =>
+      spark.range(1).select(
+        graft.ext.Curation.hashKeep(lit(id), lit("c0"))).collect()(0).getBoolean(0)
+    }.get
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = StreamCurate.curate(docs, "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scurate").start()
+    try {
+      val (b1, rest) = fixture.splitAt(fixture.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      input.addData(b1.map { case (id, t) => (id, t, 10L) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.map { case (id, t) => (id, t, 20L) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b3.map { case (id, t) => (id, t, 30L) } :+ ((dupId, survivorText, 30L)))
+      q.processAllAvailable()
+      val streamed = spark.table("scurate")
+        .select("doc_id", "quality", "rep_ratio").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      // the duplicate content arrived after its original -> dropped, so
+      // the streamed survivor set is EXACTLY the batch gate output
+      // (fixture texts are unique, so content dedup drops nothing else)
+      assert(streamed == batchKept,
+        s"streamed=${streamed.keys.toSeq.sorted} batch=${batchKept.keys.toSeq.sorted}")
+      assert(!streamed.contains(dupId))
+    } finally q.stop()
+  }
+
   test("health e2e: MemoryStream -> progressMonitor -> bridge -> HTTP /health/live") {
     import graft.health.{Liveness, ProgressBridge}
     implicit val s = spark
