@@ -85,17 +85,28 @@ object ScaleCheck {
         graft.ext.Similarity.bruteForceTopKAgg(
           emb0.filter(col("vec_id") % 50 === 0), corpus, k = 5)
           .select(count(lit(1))).collect()
+      },
+      "x22 sub-sharded packing (documents, nShards=8)" -> { n =>
+        graft.ext.Curation.packChunks(replicate(docs0, "doc_id", n),
+          "lang", "doc_id", graft.ext.TextStats.tokenCount(col("text")),
+          capacity = 2048, nShards = 8)
+          .groupBy("lang", "shard", "chunk_id").count()
+          .select(count(lit(1))).collect()
       })
 
     // --- dup-structure-preserving replication for the pair operators ---
     // text: bijectively retag every token per replica ("word" -> "x3word"):
     // within-replica shingle sets (and so jaccard/minhash structure) are
     // preserved exactly; across replicas the shingle spaces are disjoint.
+    // prefix is SELF-DELIMITING ("x3z" + token): a bare "x$i" prefix is
+    // ambiguous when tokens start with digits (replica 1 on "5foo" ->
+    // "x15foo" == replica 15 on "foo"), which would leak cross-replica
+    // shingle collisions into the witness counts at n >= 10
     def replicateDocsPerturbed(n: Int): DataFrame =
       (0 until n).map { i =>
         docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
           .withColumn("text",
-            regexp_replace(col("text"), "([a-zA-Z0-9]+)", s"x$i$$1"))
+            regexp_replace(col("text"), "([a-zA-Z0-9]+)", s"x${i}z$$1"))
       }.reduce(_ union _)
     // embeddings: per-replica diagonal +-1 sign pattern D_i (orthogonal):
     // cos(D_i a, D_i b) = cos(a, b), so within-replica pairs keep their
@@ -200,6 +211,96 @@ object ScaleCheck {
       println(f"SCALE $name exp=$exp%.2f " +
         timed.map { case (t, w, c) => f"$t%.2f/$w/$c" }.mkString(" "))
     }
+    // --- x30 curation e2e at scale -----------------------------------
+    // The full 100 TB composition (MinHash LSH pair-finding -> CC dedup
+    // -> map-only gates -> left_anti survivor drop) over the perturbed
+    // replication. Witness: replica 0 is byte-identical to the 1x corpus
+    // and its pairs/clusters cannot cross replicas (disjoint shingle
+    // spaces), so its survivor set must be EXACTLY the 1x survivor set
+    // at every scale — any drift means the scale path silently lost (or
+    // invented) a duplicate cluster as the corpus grew.
+    sb.append("\n## Curation e2e at scale (x30 composition)\n\n")
+    sb.append("Same perturbed replication as above; survivors = gate output after\n")
+    sb.append("LSH near-dup cluster drop. Replica-0 survivor set asserted invariant\n")
+    sb.append("across scales (recall stability), exp asserted < 1.5.\n\n")
+    sb.append("| case | 1x (s / survivors) | 4x | 16x | exp |\n")
+    sb.append("|---|---|---|---|---|\n")
+    // replica 0 keeps its ORIGINAL text here (unlike the pair harness):
+    // the gates are content-sensitive (langId / stopword quality), so a
+    // retagged replica 0 would fail the language gate and void the
+    // witness. Retagged replicas >= 1 still contribute full pair-finding
+    // volume (the expensive part) and are dropped only at the cheap
+    // map-only gates.
+    def replicateDocsKeep0(n: Int): DataFrame =
+      (0 until n).map { i =>
+        val base = docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        if (i == 0) base
+        else base.withColumn("text",
+          regexp_replace(col("text"), "([a-zA-Z0-9]+)", s"x${i}z$$1"))
+      }.reduce(_ union _)
+    def x30Survivors(n: Int): DataFrame = {
+      val docs = replicateDocsKeep0(n)
+      val dropDups = graft.ext.Dedup.dupClusters(
+        graft.ext.Dedup.minhashLshPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      graft.ext.Curation.standardGates(docs)
+        .join(dropDups, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }
+    locally {
+      x30Survivors(1).count() // warm-up
+      val timed = scales.map { n =>
+        val t0 = System.nanoTime()
+        val replica0 = x30Survivors(n).filter(col("doc_id") < 100000000L)
+          .collect().map(_.getLong(0)).toSet
+        ((System.nanoTime() - t0) / 1e9, replica0)
+      }
+      val base = timed(0)._2
+      assert(base.nonEmpty, "x30 scale: 1x produced no survivors")
+      timed.zip(scales).foreach { case ((_, s), n) =>
+        assert(s == base,
+          s"x30 scale: replica-0 survivors drifted at ${n}x " +
+            s"(missing=${(base -- s).take(5)}, extra=${(s -- base).take(5)})")
+      }
+      val exp = math.log(timed(2)._1 / timed(0)._1) / math.log(16.0)
+      assert(exp < 1.5, f"x30 e2e: growth exponent $exp%.2f not sub-quadratic")
+      sb.append(f"| x30 curation e2e (LSH path) | ${timed(0)._1}%.2f / ${base.size} " +
+        f"| ${timed(1)._1}%.2f | ${timed(2)._1}%.2f | $exp%.2f |\n")
+      println(f"SCALE x30 e2e exp=$exp%.2f " +
+        timed.map { case (t, _) => f"$t%.2f" }.mkString(" "))
+    }
+
+    // --- generator: linear scaling with numPartitions ----------------
+    // BASELINE.md's remaining derived target: wire-record generation
+    // "scales linearly with numPartitions". Fixed 1M records, varying
+    // partition count on 32 cores — the per-partition generators are
+    // independent (no shuffle anywhere in the plan), so doubling
+    // partitions up to the core count should near-halve the wall time.
+    sb.append("\n## Generator scaling with numPartitions (8M wire records)\n\n")
+    sb.append("| partitions | time (s) | speedup vs 2 |\n|---|---|---|\n")
+    locally {
+      // 8M records so per-partition compute dominates scheduling, and
+      // sum(length(value)) — NOT count(): count lets Spark prune the
+      // wire projection away entirely and times pure task scheduling;
+      // the length-sum forces every payload to be generated and encoded
+      def gen(p: Int): Unit = assert(
+        graft.gen.RecordGen.toWire(
+          graft.gen.RecordGen.records(spark, n = 8000000L, numPartitions = p))
+          .agg(sum(length(col("value")))).collect()(0).getLong(0) > 0L)
+      gen(2) // warm-up
+      val parts = Seq(2, 8, 32)
+      val ts = parts.map(p => time(gen(p)))
+      parts.zip(ts).foreach { case (p, t) =>
+        sb.append(f"| $p | $t%.2f | ${ts.head / t}%.2f |\n")
+        println(f"SCALE gen numPartitions=$p $t%.2f s (x${ts.head / t}%.2f)")
+      }
+      // near-linear: 16x the partitions on idle cores must buy a large
+      // multiple — a flat curve would mean a serial section (driver-side
+      // loop or a hidden single-partition stage) in the generator plan
+      assert(ts.head / ts.last >= 4.0,
+        f"generator speedup 2->32 partitions only ${ts.head / ts.last}%.2f")
+    }
+
     Files.write(Paths.get("SCALE.md"),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println("wrote SCALE.md")
