@@ -167,6 +167,50 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** X2 (SimHash form): ALL pairs with hamming(simhash) <= `maxHamming`
+    * — EXACT by pigeonhole, not approximate: the 64-bit fingerprint
+    * splits into `bands` equal chunks; two fingerprints within hamming
+    * distance d differ in at most d chunks, so with bands > d they must
+    * agree on at least one chunk — every qualifying pair collides in
+    * some band bucket and is then verified with the real bit_count.
+    * The default (d = 3, 4 x 16-bit bands) is the classic web-scale
+    * near-dup table design.
+    *
+    * Scale: the fingerprint is one map-only pass — the whole dedup
+    * state is 16 bytes per doc; the candidate join shuffles
+    * (band, chunk, id, fp) only, bucketed by 16-bit chunk values within
+    * each band (65536 buckets per band); verification is a codegen'd
+    * bit_count inside the join condition, so only qualifying pairs
+    * materialize. Unlike [[minhashLshPairs]] there is no shingle set to
+    * re-join — the fingerprint IS the verifier.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole completeness needs bands > maxHamming (got bands=$bands, maxHamming=$maxHamming)")
+    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    val fp = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
+    // bands unrolled statically (bands is a plan-time constant), so the
+    // chunk extraction stays in whole-stage codegen
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        shiftrightunsigned(col("fp"), bi * w).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val banded = fp
+      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bc"))
+      .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          hamming64(col("a.fp"), col("b.fp")) <= maxHamming)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+  }
+
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair list (the step that turns pair-finding into an actual dedup —
     * keep `min(doc_id)` per cluster, drop the rest).

@@ -1105,6 +1105,15 @@ object Declared {
         .orderBy("doc_id"),
       None),
 
+    // X2 (SimHash pair-finding): banded fingerprint join, exact for
+    // hamming <= 3 by pigeonhole (ExtSpec proves equality with the n^2
+    // bit_count scan); xxhash64-based fingerprint is not DuckDB-
+    // expressible, so rows-only here
+    "x33_simhash_pairs" -> Q(
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id_a", "id_b"),
+      None),
+
     // embedding-cosine near-dup pairs (north-star dedup family)
     "x16_embedding_dups" -> Q(
       (s, dir) => Dedup.embeddingNearDupPairs(
@@ -1118,13 +1127,19 @@ object Declared {
              |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
 
     // X2 (scale form of x16): cell-blocked embedding near-dup — pairwise
-    // cosine within IVF cells only (no n^2 nested loop). Approximate by
-    // construction (recall vs x16 asserted in ExtSpec + Smoke), so
-    // rows-only here.
+    // cosine within IVF cells only (no n^2 nested loop). Cells come from
+    // spherical-kmeans-trained centroids (deterministic: hash-sampled
+    // init + fixed iterations; recall-neutral-or-better vs raw sampled
+    // init, guarded in ExtSpec). Approximate by construction (recall vs
+    // x16 asserted in ExtSpec + Smoke), so rows-only here.
     "x29_embedding_dups_blocked" -> Q(
-      (s, dir) => Dedup.embeddingNearDupPairsBlocked(
-        t(s, dir, "embeddings"), threshold = 0.45, nlist = 16, nprobe = 4)
-        .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Dedup.embeddingNearDupPairsBlocked(
+          e, threshold = 0.45, nlist = 16, nprobe = 4,
+          centroids = Some(Similarity.kmeansCentroids(e, k = 16)))
+          .orderBy("id_a", "id_b")
+      },
       None),
 
     // X3 (scale form): IVF-Flat ANN — recall vs x03 covered in tests/Smoke

@@ -86,6 +86,28 @@ class ExtSpec extends SparkSuite {
     assert(ham(fp("a"), fp("b")) <= 16)
   }
 
+  test("X2 simhashPairs: banded join equals the n^2 hamming scan (pigeonhole exactness)") {
+    // real fixture corpus: every pair with hamming <= 3 must be found —
+    // the banding is a pruning strategy, not an approximation
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id", "text")
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, fa) <- fp; (ib, fb) <- fp if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} " +
+        s"missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+    assert(brute.nonEmpty, "fixture has no hamming<=3 pairs — test is vacuous")
+    // guard rails: incomplete banding configurations are rejected
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 4, bands = 4)
+    }
+  }
+
   test("X3 cosine: hand-computed value") {
     val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
     val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
@@ -145,6 +167,26 @@ class ExtSpec extends SparkSuite {
     val deep = pairSet(Dedup.embeddingNearDupPairsBlocked(
       e, threshold = 0.45, nlist = 16, nprobe = 8))
     assert(recall(deep) >= 0.9, s"deep-probe recall ${recall(deep)} < 0.9")
+  }
+
+  test("X2 blocked embedding near-dup: trained centroids do not lose recall") {
+    // the declared x29 threads kmeans-trained centroids; training is
+    // recall-neutral-or-better on these fixtures (measured) — this guard
+    // keeps that claim from silently regressing
+    val e = Tables.load(spark, sf(), "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingNearDupPairs(e, threshold = 0.45))
+    def recall(got: Set[(Long, Long)]) =
+      if (exact.isEmpty) 1.0 else exact.intersect(got).size.toDouble / exact.size
+    val sampled = recall(pairSet(Dedup.embeddingNearDupPairsBlocked(
+      e, threshold = 0.45, nlist = 16, nprobe = 4)))
+    val trained = recall(pairSet(Dedup.embeddingNearDupPairsBlocked(
+      e, threshold = 0.45, nlist = 16, nprobe = 4,
+      centroids = Some(Similarity.kmeansCentroids(e, k = 16)))))
+    assert(trained >= sampled,
+      s"trained-centroid recall $trained < sampled-init recall $sampled")
   }
 
   test("X2 blocked embedding near-dup: strong-similarity pairs all recovered") {
