@@ -151,11 +151,20 @@ object Dedup {
     } finally withSig.unpersist()
   }
 
-  /** SimHash 64-bit fingerprint over the token set: bit b of the result is
-    * the majority vote of bit b across token hashes. Pure expressions;
-    * near-dup = hamming distance <= d on the fingerprints.
+  /** SimHash 64-bit fingerprint over the token sequence: bit b of the
+    * result is the majority vote of bit b across token hashes; near-dup
+    * = hamming distance <= d on the fingerprints. Native single-pass
+    * expression — see graft.functions.SimHash64 for why the built-ins
+    * form is 64x more expensive per row.
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.simhash64(text)
+
+  /** Built-ins-only simhash (zero custom surface). NOTE: each of the 64
+    * vote expressions re-evaluates the token-hash lambda — Catalyst
+    * does not CSE across lambda boundaries; prefer [[simhash]].
+    */
+  def simhashBuiltins(text: Column): Column = {
     val hashes = transform(tokens(text), t => xxhash64(t))
     val n = size(hashes)
     (0 until 64).map { b =>
@@ -191,24 +200,35 @@ object Dedup {
     require(64 % bands == 0, s"bands must divide 64 (got $bands)")
     val w = 64 / bands
     val mask = if (w == 64) -1L else (1L << w) - 1L
+    // materialize the fingerprint: the simhash expression is a 64-vote
+    // tree — left lazy, the join condition would re-evaluate it PER
+    // CANDIDATE PAIR (low-entropy corpora collide heavily on 16-bit
+    // chunks, so candidates >> output pairs; measured 12s -> ~1s at
+    // sf0.1). Slim (id, long) but corpus-row-sized: persist with
+    // lineage, result driven eagerly, released in finally — see
+    // jaccardPairs for the policy.
     val fp = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
-    // bands unrolled statically (bands is a plan-time constant), so the
-    // chunk extraction stays in whole-stage codegen
-    val bandStructs = (0 until bands).map { bi =>
-      struct(lit(bi).as("band"),
-        shiftrightunsigned(col("fp"), bi * w).bitwiseAND(lit(mask)).as("chunk"))
-    }
-    val banded = fp
-      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bc"))
-      .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          hamming64(col("a.fp"), col("b.fp")) <= maxHamming)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        hamming64(col("a.fp"), col("b.fp")).as("hamming"))
-      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bands unrolled statically (bands is a plan-time constant), so
+      // the chunk extraction stays in whole-stage codegen
+      val bandStructs = (0 until bands).map { bi =>
+        struct(lit(bi).as("band"),
+          shiftrightunsigned(col("fp"), bi * w).bitwiseAND(lit(mask)).as("chunk"))
+      }
+      val banded = fp
+        .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bc"))
+        .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b,
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            hamming64(col("a.fp"), col("b.fp")) <= maxHamming)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          hamming64(col("a.fp"), col("b.fp")).as("hamming"))
+        .distinct()
+        .localCheckpoint(true)
+    } finally fp.unpersist()
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup

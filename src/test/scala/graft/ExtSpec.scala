@@ -283,6 +283,21 @@ class ExtSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("native simhash64 equals the built-ins formulation on fixtures") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val diff = docs.select(
+      Dedup.simhash(col("text")).as("a"),
+      Dedup.simhashBuiltins(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // tokenless doc -> zero fingerprint in both forms
+    import spark.implicits._
+    val empty = Seq("", "!!! ???").toDF("text")
+      .select(Dedup.simhash(col("text")).as("a"),
+        Dedup.simhashBuiltins(col("text")).as("b")).collect()
+    assert(empty.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
+  }
+
   test("dup clusters: components labeled with min member id") {
     import spark.implicits._
     // components: {1,2,3} (chain 1-2, 2-3), {7,9}, singleton pairs absent
