@@ -148,7 +148,16 @@ object ScaleCheck {
       ("x29 cell-blocked embedding near-dup", { n: Int =>
         graft.ext.Dedup.embeddingNearDupPairsBlocked(replicateEmbPerturbed(n),
           threshold = 0.45, nlist = 16 * n, nprobe = 2)
-      }, col("id_b") - col("id_a") === 50000000L))
+      }, col("id_b") - col("id_a") === 50000000L),
+      // witness = hamming-0 pairs: identical texts retag to identical
+      // texts (fingerprints equal under the bijection), so their count
+      // tracks the replication factor exactly; hamming 1-3 pairs can
+      // wobble per replica (different token hash bits) and land in
+      // `other`
+      ("x33 simhash banded pairs (documents)", { n: Int =>
+        graft.ext.Dedup.simhashPairs(replicateDocsPerturbed(n),
+          "text", "doc_id")
+      }, col("hamming") === 0))
 
     val sb = new StringBuilder
     sb.append("# SCALE — linear-scaling evidence (auto-generated)\n\n")

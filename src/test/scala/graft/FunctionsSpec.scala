@@ -111,6 +111,11 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
     assert(r.getSeq[String](1) == Seq("the quick brown", "quick brown fox"))
     assert(r.getInt(2) == 28) // base64(20 bytes) = 28 chars
+    // simhash64 from SQL matches the Column API on the same text
+    val sh = spark.sql("SELECT simhash64('the quick brown fox') AS h").collect()(0)
+    val shCol = Seq("the quick brown fox").toDF("t")
+      .select(graft.ext.Dedup.simhash(col("t"))).collect()(0)
+    assert(sh.getLong(0) == shCol.getLong(0))
     val agg = spark.sql(
       """SELECT g, top_k_by_score(s, id, 2) AS t FROM VALUES
         |  ('a', 0.9d, 1L), ('a', 0.1d, 2L), ('a', 0.5d, 3L) AS v(g, s, id)
