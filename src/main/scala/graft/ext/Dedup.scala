@@ -56,9 +56,15 @@ object Dedup {
     * "exact near-dup" plan. Quadratic per shingle bucket; use
     * `maxDocFreq` to drop stop-shingles at scale.
     */
+  /** `materialize = false` skips the persist + eager drive and returns
+    * the raw lazy plan — for `explain()` inspection or composition into
+    * a larger job where the caller manages materialization; the default
+    * applies the policy documented below.
+    */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, threshold: Double,
-                   maxDocFreq: Option[Int] = None): DataFrame = {
+                   maxDocFreq: Option[Int] = None,
+                   materialize: Boolean = true): DataFrame = {
     // shingle extraction is the expensive expression: materialize it ONCE
     // (hashed to 64-bit so the self-join shuffles longs, not strings —
     // at 100 TB the shuffle carries (id, hash) pairs only)
@@ -75,7 +81,9 @@ object Dedup {
     // recompute instead of failing the job. The RESULT (the pair list,
     // orders of magnitude smaller) is driven eagerly so the cache can be
     // unpersisted in finally — leak-free AND recomputable.
-    val sh = capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = if (materialize)
+      capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else capped
     try {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = sh.as("a"); val b = sh.as("b")
@@ -83,7 +91,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("common"))
-      common
+      val pairs = common
         .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard",
@@ -91,8 +99,8 @@ object Dedup {
             (col("sz_a") + col("sz_b") - col("common")), 6))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(true)
-    } finally sh.unpersist()
+      if (materialize) pairs.localCheckpoint(true) else pairs
+    } finally if (materialize) sh.unpersist()
   }
 
   /** MinHash signature: for each of `numHashes` hash families, the min
@@ -107,19 +115,23 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       k: Int, threshold: Double,
-                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      materialize: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     // materialize (id, shingles, signature) once — the signature is the
     // expensive expression (numHashes x |shingles| hashing)
     // corpus-sized (shingles + 64-hash signature per doc): persist with
     // lineage + unpersist in finally; the result pair list is driven
-    // eagerly — see jaccardPairs for the materialization policy
-    val withSig = docs.select(
+    // eagerly — see jaccardPairs for the materialization policy (and
+    // the materialize = false escape hatch)
+    val sig0 = docs.select(
       col(idCol).as("doc_id"),
       shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = if (materialize)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
     try {
       // one SLIM row per (doc, band): the LSH join must shuffle only
       // (band, bucket, id) — shingle arrays are re-joined after the
@@ -141,14 +153,14 @@ object Dedup {
         .distinct()
       val shA = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val shB = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      cand.join(shA, "id_a").join(shB, "id_b")
+      val pairs = cand.join(shA, "id_a").join(shB, "id_b")
         .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard", round(col("common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
         .filter(col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(true)
-    } finally withSig.unpersist()
+      if (materialize) pairs.localCheckpoint(true) else pairs
+    } finally if (materialize) withSig.unpersist()
   }
 
   /** SimHash 64-bit fingerprint over the token sequence: bit b of the
@@ -194,7 +206,8 @@ object Dedup {
     * re-join — the fingerprint IS the verifier.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4,
+                   materialize: Boolean = true): DataFrame = {
     require(bands > maxHamming,
       s"pigeonhole completeness needs bands > maxHamming (got bands=$bands, maxHamming=$maxHamming)")
     require(64 % bands == 0, s"bands must divide 64 (got $bands)")
@@ -207,8 +220,10 @@ object Dedup {
     // sf0.1). Slim (id, long) but corpus-row-sized: persist with
     // lineage, result driven eagerly, released in finally — see
     // jaccardPairs for the policy.
-    val fp = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp0 = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("fp"))
+    val fp = if (materialize)
+      fp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fp0
     try {
       // bands unrolled statically (bands is a plan-time constant), so
       // the chunk extraction stays in whole-stage codegen
@@ -220,15 +235,15 @@ object Dedup {
         .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bc"))
         .select(col("doc_id"), col("fp"), col("bc.band"), col("bc.chunk"))
       val a = banded.as("a"); val b = banded.as("b")
-      a.join(b,
+      val pairs = a.join(b,
           col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
             col("a.doc_id") < col("b.doc_id") &&
             hamming64(col("a.fp"), col("b.fp")) <= maxHamming)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           hamming64(col("a.fp"), col("b.fp")).as("hamming"))
         .distinct()
-        .localCheckpoint(true)
-    } finally fp.unpersist()
+      if (materialize) pairs.localCheckpoint(true) else pairs
+    } finally if (materialize) fp.unpersist()
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup

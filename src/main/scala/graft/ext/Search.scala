@@ -20,23 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  /** BM25 top-k documents for a bag-of-words query. */
+  /** BM25 top-k documents for a bag-of-words query. `materialize =
+    * false` skips the persist + eager drive (raw lazy plan for
+    * explain()/composition).
+    */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queryTerms: Seq[String], k: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               materialize: Boolean = true): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
     // ONE corpus scan: doc length for the global stats, plus the tokens
     // pruned to the query terms INSIDE the array (before explode — the
     // exploded row count is proportional to query-term hits, not total
     // corpus tokens). The persisted frame is (id, int, tiny array).
-    val base = docs.select(
+    val base0 = docs.select(
       col(idCol).as("doc_id"),
       size(toks).as("dl"),
       filter(toks, t => queryTerms.map(q => t === q).reduce(_ || _)).as("qtoks"))
-      // corpus-sized (one slim row per doc): persist with lineage so a
-      // lost executor recomputes its blocks; the k-row result below is
-      // driven eagerly and the cache released in finally — leak-free
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus-sized (one slim row per doc): persist with lineage so a
+    // lost executor recomputes its blocks; the k-row result below is
+    // driven eagerly and the cache released in finally — leak-free
+    val base = if (materialize)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
     try {
       val global = base.agg(count(lit(1)).cast("double").as("n"),
         avg(col("dl")).as("avgdl"))
@@ -47,7 +53,7 @@ object Search {
         .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
       val df = postings.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      tf.join(broadcast(df), "term")
+      val topk = tf.join(broadcast(df), "term")
         .crossJoin(broadcast(global))
         .withColumn("contrib",
           log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
@@ -57,7 +63,7 @@ object Search {
         .agg(round(sum(col("contrib")), 6).as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(k)
-        .localCheckpoint(true)
-    } finally base.unpersist()
+      if (materialize) topk.localCheckpoint(true) else topk
+    } finally if (materialize) base.unpersist()
   }
 }
