@@ -31,4 +31,19 @@ object StreamCurate {
     StreamDedup.firstPerContent(
       Curation.standardGates(docs, idCol, textCol, sampleThr),
       textCol, tsCol, watermark)
+
+  /** Batch-train / stream-apply temperature mixing: `rates` is the
+    * (group, thr) frame from [[Curation.temperatureRates]] computed on a
+    * batch corpus snapshot; applying it to the stream is a broadcast
+    * join + the deterministic 4-hex md5 gate — map-only per micro-batch,
+    * stateless, and the kept set for any given rates table is exactly
+    * what the batch [[Curation.temperatureSample]] would keep.
+    */
+  def applyTemperature(docs: DataFrame, rates: DataFrame,
+                       groupCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    docs.join(broadcast(rates.select(col(groupCol), col("thr"))), Seq(groupCol))
+      .filter(col("thr").isNull || Curation.hashKeep(col(idCol), col("thr"), width = 4))
+      .drop("thr")
+  }
 }

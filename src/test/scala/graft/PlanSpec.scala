@@ -39,9 +39,11 @@ class PlanSpec extends SparkSuite {
   }
 
   // dimension joins must broadcast — a SortMergeJoin here would shuffle
-  // the fact side on the join key at 100 TB for no reason
+  // the fact side on the join key at 100 TB for no reason (x31: the
+  // per-group rates frame joins the corpus broadcast)
   test("dimension joins are broadcast, not shuffled") {
-    for (q <- Seq("q03_revenue_by_nation", "q18_part_type_share", "x20_decontam")) {
+    for (q <- Seq("q03_revenue_by_nation", "q18_part_type_share",
+        "x20_decontam", "x31_temperature_mix")) {
       val p = planOf(q)
       assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
         s"$q: no broadcast join:\n$p")
