@@ -91,22 +91,37 @@ object Curation {
     * both sides shuffle (term, counts)-shaped rows only; the per-doc
     * score is one more (doc_id, partial-avg) aggregation. In a real
     * pipeline the frequency table is trained once and reused.
+    *
+    * The corpus is TOKENIZED ONCE: the (doc_id, tokens) frame feeds both
+    * the frequency aggregation and the probe side, so it's persisted
+    * with lineage (same policy as [[Dedup.jaccardPairs]] — recomputable
+    * on executor loss, released in finally); the lazy form re-evaluates
+    * the regexp tokenizer per consumer, a 3× corpus-scan regression at
+    * 100 TB. The eagerly-driven per-doc score result is localCheckpoint'd
+    * so it survives the unpersist, but (like every checkpointed result
+    * frame — see the Dedup policy note) is NOT fault-tolerant past job
+    * completion.
     */
-  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.tokens(col(textCol))).as("term"))
-    // the vocabulary frame is consumed exactly ONCE (the re-join), so it
-    // needs no materialization at all — fully lazy, lineage intact. The
-    // grand total sum(tf) equals the corpus token count, so it comes from
-    // a map-only count over `toks` instead of re-aggregating `freq`.
-    val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("tot"))
-    toks.join(freq, "term")
-      .crossJoin(broadcast(tot))
-      .withColumn("lp", log(col("tf").cast("double") / col("tot")))
-      .groupBy("doc_id")
-      .agg(round(avg(col("lp")), 6).as("avg_logp"),
-        count(lit(1)).as("n_tok"))
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+                     materialize: Boolean = true): DataFrame = {
+    val base0 = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("toks"))
+    val base = if (materialize)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    try {
+      val toks = base.select(col("doc_id"), explode(col("toks")).as("term"))
+      val freq = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      // grand total derived from freq (vocabulary-sized), not the corpus
+      val tot = freq.agg(sum("tf").cast("double").as("tot"))
+      val res = toks.join(freq, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp", log(col("tf").cast("double") / col("tot")))
+        .groupBy("doc_id")
+        .agg(round(avg(col("lp")), 6).as("avg_logp"),
+          count(lit(1)).as("n_tok"))
+      if (materialize) res.localCheckpoint(true) else res
+    } finally if (materialize) base.unpersist()
   }
 
   /** Deterministic hash-gate for weighted sampling: keep a row iff the
@@ -116,11 +131,22 @@ object Curation {
     * unlike `rand()`. Map-only at any scale.
     */
   def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft",
-               width: Int = 2): Column =
+               width: Int = 2): Column = {
     // lower(): md5 hex is lowercase, and an uppercase threshold ('C0')
     // sorts below all lowercase a-f by ASCII — it would silently skew the
     // sampling rate instead of meaning parseInt(threshold, 16)/256
-    substring(md5(concat(lit(salt), key.cast("string"))), 1, width) < lower(thresholdHex)
+    val thr = lower(thresholdHex)
+    // a threshold whose width doesn't match `width` would silently skew
+    // the realized rate via lexicographic prefix comparison (e.g. 'c0'
+    // with width=4 reads as c0/65536, not c0/256) — fail loudly instead.
+    // Null thresholds pass through: the comparison yields null, which
+    // callers gate with `thr.isNull || ...` (= keep-all rows).
+    val checked = when(thr.isNull || length(thr) === width, thr)
+      .otherwise(raise_error(concat(
+        lit(s"graft hashKeep: threshold width mismatch (expected $width hex chars): "),
+        thresholdHex)))
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, width) < checked
+  }
 
   /** The standard curation gate sequence (the x25/x30 composition minus
     * the batch-global near-dup drop): deterministic hash sample ->

@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   *    and candidate pairs per bucket are bounded; only candidates get the
   *    exact-Jaccard verification. Hot shingles can be capped via
   *    `maxDocFreq` to bound worst-case bucket sizes (skew guard).
+  *
+  * Materialization policy (applies to every `materialize = true` operator
+  * here and in [[Search]]): the corpus-sized intermediate is persisted
+  * WITH lineage (MEMORY_AND_DISK) so a lost executor recomputes its
+  * blocks; the small result is driven eagerly and returned as a
+  * `localCheckpoint(true)` frame so the cache can be released in
+  * `finally`. NOTE the returned frame itself is NOT fault-tolerant past
+  * job completion — its lineage is truncated, so result partitions lost
+  * AFTER the operator returns (e.g. preempted executors between jobs)
+  * are irrecoverable. The results are pair-list / top-k sized, so on
+  * preemptible infra either consume them promptly, write them to a sink,
+  * or collect them driver-side; pass `materialize = false` to manage
+  * materialization yourself.
   */
 object Dedup {
 

@@ -69,6 +69,18 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_bytes")
   }
 
+  /** REAL (non-stub) header probe: container format + pixel dimensions
+    * parsed from the binary payload's magic bytes and header fields
+    * (PNG IHDR / JPEG SOFn / GIF screen descriptor) — see
+    * [[graft.functions.MediaProbe]]. Needs no codec, so this part of the
+    * X6 decode boundary is NOT stubbed: format sniffing and image
+    * dimensions are production-real; only pixel/sample DECODING remains
+    * behind [[fakeDecode]]. Null for unrecognized/malformed headers
+    * (quarantine filter, not a crash).
+    */
+  def probe(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MediaProbe.mediaProbe(bytes)
+
   /** Build a deterministic synthetic media table (binary payloads derived
     * from the seeded generator) — stands in for a real media source.
     */

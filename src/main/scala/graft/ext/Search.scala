@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *  - top-k goes through orderBy+limit, which Spark plans as
   *    TakeOrderedAndProject: per-partition bounded heaps, k rows to the
   *    driver — no global sort at any scale.
+  *
+  * Materialization: follows the [[Dedup]] policy — persisted-with-lineage
+  * intermediate, eagerly-driven `localCheckpoint(true)` result. The
+  * returned k-row frame is NOT fault-tolerant past job completion (see
+  * the Dedup policy note); consume or collect it promptly on
+  * preemptible infra.
   */
 object Search {
 

@@ -25,6 +25,7 @@ object GraftFunctions {
     "cosine_sim" -> (args => CosineSimilarity(args(0), args(1))),
     "word_shingles" -> (args => WordShingles(args(0), intLit(args(1), "k"))),
     "simhash64" -> (args => SimHash64(args(0))),
+    "media_probe" -> (args => MediaProbe(args(0))),
     "deterministic_base64" -> (args =>
       DeterministicBase64(args(0), args(1),
         if (args.length > 2) intLit(args(2), "numBytes") else 500)),

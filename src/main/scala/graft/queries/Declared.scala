@@ -1114,6 +1114,48 @@ object Declared {
         .orderBy("id_a", "id_b"),
       None),
 
+    // multimodal header probe (X6, the non-stub half): synthesize
+    // minimal-valid PNG/JPEG/GIF blobs in-plan with doc_id-derived
+    // dimensions, parse them back with the native media_probe
+    // expression, and check the parsed (format, width, height) against
+    // the oracle's ARITHMETIC — a genuine encode->parse round-trip, so
+    // any header-offset/endianness bug in the parser turns the row red.
+    "x34_media_probe" -> Q(
+      (s, dir) => {
+        val w = (col("doc_id") % 1920 + 1).cast("int")
+        val h = (col("doc_id") % 1080 + 1).cast("int")
+        def beHex(c: org.apache.spark.sql.Column, digits: Int) =
+          lpad(hex(c), digits, "0")
+        def le16Hex(c: org.apache.spark.sql.Column) = concat(
+          lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
+          lpad(hex(shiftright(c, 8)), 2, "0"))
+        // PNG: magic + IHDR(len 13) with BE u32 dims + depth/color + CRC
+        val png = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+          beHex(w, 8), beHex(h, 8), lit("08060000001F15C489"))
+        // JPEG: SOI + SOF0(len 0x11): precision, BE u16 height, width,
+        // 3 components
+        val jpeg = concat(lit("FFD8FFC0001108"), beHex(h, 4), beHex(w, 4),
+          lit("03012200021101031101"))
+        // GIF89a: LE u16 screen dims + GCT flags/bg/aspect
+        val gif = concat(lit("474946383961"), le16Hex(w), le16Hex(h),
+          lit("F70000"))
+        val bytes = unhex(when(col("doc_id") % 3 === 0, png)
+          .when(col("doc_id") % 3 === 1, jpeg)
+          .otherwise(gif))
+        val probe = graft.ext.Multimodal.probe(bytes)
+        t(s, dir, "documents")
+          .select(col("doc_id"), probe.as("p"))
+          .select(col("doc_id"), col("p.format").as("format"),
+            col("p.width").as("width"), col("p.height").as("height"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |    ELSE 'gif' END AS format,
+             |  (doc_id % 1920 + 1)::int AS width,
+             |  (doc_id % 1080 + 1)::int AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // embedding-cosine near-dup pairs (north-star dedup family)
     "x16_embedding_dups" -> Q(
       (s, dir) => Dedup.embeddingNearDupPairs(

@@ -61,6 +61,25 @@ class CurationSpec extends SparkSuite {
     assert(lo == up, s"lowercase kept $lo but uppercase kept $up")
   }
 
+  test("hash gate: threshold/width mismatch fails loudly instead of skewing the rate") {
+    val df = spark.range(100).toDF("id")
+    // a 2-char threshold under width=4 would silently read as c0/65536
+    // instead of c0/256 — it must raise instead
+    val e = intercept[Throwable] {
+      df.filter(Curation.hashKeep(col("id"), lit("c0"), width = 4)).count()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("width mismatch"), s"got: $chain")
+    // null thresholds still flow through as null comparisons (keep-all
+    // under the callers' `thr.isNull || hashKeep(...)` gate)
+    val withNullThr = df.withColumn("thr", lit(null).cast("string"))
+    val kept = withNullThr
+      .filter(col("thr").isNull || Curation.hashKeep(col("id"), col("thr"), width = 4))
+      .count()
+    assert(kept == 100)
+  }
+
   test("sequence packing: chunk boundaries respect capacity per shard") {
     val docs = Seq(
       ("en", 1L, 1000L), ("en", 2L, 1000L), ("en", 3L, 500L),

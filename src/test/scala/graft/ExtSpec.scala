@@ -387,4 +387,19 @@ class ExtSpec extends SparkSuite {
     assert(ivf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
       bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
+    // Spark-side mirror of the x34 DuckDB oracle: the declared query
+    // synthesizes headers with doc_id-derived dims and parses them back;
+    // the parsed values must equal the arithmetic the oracle computes
+    val got = SparkEntry.queries("x34_media_probe")(spark, sf()).collect()
+    assert(got.length > 0 && got.forall(!_.isNullAt(1)), "unparsed rows")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "gif" }
+      assert(r.getString(1) == expFmt, s"doc $id format")
+      assert(r.getInt(2) == (id % 1920 + 1).toInt, s"doc $id width")
+      assert(r.getInt(3) == (id % 1080 + 1).toInt, s"doc $id height")
+    }
+  }
 }

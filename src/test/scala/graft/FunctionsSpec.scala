@@ -101,6 +101,50 @@ class FunctionsSpec extends SparkSuite {
       err.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
+  test("media_probe parses PNG/JPEG/GIF headers and nulls malformed bytes") {
+    def hexBytes(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // minimal valid headers: PNG IHDR 640x480, JPEG with an APP0 (JFIF)
+    // segment BEFORE the SOF0 (the walk must skip it), GIF87a 320x200
+    val png = hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08060000001F15C489")
+    val jpegWithApp0 = hexBytes(
+      "FFD8 FFE00010 4A46494600010101006000600000" + // APP0, len 0x10
+      "FFC00011 08 01E0 0280 03012200021101031101")  // SOF0: 480 high, 640 wide
+    val gif87 = hexBytes("474946383761 4001 C800 F70000") // 320x200 LE
+    val truncatedPng = png.take(20)
+    val eoiBeforeSof = hexBytes("FFD8 FFD9")
+    val garbage = Array.fill[Byte](32)(0x5a)
+    val df = Seq(
+      (1L, png), (2L, jpegWithApp0), (3L, gif87),
+      (4L, truncatedPng), (5L, eoiBeforeSof), (6L, garbage))
+      .toDF("id", "bytes")
+      .select(col("id"), Multimodal.probe(col("bytes")).as("p"))
+      .orderBy("id")
+    val rows = df.collect()
+    def probe(i: Int): Option[(String, Int, Int)] = {
+      val r = rows(i)
+      if (r.isNullAt(1)) None
+      else { val p = r.getStruct(1); Some((p.getString(0), p.getInt(1), p.getInt(2))) }
+    }
+    assert(probe(0).contains(("png", 640, 480)))
+    assert(probe(1).contains(("jpeg", 640, 480)))
+    assert(probe(2).contains(("gif", 320, 200)))
+    assert(probe(3).isEmpty && probe(4).isEmpty && probe(5).isEmpty)
+    // SQL registration + interpreted path (eval) agrees with codegen
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT media_probe(unhex('47494638396140018001F70000')) AS p").collect()(0)
+    assert(viaSql.getStruct(0).getString(0) == "gif")
+    assert(viaSql.getStruct(0).getInt(1) == 320 && viaSql.getStruct(0).getInt(2) == 384)
+    // non-binary input rejected at analysis time
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT media_probe('not bytes')").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("media_probe") ||
+      err.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("SQL registration: custom functions usable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

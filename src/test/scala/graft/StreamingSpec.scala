@@ -266,6 +266,75 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming temperature apply: kept set equals batch temperatureSample (x31)") {
+    import graft.ext.Curation
+    implicit val sqlCtx = spark.sqlContext
+    // batch-train the per-lang rate table on the corpus snapshot, and the
+    // batch kept set it implies (exactly the x31 declared query)
+    val docsB = Tables.load(spark, sf(), "documents").select("lang", "doc_id")
+    val rates = Curation.temperatureRates(docsB, "lang")
+    val batchKept = Curation.temperatureSample(docsB, "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty)
+    // replay the same corpus through the stream in 2 micro-batches
+    val fixture = docsB.collect().map(r => (r.getString(0), r.getLong(1)))
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("lang", "doc_id")
+    val q = StreamCurate.applyTemperature(stream, rates, "lang", "doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stemp").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("stemp").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // the md5 gate is deterministic and stateless: the stream keeps
+      // exactly the batch sample, regardless of batching
+      assert(streamed == batchKept,
+        s"stream/batch diff: ${(streamed diff batchKept) ++ (batchKept diff streamed)}")
+      // thr column is dropped, payload columns survive
+      assert(spark.table("stemp").columns.toSeq == Seq("lang", "doc_id"))
+    } finally q.stop()
+  }
+
+  test("streaming e2e: curate + applyTemperature == batch gates + temperature sample") {
+    import graft.ext.Curation
+    implicit val sqlCtx = spark.sqlContext
+    // the docstring's "ingest-time gating" deployment: one streaming
+    // pipeline of standardGates + content dedup + batch-trained
+    // temperature gate, vs the same composition run in batch
+    val docsB = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "text", "lang")
+    val curatedB = Curation.standardGates(docsB)
+    val rates = Curation.temperatureRates(curatedB, "lang")
+    val batchKept = StreamCurate.applyTemperature(curatedB, rates, "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty, "batch composition kept nothing")
+    val fixture = docsB.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String, Long)]
+    val stream = input.toDF().toDF("doc_id", "text", "lang", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = StreamCurate.applyTemperature(
+        StreamCurate.curate(stream, "ts"), rates, "lang", "doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stempe2e").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.map { case (id, t, l) => (id, t, l, 10L) }.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.map { case (id, t, l) => (id, t, l, 20L) }.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("stempe2e").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // unique fixture texts -> dedup drops nothing; every gate and the
+      // temperature hash-gate are deterministic column expressions, so
+      // the streamed kept set is exactly the batch composition's
+      assert(streamed == batchKept,
+        s"stream/batch diff: ${(streamed diff batchKept) ++ (batchKept diff streamed)}")
+    } finally q.stop()
+  }
+
   test("health e2e: MemoryStream -> progressMonitor -> bridge -> HTTP /health/live") {
     import graft.health.{Liveness, ProgressBridge}
     implicit val s = spark
