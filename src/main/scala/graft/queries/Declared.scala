@@ -37,9 +37,17 @@ object Declared {
     * row-minimal at any scale. `dropDups` is the (doc_id) set to remove
     * (non-survivor cluster members), joined left_anti.
     */
-  private def curationGates(docs: DataFrame, dropDups: DataFrame): DataFrame =
+  private[graft] def curationGates(docs: DataFrame, dropDups: DataFrame): DataFrame =
     Curation.standardGates(docs)
-      .join(dropDups, Seq("doc_id"), "left_anti")
+      // broadcast hint: dropDups is the non-survivor id list — orders of
+      // magnitude smaller than the corpus (slim longs, only duplicate
+      // cluster members), but it arrives as a checkpoint-backed frame
+      // whose stats Spark doesn't know, so without the hint the planner
+      // falls back to SortMergeJoin and shuffles the whole gated corpus
+      // on doc_id. If a corpus ever has broadcast-breaking duplicate
+      // volume (drop list ≳ executor memory), remove the hint and let
+      // the SMJ shuffle pay for itself.
+      .join(broadcast(dropDups), Seq("doc_id"), "left_anti")
       .select("doc_id", "quality", "rep_ratio")
       .orderBy("doc_id")
 

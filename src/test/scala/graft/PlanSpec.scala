@@ -25,7 +25,8 @@ class PlanSpec extends SparkSuite {
   // of the final presentation sort — a hash/single-partition shuffle or a
   // broadcast appearing here means the pipeline stopped being map-only
   private val mapOnly = Seq("x06_quality_score", "x07_fingerprint",
-    "x18_pii_redact", "x19_repetition", "x21_hash_sample", "x26_url_strip")
+    "x18_pii_redact", "x19_repetition", "x21_hash_sample", "x26_url_strip",
+    "x34_media_probe")
 
   test("map-only queries shuffle only for the presentation sort") {
     for (q <- mapOnly) {
@@ -79,11 +80,70 @@ class PlanSpec extends SparkSuite {
   private val nSquaredOracles =
     Set("x03_cosine_topk", "x03_cosine_topk_agg", "x16_embedding_dups")
 
+  // queries whose declared form materializes eagerly: their declared
+  // plan is an ExistingRDD scan (vacuous to inspect) and constructing
+  // the frame runs the whole pipeline — skipped here, their INTERNAL
+  // plans are asserted through the materialize=false lazy forms below.
+  // (x23's connected components is iterative/eager by nature and has no
+  // single lazy plan; its joins are equi-joins by construction and its
+  // behavior is covered in ExtSpec.)
+  private val eagerQueries = Set("x02_jaccard_pairs", "x09_minhash_pairs",
+    "x23_dup_clusters", "x24_bm25", "x27_unigram_logprob",
+    "x33_simhash_pairs")
+
   test("no cartesian product outside the declared n-squared oracles") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted
-         if !nSquaredOracles.contains(q)) {
+         if !nSquaredOracles.contains(q) && !eagerQueries.contains(q)) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
+    }
+  }
+
+  // the eager pipelines, inspected through their lazy forms: candidate
+  // joins must be hash EQUI-joins on the banded keys — a cartesian or a
+  // non-degenerate nested-loop join here is the difference between a
+  // bucketed shuffle and an n² scan at 100 TB. (Whether Spark picks
+  // BroadcastHashJoin or SortMergeJoin is a size decision — broadcast at
+  // fixture scale, SMJ at corpus scale — both are fine; the KEYS are the
+  // invariant.)
+  test("eager pipelines (lazy forms): hash equi-joins on banded keys, no cartesian") {
+    val lazyPlans = graft.tools.Plans.lazyForms(spark, sf()).toMap
+      .view.mapValues(_.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)).toMap
+    // the only nested-loop joins allowed are the broadcast crossJoins of
+    // the 1-row corpus-stats frames (bm25's (n, avgdl), unigram's tot)
+    val bnljAllowance = Map(
+      "x24_bm25 (lazy form)" -> 1,
+      "x27_unigram_logprob (lazy form)" -> 1).withDefaultValue(0)
+    for ((name, p) <- lazyPlans) {
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= bnljAllowance(name),
+        s"$name: $bnlj nested-loop joins (allowed ${bnljAllowance(name)}):\n$p")
+    }
+    def hashJoinOn(name: String, keys: String*): Unit = {
+      val p = lazyPlans(name)
+      val hit = p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin")) &&
+          keys.forall(k => (s"""[\\[(, ]$k#\\d""").r.findFirstIn(l).isDefined))
+      assert(hit, s"$name: no hash equi-join on (${keys.mkString(",")}):\n$p")
+    }
+    hashJoinOn("x02_jaccard_pairs (lazy form)", "h")       // shingle hash
+    hashJoinOn("x09_minhash_pairs (lazy form)", "band", "bucket")
+    hashJoinOn("x33_simhash_pairs (lazy form)", "band", "chunk")
+    hashJoinOn("x24_bm25 (lazy form)", "term")             // broadcast df
+    // bm25's top-k must still bound-heap, not globally sort
+    assert(lazyPlans("x24_bm25 (lazy form)").contains("TakeOrderedAndProject"))
+  }
+
+  // x25/x30's drop-list join: the non-survivor id list joins the gated
+  // corpus left_anti — it must broadcast; an SMJ here shuffles the whole
+  // gated corpus on doc_id just to subtract a slim id list
+  test("curation e2e drop-list join broadcasts, never shuffles the gated corpus") {
+    for (q <- Seq("x25_curation_e2e", "x30_curation_scale_e2e")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: drop-list join not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: gated corpus shuffled:\n$p")
     }
   }
 
