@@ -70,13 +70,13 @@ object Multimodal {
   }
 
   /** REAL (non-stub) header probe: container format + pixel dimensions
-    * parsed from the binary payload's magic bytes and header fields
-    * (PNG IHDR / JPEG SOFn / GIF screen descriptor) — see
-    * [[graft.functions.MediaProbe]]. Needs no codec, so this part of the
-    * X6 decode boundary is NOT stubbed: format sniffing and image
-    * dimensions are production-real; only pixel/sample DECODING remains
-    * behind [[fakeDecode]]. Null for unrecognized/malformed headers
-    * (quarantine filter, not a crash).
+    * + audio parameters parsed from the binary payload's magic bytes and
+    * header fields (PNG IHDR / JPEG SOFn / GIF screen descriptor / WAV
+    * fmt chunk) — see [[graft.functions.MediaProbe]]. Needs no codec, so
+    * this part of the X6 decode boundary is NOT stubbed: format sniffing
+    * and container metadata are production-real; only pixel/sample
+    * DECODING remains behind [[fakeDecode]]. Null for
+    * unrecognized/malformed headers (quarantine filter, not a crash).
     */
   def probe(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.MediaProbe.mediaProbe(bytes)

@@ -7,24 +7,26 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** `media_probe(bytes)` — container-format sniff + image dimensions from
+/** `media_probe(bytes)` — container-format sniff + typed metadata from
   * raw media bytes, as ONE native expression over `BinaryType`.
   *
   * This closes part of the [[graft.ext.Multimodal]] codec stub honestly:
   * no media library is needed to read container HEADERS — magic bytes
-  * identify the format and PNG (IHDR chunk), JPEG (SOFn segment) and GIF
-  * (logical screen descriptor) all carry their pixel dimensions in plain
+  * identify the format; PNG (IHDR chunk), JPEG (SOFn segment) and GIF
+  * (logical screen descriptor) carry pixel dimensions, and WAV (RIFF
+  * `fmt ` chunk) carries sample rate / channel count, all in plain
   * big-/little-endian integer fields. Pure byte reads, codegen'd,
   * map-only at any scale (and only the first KB of each blob is ever
   * touched, however large the media column is).
   *
-  * Returns `struct(format string, width int, height int)`; NULL for
-  * bytes that match no known magic or whose header is truncated /
-  * malformed — corrupt media routes to a quarantine filter instead of
-  * crashing the scan. Reference behavior boundary: the reference app has
-  * no media path at all (its payload is opaque base64,
-  * DataGenerator.java:456); this operator is part of the §2.9 north-star
-  * multimodal family.
+  * Returns `struct(format string, width int, height int, sample_rate
+  * int, channels int)` — image formats report 0 for the audio fields
+  * and vice versa; NULL for bytes that match no known magic or whose
+  * header is truncated / malformed — corrupt media routes to a
+  * quarantine filter instead of crashing the scan. Reference behavior
+  * boundary: the reference app has no media path at all (its payload is
+  * opaque base64, DataGenerator.java:456); this operator is part of the
+  * §2.9 north-star multimodal family.
   */
 case class MediaProbe(child: Expression) extends UnaryExpression {
 
@@ -56,11 +58,16 @@ object MediaProbe {
   val schema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false)))
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
   private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
 
@@ -68,7 +75,12 @@ object MediaProbe {
     // dimension fields are 16-bit (JPEG/GIF) or 31-bit (PNG caps at
     // 2^31-1 per spec); anything outside [1, Int.MaxValue] is malformed
     if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) null
-    else InternalRow(UTF8String.fromString(format), w.toInt, h.toInt)
+    else InternalRow(UTF8String.fromString(format), w.toInt, h.toInt, 0, 0)
+
+  private def audioRow(format: String, sampleRate: Long, channels: Int): InternalRow =
+    // RIFF fields are u32/u16; a zero rate or zero channels is malformed
+    if (sampleRate < 1 || sampleRate > Int.MaxValue || channels < 1) null
+    else InternalRow(UTF8String.fromString(format), 0, 0, sampleRate.toInt, channels)
 
   private val pngMagic =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -98,6 +110,25 @@ object MediaProbe {
     if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
         (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a') {
       return row("gif", le16(bytes, 6), le16(bytes, 8))
+    }
+    // WAV: "RIFF"....."WAVE", then a chunk walk to the "fmt " chunk
+    // (channels as LE u16 at +2, sample rate as LE u32 at +4 of its
+    // payload)
+    if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes.length >= 12 &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      var pos = 12
+      while (pos + 8 <= bytes.length) {
+        val size = le32(bytes, pos + 4)
+        if (bytes(pos) == 'f' && bytes(pos + 1) == 'm' &&
+            bytes(pos + 2) == 't' && bytes(pos + 3) == ' ') {
+          if (size < 16 || pos + 16 > bytes.length) return null
+          return audioRow("wav", le32(bytes, pos + 12), le16(bytes, pos + 10))
+        }
+        if (size < 0 || size > Int.MaxValue - 9) return null
+        pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      return null
     }
     // JPEG: FF D8, then a marker-segment walk to the first SOFn frame
     // header (C0-CF except the non-frame C4/C8/CC), whose payload is

@@ -1123,20 +1123,25 @@ object Declared {
       None),
 
     // multimodal header probe (X6, the non-stub half): synthesize
-    // minimal-valid PNG/JPEG/GIF blobs in-plan with doc_id-derived
-    // dimensions, parse them back with the native media_probe
-    // expression, and check the parsed (format, width, height) against
-    // the oracle's ARITHMETIC — a genuine encode->parse round-trip, so
-    // any header-offset/endianness bug in the parser turns the row red.
+    // minimal-valid PNG/JPEG/GIF/WAV blobs in-plan with doc_id-derived
+    // metadata, parse them back with the native media_probe expression,
+    // and check the parsed (format, dims, audio params) against the
+    // oracle's ARITHMETIC — a genuine encode->parse round-trip, so any
+    // header-offset/endianness bug in the parser turns the row red.
     "x34_media_probe" -> Q(
       (s, dir) => {
+        val m = col("doc_id") % 4
         val w = (col("doc_id") % 1920 + 1).cast("int")
         val h = (col("doc_id") % 1080 + 1).cast("int")
+        val rate = (lit(8000) * (col("doc_id") % 5 + 1)).cast("int")
+        val ch = (col("doc_id") % 2 + 1).cast("int")
         def beHex(c: org.apache.spark.sql.Column, digits: Int) =
           lpad(hex(c), digits, "0")
         def le16Hex(c: org.apache.spark.sql.Column) = concat(
           lpad(hex(c.bitwiseAND(lit(255))), 2, "0"),
-          lpad(hex(shiftright(c, 8)), 2, "0"))
+          lpad(hex(shiftright(c, 8).bitwiseAND(lit(255))), 2, "0"))
+        def le32Hex(c: org.apache.spark.sql.Column) = concat(
+          le16Hex(c), le16Hex(shiftright(c, 16)))
         // PNG: magic + IHDR(len 13) with BE u32 dims + depth/color + CRC
         val png = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
           beHex(w, 8), beHex(h, 8), lit("08060000001F15C489"))
@@ -1147,21 +1152,30 @@ object Declared {
         // GIF89a: LE u16 screen dims + GCT flags/bg/aspect
         val gif = concat(lit("474946383961"), le16Hex(w), le16Hex(h),
           lit("F70000"))
-        val bytes = unhex(when(col("doc_id") % 3 === 0, png)
-          .when(col("doc_id") % 3 === 1, jpeg)
-          .otherwise(gif))
+        // WAV: RIFF/WAVE + 16-byte PCM "fmt " chunk (LE u16 channels,
+        // LE u32 sample rate, then byte rate / align / bits)
+        val wav = concat(
+          lit("52494646" + "24000000" + "57415645" + "666D7420" +
+            "10000000" + "0100"),
+          le16Hex(ch), le32Hex(rate), lit("00000000" + "0400" + "1000"))
+        val bytes = unhex(when(m === 0, png).when(m === 1, jpeg)
+          .when(m === 2, gif).otherwise(wav))
         val probe = graft.ext.Multimodal.probe(bytes)
         t(s, dir, "documents")
           .select(col("doc_id"), probe.as("p"))
           .select(col("doc_id"), col("p.format").as("format"),
-            col("p.width").as("width"), col("p.height").as("height"))
+            col("p.width").as("width"), col("p.height").as("height"),
+            col("p.sample_rate").as("sample_rate"),
+            col("p.channels").as("channels"))
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-             |    ELSE 'gif' END AS format,
-             |  (doc_id % 1920 + 1)::int AS width,
-             |  (doc_id % 1080 + 1)::int AS height
+             |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |    WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+             |  (CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 1920 + 1 END)::int AS width,
+             |  (CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 1080 + 1 END)::int AS height,
+             |  (CASE WHEN doc_id % 4 = 3 THEN 8000 * (doc_id % 5 + 1) ELSE 0 END)::int AS sample_rate,
+             |  (CASE WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1 ELSE 0 END)::int AS channels
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // embedding-cosine near-dup pairs (north-star dedup family)

@@ -396,10 +396,14 @@ class ExtSpec extends SparkSuite {
     assert(got.length > 0 && got.forall(!_.isNullAt(1)), "unparsed rows")
     got.foreach { r =>
       val id = r.getLong(0)
-      val expFmt = (id % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "gif" }
+      val expFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case _ => "wav" }
+      val audio = id % 4 == 3
       assert(r.getString(1) == expFmt, s"doc $id format")
-      assert(r.getInt(2) == (id % 1920 + 1).toInt, s"doc $id width")
-      assert(r.getInt(3) == (id % 1080 + 1).toInt, s"doc $id height")
+      assert(r.getInt(2) == (if (audio) 0 else (id % 1920 + 1).toInt), s"doc $id width")
+      assert(r.getInt(3) == (if (audio) 0 else (id % 1080 + 1).toInt), s"doc $id height")
+      assert(r.getInt(4) == (if (audio) (8000 * (id % 5 + 1)).toInt else 0), s"doc $id rate")
+      assert(r.getInt(5) == (if (audio) (id % 2 + 1).toInt else 0), s"doc $id channels")
     }
   }
 }

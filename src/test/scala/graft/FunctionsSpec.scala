@@ -101,7 +101,7 @@ class FunctionsSpec extends SparkSuite {
       err.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
-  test("media_probe parses PNG/JPEG/GIF headers and nulls malformed bytes") {
+  test("media_probe parses PNG/JPEG/GIF/WAV headers and nulls malformed bytes") {
     def hexBytes(s: String): Array[Byte] =
       s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     // minimal valid headers: PNG IHDR 640x480, JPEG with an APP0 (JFIF)
@@ -112,25 +112,34 @@ class FunctionsSpec extends SparkSuite {
       "FFD8 FFE00010 4A46494600010101006000600000" + // APP0, len 0x10
       "FFC00011 08 01E0 0280 03012200021101031101")  // SOF0: 480 high, 640 wide
     val gif87 = hexBytes("474946383761 4001 C800 F70000") // 320x200 LE
+    // 44.1kHz stereo PCM, with a junk "JUNK" chunk BEFORE fmt (the chunk
+    // walk must skip it, honoring word alignment)
+    val wav = hexBytes(
+      "52494646 24000000 57415645" +
+      "4A554E4B 03000000 AABBCC 00" + // JUNK, odd size 3 -> pad byte
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000")
     val truncatedPng = png.take(20)
     val eoiBeforeSof = hexBytes("FFD8 FFD9")
+    val riffNoFmt = hexBytes("52494646 24000000 57415645 64617461 04000000 00000000")
     val garbage = Array.fill[Byte](32)(0x5a)
     val df = Seq(
-      (1L, png), (2L, jpegWithApp0), (3L, gif87),
-      (4L, truncatedPng), (5L, eoiBeforeSof), (6L, garbage))
+      (1L, png), (2L, jpegWithApp0), (3L, gif87), (4L, wav),
+      (5L, truncatedPng), (6L, eoiBeforeSof), (7L, riffNoFmt), (8L, garbage))
       .toDF("id", "bytes")
       .select(col("id"), Multimodal.probe(col("bytes")).as("p"))
       .orderBy("id")
     val rows = df.collect()
-    def probe(i: Int): Option[(String, Int, Int)] = {
+    def probe(i: Int): Option[(String, Int, Int, Int, Int)] = {
       val r = rows(i)
       if (r.isNullAt(1)) None
-      else { val p = r.getStruct(1); Some((p.getString(0), p.getInt(1), p.getInt(2))) }
+      else { val p = r.getStruct(1)
+        Some((p.getString(0), p.getInt(1), p.getInt(2), p.getInt(3), p.getInt(4))) }
     }
-    assert(probe(0).contains(("png", 640, 480)))
-    assert(probe(1).contains(("jpeg", 640, 480)))
-    assert(probe(2).contains(("gif", 320, 200)))
-    assert(probe(3).isEmpty && probe(4).isEmpty && probe(5).isEmpty)
+    assert(probe(0).contains(("png", 640, 480, 0, 0)))
+    assert(probe(1).contains(("jpeg", 640, 480, 0, 0)))
+    assert(probe(2).contains(("gif", 320, 200, 0, 0)))
+    assert(probe(3).contains(("wav", 0, 0, 44100, 2)))
+    assert(probe(4).isEmpty && probe(5).isEmpty && probe(6).isEmpty && probe(7).isEmpty)
     // SQL registration + interpreted path (eval) agrees with codegen
     graft.functions.GraftFunctions.register(spark)
     val viaSql = spark.sql(
