@@ -252,4 +252,88 @@ object Curation {
       .withColumn("cum", sum(col("tok")).over(w))
       .withColumn("chunk_id", floor((col("cum") - col("tok")) / capacity))
   }
+
+  /** Context-window chunking with overlap (the other chunking op a
+    * pretraining/RAG pipeline needs besides [[packChunks]]): split each
+    * document into windows of `chunkTokens` tokens starting every
+    * `stride` tokens (stride < chunkTokens ⇒ overlapping windows), tail
+    * kept. Chunk count = floor((max(n - chunkTokens, 0) + stride - 1) /
+    * stride) + 1, so every token is covered and a short/empty document
+    * yields exactly one chunk.
+    *
+    * Scale: pure per-row work — tokenize, slice, explode; no shuffle at
+    * any corpus size, and chunk rows carry only their own window.
+    */
+  def chunkWithOverlap(docs: DataFrame, textCol: String, idCol: String,
+                       chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens (got chunk=$chunkTokens stride=$stride)")
+    val toks = Dedup.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = (floor((greatest(n - chunkTokens, lit(0)) + stride - 1)
+      .cast("double") / stride) + 1).cast("int")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("w"), nChunks.as("nc"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("nc") - 1),
+        i => slice(col("w"), i * stride + 1, lit(chunkTokens)))))
+      .select(col("doc_id"), col("pos").as("chunk_no"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).as("n_tok"))
+  }
+
+  /** Semantic decontamination (the embedding sibling of
+    * [[contaminationOverlap]]): flag corpus vectors whose max cosine
+    * against ANY benchmark vector reaches `threshold` — catches
+    * paraphrased benchmark leakage that shingle overlap misses.
+    *
+    * Scale: the benchmark set is small by construction (10^3..10^5
+    * items) and broadcast; the corpus side is one map-only scan doing m
+    * cosines per row with a PARTIAL max before the shuffle, which then
+    * carries only (id, max_sim). For very large benchmarks, block the
+    * benchmark side with [[Similarity.ivfTopK]]-style cells first.
+    */
+  def semanticDecontam(corpus: DataFrame, benchmark: DataFrame,
+                       threshold: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val bench = benchmark.select(col(vecCol).cast("array<double>").as("vb"))
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("va"))
+      .crossJoin(broadcast(bench))
+      // round per-pair BEFORE max (the x16-proven 6dp cross-engine
+      // agreement point), so the aggregated max is engine-identical
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .groupBy(idCol)
+      .agg(max(col("sim")).as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
+  /** Deterministic train/val/test split assignment: md5-bucket the id
+    * into 65536 buckets and carve them by cumulative fraction —
+    * reproducible across engines and runs (unlike `rand()`-based
+    * splits), stable under corpus growth (a document's split never
+    * changes when other documents are added), map-only at any scale.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  fracs: Seq[(String, Double)] =
+                    Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                  salt: String = "graft"): DataFrame = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1 (got $fracs)")
+    val bucket = conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4), 16, 10)
+      .cast("int")
+    val bounds = fracs.scanLeft(0.0)(_ + _._2).tail.init
+      .map(c => math.floor(c * 65536).toInt)
+    val assigned = fracs.init.zip(bounds) match {
+      case Seq() => lit(fracs.last._1)
+      case pairs =>
+        pairs.map { case ((label, _), b) => (label, b) }
+          .foldLeft(Option.empty[Column]) {
+            case (None, (label, b)) => Some(when(bucket < b, label))
+            case (Some(e), (label, b)) => Some(e.when(bucket < b, label))
+          }.get.otherwise(fracs.last._1)
+    }
+    df.withColumn("split", assigned)
+  }
 }

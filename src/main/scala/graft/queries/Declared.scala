@@ -1178,6 +1178,63 @@ object Declared {
              |  (CASE WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1 ELSE 0 END)::int AS channels
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // context-window chunking with overlap (RAG / pretraining window
+    // prep): 80-token windows every 40 tokens, tail kept — map-only
+    "x35_chunk_overlap" -> Q(
+      (s, dir) => Curation.chunkWithOverlap(
+        t(s, dir, "documents"), "text", "doc_id",
+        chunkTokens = 80, stride = 40)
+        .orderBy("doc_id", "chunk_no"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id, w,
+             |    ((greatest(len(w) - 80, 0) + 39) // 40 + 1)::int AS nchunks
+             |  FROM toks)
+             |SELECT doc_id, i::int AS chunk_no,
+             |  array_to_string(w[i*40 + 1 : i*40 + 80], ' ') AS chunk_text,
+             |  len(w[i*40 + 1 : i*40 + 80])::int AS n_tok
+             |FROM c, unnest(range(0, nchunks)) AS t(i)
+             |ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // semantic decontamination: corpus embeddings whose max cosine vs
+    // the benchmark embedding set (vec_id % 37) reaches the threshold —
+    // the paraphrase-robust sibling of x20's shingle overlap
+    "x36_semantic_decontam" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Curation.semanticDecontam(
+          emb.filter(col("vec_id") % 37 =!= 0),
+          emb.filter(col("vec_id") % 37 === 0),
+          threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |b AS (SELECT v AS vb FROM e WHERE vec_id % 37 = 0),
+             |c AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0)
+             |SELECT vec_id,
+             |  max(round(list_cosine_similarity(c.v, b.vb), 6)) AS max_sim
+             |FROM c CROSS JOIN b
+             |GROUP BY vec_id
+             |HAVING max(round(list_cosine_similarity(c.v, b.vb), 6)) >= 0.35
+             |ORDER BY vec_id""".stripMargin)),
+
+    // deterministic 98/1/1 train/val/test split: md5-bucket carving —
+    // reproducible, growth-stable, engine-portable (same bucket math as
+    // the DuckDB oracle)
+    "x37_split_assign" -> Q(
+      (s, dir) => Curation.splitAssign(
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 64225 THEN 'train'
+             |       WHEN b < 64880 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |    ('0x' || substr(md5('graft' || doc_id::varchar), 1, 4))::int AS b
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // embedding-cosine near-dup pairs (north-star dedup family)
     "x16_embedding_dups" -> Q(
       (s, dir) => Dedup.embeddingNearDupPairs(

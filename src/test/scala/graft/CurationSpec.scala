@@ -189,4 +189,63 @@ class CurationSpec extends SparkSuite {
     // n_tok matches token counts
     assert(rows.view.mapValues(_._2).toMap == Map(1L -> 4L, 2L -> 2L, 3L -> 4L))
   }
+
+  test("chunk overlap: windows cover every token, stride overlap, tail kept") {
+    // 10 tokens, chunk 4, stride 2 -> starts 0,2,4,6: 4 chunks
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkWithOverlap(df, "text", "doc_id", 4, 2)
+      .orderBy("doc_id", "chunk_no").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.map(_._3).toSeq == Seq(
+      "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9"))
+    assert(doc1.forall(_._4 == 4))
+    // short doc: one (partial) chunk; empty doc: one empty chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(got.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
+    // an 11th token produces a 5th (tail) window, not silent truncation
+    val tail = Curation.chunkWithOverlap(
+      Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text"),
+      "text", "doc_id", 4, 2).orderBy("chunk_no").collect()
+    assert(tail.length == 5 && tail.last.getString(2) == "t8 t9 t10")
+  }
+
+  test("semantic decontam: leaked vector flagged, orthogonal not") {
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // exact leak: sim 1.0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // near-paraphrase: sim ~0.994
+      (3L, Array(0.0f, 1.0f, 0.0f)))   // orthogonal: sim 0
+      .toDF("vec_id", "embedding")
+    val got = Curation.semanticDecontam(corpus, bench, threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == 1.0 && got(2L) > 0.99)
+  }
+
+  test("split assignment: deterministic, proportional, growth-stable") {
+    val df = spark.range(20000).toDF("id")
+    val counts = Curation.splitAssign(df, "id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // 98/1/1 within sampling tolerance on 20k uniform md5 buckets
+    assert(counts("train") > 19400 && counts("train") < 19800, counts)
+    assert(counts("val") > 100 && counts("val") < 320, counts)
+    assert(counts("test") > 100 && counts("test") < 320, counts)
+    // growth-stable: the first 1000 ids keep their split when the corpus
+    // is 20x larger (no dependence on corpus contents)
+    val small = Curation.splitAssign(spark.range(1000).toDF("id"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val large = Curation.splitAssign(df, "id")
+      .filter(col("id") < 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == large)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(df, "id", Seq("a" -> 0.5, "b" -> 0.1))
+    }
+  }
 }

@@ -26,7 +26,7 @@ class PlanSpec extends SparkSuite {
   // broadcast appearing here means the pipeline stopped being map-only
   private val mapOnly = Seq("x06_quality_score", "x07_fingerprint",
     "x18_pii_redact", "x19_repetition", "x21_hash_sample", "x26_url_strip",
-    "x34_media_probe")
+    "x34_media_probe", "x35_chunk_overlap", "x37_split_assign")
 
   test("map-only queries shuffle only for the presentation sort") {
     for (q <- mapOnly) {
@@ -134,6 +134,19 @@ class PlanSpec extends SparkSuite {
     hashJoinOn("x24_bm25 (lazy form)", "term")             // broadcast df
     // bm25's top-k must still bound-heap, not globally sort
     assert(lazyPlans("x24_bm25 (lazy form)").contains("TakeOrderedAndProject"))
+  }
+
+  // x36: the benchmark embedding set must broadcast (nested-loop against
+  // a broadcast side — the corpus is never shuffled pre-aggregation) and
+  // the per-id max must run a map-side partial, so the only corpus-wide
+  // shuffle carries (id, max_sim)
+  test("semantic decontam broadcasts the benchmark and partial-aggregates the max") {
+    val p = planOf("x36_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"benchmark not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus shuffled into the join:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"no map-side partial max:\n$p")
   }
 
   // x25/x30's drop-list join: the non-survivor id list joins the gated
