@@ -92,6 +92,20 @@ object ScaleCheck {
           capacity = 2048, nShards = 8)
           .groupBy("lang", "shard", "chunk_id").count()
           .select(count(lit(1))).collect()
+      },
+      "x35 chunk overlap (documents, 80/40)" -> { n =>
+        // sum over chunk text lengths forces every window to materialize
+        graft.ext.Curation.chunkWithOverlap(
+          replicate(docs0, "doc_id", n), "text", "doc_id", 80, 40)
+          .agg(count(lit(1)), sum(length(col("chunk_text")))).collect()
+      },
+      "x36 semantic decontam (scaled corpus, fixed benchmark)" -> { n =>
+        // benchmark stays 1x (benchmarks don't grow with the corpus);
+        // cost is corpus-linear: m cosines per row, partial max
+        graft.ext.Curation.semanticDecontam(
+          replicate(emb0, "vec_id", n).filter(col("vec_id") % 37 =!= 0),
+          emb0.filter(col("vec_id") % 37 === 0), threshold = 0.35)
+          .select(count(lit(1))).collect()
       })
 
     // --- dup-structure-preserving replication for the pair operators ---

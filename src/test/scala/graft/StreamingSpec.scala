@@ -335,6 +335,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming chunk + split: per-row curation ops stream unchanged") {
+    import graft.ext.Curation
+    implicit val sqlCtx = spark.sqlContext
+    // chunkWithOverlap and splitAssign are pure per-row plans — the same
+    // call works on a streaming frame and must emit exactly the batch
+    // rows regardless of micro-batching
+    val docsB = Tables.load(spark, sf(), "documents").select("doc_id", "text")
+    val batch = Curation.splitAssign(
+      Curation.chunkWithOverlap(docsB, "text", "doc_id", 80, 40), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getString(4))).toSet
+    val fixture = docsB.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = Curation.splitAssign(
+        Curation.chunkWithOverlap(stream, "text", "doc_id", 80, 40), "doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("schunk").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("schunk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getInt(3), r.getString(4))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("health e2e: MemoryStream -> progressMonitor -> bridge -> HTTP /health/live") {
     import graft.health.{Liveness, ProgressBridge}
     implicit val s = spark
