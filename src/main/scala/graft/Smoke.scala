@@ -31,8 +31,16 @@ object Smoke {
     println(s"MINHASH exact=${ex.size} lsh=${mh.size} " +
       s"recall=${if (ex.isEmpty) 1.0 else ex.intersect(mh).size.toDouble / ex.size}")
 
+    // x29/x11's declared forms are property rows since r7 — cross-check
+    // the underlying operators directly at the declared budgets
+    val embAll = Tables.load(spark, sfDir, "embeddings")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exEmb = pairs("x16_embedding_dups")
-    val blEmb = pairs("x29_embedding_dups_blocked")
+    val blEmb = pairsOf(ext.Dedup.embeddingNearDupPairsBlocked(
+      embAll, threshold = 0.45, nlist = 16, nprobe = 4,
+      centroids = Some(ext.Similarity.kmeansCentroids(embAll, k = 16))))
     println(s"EMB_BLOCKED exact=${exEmb.size} blocked=${blEmb.size} " +
       s"recall=${if (exEmb.isEmpty) 1.0 else exEmb.intersect(blEmb).size.toDouble / exEmb.size}")
 
@@ -41,7 +49,11 @@ object Smoke {
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bf = topk("x03_cosine_topk")
-    val ann = topk("x11_ann_ivf")
+    val ann = ext.Similarity.ivfTopK(
+        embAll.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+        embAll, k = 5, nlist = 32, nprobe = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"ANN bf=${bf.size} lsh=${ann.size} " +
       s"overlap=${if (bf.isEmpty) 1.0 else bf.intersect(ann).size.toDouble / bf.size}")
 

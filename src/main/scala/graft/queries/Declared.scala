@@ -72,6 +72,35 @@ object Declared {
        |  FROM r)
        |$select""".stripMargin
 
+  /** Shared oracle for x02 (exact Jaccard pairs) and x09 (MinHash LSH
+    * pairs, same k=3 / threshold=0.2): DuckDB recomputes the full exact
+    * shingle-Jaccard pair set from the raw text — fully independent of
+    * either Spark path. x09 hash-matching this oracle asserts LSH
+    * recall = 1.0 AND precision = 1.0 at the fixture SFs (candidates are
+    * exact-verified in-plan; recall measured 1.0 at sf0.001/0.01/0.1 —
+    * tools/BoundProbe): a band-hash bug or recall loss mismatches the
+    * row count and turns the row red.
+    */
+  private val jaccardPairsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+      |  FROM common
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b)
+      |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+
   private val curationE2eOracle: String =
     s"""WITH RECURSIVE t0 AS (
               |  SELECT doc_id, text,
@@ -439,24 +468,7 @@ object Declared {
       (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
         "text", "doc_id", k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-             |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-             |common AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT id_a, id_b, jaccard FROM (
-             |  SELECT id_a, id_b,
-             |    round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
-             |  FROM common
-             |  JOIN sizes sa ON sa.doc_id = id_a
-             |  JOIN sizes sb ON sb.doc_id = id_b)
-             |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)),
+      Some(jaccardPairsOracleSql)),
 
     // X3: brute-force exact top-k cosine (oracle); LSH variant below
     "x03_cosine_topk" -> Q(
@@ -509,12 +521,25 @@ object Declared {
       Some("""SELECT event_type, count(DISTINCT user_id) AS nd, count(*) AS cnt
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // x04's scale form, property-oracled (r7): the HLL++ sketch value must
+    // land within 15% of the exact count — ~3x the default rsd 0.05, vs a
+    // worst measured error of 6.7% at sf0.1 (tools/BoundProbe; provenance
+    // in BASELINE.md). `nd_exact` anchors each row to a value DuckDB
+    // computes INDEPENDENTLY from the raw table — the oracle never sees
+    // the sketch — so a sketch regression flips within_bound and the row
+    // hash mismatches.
     "x04_distinct_approx" -> Q(
       (s, dir) => t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("nd_approx"))
+        .agg(countDistinct(col("user_id")).as("nd_exact"),
+          approx_count_distinct(col("user_id")).as("nda"))
+        .select(col("event_type"), col("nd_exact"),
+          (abs(col("nda") - col("nd_exact")) <=
+            col("nd_exact") * 0.15).as("within_bound"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS nd_exact,
+             |  true AS within_bound
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // X5: token counting + per-language stats
     "x05_token_stats" -> Q(
@@ -670,17 +695,42 @@ object Declared {
 
     // x15's scale form: approx_percentile (single-pass mergeable sketch —
     // the only way percentiles run at 100 TB; exact `percentile` buffers
-    // every value per group). Accuracy vs x15 is spec-asserted;
-    // rows-only here since the sketch is engine-specific.
+    // every value per group). Property-oracled (r7) via the sketch's own
+    // RANK guarantee: the returned element's cumulative rank must sit
+    // within eps = 0.002 + 2/n of the target quantile (2x the theoretical
+    // 1/accuracy + 1/n; worst measured deviation 0.0014 — tools/
+    // BoundProbe, provenance in BASELINE.md). DuckDB independently
+    // anchors the group domain and n; the rank check is computed against
+    // the raw n_chars column, not the sketch.
     "x15_percentiles_approx" -> Q(
-      (s, dir) => t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(
-          expr("approx_percentile(n_chars, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(n_chars, 0.9, 1000)").as("p90"),
-          count(lit(1)).as("n"))
-        .orderBy("lang"),
-      None),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ap = docs.groupBy("lang").agg(
+          expr("approx_percentile(n_chars, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(n_chars, 0.9, 1000)").as("ap90"))
+        val eps = lit(0.002) + lit(2.0) / col("n")
+        docs.join(broadcast(ap), "lang")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(when(col("n_chars") <= col("ap50"), 1).otherwise(0)) /
+              count(lit(1))).as("fle50"),
+            (sum(when(col("n_chars") < col("ap50"), 1).otherwise(0)) /
+              count(lit(1))).as("flt50"),
+            (sum(when(col("n_chars") <= col("ap90"), 1).otherwise(0)) /
+              count(lit(1))).as("fle90"),
+            (sum(when(col("n_chars") < col("ap90"), 1).otherwise(0)) /
+              count(lit(1))).as("flt90"))
+          .select(col("lang"), col("n"),
+            (col("fle50") >= lit(0.5) - eps &&
+              col("flt50") <= lit(0.5) + eps).as("p50_in_bound"),
+            (col("fle90") >= lit(0.9) - eps &&
+              col("flt90") <= lit(0.9) + eps).as("p90_in_bound"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, true AS p50_in_bound,
+             |  true AS p90_in_bound
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // stratified per-group head sample (dataset curation: first n docs
     // per language by id — deterministic, partition-local at scale)
@@ -1098,12 +1148,17 @@ object Declared {
              |    ELSE 'und' END AS lang_pred
              |FROM s ORDER BY doc_id""".stripMargin)),
 
-    // X2 (scale form): MinHash LSH near-dup — verified vs x02 in tests
+    // X2 (scale form): MinHash LSH near-dup. Oracled (r7) against the
+    // SAME independent DuckDB exact-Jaccard pair set as x02 (see
+    // jaccardPairsOracleSql): candidates are exact-verified in-plan
+    // (precision 1 by construction) and LSH recall is 1.0 on the
+    // fixtures, so the pair lists are identical — any recall loss
+    // mismatches rows and turns this red rather than hiding.
     "x09_minhash_pairs" -> Q(
       (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"),
         "text", "doc_id", k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(jaccardPairsOracleSql)),
 
     // X2: SimHash + rolling shingle fingerprints
     "x10_simhash" -> Q(
@@ -1113,14 +1168,33 @@ object Declared {
         .orderBy("doc_id"),
       None),
 
-    // X2 (SimHash pair-finding): banded fingerprint join, exact for
-    // hamming <= 3 by pigeonhole (ExtSpec proves equality with the n^2
-    // bit_count scan); xxhash64-based fingerprint is not DuckDB-
-    // expressible, so rows-only here
+    // X2 (SimHash pair-finding), property-oracled (r7): the xxhash64-
+    // based fingerprint is not DuckDB-expressible, so the driver-visible
+    // row asserts the operator's EXACTNESS CONTRACT instead — the banded
+    // join's pair set must equal the exhaustive n² hamming scan's
+    // (pigeonhole: d<=3 with 4 bands). The n² scan is the verification
+    // side only, never the scale path. DuckDB independently anchors
+    // n_docs; banded_equals_scan is the pigeonhole claim — a banding /
+    // chunk-extraction bug breaks set equality and turns the row red.
+    // (Raw fingerprints stay visible via x10.)
     "x33_simhash_pairs" -> Q(
-      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id")
-        .orderBy("id_a", "id_b"),
-      None),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val banded = Dedup.simhashPairs(docs, "text", "doc_id")
+          .select(col("id_a"), col("id_b"), lit(1).as("b"))
+        val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+        val scan = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
+          .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fb")),
+            col("id_a") < col("id_b"))
+          .filter(Dedup.hamming64(col("fa"), col("fb")) <= 3)
+          .select(col("id_a"), col("id_b"), lit(1).as("sc"))
+        val diff = banded.join(scan, Seq("id_a", "id_b"), "full_outer")
+          .agg(coalesce(sum(when(col("b").isNull || col("sc").isNull, 1)
+            .otherwise(0)), lit(0)).as("n_diff"))
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(diff)
+          .select(col("n_docs"), (col("n_diff") === 0).as("banded_equals_scan"))
+      },
+      Some("SELECT count(*) AS n_docs, true AS banded_equals_scan FROM documents")),
 
     // multimodal header probe (X6, the non-stub half): synthesize
     // minimal-valid PNG/JPEG/GIF/WAV blobs in-plan with doc_id-derived
@@ -1248,42 +1322,102 @@ object Declared {
              |WHERE sim >= 0.45 ORDER BY id_a, id_b""".stripMargin)),
 
     // X2 (scale form of x16): cell-blocked embedding near-dup — pairwise
-    // cosine within IVF cells only (no n^2 nested loop). Cells come from
-    // spherical-kmeans-trained centroids (deterministic: hash-sampled
-    // init + fixed iterations; recall-neutral-or-better vs raw sampled
-    // init, guarded in ExtSpec). Approximate by construction (recall vs
-    // x16 asserted in ExtSpec + Smoke), so rows-only here.
+    // cosine within IVF cells only (no n² nested loop on the SCALE path).
+    // Property-oracled (r7): DuckDB independently recomputes the exact
+    // pair set's size (n_exact, same SQL family as x16's oracle); the
+    // Spark side full-outer-joins the blocked pair set against its own
+    // oracle-green exact form (x16) and asserts precision = 1 (blocking
+    // only prunes, never invents — the cosine check inside the cell join
+    // is exact) and recall >= 0.8 at the declared nlist=16/nprobe=4
+    // budget (ExtSpec bound; measured 0.857/1.0/0.972 at the three SFs —
+    // tools/BoundProbe, provenance in BASELINE.md). The exact n² side
+    // here is verification only, like x16 itself.
     "x29_embedding_dups_blocked" -> Q(
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Dedup.embeddingNearDupPairsBlocked(
+        val exact = Dedup.embeddingNearDupPairs(e, threshold = 0.45)
+          .select(col("id_a"), col("id_b"), lit(1).as("ex"))
+        val blocked = Dedup.embeddingNearDupPairsBlocked(
           e, threshold = 0.45, nlist = 16, nprobe = 4,
           centroids = Some(Similarity.kmeansCentroids(e, k = 16)))
-          .orderBy("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), lit(1).as("bl"))
+        exact.join(blocked, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("ex")).as("n_exact"),
+            count(when(col("ex").isNotNull && col("bl").isNotNull, 1)).as("n_hit"),
+            count(when(col("ex").isNull, 1)).as("n_fp"))
+          .select(col("n_exact"),
+            (col("n_fp") === 0).as("all_blocked_are_real"),
+            (col("n_hit") >= col("n_exact") * 0.8).as("recall_ok"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45)
+             |SELECT count(*) AS n_exact, true AS all_blocked_are_real,
+             |  true AS recall_ok FROM p""".stripMargin)),
 
-    // X3 (scale form): IVF-Flat ANN — recall vs x03 covered in tests/Smoke
+    // X3 (scale form): IVF-Flat ANN, property-oracled (r7): DuckDB
+    // independently anchors the query-set size; the Spark side compares
+    // the IVF top-5 against the oracle-green brute-force form (x03) and
+    // asserts every query returns exactly k rows and mean recall >= 0.5
+    // at the declared nlist=32/nprobe=8 budget (measured 0.60-0.66
+    // across SFs on these weakly-clustered synthetic vectors —
+    // tools/BoundProbe; sims for probed neighbors are exact, ExtSpec).
     "x11_ann_ivf" -> Q(
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        Similarity.ivfTopK(e.filter(col("vec_id") % 50 === 0), e,
-          k = 5, nlist = 32, nprobe = 8)
-          .orderBy("query_id", "rank")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val ivf = Similarity.ivfTopK(q, e, k = 5, nlist = 32, nprobe = 8)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        val hits = bf.select("query_id", "neighbor_id")
+          .join(ivf.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hit"))
+        val kcnt = ivf.groupBy("query_id").agg(count(lit(1)).as("k_rows"))
+        q.select(col("vec_id").as("query_id"))
+          .join(kcnt, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            min(coalesce(col("k_rows"), lit(0L))).as("min_k"),
+            (sum(coalesce(col("hit"), lit(0L))) /
+              (count(lit(1)) * 5.0)).as("mr"))
+          .select(col("n_queries"),
+            (col("min_k") === 5).as("k_rows_each"),
+            (col("mr") >= 0.5).as("mean_recall_ok"))
       },
-      None),
+      Some("""SELECT count(*) AS n_queries, true AS k_rows_each,
+             |  true AS mean_recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
 
-    // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse -> count)
+    // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
+    // oracled (r7): the (topic, partition, cnt) distribution is pure
+    // round-robin arithmetic over the row index — DuckDB reproduces it
+    // INDEPENDENTLY from range(3000) (topic dim: group 0, types x
+    // base36(10)='a'; J3 routing id%3; partition id%4). The parse-
+    // integrity booleans assert every wire record's key JSON, ISO-8601
+    // timestamp, and 500-byte payload survive the encode->parse
+    // round-trip — a serialization bug flips one and mismatches the row.
     "gen_roundtrip_counts" -> Q(
       (s, _) => {
         val wire = RecordGen.toWire(RecordGen.records(s, n = 3000L, numPartitions = 4))
         RecordGen.parseWire(wire)
           .groupBy("topic", "partition")
           .agg(count(lit(1)).as("cnt"),
-            countDistinct(col("key.messageId")).as("n_keys"))
+            min(col("key.messageId").isNotNull &&
+              col("key.storeId").isNotNull &&
+              col("key.operatorId").isNotNull).as("keys_ok"),
+            min(to_timestamp(col("value.timestamp"),
+              "yyyy-MM-dd'T'HH:mm:ss'Z'").isNotNull).as("ts_ok"),
+            min(length(unbase64(col("value.payload"))) === 500).as("payload_ok"))
           .orderBy("topic", "partition")
       },
-      None)
+      Some("""SELECT CASE id % 3
+             |    WHEN 0 THEN 'console_datagen_000-consumer-a'
+             |    WHEN 1 THEN 'console_datagen_000-share-a'
+             |    ELSE 'console_datagen_000-streams-a' END AS topic,
+             |  (id % 4)::int AS "partition", count(*) AS cnt,
+             |  true AS keys_ok, true AS ts_ok, true AS payload_ok
+             |FROM range(3000) t(id) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Provenance probe for the property-oracle bounds (round 7): measures,
+  * per fixture SF, the actual error/recall of every approximate operator
+  * that the declared property queries bound-check, so the bounds in
+  * `Declared` are chosen from measured data WITH margin — not reverse-
+  * engineered from the system's own output at one SF (the circularity
+  * ADVICE warns about). Output is cited in BASELINE.md ("Property-oracle
+  * provenance").
+  *
+  * Usage: sbt "runMain graft.tools.BoundProbe"
+  */
+object BoundProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      println(s"==== $sf ====")
+
+      // x04: HLL++ (default rsd 0.05) relative error per event_type
+      val ev = Tables.load(spark, dir, "events")
+      val x04 = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("nd"),
+          approx_count_distinct(col("user_id")).as("nda"))
+        .withColumn("rel_err", abs(col("nda") - col("nd")) / col("nd"))
+        .agg(max("rel_err")).collect()(0).getDouble(0)
+      println(f"x04 max rel_err = $x04%.4f")
+
+      // x15: approx_percentile(accuracy=1000) rank position per lang
+      val docs = Tables.load(spark, dir, "documents")
+      val ap = docs.groupBy("lang").agg(
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(n_chars, 0.9, 1000)").as("p90"))
+      val ranks = docs.join(ap, "lang").groupBy("lang")
+        .agg(
+          (sum(when(col("n_chars") <= col("p50"), 1).otherwise(0)) / count(lit(1))).as("fle50"),
+          (sum(when(col("n_chars") < col("p50"), 1).otherwise(0)) / count(lit(1))).as("flt50"),
+          (sum(when(col("n_chars") <= col("p90"), 1).otherwise(0)) / count(lit(1))).as("fle90"),
+          (sum(when(col("n_chars") < col("p90"), 1).otherwise(0)) / count(lit(1))).as("flt90"))
+        .collect()
+      ranks.foreach(r => println(f"x15 ${r.getString(0)} fle50=${r.getDouble(1)}%.4f flt50=${r.getDouble(2)}%.4f fle90=${r.getDouble(3)}%.4f flt90=${r.getDouble(4)}%.4f"))
+
+      // x11: IVF (nlist=32, nprobe=8, sampled centroids) recall vs brute force
+      val e = Tables.load(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 50 === 0)
+      def topkSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(2)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val bf = topkSet(Similarity.bruteForceTopK(q, e, k = 5))
+      val ivf = topkSet(Similarity.ivfTopK(q, e, k = 5, nlist = 32, nprobe = 8))
+      val recalls = bf.map { case (qid, s) =>
+        ivf.getOrElse(qid, Set.empty[Long]).intersect(s).size.toDouble / s.size }
+      println(f"x11 n_queries=${bf.size} mean_recall=${recalls.sum / recalls.size}%.4f min_recall=${recalls.min}%.4f")
+
+      // x29: blocked embedding near-dup (nlist=16, nprobe=4, trained) vs exact
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactP = pairSet(Dedup.embeddingNearDupPairs(e, threshold = 0.45))
+      val blockedP = pairSet(Dedup.embeddingNearDupPairsBlocked(
+        e, threshold = 0.45, nlist = 16, nprobe = 4,
+        centroids = Some(Similarity.kmeansCentroids(e, k = 16))))
+      println(f"x29 n_exact=${exactP.size} n_blocked=${blockedP.size} subset=${blockedP.subsetOf(exactP)} recall=${if (exactP.isEmpty) 1.0 else exactP.intersect(blockedP).size.toDouble / exactP.size}%.4f")
+
+      // x09: LSH pair set vs exact Jaccard pair set (k=3, t=0.2)
+      val lsh = pairSet(Dedup.minhashLshPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
+      val exJ = pairSet(Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
+      println(s"x09 n_lsh=${lsh.size} n_exact=${exJ.size} equal=${lsh == exJ}")
+
+      // x33: banded simhash pairs vs full n^2 hamming scan
+      val banded = pairSet(Dedup.simhashPairs(docs, "text", "doc_id"))
+      val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"))
+      val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"))
+      val scan = pairSet(a.join(b, col("id_a") < col("id_b") &&
+        Dedup.hamming64(col("fa"), col("fb")) <= 3))
+      println(s"x33 n_banded=${banded.size} n_scan=${scan.size} equal=${banded == scan}")
+    }
+    spark.stop()
+  }
+}

@@ -74,11 +74,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_top_k_by_score"), s"plan:\n$p")
   }
 
-  // nothing may plan a cartesian product except the two declared n²
-  // oracles (x03 brute-force top-k, x16 exact embedding pairs) whose
-  // scale twins (x11, x29) exist precisely to avoid it
+  // nothing may plan a cartesian product except the declared n² oracles
+  // (x03 brute-force top-k, x16 exact embedding pairs) and the r7
+  // property-oracle queries that embed an n² form as their VERIFICATION
+  // side only (x29 joins its blocked pairs against the exact n² set to
+  // assert precision/recall driver-visibly; the scale path inside it is
+  // still the cell-blocked equi-join, gated via the lazy-form test)
   private val nSquaredOracles =
-    Set("x03_cosine_topk", "x03_cosine_topk_agg", "x16_embedding_dups")
+    Set("x03_cosine_topk", "x03_cosine_topk_agg", "x16_embedding_dups",
+      "x29_embedding_dups_blocked")
 
   // queries whose declared form materializes eagerly: their declared
   // plan is an ExistingRDD scan (vacuous to inspect) and constructing
