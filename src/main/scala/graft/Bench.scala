@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   *  - `load_sentinel_*` entries time a fixed reference computation at
   *    start / mid-suite / end; a sentinel far above its known-quiet
   *    value (BASELINE.md) marks the whole run as box-load-polluted.
+  *  - `queries_cpu_sec` records per-query process-CPU seconds next to
+  *    the wall figures: a wall spike without a matching CPU spike marks
+  *    that single query as externally contended (BASELINE.md rule) —
+  *    finer-grained than the 3-point sentinel.
+  *  - `gen_8m_wire_p2`/`_p32` re-measure the generator's partition
+  *    scaling (SCALE.md) every round; excluded from `value` (total).
   *  - `driver_max_heap_mb` / `storage_mem_mb` record the JVM heap and
   *    block-manager capacity so persist/spill behavior is comparable
   *    across runs.
@@ -57,6 +63,31 @@ object Bench {
     // compile jitter in the shared JVM
     def timed2(f: => Unit): Double = math.min(time(f), time(f))
 
+    // process-CPU clock (r7, per the r5 verdict): the 3-point sentinel
+    // cannot adjudicate per-query wall-time deltas (external load can
+    // strike BETWEEN samples). Recording process CPU time next to wall
+    // per query makes each query self-diagnosing: external contention
+    // steals cores, so wall rises while this process's CPU stays flat —
+    // a wall spike WITHOUT a matching cpu spike marks that query
+    // contended, not regressed (adjudication rule: BASELINE.md).
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    // min-wall of two runs, with the CPU seconds of the SAME run the
+    // wall figure comes from (pairing them keeps the wall/cpu ratio
+    // meaningful)
+    def timed2Cpu(f: => Unit): (Double, Double) = {
+      def one(): (Double, Double) = {
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        f
+        ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+      }
+      val a = one(); val b = one()
+      if (a._1 <= b._1) a else b
+    }
+
     // fixed reference computation: pure codegen'd arithmetic, no I/O, no
     // shuffle — its runtime depends only on available CPU, so it is a
     // clean probe for external box load (known-quiet value: BASELINE.md)
@@ -81,30 +112,44 @@ object Bench {
     val (firstHalf, secondHalf) = names.splitAt(names.length / 2)
     def run(ns: Seq[String]) = ns.map { name =>
       val fn = SparkEntry.queries(name)
-      val sec = try timed2(drain(fn(spark, sfDir)))
+      val (sec, cpu) = try timed2Cpu(drain(fn(spark, sfDir)))
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
-      name -> sec
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1.0, -1.0) }
+      name -> (sec, cpu)
     }
     val t1 = run(firstHalf)
     val sentinelMid = sentinel()
     val t2 = run(secondHalf)
     val queryTimes = (t1 ++ t2).sortBy(_._1)
 
-    val genSec = timed2 {
+    val (genSec, genCpu) = timed2Cpu {
       gen.RecordGen.toWire(gen.RecordGen.records(spark, 1000000L, numPartitions = cpus.toInt))
         .select(sum(length(col("value")))).collect()
     }
+
+    // generator partition-scaling datum (r7, per the r5 verdict): the
+    // 8M-row 2-vs-32-partition linearity evidence (SCALE.md) re-measured
+    // every round. Single pass each (JIT is warm from gen_1m above; the
+    // p2 leg alone is ~23 s, min-of-2 would double that for no insight).
+    // Emitted OUTSIDE `queries`/total — scaling evidence, not suite cost.
+    def genScale(parts: Int): Double = time {
+      gen.RecordGen.toWire(gen.RecordGen.records(spark, 8000000L, numPartitions = parts))
+        .select(sum(length(col("value")))).collect()
+    }
+    val gen8p32 = genScale(32)
+    val gen8p2 = genScale(2)
     val sentinelEnd = sentinel()
 
-    val all = queryTimes :+ ("gen_1m_wire" -> genSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val all = queryTimes :+ ("gen_1m_wire" -> (genSec, genCpu))
+    val qs = all.map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.3f" }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum
+    val qsCpu = all.map { case (k, (_, c)) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val total = all.map(_._2._1).filter(_ >= 0).sum
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val storageMb = spark.sparkContext.getExecutorMemoryStatus.values
       .map(_._1).sum / (1024 * 1024)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"drain":"xxhash64_all_columns"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_cpu_sec":$qsCpu,"sf":"$sfDir","load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"drain":"xxhash64_all_columns"}""")
     spark.stop()
   }
 }
