@@ -308,6 +308,50 @@ object Curation {
       .filter(col("max_sim") >= threshold)
   }
 
+  /** Cell-blocked semantic decontamination (the large-benchmark form of
+    * [[semanticDecontam]], promised by its docstring): at 10^6+ benchmark
+    * items the m-cosines-per-corpus-row scan stops scaling, so the
+    * BENCHMARK is clustered into `nlist` IVF cells (spherical k-means via
+    * [[Similarity.kmeansCentroids]] — the benchmark is the small side, so
+    * training is cheap) and each corpus vector scores only the benchmark
+    * vectors in its `nprobe` nearest cells: ~m·nprobe/nlist cosines per
+    * row instead of m.
+    *
+    * Plan shape (same scale contract as [[semanticDecontam]]): benchmark
+    * cells broadcast, corpus side map-only (explode ×nprobe, broadcast
+    * equi-join on cell, partial max) — the only corpus-wide shuffle
+    * carries (id, max_sim). Each (corpus, benchmark) pair is scored at
+    * most once (a benchmark vector lives in exactly one cell), so no
+    * distinct is needed. Approximate by construction: the reported
+    * max_sim is exact iff the true argmax benchmark vector's cell is
+    * probed (blocked max <= true max, never above — no false flags with
+    * a wrong-side error). Recall vs the exact form is spec-asserted
+    * (CurationSpec) and the declared x36_blocked budget reproduces the
+    * exact output on the fixtures (BoundProbe provenance, BASELINE.md);
+    * nprobe = nlist is exhaustive by construction.
+    */
+  def semanticDecontamBlocked(corpus: DataFrame, benchmark: DataFrame,
+                              threshold: Double,
+                              nlist: Int = 8, nprobe: Int = 4,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells
+    val cents = centroids.getOrElse(
+      Similarity.kmeansCentroids(benchmark, nlist, idCol = idCol, vecCol = vecCol))
+    val bench = benchmark.select(col(vecCol).cast("array<double>").as("vb"))
+      .withColumn("cell", element_at(nearest_cells(col("vb"), cents, 1), 1))
+    val probed = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("va"))
+      .withColumn("cell", explode(nearest_cells(col("va"), cents, nprobe)))
+    probed.join(broadcast(bench), Seq("cell"))
+      // round per-pair BEFORE max — see semanticDecontam
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .groupBy(idCol)
+      .agg(max(col("sim")).as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
   /** Deterministic train/val/test split assignment: md5-bucket the id
     * into 65536 buckets and carve them by cumulative fraction —
     * reproducible across engines and runs (unlike `rand()`-based

@@ -137,6 +137,11 @@ object Similarity {
     import graft.functions.NearestCells.nearest_cells
     val c = corpus.select(col(vecCol).cast("array<double>").as("v")).persist()
     var cents = sampledCentroids(corpus, k, idCol, vecCol)
+    // a corpus with fewer than k rows yields fewer sampled centroids —
+    // iterate over what exists (every row its own cell) instead of
+    // indexing past the sample (decontam trains on the BENCHMARK side,
+    // which can be smaller than nlist)
+    val kEff = cents.length
     for (_ <- 0 until iters) {
       val meanRows = c
         .withColumn("cell", element_at(nearest_cells(col("v"), cents, 1), 1))
@@ -144,7 +149,7 @@ object Similarity {
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .collect()
       val byCell = meanRows.groupBy(_.getInt(0))
-      cents = Array.tabulate(k) { i =>
+      cents = Array.tabulate(kEff) { i =>
         byCell.get(i) // nearest_cells emits 0-based centroid indices
           .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
           .getOrElse(cents(i))

@@ -1293,6 +1293,46 @@ object Declared {
              |HAVING max(round(list_cosine_similarity(c.v, b.vb), 6)) >= 0.35
              |ORDER BY vec_id""".stripMargin)),
 
+    // x36's large-benchmark scale form (r7): benchmark clustered into IVF
+    // cells, corpus multi-probes — ~m·nprobe/nlist cosines per row
+    // instead of m. Property-oracled like x29: DuckDB independently
+    // recomputes the exact flagged-set size; the Spark side full-outer-
+    // joins the blocked output against the oracle-green exact form (x36)
+    // and asserts zero false flags (blocked max <= true max by
+    // construction), sims never above exact, and recall >= 0.9 at the
+    // declared nlist=16/nprobe=8 budget (measured: identical output at
+    // sf0.001/0.01, recall 0.964 at sf0.1 — tools/BoundProbe, provenance
+    // in BASELINE.md).
+    "x36_semantic_decontam_blocked" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val corpus = emb.filter(col("vec_id") % 37 =!= 0)
+        val bench = emb.filter(col("vec_id") % 37 === 0)
+        val exact = Curation.semanticDecontam(corpus, bench, threshold = 0.35)
+          .select(col("vec_id"), col("max_sim").as("sim_ex"))
+        val blocked = Curation.semanticDecontamBlocked(corpus, bench,
+          threshold = 0.35, nlist = 16, nprobe = 8)
+          .select(col("vec_id"), col("max_sim").as("sim_bl"))
+        exact.join(blocked, Seq("vec_id"), "full_outer")
+          .agg(count(col("sim_ex")).as("n_exact"),
+            count(when(col("sim_ex").isNull, 1)).as("n_fp"),
+            count(when(col("sim_bl") > col("sim_ex"), 1)).as("n_over"),
+            count(when(col("sim_ex").isNotNull && col("sim_bl").isNotNull, 1)).as("n_hit"))
+          .select(col("n_exact"),
+            (col("n_fp") === 0).as("no_false_flags"),
+            (col("n_over") === 0).as("sims_bounded"),
+            (col("n_hit") >= col("n_exact") * 0.9).as("recall_ok"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |b AS (SELECT v AS vb FROM e WHERE vec_id % 37 = 0),
+             |c AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0),
+             |x AS (SELECT vec_id
+             |  FROM c CROSS JOIN b
+             |  GROUP BY vec_id
+             |  HAVING max(round(list_cosine_similarity(c.v, b.vb), 6)) >= 0.35)
+             |SELECT count(*) AS n_exact, true AS no_false_flags,
+             |  true AS sims_bounded, true AS recall_ok FROM x""".stripMargin)),
+
     // deterministic 98/1/1 train/val/test split: md5-bucket carving —
     // reproducible, growth-stable, engine-portable (same bucket math as
     // the DuckDB oracle)

@@ -78,6 +78,22 @@ object BoundProbe {
       val exJ = pairSet(Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
       println(s"x09 n_lsh=${lsh.size} n_exact=${exJ.size} equal=${lsh == exJ}")
 
+      // x36 blocked twin: cell-blocked semantic decontam vs exact, at
+      // candidate (nlist, nprobe) budgets — exact-output match means the
+      // twin can share x36's oracle (x25/x30 pattern)
+      val corpus36 = e.filter(col("vec_id") % 37 =!= 0)
+      val bench36 = e.filter(col("vec_id") % 37 === 0)
+      def dset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val exact36 = dset(graft.ext.Curation.semanticDecontam(
+        corpus36, bench36, threshold = 0.35))
+      for ((nl, np) <- Seq((8, 4), (8, 6), (16, 8), (16, 4))) {
+        val blocked36 = dset(graft.ext.Curation.semanticDecontamBlocked(
+          corpus36, bench36, threshold = 0.35, nlist = nl, nprobe = np))
+        val hit = exact36.intersect(blocked36).size
+        println(f"x36 nlist=$nl nprobe=$np n_exact=${exact36.size} n_blocked=${blocked36.size} identical=${blocked36 == exact36} recall=${if (exact36.isEmpty) 1.0 else hit.toDouble / exact36.size}%.4f")
+      }
+
       // x33: banded simhash pairs vs full n^2 hamming scan
       val banded = pairSet(Dedup.simhashPairs(docs, "text", "doc_id"))
       val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))

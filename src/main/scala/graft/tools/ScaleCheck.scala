@@ -106,6 +106,16 @@ object ScaleCheck {
           replicate(emb0, "vec_id", n).filter(col("vec_id") % 37 =!= 0),
           emb0.filter(col("vec_id") % 37 === 0), threshold = 0.35)
           .select(count(lit(1))).collect()
+      },
+      "x36 cell-blocked decontam (scaled corpus, fixed benchmark)" -> { n =>
+        // corpus-linear like the exact form but ~nprobe/nlist of the
+        // cosines per row; nlist stays fixed because the BENCHMARK is
+        // what gets clustered and it does not grow with the corpus
+        graft.ext.Curation.semanticDecontamBlocked(
+          replicate(emb0, "vec_id", n).filter(col("vec_id") % 37 =!= 0),
+          emb0.filter(col("vec_id") % 37 === 0), threshold = 0.35,
+          nlist = 16, nprobe = 8)
+          .select(count(lit(1))).collect()
       })
 
     // --- dup-structure-preserving replication for the pair operators ---

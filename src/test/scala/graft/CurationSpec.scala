@@ -225,6 +225,45 @@ class CurationSpec extends SparkSuite {
     assert(got(1L) == 1.0 && got(2L) > 0.99)
   }
 
+  test("cell-blocked decontam: full probe equals exact; declared budget bounds hold") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val corpus = emb.filter(col("vec_id") % 37 =!= 0)
+    val bench = emb.filter(col("vec_id") % 37 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = rows(Curation.semanticDecontam(corpus, bench, threshold = 0.35))
+    // nprobe == nlist probes every cell -> must reproduce exact output
+    val full = rows(Curation.semanticDecontamBlocked(
+      corpus, bench, threshold = 0.35, nlist = 8, nprobe = 8))
+    assert(full == exact)
+    // declared x36_blocked budget: no false flags, sims never above
+    // exact, recall >= 0.9 (the property-oracle row's claims)
+    val blocked = rows(Curation.semanticDecontamBlocked(
+      corpus, bench, threshold = 0.35, nlist = 16, nprobe = 8))
+    assert(blocked.keySet.subsetOf(exact.keySet),
+      s"false flags: ${blocked.keySet.diff(exact.keySet)}")
+    assert(blocked.forall { case (id, s) => s <= exact(id) })
+    assert(blocked.size >= exact.size * 0.9,
+      s"recall ${blocked.size.toDouble / exact.size} < 0.9")
+  }
+
+  test("cell-blocked decontam: benchmark smaller than nlist trains safely") {
+    // kmeansCentroids must clamp to the row count (every benchmark
+    // vector its own cell), not index past the sample
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f)),
+      (102L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f)),  // leak of 100
+      (2L, Array(0.0f, 0.0f, -1.0f)))  // anti-parallel to 102: sim -1
+      .toDF("vec_id", "embedding")
+    val got = Curation.semanticDecontamBlocked(
+      corpus, bench, threshold = 0.9, nlist = 8, nprobe = 8)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
   test("split assignment: deterministic, proportional, growth-stable") {
     val df = spark.range(20000).toDF("id")
     val counts = Curation.splitAssign(df, "id")

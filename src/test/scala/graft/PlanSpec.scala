@@ -153,6 +153,21 @@ class PlanSpec extends SparkSuite {
       s"no map-side partial max:\n$p")
   }
 
+  // x36's blocked twin: the cell assignment must turn the benchmark scan
+  // into a broadcast EQUI-join on cell (the whole point of blocking —
+  // candidate cosines drop to ~nprobe/nlist of the benchmark) and the
+  // per-id max must still partial-aggregate map-side. The verification
+  // full-outer join against the exact side shuffles (vec_id, sim) rows
+  // only, so no corpus-shaped SMJ is asserted absent here.
+  test("cell-blocked decontam equi-joins on cell and partial-aggregates the max") {
+    val p = planOf("x36_semantic_decontam_blocked")
+    val cellJoin = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && "[\\[(, ]cell#\\d".r.findFirstIn(l).isDefined)
+    assert(cellJoin, s"no broadcast equi-join on cell:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"no map-side partial max:\n$p")
+  }
+
   // x25/x30's drop-list join: the non-survivor id list joins the gated
   // corpus left_anti — it must broadcast; an SMJ here shuffles the whole
   // gated corpus on doc_id just to subtract a slim id list
