@@ -127,8 +127,108 @@ class PropertySpec extends SparkSuite {
         }.toMap
         val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expect, s"n=$n edges=$edges")
+        assert(got == expect, s"n=$n edges=$expect")
       }
+    }
+  }
+
+  // --- binary-parser fuzz (r7, per the r5 verdict): media_probe's
+  // quarantine contract is "malformed bytes never crash the scan" — the
+  // hand-built malformed cases in FunctionsSpec cover known shapes; these
+  // properties drive the JPEG marker walk and WAV chunk walk (the two
+  // loop/offset surfaces) with arbitrary bytes, truncations, and
+  // bit-flips of valid headers. compute() is exercised driver-side for
+  // volume (thousands of cases) and the same corpus then runs through
+  // the codegen'd expression in ONE Spark job, so both eval paths are
+  // proven crash-free.
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // the four valid seed headers from FunctionsSpec (PNG / JPEG-with-APP0 /
+  // GIF87a / WAV-with-JUNK-chunk) — every truncation and every 1-bit flip
+  // of each is a fuzz case
+  private val validHeaders: Seq[Array[Byte]] = Seq(
+    hexBytes("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08060000001F15C489"),
+    hexBytes("FFD8 FFE00010 4A46494600010101006000600000" +
+      "FFC00011 08 01E0 0280 03012200021101031101"),
+    hexBytes("474946383761 4001 C800 F70000"),
+    hexBytes("52494646 24000000 57415645" +
+      "4A554E4B 03000000 AABBCC 00" +
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000"))
+
+  private def probeCorpus: Seq[Array[Byte]] = {
+    val truncations = validHeaders.flatMap(h => (0 until h.length).map(h.take))
+    val bitFlips = validHeaders.flatMap { h =>
+      (0 until h.length * 8).map { bit =>
+        val c = h.clone()
+        c(bit / 8) = (c(bit / 8) ^ (1 << (bit % 8))).toByte
+        c
+      }
+    }
+    // arbitrary bytes, plus magic-prefixed random tails to reach the
+    // deep walk paths (a fully random array rarely passes the magic)
+    val magics = Seq(hexBytes("89504E470D0A1A0A"), hexBytes("FFD8"),
+      hexBytes("52494646AAAAAAAA57415645"), hexBytes("474946383961"))
+    val rndTails = samples(for {
+      m <- Gen.oneOf(magics)
+      n <- Gen.choose(0, 48)
+      tail <- Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte))
+    } yield m ++ tail, 600)
+    val rnd = samples(for {
+      n <- Gen.choose(0, 64)
+      bs <- Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte))
+    } yield bs.toArray, 400)
+    truncations ++ bitFlips ++ rndTails ++ rnd
+  }
+
+  test("media_probe fuzz: truncations/bit-flips/arbitrary bytes -> null or valid, never a throw") {
+    val corpus = probeCorpus
+    assert(corpus.size >= 1500, s"fuzz corpus only ${corpus.size} cases")
+    val formats = Set("png", "jpeg", "gif", "wav")
+    // driver-side volume pass over the interpreted eval path
+    corpus.foreach { bytes =>
+      val r = graft.functions.MediaProbe.compute(bytes) // must not throw
+      if (r != null) {
+        val fmt = r.getUTF8String(0).toString
+        assert(formats.contains(fmt), s"format $fmt")
+        val w = r.getInt(1); val h = r.getInt(2)
+        val sr = r.getInt(3); val ch = r.getInt(4)
+        if (fmt == "wav") assert(w == 0 && h == 0 && sr >= 1 && ch >= 1,
+          s"wav fields ($w,$h,$sr,$ch)")
+        else assert(w >= 1 && h >= 1 && sr == 0 && ch == 0,
+          s"$fmt fields ($w,$h,$sr,$ch)")
+      }
+    }
+    // same corpus through the codegen'd expression in one job: the scan
+    // must complete, and probed rows must obey the same invariants
+    val df = corpus.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "bytes")
+      .select(graft.ext.Multimodal.probe(col("bytes")).as("p"))
+      .filter(col("p").isNotNull)
+    val bad = df.filter(
+      !col("p.format").isin(formats.toSeq: _*) ||
+        (col("p.format") === "wav" &&
+          (col("p.sample_rate") < 1 || col("p.channels") < 1 ||
+            col("p.width") =!= 0 || col("p.height") =!= 0)) ||
+        (col("p.format") =!= "wav" &&
+          (col("p.width") < 1 || col("p.height") < 1 ||
+            col("p.sample_rate") =!= 0 || col("p.channels") =!= 0))).count()
+    assert(bad == 0)
+  }
+
+  test("deterministic_base64 fuzz: any (seed, id, n) round-trips to exactly n bytes, deterministically") {
+    val cases = samples(for {
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+      id <- Gen.choose(Long.MinValue, Long.MaxValue)
+      n <- Gen.oneOf(Gen.choose(0, 16), Gen.choose(17, 2048))
+    } yield (seed, id, n), 1000)
+    assert(cases.size >= 1000)
+    cases.foreach { case (seed, id, n) =>
+      val a = graft.functions.DeterministicBase64.gen(seed, id, n).toString // must not throw
+      val decoded = java.util.Base64.getDecoder.decode(a)
+      assert(decoded.length == n, s"($seed,$id,$n) -> ${decoded.length} bytes")
+      assert(graft.functions.DeterministicBase64.gen(seed, id, n).toString == a)
     }
   }
 }
