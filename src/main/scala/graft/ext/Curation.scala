@@ -253,6 +253,37 @@ object Curation {
       .withColumn("chunk_id", floor((col("cum") - col("tok")) / capacity))
   }
 
+  /** [[packChunks]] with `nShards` DERIVED instead of defaulted — the
+    * `nShards = 1` default is a documented scale trap (5 distinct
+    * partitionCol values = 5 window tasks at 100 TB). Two lower bounds,
+    * take the max:
+    *  - parallelism: (#groups × nShards) >= 2 × `defaultParallelism`, so
+    *    the window stage can occupy every core even with skewed groups
+    *    (the 2× headroom lets the scheduler balance uneven shards);
+    *  - memory: the LARGEST group splits into shards of at most
+    *    `targetRowsPerShard` rows, so one window task's sort buffer stays
+    *    bounded no matter how skewed the group distribution is.
+    * Costs one extra aggregate scan for the per-group counts (cheap next
+    * to the window sort; at 100 TB cache/reuse the stats frame if the
+    * same corpus packs repeatedly). Shard count, and therefore chunk
+    * ids, depend on the cluster — for the cross-engine-reproducible form
+    * pin `nShards` explicitly (the declared x22 queries do).
+    */
+  def packChunksAuto(docs: DataFrame, partitionCol: String, orderCol: String,
+                     tokens: Column, capacity: Int,
+                     targetRowsPerShard: Long = 4000000L): DataFrame = {
+    val stats = docs.groupBy(partitionCol).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("groups"), max("n").as("maxn")).collect()(0)
+    val nGroups = math.max(stats.getLong(0), 1L)
+    val maxGroup = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val byParallelism =
+      math.ceil(2.0 * docs.sparkSession.sparkContext.defaultParallelism / nGroups)
+    val bySize = math.ceil(maxGroup.toDouble / targetRowsPerShard)
+    val nShards = math.max(1L, math.max(byParallelism, bySize).toLong)
+      .min(Int.MaxValue).toInt
+    packChunks(docs, partitionCol, orderCol, tokens, capacity, nShards)
+  }
+
   /** Context-window chunking with overlap (the other chunking op a
     * pretraining/RAG pipeline needs besides [[packChunks]]): split each
     * document into windows of `chunkTokens` tokens starting every

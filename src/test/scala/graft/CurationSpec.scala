@@ -126,6 +126,34 @@ class CurationSpec extends SparkSuite {
     assert(one == base)
   }
 
+  test("packChunksAuto: shard fan-out covers the cluster on a skewed fixture") {
+    // one dominant group + one tiny group: the nShards=1 trap would run
+    // TWO window tasks total; the derived shard count must fan the
+    // window stage out to >= defaultParallelism concurrent units
+    val par = spark.sparkContext.defaultParallelism
+    val docs = spark.range(20000).select(
+      when(col("id") < 19900, "en").otherwise("xx").as("lang"),
+      col("id").as("doc_id"), lit(100L).as("n"))
+    val packed = Curation.packChunksAuto(docs, "lang", "doc_id", col("n"),
+      capacity = 2048)
+    val windows = packed.select("lang", "shard").distinct().count()
+    assert(windows >= par, s"only $windows window units for $par cores")
+    // packing invariants survive the auto fan-out: every doc exactly
+    // once, capacity respected within each (group, shard) window
+    assert(packed.count() == docs.count())
+    assert(packed.filter(col("cum") - col("tok") >= (col("chunk_id") + 1) * 2048)
+      .count() == 0)
+    // memory bound: a group larger than targetRowsPerShard splits even
+    // when parallelism alone wouldn't ask for it (many groups, tiny target)
+    val many = spark.range(5000).select(
+      (col("id") % 100).cast("string").as("g"), col("id").as("doc_id"),
+      lit(1L).as("n"))
+    val shards = Curation.packChunksAuto(many, "g", "doc_id", col("n"),
+      capacity = 10, targetRowsPerShard = 10L)
+      .select("shard").distinct().count()
+    assert(shards >= 5, s"size bound ignored: $shards shards for 50-row groups / 10-row target")
+  }
+
   test("temperature rates: budget adherence, flattening, rate-1 cap") {
     // skewed corpus: 9000 'en', 900 'de', 10 'xx' — alpha=0.5 boosts the
     // tail; the tiny group caps at rate 1 (thr null = keep everything)
