@@ -136,6 +136,9 @@ class PlanSpec extends SparkSuite {
     hashJoinOn("x09_minhash_pairs (lazy form)", "band", "bucket")
     hashJoinOn("x33_simhash_pairs (lazy form)", "band", "chunk")
     hashJoinOn("x24_bm25 (lazy form)", "term")             // broadcast df
+    // the cell-blocked scale paths: IVF cell is the equi key
+    hashJoinOn("x29 blocked pairs (operator raw form)", "cell")
+    hashJoinOn("x36 blocked decontam (operator raw form)", "cell")
     // bm25's top-k must still bound-heap, not globally sort
     assert(lazyPlans("x24_bm25 (lazy form)").contains("TakeOrderedAndProject"))
   }
