@@ -201,6 +201,39 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Engine-PORTABLE SimHash, split in two so the md5 evaluates once per
+    * token: [[simhashPortableHashes]] materializes the per-token 60-bit
+    * md5 hash array (the [[graft.operators.Routing.portableHash]] family
+    * — `('0x' || substr(md5(t), 1, 15))::BIGINT` in DuckDB), then
+    * [[simhashPortableVote]] takes the per-bit majority over that ARRAY
+    * COLUMN. Materializing the array between the two steps matters:
+    * inlining the hash lambda into the 60 vote expressions would
+    * re-evaluate md5 60x per token (the [[simhashBuiltins]] trap);
+    * Catalyst keeps a non-cheap multi-referenced alias as its own
+    * projection, so the votes read the computed array.
+    *
+    * This is the ORACLE-portable sibling of [[simhash]]: same majority
+    * semantics, but every ingredient (regex tokenize, md5, bit shifts)
+    * is reproducible in DuckDB SQL, so the fingerprints themselves
+    * hash-match cross-engine (declared x10_simhash_portable). The native
+    * xxhash64 [[simhash]] stays the scale path (one pass, codegen'd).
+    */
+  def simhashPortableHashes(text: Column): Column =
+    transform(tokens(text),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** Per-bit majority vote over a materialized token-hash array column —
+    * see [[simhashPortableHashes]]. Empty token array → fingerprint 0.
+    */
+  def simhashPortableVote(hashes: Column, bits: Int = 60): Column = {
+    val n = size(hashes)
+    (0 until bits).map { b =>
+      val ones = size(filter(hashes,
+        h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** X2 (SimHash form): ALL pairs with hamming(simhash) <= `maxHamming`
     * — EXACT by pigeonhole, not approximate: the 64-bit fingerprint
     * splits into `bands` equal chunks; two fingerprints within hamming

@@ -1160,13 +1160,43 @@ object Declared {
         .orderBy("id_a", "id_b"),
       Some(jaccardPairsOracleSql)),
 
-    // X2: SimHash + rolling shingle fingerprints
+    // X2: SimHash + rolling shingle fingerprints — the native xxhash64
+    // forms, rows-only BY DESIGN (xxhash64 is not DuckDB-expressible);
+    // exactness is driver-visible via x33's pigeonhole row and the
+    // portable twin below
     "x10_simhash" -> Q(
       (s, dir) => t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"),
           TextStats.shingleFingerprint(col("text")).as("shingle_fp"))
         .orderBy("doc_id"),
       None),
+
+    // X2 (portable twin of x10, r7): md5-based 60-bit simhash whose
+    // every ingredient is DuckDB-reproducible — the FINGERPRINTS
+    // themselves hash-match cross-engine, proving the majority-vote
+    // semantics end-to-end (the one fingerprint family the driver can
+    // check bit-for-bit; the native xxhash64 form stays the scale path)
+    "x10_simhash_portable" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("hs", Dedup.simhashPortableHashes(col("text")))
+        .select(col("doc_id"),
+          Dedup.simhashPortableVote(col("hs")).as("fp_portable"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+             |  FROM documents),
+             |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+             |votes AS (
+             |  SELECT doc_id, b, sum((h >> b) & 1) AS ones, count(*) AS n
+             |  FROM h CROSS JOIN range(60) r(b)
+             |  GROUP BY doc_id, b),
+             |fp AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS fp_portable
+             |  FROM votes GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(fp.fp_portable, 0) AS fp_portable
+             |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // X2 (SimHash pair-finding), property-oracled (r7): the xxhash64-
     // based fingerprint is not DuckDB-expressible, so the driver-visible

@@ -100,6 +100,22 @@ class PropertySpec extends SparkSuite {
     assert(ham(df(0), df(1)) < ham(df(0), df(2)))
   }
 
+  test("portable simhash: deterministic, edit-sensitive like the native form") {
+    val base = "spark engine query filter join group window shuffle partition broadcast"
+    val edited = base.replace("broadcast", "alignment")
+    val unrelated = "completely different vocabulary about cooking pasta sauce tomato basil"
+    def fps(texts: String*): Array[Long] = texts.toDF("text")
+      .withColumn("hs", Dedup.simhashPortableHashes(col("text")))
+      .select(Dedup.simhashPortableVote(col("hs")))
+      .collect().map(_.getLong(0))
+    val a = fps(base, base, edited, unrelated, "")
+    assert(a(0) == a(1))                       // same text -> same fp
+    assert(a(4) == 0L)                         // no tokens -> fp 0
+    assert(a(0) >= 0L && a(0) < (1L << 60))    // 60-bit range
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a(0), a(2)) < ham(a(0), a(3)))  // 1-edit closer than unrelated
+  }
+
   test("dupClusters equals brute-force union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 5) {
