@@ -124,6 +124,50 @@ object Curation {
     } finally if (materialize) base.unpersist()
   }
 
+  /** Bigram conditional log-probability quality (the KenLM-style step up
+    * from [[unigramLogProb]]): per document, the mean of
+    * ln(c(w1 w2) / c(w1 ·)) over its SEQUENTIAL bigrams under the
+    * corpus's own bigram distribution. Fluent word ORDER scores high even
+    * when [[unigramLogProb]] can't tell shuffled text from prose —
+    * degenerate/boilerplate n-gram soup scores low.
+    *
+    * Scale (same contract as unigram): the corpus is tokenized ONCE into
+    * the (doc_id, bigram-sequence) frame (persisted with lineage,
+    * released in finally — the Dedup materialization policy); bigram and
+    * prefix counts are standard partial-agg shuffles carrying
+    * (term-pair, count) rows only; the per-doc score is one more
+    * (doc_id, partial-avg) aggregation. The prefix denominator c(w1 ·)
+    * is derived FROM the bigram frame (not a second tokenize), so the
+    * MLE identity sum_w2 c(w1 w2) = c(w1 ·) holds exactly. Documents
+    * with fewer than 2 tokens have no bigrams and drop out (same
+    * convention both engines).
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+                    materialize: Boolean = true): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val bg0 = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bg = if (materialize)
+      bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bg0
+    try {
+      val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val res = bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .withColumn("lp", log(col("cb").cast("double") / col("cu")))
+        .groupBy("doc_id")
+        .agg(round(avg(col("lp")), 6).as("avg_logp"),
+          count(lit(1)).as("n_bigrams"))
+      if (materialize) res.localCheckpoint(true) else res
+    } finally if (materialize) bg.unpersist()
+  }
+
   /** Deterministic hash-gate for weighted sampling: keep a row iff the
     * first `width` hex chars of md5(salt || key) are below the per-row
     * threshold (rate = parseInt(threshold,16) / 16^width). md5 hex is

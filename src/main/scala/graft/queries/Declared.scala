@@ -874,6 +874,26 @@ object Declared {
              |FROM toks JOIN freq USING (term) CROSS JOIN tot
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // corpus-statistical quality, order-sensitive (r7): mean bigram
+    // conditional log-prob ln(c(w1 w2)/c(w1 .)) — the KenLM-style
+    // companion to x27; scores word ORDER, which unigrams cannot
+    "x38_bigram_logprob" -> Q(
+      (s, dir) => Curation.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |bg AS (
+             |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+             |  FROM toks, unnest(range(1, len(w))) AS t(i)
+             |  WHERE len(w) >= 2),
+             |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+             |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1)
+             |SELECT doc_id, round(avg(ln(cb::double / cu)), 6) AS avg_logp,
+             |  count(*) AS n_bigrams
+             |FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // deterministic weighted sampling: md5 hash-gate with per-language
     // rates — reproducible (oracle-checkable) unlike rand(), map-only
     "x21_hash_sample" -> Q(

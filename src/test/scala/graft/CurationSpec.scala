@@ -253,6 +253,25 @@ class CurationSpec extends SparkSuite {
     assert(got(1L) == 1.0 && got(2L) > 0.99)
   }
 
+  test("bigram log-prob scores word order; unigram provably cannot") {
+    // 10 copies of an ordered phrase + 1 doc with the SAME token multiset
+    // scrambled: identical unigram score by construction, lower bigram
+    // score for the scrambled order
+    val docs = ((1L to 10L).map(i => (i, "the quick brown fox")) :+
+      (11L, "fox the brown quick")).toDF("doc_id", "text")
+    val bi = Curation.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(1L) > bi(11L),
+      s"ordered ${bi(1L)} should beat scrambled ${bi(11L)}")
+    val uni = Curation.unigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(1L) == uni(11L)) // same multiset -> unigram is blind
+    // fewer than 2 tokens -> no bigrams -> no row (both engines)
+    val short = Curation.bigramLogProb(
+      Seq((1L, "single"), (2L, "")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(short.count() == 0)
+  }
+
   test("cell-blocked decontam: full probe equals exact; declared budget bounds hold") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val corpus = emb.filter(col("vec_id") % 37 =!= 0)
