@@ -383,6 +383,37 @@ object Curation {
       .filter(col("max_sim") >= threshold)
   }
 
+  /** Decontamination ATTRIBUTION (forensics for [[semanticDecontam]]):
+    * for every flagged corpus vector, also report WHICH benchmark item
+    * it leaked from — the argmax-similarity benchmark id, ties broken to
+    * the smallest id so the answer is deterministic and cross-engine
+    * reproducible.
+    *
+    * Scale: single corpus pass — the argmax rides the same partial
+    * aggregation as the max: `max(struct(sim, -bench_id))` compares
+    * lexicographically (highest sim first, then smallest id), so the
+    * shuffle still carries one small struct per corpus id and the
+    * benchmark stays broadcast. (A join-back two-pass form would scan
+    * the corpus-×-benchmark cosines twice.)
+    */
+  def decontamAttribution(corpus: DataFrame, benchmark: DataFrame,
+                          threshold: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val bench = benchmark.select(col(idCol).as("bench_id"),
+      col(vecCol).cast("array<double>").as("vb"))
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("va"))
+      .crossJoin(broadcast(bench))
+      // round per-pair BEFORE max — see semanticDecontam; rounding first
+      // also makes the tie SET identical cross-engine
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .groupBy(idCol)
+      .agg(max(struct(col("sim"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col(idCol), col("m.sim").as("max_sim"),
+        (-col("m.nb")).as("leak_src"))
+      .filter(col("max_sim") >= threshold)
+  }
+
   /** Cell-blocked semantic decontamination (the large-benchmark form of
     * [[semanticDecontam]], promised by its docstring): at 10^6+ benchmark
     * items the m-cosines-per-corpus-row scan stops scaling, so the

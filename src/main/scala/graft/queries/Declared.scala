@@ -1343,6 +1343,34 @@ object Declared {
              |HAVING max(round(list_cosine_similarity(c.v, b.vb), 6)) >= 0.35
              |ORDER BY vec_id""".stripMargin)),
 
+    // decontam forensics (r7): WHICH benchmark item each flagged corpus
+    // vector leaked from — argmax-similarity benchmark id, ties broken
+    // to the smallest id (deterministic cross-engine). Spark runs the
+    // single-pass struct-max scale form; DuckDB verifies via the
+    // two-pass max + min-at-max formulation — semantically identical.
+    "x39_decontam_attribution" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Curation.decontamAttribution(
+          emb.filter(col("vec_id") % 37 =!= 0),
+          emb.filter(col("vec_id") % 37 === 0),
+          threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |b AS (SELECT vec_id AS bench_id, v AS vb FROM e WHERE vec_id % 37 = 0),
+             |c AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0),
+             |s AS (
+             |  SELECT c.vec_id, b.bench_id,
+             |    round(list_cosine_similarity(c.v, b.vb), 6) AS sim
+             |  FROM c CROSS JOIN b),
+             |mx AS (SELECT vec_id, max(sim) AS max_sim FROM s GROUP BY vec_id)
+             |SELECT s.vec_id, mx.max_sim, min(s.bench_id) AS leak_src
+             |FROM s JOIN mx ON s.vec_id = mx.vec_id AND s.sim = mx.max_sim
+             |WHERE mx.max_sim >= 0.35
+             |GROUP BY s.vec_id, mx.max_sim
+             |ORDER BY s.vec_id""".stripMargin)),
+
     // x36's large-benchmark scale form (r7): benchmark clustered into IVF
     // cells, corpus multi-probes — ~m·nprobe/nlist cosines per row
     // instead of m. Property-oracled like x29: DuckDB independently

@@ -294,6 +294,24 @@ class CurationSpec extends SparkSuite {
       s"recall ${blocked.size.toDouble / exact.size} < 0.9")
   }
 
+  test("decontam attribution: argmax benchmark id, deterministic on ties") {
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(1.0f, 0.0f, 0.0f)),   // exact duplicate of 100: tie
+      (102L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),     // leaks 100/101 (tie -> min id 100)
+      (2L, Array(0.1f, 1.0f, 0.0f)),     // leaks 102
+      (3L, Array(0.0f, 0.0f, 1.0f)))     // orthogonal to all: not flagged
+      .toDF("vec_id", "embedding")
+    val got = Curation.decontamAttribution(corpus, bench, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._2 == 100L, s"tie must break to min id, got ${got(1L)}")
+    assert(got(2L)._2 == 102L && got(2L)._1 > 0.99)
+  }
+
   test("cell-blocked decontam: benchmark smaller than nlist trains safely") {
     // kmeansCentroids must clamp to the row count (every benchmark
     // vector its own cell), not index past the sample
