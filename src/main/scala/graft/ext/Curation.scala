@@ -389,12 +389,21 @@ object Curation {
     * the smallest id so the answer is deterministic and cross-engine
     * reproducible.
     *
-    * Scale: single corpus pass — the argmax rides the same partial
-    * aggregation as the max: `max(struct(sim, -bench_id))` compares
-    * lexicographically (highest sim first, then smallest id), so the
-    * shuffle still carries one small struct per corpus id and the
-    * benchmark stays broadcast. (A join-back two-pass form would scan
-    * the corpus-×-benchmark cosines twice.)
+    * Scale shape — two passes, both streaming HashAggregates:
+    *  1. [[semanticDecontam]]'s map-only scan finds the flagged
+    *     (id, max_sim) set (plain `max` partial-aggregates BEFORE the
+    *     shuffle, no buffering);
+    *  2. the flagged set — small by design, contamination is the
+    *     exception — broadcasts back onto the corpus, and only flagged
+    *     rows recompute their m cosines to take `min(bench_id)` at the
+    *     max: extra compute ≈ flagged_fraction × m.
+    * The tempting one-pass `max(struct(sim, -bench_id))` is NOT used:
+    * struct-max falls back to SortAggregate, which buffers and sorts the
+    * whole corpus×benchmark joined stream per partition — the exact
+    * blow-up this operator family exists to avoid (verified via
+    * `.explain`; the two-pass form keeps every aggregate hash-based).
+    * If a corpus is ever so contaminated the flagged set won't
+    * broadcast, the deployment problem is the corpus, not the plan.
     */
   def decontamAttribution(corpus: DataFrame, benchmark: DataFrame,
                           threshold: Double,
@@ -402,16 +411,17 @@ object Curation {
                           vecCol: String = "embedding"): DataFrame = {
     val bench = benchmark.select(col(idCol).as("bench_id"),
       col(vecCol).cast("array<double>").as("vb"))
+    val flagged = semanticDecontam(corpus, benchmark, threshold, idCol, vecCol)
     corpus.select(col(idCol), col(vecCol).cast("array<double>").as("va"))
+      .join(broadcast(flagged), Seq(idCol))
       .crossJoin(broadcast(bench))
-      // round per-pair BEFORE max — see semanticDecontam; rounding first
-      // also makes the tie SET identical cross-engine
+      // round per-pair BEFORE comparing — see semanticDecontam; rounding
+      // first also makes the tie SET identical cross-engine
       .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 6))
-      .groupBy(idCol)
-      .agg(max(struct(col("sim"), (-col("bench_id")).as("nb"))).as("m"))
-      .select(col(idCol), col("m.sim").as("max_sim"),
-        (-col("m.nb")).as("leak_src"))
-      .filter(col("max_sim") >= threshold)
+      .filter(col("sim") === col("max_sim"))
+      .groupBy(col(idCol), col("max_sim"))
+      .agg(min(col("bench_id")).as("leak_src"))
+      .select(col(idCol), col("max_sim"), col("leak_src"))
   }
 
   /** Cell-blocked semantic decontamination (the large-benchmark form of

@@ -172,6 +172,17 @@ class PlanSpec extends SparkSuite {
       s"no map-side partial max:\n$p")
   }
 
+  // x39: every aggregate must stay hash-based — the one-pass
+  // max(struct(sim, -id)) formulation falls back to SortAggregate, which
+  // buffers and sorts the whole corpus×benchmark joined stream per
+  // partition (the blow-up found via .explain in r7; see
+  // Curation.decontamAttribution's docstring)
+  test("decontam attribution aggregates by hash, never by sort") {
+    val p = planOf("x39_decontam_attribution")
+    assert(!p.contains("SortAggregate"), s"sort-agg fallback returned:\n$p")
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+  }
+
   // x25/x30's drop-list join: the non-survivor id list joins the gated
   // corpus left_anti — it must broadcast; an SMJ here shuffles the whole
   // gated corpus on doc_id just to subtract a slim id list
