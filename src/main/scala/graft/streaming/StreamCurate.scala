@@ -46,4 +46,22 @@ object StreamCurate {
       .filter(col("thr").isNull || Curation.hashKeep(col(idCol), col("thr"), width = 4))
       .drop("thr")
   }
+
+  /** Batch-train / stream-apply decontamination: `flagged` is a
+    * benchmark-contaminated id set from a batch pass —
+    * [[Curation.contaminationOverlap]] (shingle) or
+    * [[Curation.semanticDecontam]] (embedding) — and applying it to the
+    * stream is a broadcast left_anti join: map-only per micro-batch,
+    * stateless, no watermark state. The benchmark is fixed, so the
+    * flagged set only needs retraining when the benchmark (not the
+    * stream) changes — the same batch-train / stream-apply split as
+    * [[applyTemperature]]. Ids arriving in the stream that the batch
+    * pass never saw are KEPT (decontam flags known leaks; it is not an
+    * allow-list).
+    */
+  def applyDecontam(docs: DataFrame, flagged: DataFrame,
+                    idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    docs.join(broadcast(flagged.select(col(idCol))), Seq(idCol), "left_anti")
+  }
 }

@@ -197,6 +197,26 @@ object ScaleCheck {
       sb.append(f"| $name | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(2) / ts(0)}%.1f |\n")
       println(f"SCALE $name ${ts.map(t => f"$t%.2f").mkString(" / ")}")
     }
+    // blocked-decontam recall is scale-INVARIANT by construction (cell
+    // assignment depends only on the fixed benchmark, so a replicated
+    // vector probes exactly the cells its original does) — verified
+    // here rather than assumed, at 1x and 16x, OUTSIDE the timed bodies
+    sb.append("\n## Cell-blocked decontam recall vs exact (scale-invariance check)\n\n")
+    sb.append("| scale | exact flagged | blocked flagged | recall |\n|---|---|---|---|\n")
+    for (n <- Seq(1, 16)) {
+      val corpus = replicate(emb0, "vec_id", n).filter(col("vec_id") % 37 =!= 0)
+      val bench = emb0.filter(col("vec_id") % 37 === 0)
+      val nExact = graft.ext.Curation.semanticDecontam(
+        corpus, bench, threshold = 0.35).count()
+      val nBlocked = graft.ext.Curation.semanticDecontamBlocked(
+        corpus, bench, threshold = 0.35, nlist = 16, nprobe = 8).count()
+      val recall = if (nExact == 0) 1.0 else nBlocked.toDouble / nExact
+      assert(recall >= 0.85 && nBlocked <= nExact,
+        s"blocked decontam recall $recall out of band at ${n}x ($nBlocked/$nExact)")
+      sb.append(f"| ${n}x | $nExact | $nBlocked | $recall%.3f |\n")
+      println(f"SCALE x36 blocked recall ${n}x: $nBlocked/$nExact = $recall%.3f")
+    }
+
     sb.append("\n## Near-dup pair operators (dup-structure-preserving replication)\n\n")
     sb.append("Replicas are content-bijected (per-replica token retag for text;\n")
     sb.append("orthogonal sign-flip for embeddings) so within-replica dup structure\n")

@@ -335,6 +335,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decontam apply: stream drops exactly the batch-flagged ids") {
+    import graft.ext.Curation
+    implicit val sqlCtx = spark.sqlContext
+    // batch-train the contaminated set against a benchmark slice, then
+    // replay the corpus through the stream gate in 2 micro-batches
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val corpusB = emb.filter(col("vec_id") % 37 =!= 0)
+    val flagged = Curation.semanticDecontam(
+      corpusB, emb.filter(col("vec_id") % 37 === 0), threshold = 0.35)
+    val flaggedIds = flagged.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(flaggedIds.nonEmpty, "fixture produced no contaminated ids")
+    val fixture = corpusB.select("vec_id").collect().map(_.getLong(0))
+    val input = MemoryStream[Long]
+    val stream = input.toDF().toDF("vec_id")
+    val q = StreamCurate.applyDecontam(stream, flagged, "vec_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdecontam").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("sdecontam").collect().map(_.getLong(0)).toSet
+      // kept set = corpus minus the batch-flagged leaks, batching-invariant
+      assert(streamed == fixture.toSet.diff(flaggedIds))
+      // an id the batch pass never saw passes through (not an allow-list)
+      input.addData(Seq(999999999L)); q.processAllAvailable()
+      assert(spark.table("sdecontam").collect().map(_.getLong(0))
+        .contains(999999999L))
+    } finally q.stop()
+  }
+
   test("streaming chunk + split: per-row curation ops stream unchanged") {
     import graft.ext.Curation
     implicit val sqlCtx = spark.sqlContext
