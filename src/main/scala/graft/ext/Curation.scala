@@ -173,6 +173,15 @@ object Curation {
     * threshold (rate = parseInt(threshold,16) / 16^width). md5 hex is
     * identical across engines, making sampled sets oracle-checkable —
     * unlike `rand()`. Map-only at any scale.
+    *
+    * SALT DISCIPLINE: two hash decisions composed in one pipeline MUST
+    * use different salts — with a shared salt the second gate sees a
+    * population pre-filtered on the same md5 prefix order and its
+    * realized rate skews silently (e.g. a 2-hex "c0" sample gate
+    * followed by a same-salt 4-hex gate keeps thr/0xc000, not
+    * thr/0x10000). The library's own decisions are salt-separated:
+    * "graft" (sample gates), "graft-temp" (temperature mixing),
+    * "graft-split" (split assignment).
     */
   def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft",
                width: Int = 2): Column = {
@@ -262,7 +271,12 @@ object Curation {
     val rates = temperatureRates(docs, groupCol, alpha, budgetFrac)
       .select(col(groupCol), col("thr"))
     docs.join(broadcast(rates), Seq(groupCol))
-      .filter(col("thr").isNull || hashKeep(col(idCol), col("thr"), width = 4))
+      // "graft-temp", not the default salt: the corpus may already have
+      // passed a "graft"-salted sample gate (standardGates) — a shared
+      // salt would make this gate's realized rate thr/0xc000 instead of
+      // thr/0x10000 on the gated population (see hashKeep's salt note)
+      .filter(col("thr").isNull ||
+        hashKeep(col(idCol), col("thr"), salt = "graft-temp", width = 4))
       .drop("thr")
   }
 
@@ -343,7 +357,10 @@ object Curation {
                        chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens (got chunk=$chunkTokens stride=$stride)")
-    val toks = Dedup.tokens(col(textCol))
+    // null text behaves exactly like empty text (one empty chunk,
+    // n_tok = 0) — without the coalesce, size(tokens(null)) = -1 leaks
+    // a degenerate n_tok = -1 row
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
     val n = size(toks)
     val nChunks = (floor((greatest(n - chunkTokens, lit(0)) + stride - 1)
       .cast("double") / stride) + 1).cast("int")
@@ -477,7 +494,12 @@ object Curation {
   def splitAssign(df: DataFrame, idCol: String,
                   fracs: Seq[(String, Double)] =
                     Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
-                  salt: String = "graft"): DataFrame = {
+                  // NOT the sample-gate salt: a corpus that passed a
+                  // "graft"-salted hashKeep gate has md5 prefixes capped
+                  // below the gate threshold — with a shared salt every
+                  // survivor's bucket sits below the train bound and
+                  // val/test come out EMPTY (see hashKeep's salt note)
+                  salt: String = "graft-split"): DataFrame = {
     require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1 (got $fracs)")
     val bucket = conv(substring(

@@ -125,7 +125,12 @@ object MediaProbe {
           if (size < 16 || pos + 16 > bytes.length) return null
           return audioRow("wav", le32(bytes, pos + 12), le16(bytes, pos + 10))
         }
-        if (size < 0 || size > Int.MaxValue - 9) return null
+        // a declared chunk larger than the buffer itself cannot be
+        // skipped to anything — and bounding size by bytes.length keeps
+        // the position arithmetic far from Int overflow (a size near
+        // 2^31 would wrap `pos` negative and the walk would index
+        // bytes(negative) instead of quarantining)
+        if (size < 0 || size > bytes.length) return null
         pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
       }
       return null

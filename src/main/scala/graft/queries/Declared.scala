@@ -1135,7 +1135,7 @@ object Declared {
         """SELECT d.lang, d.doc_id
           |FROM documents d JOIN thr t USING (lang)
           |WHERE t.thr IS NULL
-          |   OR substr(md5('graft' || d.doc_id::varchar), 1, 4) < t.thr
+          |   OR substr(md5('graft-temp' || d.doc_id::varchar), 1, 4) < t.thr
           |ORDER BY lang, doc_id""".stripMargin))),
 
     // ---- non-SQL-expressible (rows-only check; ScalaTest covers semantics) ----
@@ -1423,7 +1423,7 @@ object Declared {
              |       WHEN b < 64880 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM (SELECT doc_id,
-             |    ('0x' || substr(md5('graft' || doc_id::varchar), 1, 4))::int AS b
+             |    ('0x' || substr(md5('graft-split' || doc_id::varchar), 1, 4))::int AS b
              |  FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 

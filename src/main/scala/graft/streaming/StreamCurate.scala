@@ -43,7 +43,11 @@ object StreamCurate {
                        groupCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     docs.join(broadcast(rates.select(col(groupCol), col("thr"))), Seq(groupCol))
-      .filter(col("thr").isNull || Curation.hashKeep(col(idCol), col("thr"), width = 4))
+      // salt must match Curation.temperatureSample exactly (batch/stream
+      // kept-set equality) — "graft-temp", salt-separated from the
+      // sample gates, see hashKeep's salt note
+      .filter(col("thr").isNull ||
+        Curation.hashKeep(col(idCol), col("thr"), salt = "graft-temp", width = 4))
       .drop("thr")
   }
 

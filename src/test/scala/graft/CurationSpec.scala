@@ -126,6 +126,39 @@ class CurationSpec extends SparkSuite {
     assert(one == base)
   }
 
+  test("chunkWithOverlap: null text behaves exactly like empty text") {
+    val got = Curation.chunkWithOverlap(
+      Seq((1L, null: String), (2L, "")).toDF("doc_id", "text"),
+      "text", "doc_id", 4, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 0, "", 0), (2L, 0, "", 0)),
+      s"null text must not leak n_tok = -1: ${got.toSeq}")
+  }
+
+  test("salt discipline: hash gates compose without skewing each other") {
+    // regression for the shared-salt collision: a "graft"-salted 2-hex
+    // sample gate (thr c0) composed with same-salt downstream decisions
+    // would (a) leave val/test EMPTY in splitAssign (every survivor
+    // bucket < 0xc000 < 64225) and (b) skew a 4-hex temperature gate's
+    // realized rate to thr/0xc000. With per-purpose salts the
+    // downstream decisions are independent of the gate.
+    val ids = spark.range(40000).toDF("doc_id")
+    val survivors = ids.filter(Curation.hashKeep(col("doc_id"), lit("c0")))
+    val n = survivors.count().toDouble
+    assert(n > 20000, s"gate kept $n of 40000")
+    val splits = Curation.splitAssign(survivors, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.getOrElse("val", 0L) > 0 && splits.getOrElse("test", 0L) > 0,
+      s"val/test empty after an upstream hash gate: $splits")
+    // 4-hex "8000" temperature-family gate must keep ~50% of the gated
+    // population (same-salt skew would give ~67% = 0x8000/0xc000)
+    val kept = survivors.filter(Curation.hashKeep(
+      col("doc_id"), lit("8000"), salt = "graft-temp", width = 4)).count() / n
+    assert(kept > 0.47 && kept < 0.53, s"realized rate $kept, want ~0.5")
+  }
+
   test("packChunksAuto: shard fan-out covers the cluster on a skewed fixture") {
     // one dominant group + one tiny group: the nShards=1 trap would run
     // TWO window tasks total; the derived shard count must fan the

@@ -195,7 +195,20 @@ class PropertySpec extends SparkSuite {
       n <- Gen.choose(0, 64)
       bs <- Gen.listOfN(n, Gen.choose(Int.MinValue, Int.MaxValue).map(_.toByte))
     } yield bs.toArray, 400)
-    truncations ++ bitFlips ++ rndTails ++ rnd
+    // adversarial RIFF chunk sizes around the Int-wrap window (~10
+    // values out of 2^32 — random bytes above can't hit it): a size
+    // that survives a naive < Int.MaxValue guard but wraps `pos`
+    // negative on advance must quarantine, not index bytes(negative)
+    val riffHead = hexBytes("52494646 24000000 57415645 4A554E4B")
+    val wrapSizes = Seq(Int.MaxValue - 9L, Int.MaxValue - 17L,
+      Int.MaxValue - 20L, Int.MaxValue - 30L, (1L << 31) - 21L,
+      (1L << 32) - 1L, (1L << 31).toLong)
+    val adversarial = wrapSizes.map { sz =>
+      riffHead ++ Array[Byte]((sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+        ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte) ++
+        Array.fill[Byte](16)(0x41)
+    }
+    truncations ++ bitFlips ++ rndTails ++ rnd ++ adversarial
   }
 
   test("media_probe fuzz: truncations/bit-flips/arbitrary bytes -> null or valid, never a throw") {
