@@ -219,8 +219,10 @@ object Dedup {
     * xxhash64 [[simhash]] stays the scale path (one pass, codegen'd).
     */
   def simhashPortableHashes(text: Column): Column =
-    transform(tokens(text),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // single-sourced on Routing.portableHash — the x10_portable and
+    // routing DuckDB oracles encode the same hash family; two inline
+    // copies could drift apart without a compile-time signal
+    transform(tokens(text), t => graft.operators.Routing.portableHash(t))
 
   /** Per-bit majority vote over a materialized token-hash array column —
     * see [[simhashPortableHashes]]. Empty token array → fingerprint 0.

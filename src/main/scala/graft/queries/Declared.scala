@@ -709,7 +709,12 @@ object Declared {
           expr("approx_percentile(n_chars, 0.5, 1000)").as("ap50"),
           expr("approx_percentile(n_chars, 0.9, 1000)").as("ap90"))
         val eps = lit(0.002) + lit(2.0) / col("n")
-        docs.join(broadcast(ap), "lang")
+        // null-safe join key: the oracle's GROUP BY keeps a NULL-lang
+        // group (fixtures have none — latent), and a plain equi-join
+        // would silently drop it on the Spark side only
+        docs.join(broadcast(ap.withColumnRenamed("lang", "ap_lang")),
+            col("lang") <=> col("ap_lang"))
+          .drop("ap_lang")
           .groupBy("lang")
           .agg(
             count(lit(1)).as("n"),
@@ -1346,8 +1351,10 @@ object Declared {
     // decontam forensics (r7): WHICH benchmark item each flagged corpus
     // vector leaked from — argmax-similarity benchmark id, ties broken
     // to the smallest id (deterministic cross-engine). Spark runs the
-    // single-pass struct-max scale form; DuckDB verifies via the
-    // two-pass max + min-at-max formulation — semantically identical.
+    // hash-agg two-pass form (streaming max scan, then cosines
+    // recomputed only for the broadcast flagged set — see
+    // Curation.decontamAttribution for why struct-max was rejected);
+    // DuckDB verifies via its own max + min-at-max formulation.
     "x39_decontam_attribution" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -143,7 +143,7 @@ class PropertySpec extends SparkSuite {
         }.toMap
         val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expect, s"n=$n edges=$expect")
+        assert(got == expect, s"n=$n edges=$edges")
       }
     }
   }
