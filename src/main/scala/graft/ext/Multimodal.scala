@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed by per-partition
   * typed transforms.
   *
-  * Spark-side plumbing is real and tested — schema, partitioning, batch
-  * shape, deterministic outputs. The actual codec work is STUBBED with a
-  * deterministic fake (`fakeDecode`): no image/audio libraries exist in
-  * this container. Swapping in a real decoder changes ONLY the body of
-  * `decodeBlock` — the plan shape (mapPartitions over binary, fixed
-  * feature width, metadata struct) is production-ready.
+  * Codec boundary (r7): image (PNG/GIF/JPEG) and PCM-WAV decoding are
+  * REAL — the JDK's own `javax.imageio` and `javax.sound.sampled` codecs,
+  * no external library — via [[decodeReal]], with the x40 declared query
+  * oracle-checking decoded pixels/samples arithmetically. Only VIDEO
+  * decoding remains behind the deterministic [[fakeDecode]] stub (the JDK
+  * ships no video codec; that is the honest remainder of the boundary).
+  * [[decode]] keeps the fake path for synthetic payloads and video rows.
   *
   * At scale: media rows are large (MBs) — transforms run `mapPartitions`
   * so decoder state is initialized once per partition (not per row), and
-  * `featurize` emits fixed-width vectors so downstream similarity/dedup
+  * features are fixed-width vectors so downstream similarity/dedup
   * plans (Similarity/Dedup) apply unchanged to media embeddings.
   */
 object Multimodal {
@@ -56,6 +57,82 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel/sample decode (r7) for the formats the JDK itself ships
+    * codecs for — `javax.imageio` (PNG/GIF/JPEG/BMP) and
+    * `javax.sound.sampled` (PCM WAV): no external library, so this part
+    * of the X6 codec boundary is no longer stubbed. Only video remains
+    * behind [[fakeDecode]] (the JDK has no video codec — that stub is
+    * the honest remainder).
+    *
+    * Features (deterministic, fixed [[featureDim]] width so downstream
+    * similarity/dedup plans apply unchanged):
+    *  - images: an 8×8 luminance SAMPLE grid — feature(gy*8+gx) =
+    *    (r+g+b)/765 of the pixel at (floor(gx*w/8), floor(gy*h/8)),
+    *    clamped in-bounds, so any image ≥ 1×1 yields a total,
+    *    allocation-bounded vector (cell MEANS would leave empty cells on
+    *    images narrower than the grid);
+    *  - audio: 64 time-bin amplitude samples — |pcm16|/32768 at
+    *    bin-start frames, first channel.
+    * Undecodable/unsupported bytes quarantine to None (same contract as
+    * [[probe]]: corrupt media must never crash the scan).
+    *
+    * Scale: mapPartitions with one-time per-partition init
+    * (`ImageIO.setUseCache(false)` — keeps the JDK decoder off
+    * executor-local disk cache files); only header + decoded raster of
+    * ONE row is resident at a time.
+    */
+  private[ext] def realDecodeOne(row: MediaRow): Option[DecodedRow] = {
+    val probed = graft.functions.MediaProbe.compute(row.bytes)
+    if (probed == null) return None
+    val fmt = probed.getUTF8String(0).toString
+    try fmt match {
+      case "png" | "gif" | "jpeg" =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.bytes))
+        if (img == null) return None
+        val (w, h) = (img.getWidth, img.getHeight)
+        val feats = Array.tabulate(featureDim) { i =>
+          val gx = i % 8; val gy = i / 8
+          val px = math.min(w - 1, gx * w / 8)
+          val py = math.min(h - 1, gy * h / 8)
+          val rgb = img.getRGB(px, py)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 765.0f
+        }
+        Some(DecodedRow(row.media_id, row.kind,
+          MediaMeta(fmt, w, h, 0, 0L), feats))
+      case "wav" =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.bytes))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian) return None
+        val pcm = ais.readAllBytes()
+        val frameSize = f.getFrameSize
+        val nFrames = if (frameSize > 0) pcm.length / frameSize else 0
+        if (nFrames == 0) return None
+        val feats = Array.tabulate(featureDim) { i =>
+          val frame = math.min(nFrames - 1, i * nFrames / featureDim)
+          val off = frame * frameSize // first channel's 16-bit LE sample
+          val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
+          math.abs(s.toInt) / 32768.0f
+        }
+        val durMs = nFrames * 1000L / f.getSampleRate.toLong
+        Some(DecodedRow(row.media_id, row.kind,
+          MediaMeta(fmt, 0, 0, f.getSampleRate.toInt, durMs), feats))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[realDecodeOne]] over a Dataset — undecodable rows are dropped
+    * (quarantine); count the input/output delta for the audit metric.
+    */
+  def decodeReal(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      rows.flatMap(realDecodeOne)
+    }
+  }
+
   /** Frame-sample a "video": emit every nth chunk of the payload as a
     * frame row (stub chunking; a real impl samples decoded frames).
     */
@@ -80,6 +157,35 @@ object Multimodal {
     */
   def probe(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.MediaProbe.mediaProbe(bytes)
+
+  /** Driver-side fixture encoders (JDK codecs) — used by the x40 oracle
+    * query and specs to build small real media blobs with KNOWN content,
+    * so decoded pixels/samples can be checked against arithmetic.
+    */
+  def encodeSolidImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Mono 16-bit LE PCM WAV with every sample = `value`. */
+  def encodeConstWav(rate: Int, nFrames: Int, value: Short): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      pcm(2 * i) = (value & 0xff).toByte
+      pcm(2 * i + 1) = ((value >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** Build a deterministic synthetic media table (binary payloads derived
     * from the seeded generator) — stands in for a real media source.

@@ -1307,6 +1307,57 @@ object Declared {
              |  (CASE WHEN doc_id % 4 = 3 THEN doc_id % 2 + 1 ELSE 0 END)::int AS channels
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL pixel/sample decode (X6, r7 — the step past x34's header
+    // probe): known-content media blobs are ENCODED driver-side with the
+    // JDK's own codecs (ImageIO / AudioSystem — no external library),
+    // decoded in-plan by Multimodal.decodeReal (mapPartitions), and the
+    // decoded dimensions, audio params, and MEAN FEATURE (luminance /
+    // amplitude) are checked against pure arithmetic: solid red PNG →
+    // 255/765, solid yellow GIF → 510/765, solid 128-gray JPEG → exactly
+    // 384/765 (constant-block DCT is exact at gray 128), constant
+    // 1000-amplitude PCM → 1000/32768. A decoder, color-conversion, or
+    // feature-grid bug shifts the mean and turns the row red.
+    "x40_media_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val png = graft.ext.Multimodal.encodeSolidImage("png", 7, 3, 0xFF0000)
+        val gif = graft.ext.Multimodal.encodeSolidImage("gif", 5, 4, 0xFFFF00)
+        val jpg = graft.ext.Multimodal.encodeSolidImage("jpg", 16, 8, 0x808080)
+        val wav = graft.ext.Multimodal.encodeConstWav(8000, 160, 1000)
+        val m = pmod(col("doc_id"), lit(4))
+        val media = t(s, dir, "documents")
+          .select(col("doc_id").as("media_id"),
+            when(m === 3, "audio").otherwise("image").as("kind"),
+            when(m === 0, lit(png)).when(m === 1, lit(gif))
+              .when(m === 2, lit(jpg)).otherwise(lit(wav)).as("bytes"))
+          .as[graft.ext.Multimodal.MediaRow]
+        graft.ext.Multimodal.decodeReal(media).toDF()
+          .select(col("media_id").as("doc_id"),
+            col("meta.format").as("format"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"),
+            col("meta.sampleRate").as("sample_rate"),
+            col("meta.durationMs").as("duration_ms"),
+            round(expr("aggregate(features, cast(0 as double), (a, x) -> a + x)") /
+              size(col("features")), 6).as("mean_feat"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+             |    WHEN 2 THEN 'jpeg' ELSE 'wav' END AS format,
+             |  (CASE doc_id % 4 WHEN 0 THEN 7 WHEN 1 THEN 5
+             |    WHEN 2 THEN 16 ELSE 0 END)::int AS width,
+             |  (CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 4
+             |    WHEN 2 THEN 8 ELSE 0 END)::int AS height,
+             |  (CASE WHEN doc_id % 4 = 3 THEN 8000 ELSE 0 END)::int AS sample_rate,
+             |  (CASE WHEN doc_id % 4 = 3 THEN 20 ELSE 0 END)::bigint AS duration_ms,
+             |  (CASE doc_id % 4
+             |    WHEN 0 THEN round(255.0 / 765, 6)
+             |    WHEN 1 THEN round(510.0 / 765, 6)
+             |    WHEN 2 THEN round(384.0 / 765, 6)
+             |    ELSE round(1000.0 / 32768, 6) END)::double AS mean_feat
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // context-window chunking with overlap (RAG / pretraining window
     // prep): 80-token windows every 40 tokens, tail kept — map-only
     "x35_chunk_overlap" -> Q(

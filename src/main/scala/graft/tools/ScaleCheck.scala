@@ -107,6 +107,12 @@ object ScaleCheck {
           emb0.filter(col("vec_id") % 37 === 0), threshold = 0.35)
           .select(count(lit(1))).collect()
       },
+      "x38 bigram log-prob (documents)" -> { n =>
+        // term-pair-shaped shuffles: bigram/prefix counts + per-doc avg
+        graft.ext.Curation.bigramLogProb(
+          replicate(docs0, "doc_id", n), "text", "doc_id")
+          .agg(count(lit(1)), sum(col("n_bigrams"))).collect()
+      },
       "x36 cell-blocked decontam (scaled corpus, fixed benchmark)" -> { n =>
         // corpus-linear like the exact form but ~nprobe/nlist of the
         // cosines per row; nlist stays fixed because the BENCHMARK is

@@ -52,6 +52,51 @@ class FunctionsSpec extends SparkSuite {
     assert(a.map(_.kind).toSet == Set("image", "audio", "video"))
   }
 
+  test("multimodal decodeReal: JDK codecs decode real pixels and samples") {
+    import spark.implicits._
+    // horizontal gradient 8x2: pixel (x, y) = gray level x*30 — the 8x8
+    // sample grid reads column floor(gx*8/8) = gx, so feature(gx) must
+    // equal gx*30*3/765 exactly (PNG is lossless)
+    val img = new java.awt.image.BufferedImage(8, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 8) {
+      val v = x * 30; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    // audio ramp: 64 frames, sample i = i*100 — bin i samples frame i
+    val pcm = Array.tabulate(64)(i => (i * 100).toShort)
+    val wavBytes = {
+      val b = new Array[Byte](128)
+      for (i <- 0 until 64) {
+        b(2 * i) = (pcm(i) & 0xff).toByte; b(2 * i + 1) = (pcm(i) >> 8).toByte
+      }
+      val f = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(b), f, 64L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", bos.toByteArray),
+      Multimodal.MediaRow(2L, "audio", wavBytes),
+      Multimodal.MediaRow(3L, "image", Array.fill[Byte](32)(0x5a))) // garbage
+    val got = Multimodal.decodeReal(media.toDS()).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got.keySet == Set(1L, 2L)) // garbage quarantined, not crashed
+    val i1 = got(1L)
+    assert(i1.meta == Multimodal.MediaMeta("png", 8, 2, 0, 0L))
+    for (gx <- 0 until 8)
+      assert(i1.features(gx) == gx * 30 * 3 / 765.0f,
+        s"grid col $gx: ${i1.features(gx)}")
+    val a2 = got(2L)
+    assert(a2.meta == Multimodal.MediaMeta("wav", 0, 0, 8000, 8L))
+    for (i <- 0 until 64)
+      assert(a2.features(i) == i * 100 / 32768.0f, s"bin $i: ${a2.features(i)}")
+  }
+
   test("multimodal frameSample: every nth fixed-size chunk") {
     val media = Multimodal.syntheticMedia(spark, 9).filter($"kind" === "video")
     val frames = Multimodal.frameSample(media, everyNth = 2, frameBytes = 128)
