@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format interchange (SURVEY §2.1 surface beyond the parquet
+  * fixtures): JSONL, CSV and ORC readers/writers, so a reference user's
+  * data can enter and leave the engine in the common exchange formats
+  * without a separate conversion step.
+  *
+  * Scale rules baked in, not left to the caller:
+  *  - readers REQUIRE an explicit schema: CSV `inferSchema` / JSON schema
+  *    sampling scan the whole input once BEFORE the real job — a full
+  *    extra pass over 100 TB that also locks in whatever the sample
+  *    guessed. Schemas are code, not inference.
+  *  - `mode = FAILFAST`: the default PERMISSIVE mode nulls malformed
+  *    rows silently — an analytics result quietly computed over a
+  *    partially-parsed corpus is worse than a loud failure. Callers who
+  *    want quarantine semantics opt in explicitly via
+  *    `columnNameOfCorruptRecord` on their own reader.
+  *  - text formats are splittable UNCOMPRESSED (and under bzip2); gzip
+  *    input is one-task-per-file — at 100 TB that is a cluster of idle
+  *    executors behind a handful of stuck tasks. Prefer many medium
+  *    files or a splittable codec.
+  *  - CSV is for FLAT scalar tables only: no nested/array columns, and
+  *    embedded newlines force `multiLine`, which kills splittability.
+  *    Text-bearing or nested tables (documents, embeddings) belong in
+  *    JSONL/ORC/parquet.
+  */
+object FileSources {
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("mode", "FAILFAST").csv(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC files carry their schema; passing one anyway pins the expected
+    * shape so drift fails at read time instead of downstream.
+    */
+  def readOrc(spark: SparkSession, path: String,
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).orc(path)
+  }
+}

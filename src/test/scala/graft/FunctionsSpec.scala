@@ -79,13 +79,36 @@ class FunctionsSpec extends SparkSuite {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
+    // stereo: L channel = ramp, R channel = constant junk — decodeReal
+    // must stride by frame size and read the FIRST channel only
+    val stereoBytes = {
+      val b = new Array[Byte](256)
+      for (i <- 0 until 64) {
+        val l = (i * 100).toShort
+        b(4 * i) = (l & 0xff).toByte; b(4 * i + 1) = (l >> 8).toByte
+        b(4 * i + 2) = 0x34; b(4 * i + 3) = 0x12
+      }
+      val f = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(b), f, 64L),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
     val media = Seq(
       Multimodal.MediaRow(1L, "image", bos.toByteArray),
       Multimodal.MediaRow(2L, "audio", wavBytes),
-      Multimodal.MediaRow(3L, "image", Array.fill[Byte](32)(0x5a))) // garbage
+      Multimodal.MediaRow(3L, "image", Array.fill[Byte](32)(0x5a)), // garbage
+      Multimodal.MediaRow(4L, "audio", stereoBytes))
     val got = Multimodal.decodeReal(media.toDS()).collect()
       .map(r => r.media_id -> r).toMap
-    assert(got.keySet == Set(1L, 2L)) // garbage quarantined, not crashed
+    assert(got.keySet == Set(1L, 2L, 4L)) // garbage quarantined, not crashed
+    val s4 = got(4L)
+    assert(s4.meta.sampleRate == 8000 && s4.meta.durationMs == 8L)
+    for (i <- 0 until 64)
+      assert(s4.features(i) == i * 100 / 32768.0f,
+        s"stereo first-channel bin $i: ${s4.features(i)}")
     val i1 = got(1L)
     assert(i1.meta == Multimodal.MediaMeta("png", 8, 2, 0, 0L))
     for (gx <- 0 until 8)

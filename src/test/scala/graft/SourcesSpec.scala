@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.FileSources
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** File-format interchange round-trips: every format must reproduce the
+  * parquet fixture content bit-for-bit (hash compare over all columns),
+  * including the hard cases — arbitrary text in JSONL/ORC, float arrays
+  * in JSONL, flat scalars in CSV.
+  */
+class SourcesSpec extends SparkSuite {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-src-$name")
+    d.toFile.deleteOnExit()
+    d.resolve("out").toString
+  }
+
+  /** Order-insensitive full-content signature (the bench drain's
+    * bit_xor(xxhash64(struct(*))) — any value or row diff flips it). */
+  private def sig(df: DataFrame): Long =
+    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+
+  test("JSONL round-trip: documents (arbitrary text) content-identical") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val path = tmp("docs-jsonl")
+    FileSources.writeJsonl(docs, path)
+    val back = FileSources.readJsonl(spark, path, docs.schema)
+      .select(docs.columns.map(col): _*) // column order as written
+    assert(back.count() == docs.count())
+    assert(sig(back) == sig(docs))
+  }
+
+  test("JSONL round-trip: embeddings (float arrays) exact") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val path = tmp("emb-jsonl")
+    FileSources.writeJsonl(emb, path)
+    val back = FileSources.readJsonl(spark, path, emb.schema)
+      .select(emb.columns.map(col): _*)
+    // float -> JSON decimal -> float must be value-exact (shortest
+    // round-trip representation), not approximately equal
+    assert(sig(back) == sig(emb))
+  }
+
+  test("CSV round-trip: lineitem (flat scalars) content-identical") {
+    val li = Tables.load(spark, sf(), "lineitem")
+    val path = tmp("li-csv")
+    FileSources.writeCsv(li, path)
+    val back = FileSources.readCsv(spark, path, li.schema)
+      .select(li.columns.map(col): _*)
+    assert(back.count() == li.count())
+    assert(sig(back) == sig(li))
+  }
+
+  test("ORC round-trip: documents content-identical, schema pinned") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val path = tmp("docs-orc")
+    FileSources.writeOrc(docs, path)
+    val back = FileSources.readOrc(spark, path, Some(docs.schema))
+      .select(docs.columns.map(col): _*)
+    assert(back.schema == docs.schema)
+    assert(sig(back) == sig(docs))
+  }
+
+  test("FAILFAST: malformed JSONL fails loudly instead of nulling rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-bad")
+    dir.toFile.deleteOnExit()
+    java.nio.file.Files.writeString(dir.resolve("part-0.json"),
+      """{"doc_id": 1, "n_chars": 10}
+        |{"doc_id": "not-a-number", "n_chars": []}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    val err = intercept[Exception] {
+      FileSources.readJsonl(spark, dir.toString, schema).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m => m.contains("Malformed") || m.contains("FAILFAST")),
+      s"unexpected error chain: ${msgs(err)}")
+  }
+}
