@@ -42,6 +42,21 @@ object FileSources {
     spark.read.schema(schema)
       .option("header", "true").option("mode", "FAILFAST").csv(path)
 
+  /** Streaming landing-zone ingest: JSONL files appearing under `path`
+    * become micro-batches — the standard continuous-ingestion pattern
+    * for a training-data pipeline (upstream jobs drop files; the
+    * curation stream — e.g. [[graft.streaming.StreamCurate]] — consumes
+    * them). Same schema/FAILFAST rules as the batch reader;
+    * `maxFilesPerTrigger` bounds micro-batch size so one giant drop
+    * cannot stall the trigger cadence.
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType,
+                      maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream.schema(schema)
+      .option("mode", "FAILFAST")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 

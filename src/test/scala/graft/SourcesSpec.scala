@@ -64,6 +64,37 @@ class SourcesSpec extends SparkSuite {
     assert(sig(back) == sig(docs))
   }
 
+  test("streaming JSONL ingest: files arriving between triggers become micro-batches") {
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id", "lang")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-src-stream")
+    dir.toFile.deleteOnExit()
+    def drop(name: String, batch: Seq[(Long, String)]): Unit = {
+      val tmpF = java.nio.file.Files.createTempFile("graft-drop", ".json")
+      java.nio.file.Files.writeString(tmpF, batch
+        .map { case (id, l) => s"""{"doc_id": $id, "lang": "$l"}""" }
+        .mkString("", "\n", "\n"))
+      // atomic move INTO the watched dir — the file-source pattern for
+      // avoiding half-written files becoming micro-batches
+      java.nio.file.Files.move(tmpF, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val stream = FileSources.readJsonlStream(spark, dir.toString, docs.schema)
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("sjsonl").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      drop("b1.json", b1.toSeq); q.processAllAvailable()
+      val afterB1 = spark.table("sjsonl").count()
+      assert(afterB1 == b1.length, s"first drop: $afterB1 of ${b1.length}")
+      drop("b2.json", b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("sjsonl").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == rows.toSet)
+    } finally q.stop()
+  }
+
   test("FAILFAST: malformed JSONL fails loudly instead of nulling rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-src-bad")
     dir.toFile.deleteOnExit()
