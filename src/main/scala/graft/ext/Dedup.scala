@@ -123,6 +123,47 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingleArr, s => xxhash64(s, i))))
 
+  /** (doc_id, shingles, signature) frame — the expensive front half of
+    * the LSH pair-finders (numHashes × |shingles| hashing per doc).
+    */
+  private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int, numHashes: Int): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+  /** One SLIM row per (doc, band): the LSH join must shuffle only
+    * (band, bucket, id) — shingle arrays are re-joined after the
+    * candidate pairs are deduplicated, never carried through the
+    * quadratic part of the plan.
+    */
+  private def bandedFrame(withSig: DataFrame, bands: Int,
+                          rowsPerBand: Int): DataFrame =
+    withSig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64((Seq(b) ++ (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** Exact-Jaccard verification of a candidate (id_a, id_b) frame against
+    * the shingle sets in `shA`/`shB` (each (doc_id, sh)).
+    */
+  private def verifyJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
+      .join(shA.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shB.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
   /** X2 (scale form): MinHash + LSH banding candidate pairs, verified with
     * exact Jaccard. `numHashes = bands * rowsPerBand`.
     */
@@ -130,50 +171,70 @@ object Dedup {
                       k: Int, threshold: Double,
                       bands: Int = 16, rowsPerBand: Int = 4,
                       materialize: Boolean = true): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // materialize (id, shingles, signature) once — the signature is the
-    // expensive expression (numHashes x |shingles| hashing)
-    // corpus-sized (shingles + 64-hash signature per doc): persist with
-    // lineage + unpersist in finally; the result pair list is driven
-    // eagerly — see jaccardPairs for the materialization policy (and
-    // the materialize = false escape hatch)
-    val sig0 = docs.select(
-      col(idCol).as("doc_id"),
-      shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // materialize (id, shingles, signature) once — corpus-sized
+    // (shingles + signature per doc): persist with lineage + unpersist
+    // in finally; the result pair list is driven eagerly — see
+    // jaccardPairs for the materialization policy (and the
+    // materialize = false escape hatch)
+    val sig0 = sigFrame(docs, textCol, idCol, k, bands * rowsPerBand)
     val withSig = if (materialize)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
     try {
-      // one SLIM row per (doc, band): the LSH join must shuffle only
-      // (band, bucket, id) — shingle arrays are re-joined after the
-      // candidate pairs are deduplicated, never carried through the
-      // quadratic part of the plan
-      val banded = withSig.select(
-        col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64((Seq(b) ++ (0 until rowsPerBand).map(r =>
-              element_at(col("sig"), b * rowsPerBand + r + 1))): _*).as("bucket"))))
-          .as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      val banded = bandedFrame(withSig, bands, rowsPerBand)
       val a = banded.as("a"); val b = banded.as("b")
       val cand = a.join(b,
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      val shA = withSig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val shB = withSig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val pairs = cand.join(shA, "id_a").join(shB, "id_b")
-        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard", round(col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+      val pairs = verifyJaccard(cand,
+        withSig.select("doc_id", "sh"), withSig.select("doc_id", "sh"), threshold)
       if (materialize) pairs.localCheckpoint(true) else pairs
     } finally if (materialize) withSig.unpersist()
+  }
+
+  /** Incremental / cross-corpus near-dup (the op every training-data
+    * REFRESH runs): pairs (id_new, id_old, jaccard) where an incoming
+    * document near-duplicates one already in the corpus. Only CROSS-side
+    * pairs are computed — the existing corpus is banded without any
+    * self-join (its internal dups were handled when it was built), and
+    * the incoming batch joins against those buckets: candidate volume is
+    * |new|-proportional, not |corpus|², which is the whole point when
+    * |new| << |corpus|. At 100 TB the existing side's (band, bucket, id)
+    * index and signature frame are precomputed once and reused across
+    * refreshes (write them out instead of passing `existing` raw).
+    *
+    * Same banding/verification as [[minhashLshPairs]] (candidates
+    * exact-verified, precision 1), so recall behavior is identical.
+    * Caller contract: id spaces of the two sides are disjoint.
+    */
+  def crossDupPairs(incoming: DataFrame, existing: DataFrame,
+                    textCol: String, idCol: String,
+                    k: Int, threshold: Double,
+                    bands: Int = 16, rowsPerBand: Int = 4,
+                    materialize: Boolean = true): DataFrame = {
+    val newSig0 = sigFrame(incoming, textCol, idCol, k, bands * rowsPerBand)
+    val oldSig0 = sigFrame(existing, textCol, idCol, k, bands * rowsPerBand)
+    val (newSig, oldSig) =
+      if (materialize)
+        (newSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          oldSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else (newSig0, oldSig0)
+    try {
+      val a = bandedFrame(newSig, bands, rowsPerBand).as("a")
+      val b = bandedFrame(oldSig, bands, rowsPerBand).as("b")
+      // no id ordering constraint — sides are distinct by contract
+      val cand = a.join(b,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val pairs = verifyJaccard(cand,
+        newSig.select("doc_id", "sh"), oldSig.select("doc_id", "sh"), threshold)
+        .withColumnRenamed("id_a", "id_new")
+        .withColumnRenamed("id_b", "id_old")
+      if (materialize) pairs.localCheckpoint(true) else pairs
+    } finally if (materialize) { newSig.unpersist(); oldSig.unpersist() }
   }
 
   /** SimHash 64-bit fingerprint over the token sequence: bit b of the

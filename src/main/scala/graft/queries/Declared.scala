@@ -1223,6 +1223,42 @@ object Declared {
              |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // incremental / cross-corpus near-dup (r7): an incoming batch
+    // (doc_id % 5 = 0) deduped against the existing corpus (the rest) —
+    // only CROSS-side pairs are computed (candidate volume proportional
+    // to the batch, not the corpus squared). LSH candidates are
+    // exact-verified, so the output hash-matches DuckDB's independent
+    // exact cross-side Jaccard (recall 1.0 on fixtures, same banding as
+    // x09).
+    "x41_cross_dedup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossDupPairs(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "text", "doc_id", k = 3, threshold = 0.2)
+          .orderBy("id_new", "id_old")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |common AS (
+             |  SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS common
+             |  FROM sh a JOIN sh b ON a.s = b.s
+             |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+             |  GROUP BY 1, 2)
+             |SELECT id_new, id_old, jaccard FROM (
+             |  SELECT id_new, id_old,
+             |    round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+             |  FROM common
+             |  JOIN sizes sa ON sa.doc_id = id_new
+             |  JOIN sizes sb ON sb.doc_id = id_old)
+             |WHERE jaccard >= 0.2 ORDER BY id_new, id_old""".stripMargin)),
+
     // X2 (SimHash pair-finding), property-oracled (r7): the xxhash64-
     // based fingerprint is not DuckDB-expressible, so the driver-visible
     // row asserts the operator's EXACTNESS CONTRACT instead — the banded

@@ -39,6 +39,26 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.857143) < 1e-6)
   }
 
+  test("X2 crossDupPairs equals the cross-side slice of the full exact pair set") {
+    val docs = Tables.load(spark, sf(), "documents")
+    // ground truth: every exact pair with exactly one side in the
+    // "incoming" batch (doc_id % 5 == 0), remapped to (new, old)
+    val all = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = all.flatMap { case (a, b, j) =>
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b, j))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a, j))
+      else None
+    }.toSet
+    val got = Dedup.crossDupPairs(
+      docs.filter($"doc_id" % 5 === 0), docs.filter($"doc_id" % 5 =!= 0),
+      "text", "doc_id", k = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"diff: ${(got diff expected) ++ (expected diff got)}")
+    assert(expected.nonEmpty, "fixture produced no cross-side pairs")
+  }
+
   test("X2 jaccardPairs maxDocFreq bounds the hot-shingle bucket") {
     // degenerate corpus: every doc carries the same boilerplate sentence
     // (the stop-shingle pattern that makes one inverted-index bucket

@@ -93,7 +93,7 @@ class PlanSpec extends SparkSuite {
   // behavior is covered in ExtSpec.)
   private val eagerQueries = Set("x02_jaccard_pairs", "x09_minhash_pairs",
     "x23_dup_clusters", "x24_bm25", "x27_unigram_logprob",
-    "x33_simhash_pairs", "x38_bigram_logprob")
+    "x33_simhash_pairs", "x38_bigram_logprob", "x41_cross_dedup")
 
   test("no cartesian product outside the declared n-squared oracles") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted
@@ -140,6 +140,7 @@ class PlanSpec extends SparkSuite {
     hashJoinOn("x29 blocked pairs (operator raw form)", "cell")
     hashJoinOn("x36 blocked decontam (operator raw form)", "cell")
     hashJoinOn("x38_bigram_logprob (lazy form)", "w1", "w2")
+    hashJoinOn("x41_cross_dedup (lazy form)", "band", "bucket")
     // bm25's top-k must still bound-heap, not globally sort
     assert(lazyPlans("x24_bm25 (lazy form)").contains("TakeOrderedAndProject"))
   }
