@@ -64,6 +64,21 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** X1 incremental form (the exact half of a corpus REFRESH, next to
+    * [[crossDupPairs]]'s near-dup half): drop incoming rows whose exact
+    * content already exists in the corpus. Both sides reduce to 32-byte
+    * content hashes before the anti-join — the join never carries
+    * document bodies, and at 100 TB the existing side's distinct-hash
+    * frame is precomputed once and reused across refreshes.
+    */
+  def dropExactKnown(incoming: DataFrame, existing: DataFrame,
+                     textCol: String, idCol: String): DataFrame = {
+    val known = existing.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    incoming.withColumn("content_hash", sha2(col(textCol), 256))
+      .join(known, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+  }
+
   /** X2 (exact form, the oracle): all pairs with k-shingle Jaccard >=
     * threshold. Inverted-index self-join on shingle — the classic
     * "exact near-dup" plan. Quadratic per shingle bucket; use

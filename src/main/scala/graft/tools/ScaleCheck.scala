@@ -327,6 +327,30 @@ object ScaleCheck {
         f"| ${timed(1)._1}%.2f | ${timed(2)._1}%.2f | $exp%.2f |\n")
       println(f"SCALE x30 e2e exp=$exp%.2f " +
         timed.map { case (t, _) => f"$t%.2f" }.mkString(" "))
+
+      // x41 cross-dedup: a FIXED incoming batch against a growing
+      // existing corpus (replica 0 original, replicas >= 1 retagged).
+      // Time grows with the existing side (its signatures are recomputed
+      // here; a real refresh reuses a precomputed banded index) but the
+      // PAIR SET must not — the batch's true near-dups all live in
+      // replica 0, so the result is scale-invariant by construction,
+      // and that is asserted, not assumed.
+      sb.append("\n## Cross-dedup pair-set invariance (fixed batch, growing corpus)\n\n")
+      sb.append("| corpus scale | time (s) | cross pairs |\n|---|---|---|\n")
+      val batch = docs0.filter(col("doc_id") % 5 === 0)
+      var basePairs = -1L
+      for (n <- Seq(1, 4, 16)) {
+        val existing = replicateDocsKeep0(n).filter(col("doc_id") % 5 =!= 0)
+        val t0 = System.nanoTime()
+        val pairs = graft.ext.Dedup.crossDupPairs(batch, existing,
+          "text", "doc_id", k = 3, threshold = 0.2).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (basePairs < 0) basePairs = pairs
+        assert(pairs == basePairs,
+          s"cross-dedup pair set changed with corpus scale: $pairs vs $basePairs at ${n}x")
+        sb.append(f"| ${n}x | $t%.2f | $pairs |\n")
+        println(f"SCALE x41 cross-dedup ${n}x: $t%.2f s, $pairs pairs")
+      }
     }
 
     // --- generator: linear scaling with numPartitions ----------------

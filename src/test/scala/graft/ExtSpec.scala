@@ -39,6 +39,21 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 0.857143) < 1e-6)
   }
 
+  test("X1 dropExactKnown keeps only content the corpus has never seen") {
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta"),   // exact re-ingest -> dropped
+      (11L, "gamma  delta"), // whitespace differs -> different bytes, kept
+      (12L, "brand new text")).toDF("doc_id", "text")
+    val kept = Dedup.dropExactKnown(incoming, existing, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+    // payload columns survive the gate untouched
+    assert(Dedup.dropExactKnown(incoming, existing, "text", "doc_id")
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("X2 crossDupPairs equals the cross-side slice of the full exact pair set") {
     val docs = Tables.load(spark, sf(), "documents")
     // ground truth: every exact pair with exactly one side in the
