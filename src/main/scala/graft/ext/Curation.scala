@@ -58,6 +58,54 @@ object Curation {
       greatest(size(toks), lit(1)), 6)
   }
 
+  /** CROSS-document boilerplate fraction: per document, the share of its
+    * distinct k-shingles whose corpus-wide document frequency is
+    * >= `minDf` — the Gopher/RefinedWeb-style "fraction of characters in
+    * duplicated n-grams" rule lifted to shingle granularity. The
+    * cross-corpus complement of [[repetitionRatio]] (which only sees
+    * WITHIN-doc repetition): navigation chrome, license footers and
+    * template headers repeat across documents, not inside one.
+    *
+    * Scale (100 TB): the corpus is shingled ONCE — the exploded
+    * (doc_id, 64-bit hash) frame is persisted with lineage and both the
+    * df table and the per-doc counts derive from it (the unigramLogProb
+    * policy; without the persist the expensive shingle expression runs
+    * twice, once per consumer). Both shuffles carry (id, long) /
+    * (long, count) rows only — document bodies never shuffle. A
+    * stop-shingle with df = 10^9 adds ONE row to the df frame and
+    * multiplies nothing (each pair row matches exactly one df row), so
+    * there is no skew blowup by construction. Output is one slim row per
+    * document; docs with fewer than k tokens surface with zero counts
+    * rather than dropping out. The checkpoint-backed result frame caveat
+    * from the Dedup materialization policy applies.
+    */
+  def boilerplateFraction(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int = 3, minDf: Int = 3,
+                          materialize: Boolean = true): DataFrame = {
+    val pairs0 = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val pairs = if (materialize)
+      pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pairs0
+    try {
+      val df = pairs.groupBy("h").agg(count(lit(1)).as("df"))
+      val perDoc = pairs.join(df, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") >= minDf, 1)).as("n_common"))
+      val res = docs.select(col(idCol).as("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"))
+        .withColumn("boiler_frac",
+          round(col("n_common").cast("double") /
+            greatest(col("n_shingles"), lit(1L)), 6))
+      if (materialize) res.localCheckpoint(true) else res
+    } finally if (materialize) pairs.unpersist()
+  }
+
   /** Benchmark decontamination: per corpus document, the number of
     * distinct k-shingles shared with any benchmark document. Docs with
     * `n_overlap >= minOverlap` should be dropped from training data.

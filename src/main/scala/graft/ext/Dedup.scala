@@ -131,6 +131,61 @@ object Dedup {
     } finally if (materialize) sh.unpersist()
   }
 
+  /** X2d: DIRECTIONAL containment near-dup pairs — `(id_a, id_b)` where
+    * `|shingles(a) ∩ shingles(b)| / |shingles(a)| >= threshold`, i.e.
+    * document `a` is (mostly) CONTAINED in `b`. The asymmetric sibling of
+    * [[jaccardPairs]]: a short quote/excerpt embedded in a long document
+    * has low Jaccard (the union is dominated by the long side) but
+    * containment ≈ 1 — exactly the subset-duplicate class a symmetric
+    * threshold misses. Standard training-data hygiene for catching
+    * wrapper pages, quoted reposts, and doc-in-doc concatenations.
+    *
+    * Scale: identical plan shape to [[jaccardPairs]]'s exact path — the
+    * inverted-index self-join shuffles (id, 64-bit shingle hash) longs
+    * only, `maxDocFreq` caps stop-shingle buckets, and the candidate
+    * aggregation carries (id_a, id_b, common). Both directions of each
+    * unordered candidate pair are scored from ONE joined row (no second
+    * self-join); output rows are pair-list sized. Same materialization
+    * policy as [[jaccardPairs]].
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int, threshold: Double,
+                       maxDocFreq: Option[Int] = None,
+                       materialize: Boolean = true): DataFrame = {
+    val sh0 = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val capped = maxDocFreq.fold(sh0) { cap =>
+      val hot = sh0.groupBy("h").count().filter(col("count") > cap).select("h")
+      sh0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val sh = if (materialize)
+      capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else capped
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val common = a.join(b, col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_lo"), col("b.doc_id").as("id_hi"))
+        .agg(count(lit(1)).as("common"))
+      val sized = common
+        .join(sizes.withColumnRenamed("doc_id", "id_lo").withColumnRenamed("sz", "sz_lo"), "id_lo")
+        .join(sizes.withColumnRenamed("doc_id", "id_hi").withColumnRenamed("sz", "sz_hi"), "id_hi")
+      // one row per unordered candidate -> up to two directional rows
+      val directed = sized.select(explode(array(
+          struct(col("id_lo").as("id_a"), col("id_hi").as("id_b"),
+            col("common"), col("sz_lo").as("sz_a")),
+          struct(col("id_hi").as("id_a"), col("id_lo").as("id_b"),
+            col("common"), col("sz_hi").as("sz_a")))).as("d"))
+        .select(col("d.id_a"), col("d.id_b"),
+          round(col("d.common").cast("double") / col("d.sz_a"), 6)
+            .as("containment"))
+        .filter(col("containment") >= threshold)
+      if (materialize) directed.localCheckpoint(true) else directed
+    } finally if (materialize) sh.unpersist()
+  }
+
   /** MinHash signature: for each of `numHashes` hash families, the min
     * xxhash64 over the shingle set. Map-only, codegen'd.
     */

@@ -187,6 +187,35 @@ object Similarity {
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Int8 scalar quantization of an embedding column — the memory lever
+    * for ANN at 100 TB: a 64-dim float32 vector is 256 bytes, its int8
+    * form is 64 bytes + one float scale (4x smaller state for the
+    * IVF/LSH candidate structures; the full-precision vectors stay in
+    * cold storage for final re-ranking). Per-vector max-abs scaling:
+    * `q_i = round(x_i / scale * 127)` with `scale = max|x_i|`, so every
+    * component lands in [-127, 127] with no clamp branch. Map-only,
+    * deterministic, engine-portable (plain IEEE double arithmetic +
+    * half-away-from-zero rounding on both Spark and the oracle side).
+    * Output: (id, scale, q array<int>); [[dequantize]] inverts with
+    * `q_i * scale / 127`. An all-zero vector quantizes to zeros with
+    * scale 0 (dequantizes to zeros, excluded from cosine checks).
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    vecs.select(col(idCol),
+        v.as("v"), array_max(transform(v, x => abs(x))).as("scale"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0d, transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => round(x / col("scale") * 127d).cast("int"))).as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]] (array<double> reconstruction). */
+  def dequantize(q: Column, scale: Column): Column =
+    when(scale === 0d, transform(q, _ => lit(0.0d)))
+      .otherwise(transform(q, qi => qi.cast("double") * scale / 127d))
+
   /** Approximate top-k: bucket corpus + queries with sign-LSH, rank only
     * within the query's bucket. Trades recall for probing ~corpus/2^p.
     * NOTE: single-probe sign-LSH only has useful recall when true
@@ -206,6 +235,60 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Banded (OR-amplified) sign-LSH top-k — the LSH-bucketed scale path
+    * with tunable recall, fixing [[lshTopK]]'s single-probe collapse on
+    * weakly-correlated corpora: the signature's `bands * bitsPerBand`
+    * bits split into `bands` independent buckets and a corpus vector is
+    * a candidate if it collides with the query in ANY band (recall
+    * `1 - (1 - p^r)^b` instead of `p^rb`). Candidates are deduplicated
+    * to (query, neighbor) BEFORE the exact cosine re-rank, so each
+    * survivor is scored once.
+    *
+    * Scale: corpus bucketing is one map-only pass emitting `bands` slim
+    * (band, bucket, id) rows per vector; the candidate join is a
+    * broadcast equi-join on (band, bucket) against the query side — the
+    * corpus never shuffles, and per-query work is ~`bands` bucket scans
+    * instead of the full corpus. At 100 TB the banded corpus index is a
+    * one-off write (partitionBy(band, bucket)) reused across query
+    * batches, and the vectors it carries can be [[quantizeInt8]] forms
+    * re-ranked from cold storage.
+    */
+  def lshTopKBanded(queries: DataFrame, corpus: DataFrame, k: Int,
+                    bands: Int, bitsPerBand: Int, dim: Int,
+                    seed: Long = 42L, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val mask = (1L << bitsPerBand) - 1
+      // signature materialized as a column FIRST so the bands*bits dot
+      // products evaluate once per row, not once per band struct
+      val withSig = df.select(col(idCol).as(id),
+        col(vecCol).cast("array<double>").as(vec),
+        lshBucket(col(vecCol).cast("array<double>"), planes).as("sig"))
+      val bandStructs = (0 until bands).map { bi =>
+        struct(lit(bi).as("band"),
+          shiftrightunsigned(col("sig"), bi * bitsPerBand)
+            .bitwiseAND(lit(mask)).as("bucket"))
+      }
+      withSig.select(col(id), col(vec),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+    }
+    val q = broadcast(banded(queries, "query_id", "qv"))
+    val c = banded(corpus, "neighbor_id", "cv")
+    val cand = q.join(c, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -81,13 +81,20 @@ object Declared {
     * tools/BoundProbe): a band-hash bug or recall loss mismatches the
     * row count and turns the row red.
     */
-  private val jaccardPairsOracleSql: String =
+  /** Shared DuckDB CTE prefix recomputing the distinct 3-shingle frame
+    * from raw text — the independent anchor for every shingle-family
+    * oracle (x02/x09/x42/x43).
+    */
+  private val shingleCte: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
       |  FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+      |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i))""".stripMargin
+
+  private val jaccardPairsOracleSql: String =
+    shingleCte + """,
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -1598,6 +1605,117 @@ object Declared {
             (col("mr") >= 0.5).as("mean_recall_ok"))
       },
       Some("""SELECT count(*) AS n_queries, true AS k_rows_each,
+             |  true AS mean_recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
+
+    // X7c: cross-document boilerplate fraction (corpus-common shingle
+    // share per doc — the cross-corpus complement of x19's within-doc
+    // repetition). DuckDB recomputes the document-frequency table from
+    // raw text independently.
+    "x42_boilerplate" -> Q(
+      (s, dir) => Curation.boilerplateFraction(
+        t(s, dir, "documents"), "text", "doc_id", k = 3, minDf = 3)
+        .orderBy("doc_id"),
+      Some(shingleCte + """,
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    count(*) FILTER (WHERE df >= 3) AS n_common
+        |  FROM sh JOIN df USING (s) GROUP BY doc_id)
+        |SELECT doc_id, coalesce(n_shingles, 0) AS n_shingles,
+        |  coalesce(n_common, 0) AS n_common,
+        |  round(coalesce(n_common, 0)::double
+        |    / greatest(coalesce(n_shingles, 0), 1), 6) AS boiler_frac
+        |FROM documents LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // X2d: directional containment pairs (asymmetric near-dup — catches
+    // subset/quote duplicates whose symmetric Jaccard stays below
+    // threshold). Same independent DuckDB shingle recomputation as x02.
+    "x43_containment" -> Q(
+      (s, dir) => Dedup.containmentPairs(
+        t(s, dir, "documents"), "text", "doc_id", k = 3, threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some(shingleCte + """,
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_lo, b.doc_id AS id_hi, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |directed AS (
+        |  SELECT id_lo AS id_a, id_hi AS id_b,
+        |    round(c::double / sa.sz, 6) AS containment
+        |  FROM common JOIN sizes sa ON sa.doc_id = id_lo
+        |  UNION ALL
+        |  SELECT id_hi AS id_a, id_lo AS id_b,
+        |    round(c::double / sb.sz, 6) AS containment
+        |  FROM common JOIN sizes sb ON sb.doc_id = id_hi)
+        |SELECT id_a, id_b, containment FROM directed
+        |WHERE containment >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
+    // X3c: int8 scalar quantization — per-vector scale, quantized
+    // checksum, and reconstruction cosine, all recomputed independently
+    // by DuckDB from the raw float vectors (plain IEEE double arithmetic
+    // + half-away-from-zero rounding in both engines).
+    "x44_quantize_int8" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .join(Similarity.quantizeInt8(e), Seq("vec_id"))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            aggregate(col("q"), lit(0L), (acc, qi) => acc + qi).as("q_sum"),
+            round(Similarity.cosine(col("v"),
+              Similarity.dequantize(col("q"), col("scale"))), 6)
+              .as("recon_cos"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |  list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+             |q AS (SELECT vec_id, v, scale,
+             |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+             |    ELSE list_transform(v, x -> round(x / scale * 127)::int)
+             |    END AS q
+             |  FROM s),
+             |d AS (SELECT vec_id, v, scale, q,
+             |  CASE WHEN scale = 0 THEN list_transform(q, x -> 0.0)
+             |    ELSE list_transform(q, qi -> qi * scale / 127) END AS dq
+             |  FROM q)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  list_sum(q)::bigint AS q_sum,
+             |  round(list_cosine_similarity(v, dq), 6) AS recon_cos
+             |FROM d ORDER BY vec_id""".stripMargin)),
+
+    // X3d: banded (OR-amplified) sign-LSH ANN — property-oracled like
+    // x11: the Spark side measures recall against its own oracle-green
+    // brute-force form (x03) and emits booleans; DuckDB pins the query
+    // count and the constant-true bounds independently. Budget 16x4-bit
+    // bands, bound 0.6: measured mean recall 0.86/0.92/0.92 (min 0.6)
+    // at sf0.001/0.01/0.1 — tools/BoundProbe, provenance in BASELINE.md.
+    "x45_ann_lsh_banded" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val lsh = Similarity.lshTopKBanded(q, e, k = 5,
+          bands = 16, bitsPerBand = 4, dim = 64)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        val hits = bf.select("query_id", "neighbor_id")
+          .join(lsh.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hit"))
+        val kcnt = lsh.groupBy("query_id").agg(count(lit(1)).as("k_rows"))
+        q.select(col("vec_id").as("query_id"))
+          .join(kcnt, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            max(coalesce(col("k_rows"), lit(0L))).as("max_k"),
+            (sum(coalesce(col("hit"), lit(0L))) /
+              (count(lit(1)) * 5.0)).as("mr"))
+          .select(col("n_queries"),
+            (col("max_k") <= 5).as("k_bounded"),
+            (col("mr") >= 0.6).as("mean_recall_ok"))
+      },
+      Some("""SELECT count(*) AS n_queries, true AS k_bounded,
              |  true AS mean_recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
 

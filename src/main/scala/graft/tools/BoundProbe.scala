@@ -94,6 +94,27 @@ object BoundProbe {
         println(f"x36 nlist=$nl nprobe=$np n_exact=${exact36.size} n_blocked=${blocked36.size} identical=${blocked36 == exact36} recall=${if (exact36.isEmpty) 1.0 else hit.toDouble / exact36.size}%.4f")
       }
 
+      // x45: banded sign-LSH ANN recall vs brute force, at candidate
+      // (bands, bitsPerBand) budgets — the declared query's bound must
+      // hold with >= 2x margin at every SF
+      for ((nb, bpb) <- Seq((8, 6), (8, 8), (12, 6), (16, 4))) {
+        val lshB = topkSet(Similarity.lshTopKBanded(q, e, k = 5,
+          bands = nb, bitsPerBand = bpb, dim = 64))
+        val rec = bf.map { case (qid, s) =>
+          lshB.getOrElse(qid, Set.empty[Long]).intersect(s).size.toDouble / s.size }
+        println(f"x45 bands=$nb bits=$bpb mean_recall=${rec.sum / rec.size}%.4f min_recall=${rec.min}%.4f")
+      }
+
+      // x44: int8 quantization worst-case reconstruction cosine (spec
+      // bound 0.999) + worst |q| magnitude sanity
+      val qstats = Similarity.quantizeInt8(e)
+        .join(e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "vec_id")
+        .select(Similarity.cosine(col("v"),
+          Similarity.dequantize(col("q"), col("scale"))).as("c"),
+          array_max(transform(col("q"), x => abs(x))).as("mq"))
+        .agg(min("c"), max("mq")).collect()(0)
+      println(f"x44 min_recon_cos=${qstats.getDouble(0)}%.6f max_abs_q=${qstats.getInt(1)}")
+
       // x33: banded simhash pairs vs full n^2 hamming scan
       val banded = pairSet(Dedup.simhashPairs(docs, "text", "doc_id"))
       val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))

@@ -122,6 +122,20 @@ object ScaleCheck {
           emb0.filter(col("vec_id") % 37 === 0), threshold = 0.35,
           nlist = 16, nprobe = 8)
           .select(count(lit(1))).collect()
+      },
+      "x44 int8 quantization (embeddings)" -> { n =>
+        // map-only: scale + 64 rounds per row, drained via an agg
+        graft.ext.Similarity.quantizeInt8(replicate(emb0, "vec_id", n))
+          .agg(sum(col("scale")), sum(element_at(col("q"), 1))).collect()
+      },
+      "x45 banded LSH ANN (embeddings, fixed 40 queries)" -> { n =>
+        // corpus bucketing is map-only; candidate volume per query grows
+        // with the corpus at a fixed bucket-collision rate -> linear
+        graft.ext.Similarity.lshTopKBanded(
+          emb0.filter(col("vec_id") % 50 === 0),
+          replicate(emb0, "vec_id", n), k = 5,
+          bands = 16, bitsPerBand = 4, dim = 64)
+          .select(count(lit(1))).collect()
       })
 
     // --- dup-structure-preserving replication for the pair operators ---
@@ -187,7 +201,22 @@ object ScaleCheck {
       ("x33 simhash banded pairs (documents)", { n: Int =>
         graft.ext.Dedup.simhashPairs(replicateDocsPerturbed(n),
           "text", "doc_id")
-      }, col("hamming") === 0))
+      }, col("hamming") === 0),
+      // containment: same disjoint-shingle-space argument as x09 — every
+      // directional pair lives within one replica, count tracks n exactly
+      ("x43 containment pairs (documents)", { n: Int =>
+        graft.ext.Dedup.containmentPairs(replicateDocsPerturbed(n),
+          "text", "doc_id", k = 3, threshold = 0.3)
+      }, sameReplica),
+      // boilerplate: the retag bijection preserves each replica's df
+      // structure exactly (a shingle with df=d maps to a distinct
+      // shingle with df=d), so boiler-positive docs replicate 16x while
+      // the vocabulary (df-frame size) grows 16x too — the honest
+      // growth mode for a web corpus
+      ("x42 boilerplate fraction (documents)", { n: Int =>
+        graft.ext.Curation.boilerplateFraction(replicateDocsPerturbed(n),
+          "text", "doc_id", k = 3, minDf = 3)
+      }, col("n_common") > 0))
 
     val sb = new StringBuilder
     sb.append("# SCALE — linear-scaling evidence (auto-generated)\n\n")

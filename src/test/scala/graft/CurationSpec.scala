@@ -34,6 +34,32 @@ class CurationSpec extends SparkSuite {
     assert(got(1).getDouble(1) == 0.0)
   }
 
+  test("boilerplate fraction: cross-doc common shingles counted, within-doc invisible") {
+    val docs = Seq(
+      (1L, "unique one alpha the common footer"),
+      (2L, "unique two beta the common footer"),
+      (3L, "unique three gamma the common footer"),
+      (4L, "tiny doc")).toDF("doc_id", "text") // < k tokens -> no shingles
+    val got = ext.Curation.boilerplateFraction(docs, "text", "doc_id", k = 3, minDf = 3)
+      .orderBy("doc_id").collect()
+    // docs 1-3: 4 shingles each, exactly "the common footer" has df = 3
+    got.take(3).foreach { r =>
+      assert(r.getLong(1) == 4L && r.getLong(2) == 1L)
+      assert(math.abs(r.getDouble(3) - 0.25) < 1e-9)
+    }
+    // shingle-less doc surfaces with zeros instead of dropping out
+    assert(got(3).getLong(1) == 0L && got(3).getLong(2) == 0L &&
+      got(3).getDouble(3) == 0.0)
+    // a doc REPEATING its own shingle doesn't reach minDf: df counts
+    // distinct docs (shingles() is per-doc distinct), cross-doc only
+    val selfRep = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "clean words only here")).toDF("doc_id", "text")
+    val sr = ext.Curation.boilerplateFraction(selfRep, "text", "doc_id", k = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+    assert(sr.forall(_.getLong(2) == 0L), "within-doc repetition must not count")
+  }
+
   test("contamination overlap: only docs sharing >= minOverlap shingles flagged") {
     val bench = Seq((100L, "one two three four five six seven")).toDF("doc_id", "text")
     val corpus = Seq(

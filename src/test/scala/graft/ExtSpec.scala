@@ -423,6 +423,68 @@ class ExtSpec extends SparkSuite {
       bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("X2d containmentPairs: subset doc flagged directionally where Jaccard misses it") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), // 2 shingles, both inside doc 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // 8 shingles
+      (3L, "totally unrelated words appear in this document only")).toDF("doc_id", "text")
+    // jaccard(1,2) = 2/8 = 0.25 — a 0.5-threshold symmetric pass misses it
+    assert(Dedup.jaccardPairs(df, "text", "doc_id", k = 3, threshold = 0.5).count() == 0)
+    val high = Dedup.containmentPairs(df, "text", "doc_id", k = 3, threshold = 0.8).collect()
+    assert(high.length == 1)
+    assert(high(0).getLong(0) == 1L && high(0).getLong(1) == 2L) // contained -> container
+    assert(math.abs(high(0).getDouble(2) - 1.0) < 1e-9)
+    // at a low threshold the reverse direction surfaces with 2/8 = 0.25
+    val low = Dedup.containmentPairs(df, "text", "doc_id", k = 3, threshold = 0.2)
+      .orderBy("id_a", "id_b").collect()
+    assert(low.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 1.0), (2L, 1L, 0.25)))
+  }
+
+  test("X3c quantizeInt8: exact quantized values, bounds, zero-vector, reconstruction") {
+    val df = Seq(
+      (1L, Seq(0.5, -1.0, 0.25)),
+      (2L, Seq(0.0, 0.0, 0.0)),
+      (3L, Seq(0.1, 0.2, -0.3))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df).orderBy("vec_id").collect()
+    // scale = max|x|; q_i = round(x_i/scale*127) half-away-from-zero
+    assert(q(0).getDouble(1) == 1.0 &&
+      q(0).getSeq[Int](2) == Seq(64, -127, 32)) // 63.5 rounds away to 64
+    assert(q(1).getDouble(1) == 0.0 && q(1).getSeq[Int](2) == Seq(0, 0, 0))
+    assert(q(2).getDouble(1) == 0.3 && q(2).getSeq[Int](2) == Seq(42, 85, -127))
+    assert(q.flatMap(_.getSeq[Int](2)).forall(v => v >= -127 && v <= 127))
+    // reconstruction: cosine(v, dequant(q)) ~ 1 on real vectors
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val recon = Similarity.quantizeInt8(emb)
+      .join(emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")), "vec_id")
+      .select(Similarity.cosine(col("v"),
+        Similarity.dequantize(col("q"), col("scale"))).as("c"))
+      .agg(min(col("c"))).collect()(0).getDouble(0)
+    assert(recon > 0.999, s"worst reconstruction cosine $recon")
+  }
+
+  test("X3d lshTopKBanded: OR-amplification dominates single-probe; k bounded; no dup pairs") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val bf = Similarity.bruteForceTopK(q, emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // same 48-plane signature family: single-probe = AND over all 48
+    // bits, banded = OR over 8 six-bit bands -> candidate superset
+    val banded = Similarity.lshTopKBanded(q, emb, k = 5,
+      bands = 8, bitsPerBand = 6, dim = 64, seed = 42L).collect()
+    val single = Similarity.lshTopK(q, emb, k = 5,
+      numPlanes = 48, dim = 64, seed = 42L).collect()
+    def recall(rows: Array[(Long, Long)]) =
+      rows.count(bf.contains).toDouble / bf.size
+    val bandedPairs = banded.map(r => (r.getLong(0), r.getLong(2)))
+    val singlePairs = single.map(r => (r.getLong(0), r.getLong(2)))
+    assert(bandedPairs.distinct.length == bandedPairs.length)
+    assert(banded.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    assert(recall(bandedPairs) >= recall(singlePairs))
+    assert(recall(bandedPairs) >= 0.3,
+      s"banded recall ${recall(bandedPairs)} collapsed")
+  }
+
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
     // Spark-side mirror of the x34 DuckDB oracle: the declared query
     // synthesizes headers with doc_id-derived dims and parses them back;

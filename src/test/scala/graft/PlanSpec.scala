@@ -93,7 +93,8 @@ class PlanSpec extends SparkSuite {
   // behavior is covered in ExtSpec.)
   private val eagerQueries = Set("x02_jaccard_pairs", "x09_minhash_pairs",
     "x23_dup_clusters", "x24_bm25", "x27_unigram_logprob",
-    "x33_simhash_pairs", "x38_bigram_logprob", "x41_cross_dedup")
+    "x33_simhash_pairs", "x38_bigram_logprob", "x41_cross_dedup",
+    "x42_boilerplate", "x43_containment")
 
   test("no cartesian product outside the declared n-squared oracles") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted
@@ -133,6 +134,8 @@ class PlanSpec extends SparkSuite {
       assert(hit, s"$name: no hash equi-join on (${keys.mkString(",")}):\n$p")
     }
     hashJoinOn("x02_jaccard_pairs (lazy form)", "h")       // shingle hash
+    hashJoinOn("x43_containment (lazy form)", "h")         // same index join
+    hashJoinOn("x42_boilerplate (lazy form)", "h")         // df table join
     hashJoinOn("x09_minhash_pairs (lazy form)", "band", "bucket")
     hashJoinOn("x33_simhash_pairs (lazy form)", "band", "chunk")
     hashJoinOn("x24_bm25 (lazy form)", "term")             // broadcast df
@@ -193,6 +196,18 @@ class PlanSpec extends SparkSuite {
       assert(p.contains("BroadcastHashJoin"), s"$q: drop-list join not broadcast:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q: gated corpus shuffled:\n$p")
     }
+  }
+
+  // x45: the banded-LSH candidate join must be a broadcast equi-join on
+  // (band, bucket) — the corpus is bucketed map-side and never shuffled
+  // before the candidate dedup
+  test("banded LSH ANN joins corpus buckets broadcast on (band, bucket)") {
+    val p = planOf("x45_ann_lsh_banded")
+    val bandJoin = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") &&
+        "[\\[(, ]band#\\d".r.findFirstIn(l).isDefined &&
+        "[\\[(, ]bucket#\\d".r.findFirstIn(l).isDefined)
+    assert(bandJoin, s"no broadcast equi-join on (band, bucket):\n$p")
   }
 
   // scans must prune columns: the documents scan of a two-column query
