@@ -261,27 +261,38 @@ object Similarity {
     * batches, and the vectors it carries can be [[quantizeInt8]] forms
     * re-ranked from cold storage.
     */
+  /** One (id, vec, band, bucket) row per (vector, band) — the shared
+    * banding for [[lshTopKBanded]] and the streaming batch-index /
+    * stream-query form (graft.streaming.StreamSimilarity); one code
+    * path, so the two cannot drift. Map-only: the signature is
+    * materialized as a column FIRST so the bands*bits dot products
+    * evaluate once per row, not once per band struct.
+    */
+  private[graft] def bandedFrame(df: DataFrame, id: String, vec: String,
+                                 bands: Int, bitsPerBand: Int,
+                                 planes: Seq[Seq[Double]],
+                                 idCol: String, vecCol: String): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    val withSig = df.select(col(idCol).as(id),
+      col(vecCol).cast("array<double>").as(vec),
+      lshBucket(col(vecCol).cast("array<double>"), planes).as("sig"))
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        shiftrightunsigned(col("sig"), bi * bitsPerBand)
+          .bitwiseAND(lit(mask)).as("bucket"))
+    }
+    withSig.select(col(id), col(vec),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
+  }
+
   def lshTopKBanded(queries: DataFrame, corpus: DataFrame, k: Int,
                     bands: Int, bitsPerBand: Int, dim: Int,
                     seed: Long = 42L, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      val mask = (1L << bitsPerBand) - 1
-      // signature materialized as a column FIRST so the bands*bits dot
-      // products evaluate once per row, not once per band struct
-      val withSig = df.select(col(idCol).as(id),
-        col(vecCol).cast("array<double>").as(vec),
-        lshBucket(col(vecCol).cast("array<double>"), planes).as("sig"))
-      val bandStructs = (0 until bands).map { bi =>
-        struct(lit(bi).as("band"),
-          shiftrightunsigned(col("sig"), bi * bitsPerBand)
-            .bitwiseAND(lit(mask)).as("bucket"))
-      }
-      withSig.select(col(id), col(vec),
-          explode(array(bandStructs: _*)).as("bb"))
-        .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
-    }
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      bandedFrame(df, id, vec, bands, bitsPerBand, planes, idCol, vecCol)
     val q = broadcast(banded(queries, "query_id", "qv"))
     val c = banded(corpus, "neighbor_id", "cv")
     val cand = q.join(c, Seq("band", "bucket"))

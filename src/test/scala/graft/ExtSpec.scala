@@ -463,6 +463,25 @@ class ExtSpec extends SparkSuite {
     assert(recon > 0.999, s"worst reconstruction cosine $recon")
   }
 
+  test("X3c quantized index: ANN over int8-reconstructed vectors preserves the top-k") {
+    // the 100 TB deployment: the ANN candidate index holds int8 vectors
+    // (4x smaller state); queries stay full-precision. Top-k from the
+    // reconstructed corpus must match the full-precision top-k almost
+    // everywhere (reconstruction cosine >= 0.9999 -> only near-exact
+    // ties can flip)
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val deq = Similarity.quantizeInt8(emb)
+      .select(col("vec_id"),
+        Similarity.dequantize(col("q"), col("scale")).as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val full = pairs(Similarity.bruteForceTopK(q, emb, k = 5))
+    val quant = pairs(Similarity.bruteForceTopK(q, deq, k = 5))
+    val overlap = full.intersect(quant).size.toDouble / full.size
+    assert(overlap >= 0.9, s"quantized-index top-k overlap $overlap")
+  }
+
   test("X3d lshTopKBanded: OR-amplification dominates single-probe; k bounded; no dup pairs") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = emb.filter(col("vec_id") % 50 === 0)

@@ -395,6 +395,65 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN: batch-indexed LSH probe equals the batch lshTopKBanded") {
+    import graft.ext.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val queriesB = emb.filter(col("vec_id") % 50 === 0)
+    val batch = Similarity.lshTopKBanded(queriesB, emb, k = 5,
+        bands = 16, bitsPerBand = 4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // index built once from the batch snapshot; queries stream in two
+    // micro-batches — each query answers within its own batch, so the
+    // union of per-batch top-k must equal the batch operator exactly
+    val index = StreamSimilarity.bandedIndex(emb, bands = 16, bitsPerBand = 4, dim = 64)
+    val fixture = queriesB
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val cands = StreamSimilarity.probeCandidates(
+      input.toDF().toDF("vec_id", "embedding"), index,
+      bands = 16, bitsPerBand = 4, dim = 64)
+    val buf = scala.collection.mutable.Set[(Long, Long, Long, Double)]()
+    val q = cands.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = StreamSimilarity.topKPerBatch(b, 5).collect()
+        buf.synchronized {
+          rows.foreach(r => buf +=
+            ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+        }
+      }.start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      assert(buf.toSet == batch)
+    } finally q.stop()
+  }
+
+  test("streaming quantization: map-only int8 op streams unchanged") {
+    import graft.ext.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val batch = Similarity.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSet
+    val fixture = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = Similarity.quantizeInt8(input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("squant").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("squant").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("health e2e: MemoryStream -> progressMonitor -> bridge -> HTTP /health/live") {
     import graft.health.{Liveness, ProgressBridge}
     implicit val s = spark
