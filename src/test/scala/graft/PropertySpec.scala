@@ -246,6 +246,44 @@ class PropertySpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("quantizeInt8 fuzz: bounds, sign preservation, half-step error for arbitrary finite vectors") {
+    // contract is FINITE inputs (embeddings); generator spans magnitudes
+    // from denormal-adjacent to 1e300, mixed-sign, zero components,
+    // whole-zero vectors, and dims 1..64 — one Spark job for all cases
+    val component = Gen.oneOf(
+      Gen.const(0.0), Gen.choose(-1.0, 1.0),
+      Gen.choose(-1e-300, 1e-300), Gen.choose(-1e300, 1e300),
+      Gen.choose(-1e6, 1e6).map(_ / 1e9))
+    val vec = for {
+      n <- Gen.choose(1, 64)
+      v <- Gen.listOfN(n, component)
+    } yield v
+    val cases = samples(vec, 400).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = spark.createDataFrame(cases).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df)
+      .join(df.withColumnRenamed("embedding", "v"), "vec_id")
+      .collect()
+    assert(rows.length == cases.length)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val v = r.getSeq[Double](3)
+      assert(scale == v.map(math.abs).max, s"vec ${r.getLong(0)}: scale")
+      assert(q.forall(x => x >= -127 && x <= 127), s"vec ${r.getLong(0)}: range")
+      q.zip(v).foreach { case (qi, xi) =>
+        assert(qi == 0 || math.signum(qi.toDouble) == math.signum(xi),
+          s"vec ${r.getLong(0)}: sign flip $xi -> $qi")
+        // dequant error bounded by half a quantization step
+        if (scale > 0) {
+          val err = math.abs(xi - qi * scale / 127.0)
+          assert(err <= scale / 254.0 * (1 + 1e-9) + java.lang.Double.MIN_VALUE,
+            s"vec ${r.getLong(0)}: err $err > half-step ${scale / 254.0}")
+        } else assert(qi == 0)
+      }
+    }
+  }
+
   test("deterministic_base64 fuzz: any (seed, id, n) round-trips to exactly n bytes, deterministically") {
     val cases = samples(for {
       seed <- Gen.choose(Long.MinValue, Long.MaxValue)
