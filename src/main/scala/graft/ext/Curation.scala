@@ -58,6 +58,60 @@ object Curation {
       greatest(size(toks), lit(1)), 6)
   }
 
+  /** WITHIN-doc duplicated n-gram coverage (the Gopher-family
+    * "fraction of characters in duplicate n-grams" rule, token-level):
+    * per document, the share of token positions covered by at least one
+    * n-gram that occurs >= 2 times in that document. Catches a document
+    * that repeats a whole phrase/paragraph twice — [[repetitionRatio]]'s
+    * distinct-token ratio barely moves on those, and a degenerate
+    * "spam spam spam" doc maxes BOTH (the two metrics gate different
+    * failure modes; CurationSpec holds the contrast).
+    *
+    * Relational formulation so the per-row cost stays linear (a pure
+    * column expression needs an O(len^2) duplicate scan per row): the
+    * corpus is tokenized ONCE into a persisted (doc_id, tokens) frame
+    * (the unigramLogProb policy); from it, the position frame explodes
+    * to (doc_id, pos, 64-bit shingle hash) — slim rows, never text —
+    * duplicated shingles come from one (doc_id, h) count, covered
+    * positions from re-joining the position frame and exploding each
+    * hit to its n token indices, distinct-ed. Every shuffle is keyed by
+    * doc_id (+hash) and carries longs/ints; all aggregations partial
+    * map-side. Docs with fewer than n tokens surface with zero
+    * coverage. Checkpoint-backed result caveat applies.
+    */
+  def dupNgramCoverage(docs: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, materialize: Boolean = true): DataFrame = {
+    val base0 = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("w"))
+    val base = if (materialize)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    try {
+      val toks = base.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      // ALL shingle positions (not distinct — multiplicity is the point)
+      val pos = base.filter(size(col("w")) >= n)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("w")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+        .toDF("doc_id", "pos", "h")
+      val dup = pos.groupBy("doc_id", "h")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select("doc_id", "h")
+      val covered = pos.join(dup, Seq("doc_id", "h"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+      val res = toks.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .withColumn("dup_frac",
+          round(col("n_covered").cast("double") /
+            greatest(col("n_tokens"), lit(1L)), 6))
+      if (materialize) res.localCheckpoint(true) else res
+    } finally if (materialize) base.unpersist()
+  }
+
   /** CROSS-document boilerplate fraction: per document, the share of its
     * distinct k-shingles whose corpus-wide document frequency is
     * >= `minDf` — the Gopher/RefinedWeb-style "fraction of characters in

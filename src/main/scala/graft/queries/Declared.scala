@@ -1653,6 +1653,34 @@ object Declared {
         |SELECT id_a, id_b, containment FROM directed
         |WHERE containment >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
 
+    // X7d: within-doc duplicated n-gram coverage (the Gopher-family
+    // duplicate-n-gram rule, token-level) — DuckDB recomputes the
+    // positional shingle frame, the duplicate set, and the covered-index
+    // union independently from raw text. Token-position bases differ
+    // (Spark 0-based, DuckDB 1-based) but only counts are emitted.
+    "x46_dup_ngram_coverage" -> Q(
+      (s, dir) => Curation.dupNgramCoverage(
+        t(s, dir, "documents"), "text", "doc_id", n = 3)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |dup AS (
+        |  SELECT doc_id, s FROM shp GROUP BY doc_id, s HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, j
+        |  FROM shp JOIN dup USING (doc_id, s),
+        |    unnest(range(i, i + 3)) AS u(j)),
+        |per AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id),
+        |tl AS (SELECT doc_id, len(w) AS n_tokens FROM toks)
+        |SELECT doc_id, n_tokens, coalesce(n_covered, 0) AS n_covered,
+        |  round(coalesce(n_covered, 0)::double / greatest(n_tokens, 1), 6) AS dup_frac
+        |FROM tl LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // X3c: int8 scalar quantization — per-vector scale, quantized
     // checksum, and reconstruction cosine, all recomputed independently
     // by DuckDB from the raw float vectors (plain IEEE double arithmetic

@@ -208,6 +208,13 @@ object ScaleCheck {
         graft.ext.Dedup.containmentPairs(replicateDocsPerturbed(n),
           "text", "doc_id", k = 3, threshold = 0.3)
       }, sameReplica),
+      // dup-ngram coverage is a WITHIN-doc metric: verbatim replication
+      // (id-remapped) is already interaction-free, every replica's
+      // per-doc output is identical -> witness 16x exactly
+      ("x46 dup-ngram coverage (documents)", { n: Int =>
+        graft.ext.Curation.dupNgramCoverage(
+          replicate(docs0, "doc_id", n), "text", "doc_id", 3)
+      }, col("n_covered") > 0),
       // boilerplate: the retag bijection preserves each replica's df
       // structure exactly (a shingle with df=d maps to a distinct
       // shingle with df=d), so boiler-positive docs replicate 16x while

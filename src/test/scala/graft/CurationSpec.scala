@@ -34,6 +34,33 @@ class CurationSpec extends SparkSuite {
     assert(got(1).getDouble(1) == 0.0)
   }
 
+  test("dup-ngram coverage: repeated phrase caught where distinct-ratio is blind") {
+    val docs = Seq(
+      (1L, "one two three four five six one two three"), // phrase repeated
+      (2L, "a b c d e f g"),                             // no duplicate 3-gram
+      (3L, "spam spam spam spam"),                       // degenerate
+      (4L, "x y"),                                       // < n tokens
+      // SAME token multiset as doc 1 (identical repetitionRatio) but no
+      // repeated 3-gram — the two metrics must separate
+      (5L, "one one two two three three four five six")).toDF("doc_id", "text")
+    val got = ext.Curation.dupNgramCoverage(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+    // doc 1: "one two three" at pos 0 and 6 -> covered {0,1,2,6,7,8} = 6/9
+    assert(got(0).getInt(1) == 9 && got(0).getLong(2) == 6L)
+    assert(math.abs(got(0).getDouble(3) - 0.666667) < 1e-6)
+    assert(got(1).getLong(2) == 0L && got(1).getDouble(3) == 0.0)
+    // "spam spam spam" at pos 0 and 1 covers all 4 positions
+    assert(got(2).getLong(2) == 4L && got(2).getDouble(3) == 1.0)
+    assert(got(3).getInt(1) == 2 && got(3).getLong(2) == 0L)
+    assert(got(4).getLong(2) == 0L && got(4).getDouble(3) == 0.0)
+    val rep = docs.select(col("doc_id"),
+        ext.Curation.repetitionRatio(col("text")).as("r"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(rep(0) == rep(4), "same multiset must tie repetitionRatio")
+    assert(got(0).getDouble(3) > 0.6 && got(4).getDouble(3) == 0.0,
+      "dup-ngram coverage must separate what distinct-ratio cannot")
+  }
+
   test("boilerplate fraction: cross-doc common shingles counted, within-doc invisible") {
     val docs = Seq(
       (1L, "unique one alpha the common footer"),

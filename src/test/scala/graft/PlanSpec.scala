@@ -94,7 +94,7 @@ class PlanSpec extends SparkSuite {
   private val eagerQueries = Set("x02_jaccard_pairs", "x09_minhash_pairs",
     "x23_dup_clusters", "x24_bm25", "x27_unigram_logprob",
     "x33_simhash_pairs", "x38_bigram_logprob", "x41_cross_dedup",
-    "x42_boilerplate", "x43_containment")
+    "x42_boilerplate", "x43_containment", "x46_dup_ngram_coverage")
 
   test("no cartesian product outside the declared n-squared oracles") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted
@@ -136,6 +136,7 @@ class PlanSpec extends SparkSuite {
     hashJoinOn("x02_jaccard_pairs (lazy form)", "h")       // shingle hash
     hashJoinOn("x43_containment (lazy form)", "h")         // same index join
     hashJoinOn("x42_boilerplate (lazy form)", "h")         // df table join
+    hashJoinOn("x46_dup_ngram_coverage (lazy form)", "doc_id", "h")
     hashJoinOn("x09_minhash_pairs (lazy form)", "band", "bucket")
     hashJoinOn("x33_simhash_pairs (lazy form)", "band", "chunk")
     hashJoinOn("x24_bm25 (lazy form)", "term")             // broadcast df
