@@ -160,6 +160,28 @@ object Curation {
     } finally if (materialize) pairs.unpersist()
   }
 
+  /** Batch half of the streaming boilerplate gate
+    * (graft.streaming.StreamCurate.applyBoilerplateGate): the
+    * corpus-common shingle hashes (df >= minDf, the same df table
+    * [[boilerplateFraction]] computes) aggregated into Spark's own bloom
+    * sketch — a few MB for 10^8 keys, vs an unboundable literal array.
+    * No false negatives, so a stream-side document's measured common
+    * fraction can only be inflated (by the fp rate), never deflated —
+    * the gate fails CLOSED (drops more eagerly), never leaks boilerplate
+    * past it. Deterministic end to end (seedless sketch hashing).
+    */
+  def commonShingleBloom(docs: DataFrame, textCol: String,
+                         k: Int = 3, minDf: Int = 3): Array[Byte] = {
+    val pairs = docs.select(explode(Dedup.shingles(col(textCol), k)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+    val common = pairs.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("h")
+    // slim extra action for exact sizing; the frame is df-table sized
+    val n = math.max(common.count(), 1L)
+    common.agg(graft.functions.BloomGate.bloom_agg(col("h"), n))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
   /** Benchmark decontamination: per corpus document, the number of
     * distinct k-shingles shared with any benchmark document. Docs with
     * `n_overlap >= minOverlap` should be dropped from training data.

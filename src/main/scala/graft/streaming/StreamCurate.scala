@@ -68,4 +68,28 @@ object StreamCurate {
     import org.apache.spark.sql.functions.{broadcast, col}
     docs.join(broadcast(flagged.select(col(idCol))), Seq(idCol), "left_anti")
   }
+
+  /** Batch-train / stream-apply boilerplate gate: `bloom` is the
+    * corpus-common shingle sketch from
+    * [[graft.ext.Curation.commonShingleBloom]]; the stream side
+    * recomputes each document's distinct shingle hashes and keeps the
+    * document iff its common fraction stays under `maxFrac` — map-only
+    * per micro-batch, stateless, the sketch rides as a literal. The
+    * bloom has no false negatives, so vs. the batch
+    * [[graft.ext.Curation.boilerplateFraction]] df gate the stream
+    * fraction is inflated-or-equal (fp rate) — the gate drops a
+    * superset, never leaks boilerplate past it; with the sketch sized
+    * to the trained set the fp inflation is ~0 and the kept sets match
+    * exactly (StreamingSpec).
+    */
+  def applyBoilerplateGate(docs: DataFrame, bloom: Array[Byte],
+                           textCol: String = "text", k: Int = 3,
+                           maxFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sh = graft.ext.Dedup.shingles(col(textCol), k)
+    val common = size(filter(sh, s =>
+      graft.functions.BloomGate.might_contain(lit(bloom), xxhash64(s))))
+    docs.filter(
+      common.cast("double") / greatest(size(sh), lit(1)) < maxFrac)
+  }
 }

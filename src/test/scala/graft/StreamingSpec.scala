@@ -395,6 +395,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate gate: bloom-trained stream drop equals the batch df gate") {
+    import graft.ext.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id", "text")
+    val batchKept = Curation.boilerplateFraction(docs, "text", "doc_id", k = 3, minDf = 3)
+      .filter(col("boiler_frac") < 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Curation.commonShingleBloom(docs, "text", k = 3, minDf = 3)
+    // no-false-negative direction, batch-checked per doc on the RAW
+    // counts (boiler_frac itself is rounded to 6dp — comparing
+    // fractions would trip on the rounding): the bloom common count can
+    // only inflate the exact df count
+    val counts = Curation.boilerplateFraction(docs, "text", "doc_id", k = 3, minDf = 3)
+      .join(docs.select(col("doc_id"),
+        size(filter(graft.ext.Dedup.shingles(col("text"), 3), s =>
+          graft.functions.BloomGate.might_contain(lit(bloom), xxhash64(s))))
+          .cast("long").as("bloom_common")), "doc_id")
+    assert(counts.filter(col("bloom_common") < col("n_common")).count() == 0,
+      "bloom common count below the exact df count (false negative)")
+    val fixture = docs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.applyBoilerplateGate(
+        input.toDF().toDF("doc_id", "text"), bloom, maxFrac = 0.5)
+      .select("doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sboiler").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamKept = spark.table("sboiler").collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept)
+    } finally q.stop()
+  }
+
   test("streaming ANN: batch-indexed LSH probe equals the batch lshTopKBanded") {
     import graft.ext.Similarity
     implicit val sqlCtx = spark.sqlContext
