@@ -64,6 +64,36 @@ class SourcesSpec extends SparkSuite {
     assert(sig(back) == sig(docs))
   }
 
+  test("ANN banded index: partitioned write probes with partition pruning, results unchanged") {
+    import graft.streaming.StreamSimilarity
+    import graft.ext.Similarity
+    // the 100 TB claim behind lshTopKBanded/StreamSimilarity: the corpus
+    // index is a ONE-OFF partitionBy(band, bucket) write, and a probe
+    // touches only its colliding partitions — assert the scan actually
+    // partition-prunes AND the pruned read reproduces the in-memory result
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val dir = tmp("annindex")
+    StreamSimilarity.bandedIndex(emb, bands = 16, bitsPerBand = 4, dim = 64)
+      .write.partitionBy("band", "bucket").parquet(dir)
+    val index = spark.read.parquet(dir)
+      .select("neighbor_id", "cv", "band", "bucket") // partition cols move last on write
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val expected = Similarity.lshTopKBanded(queries, emb, k = 5,
+        bands = 16, bitsPerBand = 4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = StreamSimilarity.topKPerBatch(
+        StreamSimilarity.probeCandidates(queries, index,
+          bands = 16, bitsPerBand = 4, dim = 64), k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected, "pruned on-disk index drifted from the in-memory result")
+    // a single-bucket probe must reach the scan as a partition filter
+    val one = index.filter(col("band") === 3 && col("bucket") === 7L)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[\\]".r.findFirstIn(plan).isEmpty,
+      s"no partition pruning on the banded index scan:\n$plan")
+  }
+
   test("streaming JSONL ingest: files arriving between triggers become micro-batches") {
     val docs = Tables.load(spark, sf(), "documents").select("doc_id", "lang")
     val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
