@@ -174,12 +174,28 @@ object Curation {
                          k: Int = 3, minDf: Int = 3): Array[Byte] = {
     val pairs = docs.select(explode(Dedup.shingles(col(textCol), k)).as("s"))
       .select(xxhash64(col("s")).as("h"))
+    // persisted across the two actions (sizing count + bloom agg) so the
+    // corpus-wide shingle pass runs once — the frame itself is only
+    // df-table sized
     val common = pairs.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select("h")
-    // slim extra action for exact sizing; the frame is df-table sized
-    val n = math.max(common.count(), 1L)
-    common.agg(graft.functions.BloomGate.bloom_agg(col("h"), n))
-      .collect()(0).getAs[Array[Byte]](0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = math.max(common.count(), 1L)
+      // Spark's BloomFilterAggregate silently CLAMPS estimatedNumItems
+      // to spark.sql.optimizer.runtime.bloomFilter.maxNumItems (default
+      // 4M): past it the fp rate quietly explodes and the stream gate
+      // would mass-drop clean documents. Fail loudly and name the knob.
+      val cap = docs.sparkSession.conf
+        .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+        .toLong
+      require(n <= cap,
+        s"common-shingle set ($n keys) exceeds the bloom sizing cap " +
+          s"($cap): raise spark.sql.optimizer.runtime.bloomFilter." +
+          s"maxNumItems/maxNumBits or raise minDf")
+      common.agg(graft.functions.BloomGate.bloom_agg(col("h"), n))
+        .collect()(0).getAs[Array[Byte]](0)
+    } finally common.unpersist()
   }
 
   /** Benchmark decontamination: per corpus document, the number of

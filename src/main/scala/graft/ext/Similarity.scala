@@ -272,6 +272,11 @@ object Similarity {
                                  bands: Int, bitsPerBand: Int,
                                  planes: Seq[Seq[Double]],
                                  idCol: String, vecCol: String): DataFrame = {
+    // the signature is ONE packed long: a 65th plane would wrap the
+    // shift mod 64 and OR-corrupt bit 0 silently
+    require(bands * bitsPerBand <= 64,
+      s"signature overflow: bands * bitsPerBand must be <= 64 " +
+        s"(got $bands * $bitsPerBand = ${bands * bitsPerBand})")
     val mask = (1L << bitsPerBand) - 1
     val withSig = df.select(col(idCol).as(id),
       col(vecCol).cast("array<double>").as(vec),
@@ -295,14 +300,28 @@ object Similarity {
       bandedFrame(df, id, vec, bands, bitsPerBand, planes, idCol, vecCol)
     val q = broadcast(banded(queries, "query_id", "qv"))
     val c = banded(corpus, "neighbor_id", "cv")
-    val cand = q.join(c, Seq("band", "bucket"))
+    // score BEFORE the dedup: duplicate candidates (multi-band
+    // collisions, <= bands per pair) cost one extra 64-multiply cosine
+    // each, and in exchange the dedup + window exchanges shuffle three
+    // scalar columns instead of two 64-dim arrays per row
+    val scored = q.join(c, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    topKFromCandidates(scored, k)
+  }
+
+  /** Dedup multi-band candidate collisions (duplicates carry identical
+    * sims — same vector pair) and keep the exact top-k per query; ties
+    * broken by neighbor id ascending. Shared by [[lshTopKBanded]] and
+    * the streaming per-micro-batch re-rank
+    * (graft.streaming.StreamSimilarity.topKPerBatch) — one code path.
+    */
+  def topKFromCandidates(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    candidates.dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("sim"), 6).as("sim"))

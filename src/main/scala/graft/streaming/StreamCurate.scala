@@ -89,7 +89,11 @@ object StreamCurate {
     val sh = graft.ext.Dedup.shingles(col(textCol), k)
     val common = size(filter(sh, s =>
       graft.functions.BloomGate.might_contain(lit(bloom), xxhash64(s))))
+    // round to 6dp like the batch boiler_frac: an unrounded compare
+    // disagrees with the batch gate exactly at the rounding boundary
+    // (a doc at 0.4999996 rounds to the batch's 0.5 and must drop here
+    // too for the kept sets to match)
     docs.filter(
-      common.cast("double") / greatest(size(sh), lit(1)) < maxFrac)
+      round(common.cast("double") / greatest(size(sh), lit(1)), 6) < maxFrac)
   }
 }

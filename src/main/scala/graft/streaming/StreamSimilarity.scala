@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.ext.Similarity
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch-index / stream-query similarity search (X3d's streaming form —
@@ -53,18 +52,10 @@ object StreamSimilarity {
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("cv")).as("sim"))
 
-  /** Batch helper for `foreachBatch`: dedup the multi-band candidate
-    * collisions and keep the exact top-k per query — identical dedup +
-    * ranking to the batch [[Similarity.lshTopKBanded]] tail (sim desc,
-    * neighbor_id asc ties).
+  /** Batch helper for `foreachBatch`: [[Similarity.topKFromCandidates]]
+    * verbatim — the SAME dedup + ranking the batch
+    * [[Similarity.lshTopKBanded]] tail runs, so they cannot drift.
     */
-  def topKPerBatch(candidates: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates.dropDuplicates("query_id", "neighbor_id")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("sim"), 6).as("sim"))
-  }
+  def topKPerBatch(candidates: DataFrame, k: Int): DataFrame =
+    Similarity.topKFromCandidates(candidates, k)
 }

@@ -97,7 +97,9 @@ object BoundProbe {
       // x45: banded sign-LSH ANN recall vs brute force, at candidate
       // (bands, bitsPerBand) budgets — the declared query's bound must
       // hold with >= 2x margin at every SF
-      for ((nb, bpb) <- Seq((8, 6), (8, 8), (12, 6), (16, 4))) {
+      // candidate budgets all within the 64-bit signature (bands*bits
+      // > 64 now fails loudly — the packed-long wrap bug found in review)
+      for ((nb, bpb) <- Seq((8, 6), (8, 8), (10, 6), (16, 4))) {
         val lshB = topkSet(Similarity.lshTopKBanded(q, e, k = 5,
           bands = nb, bitsPerBand = bpb, dim = 64))
         val rec = bf.map { case (qid, s) =>

@@ -502,6 +502,12 @@ class ExtSpec extends SparkSuite {
     assert(recall(bandedPairs) >= recall(singlePairs))
     assert(recall(bandedPairs) >= 0.3,
       s"banded recall ${recall(bandedPairs)} collapsed")
+    // the signature is one packed long — a 65th bit would wrap the
+    // shift and silently corrupt band 0; must fail loudly instead
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopKBanded(q, emb, k = 5,
+        bands = 12, bitsPerBand = 6, dim = 64)
+    }
   }
 
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {

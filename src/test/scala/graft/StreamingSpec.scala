@@ -414,6 +414,17 @@ class StreamingSpec extends SparkSuite {
           .cast("long").as("bloom_common")), "doc_id")
     assert(counts.filter(col("bloom_common") < col("n_common")).count() == 0,
       "bloom common count below the exact df count (false negative)")
+    // a trained set past Spark's silent bloom sizing clamp must fail
+    // loudly (undersized filter => fp rate explodes => gate mass-drops)
+    val capKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = spark.conf.getOption(capKey)
+    spark.conf.set(capKey, "2")
+    try intercept[IllegalArgumentException] {
+      Curation.commonShingleBloom(docs, "text", k = 3, minDf = 3)
+    } finally prev match {
+      case Some(v) => spark.conf.set(capKey, v)
+      case None => spark.conf.unset(capKey)
+    }
     val fixture = docs.as[(Long, String)].collect()
     val input = MemoryStream[(Long, String)]
     val q = StreamCurate.applyBoilerplateGate(
