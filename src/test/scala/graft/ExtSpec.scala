@@ -508,6 +508,19 @@ class ExtSpec extends SparkSuite {
       Similarity.lshTopKBanded(q, emb, k = 5,
         bands = 12, bitsPerBand = 6, dim = 64)
     }
+    // full 100 TB deployment shape: the banded index holds int8 vectors
+    // (4x smaller), queries full-precision — candidate buckets can flip
+    // only on near-zero hyperplane dots, so the top-k stays close
+    val deq = Similarity.quantizeInt8(emb).select(col("vec_id"),
+      Similarity.dequantize(col("q"), col("scale")).as("embedding"))
+    val quantPairs = Similarity.lshTopKBanded(q, deq, k = 5,
+        bands = 16, bitsPerBand = 4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val fullBanded = Similarity.lshTopKBanded(q, emb, k = 5,
+        bands = 16, bitsPerBand = 4, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val qOverlap = quantPairs.count(fullBanded.contains).toDouble / fullBanded.size
+    assert(qOverlap >= 0.85, s"int8-index banded ANN drifted: overlap $qOverlap")
   }
 
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
