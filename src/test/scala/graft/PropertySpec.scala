@@ -246,6 +246,32 @@ class PropertySpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("containment dominates jaccard on random corpora (both directions, bounded)") {
+    // j = c/(sa+sb-c), cont(a->b) = c/sa, cont(b->a) = c/sb: the union
+    // is >= either side, so EVERY jaccard pair must surface in the
+    // containment frame (same low threshold) with cont >= j in both
+    // directions, and cont <= 1 always. A generated-corpus invariant,
+    // not a crafted example.
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docs = samples(doc, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val eps = 1e-9
+    val jac = Dedup.jaccardPairs(df, "text", "doc_id", k = 2, threshold = eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = Dedup.containmentPairs(df, "text", "doc_id", k = 2, threshold = eps)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac.nonEmpty, "degenerate fixture: no overlapping pairs generated")
+    assert(cont.values.forall(c => c > 0 && c <= 1.0 + eps))
+    jac.foreach { case ((a, b), j) =>
+      val ab = cont.get((a, b)); val ba = cont.get((b, a))
+      assert(ab.isDefined && ba.isDefined, s"pair ($a,$b) missing from containment")
+      // both sides are 6dp-rounded, so allow one ulp of rounding slack
+      assert(ab.get >= j - 1e-6 && ba.get >= j - 1e-6,
+        s"containment below jaccard for ($a,$b): j=$j ab=${ab.get} ba=${ba.get}")
+    }
+  }
+
   test("quantizeInt8 fuzz: bounds, sign preservation, half-step error for arbitrary finite vectors") {
     // contract is FINITE inputs (embeddings); generator spans magnitudes
     // from denormal-adjacent to 1e300, mixed-sign, zero components,
