@@ -40,7 +40,7 @@ object Bench {
   private def drain(df: DataFrame): Unit =
     // bit_xor, not sum: ANSI mode makes a long sum of 64-bit hashes an
     // overflow error; xor is overflow-free and order-independent
-    df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+    df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
       .agg(expr("bit_xor(h)")).collect()
 
   def main(args: Array[String]): Unit = {

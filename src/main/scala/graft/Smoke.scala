@@ -22,10 +22,10 @@ object Smoke {
     println(s"ENTRY_ROWS=${e.count()}")
     e.show(6, truncate = false)
 
-    def pairs(name: String) =
-      SparkEntry.queries(name)(spark, sfDir)
-        .select("id_a", "id_b").collect()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(name: String) = pairsOf(SparkEntry.queries(name)(spark, sfDir))
     val ex = pairs("x02_jaccard_pairs")
     val mh = pairs("x09_minhash_pairs")
     println(s"MINHASH exact=${ex.size} lsh=${mh.size} " +
@@ -34,9 +34,6 @@ object Smoke {
     // x29/x11's declared forms are property rows since r7 — cross-check
     // the underlying operators directly at the declared budgets
     val embAll = Tables.load(spark, sfDir, "embeddings")
-    def pairsOf(df: org.apache.spark.sql.DataFrame) =
-      df.select("id_a", "id_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exEmb = pairs("x16_embedding_dups")
     val blEmb = pairsOf(ext.Dedup.embeddingNearDupPairsBlocked(
       embAll, threshold = 0.45, nlist = 16, nprobe = 4,
@@ -63,14 +60,13 @@ object Smoke {
     // the k-means objective itself does improve — spec-asserted) — both
     // printed for the record, nothing asserted.
     import org.apache.spark.sql.functions.col
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    val q = emb.filter(col("vec_id") % 50 === 0)
-    val trained = ext.Similarity.kmeansCentroids(emb, k = 8, iters = 3)
-    val annT = ext.Similarity.ivfTopK(q, emb, k = 5, nlist = 8, nprobe = 2,
+    val q = embAll.filter(col("vec_id") % 50 === 0)
+    val trained = ext.Similarity.kmeansCentroids(embAll, k = 8, iters = 3)
+    val annT = ext.Similarity.ivfTopK(q, embAll, k = 5, nlist = 8, nprobe = 2,
       centroids = Some(trained))
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val annS = ext.Similarity.ivfTopK(q, emb, k = 5, nlist = 8, nprobe = 2)
+    val annS = ext.Similarity.ivfTopK(q, embAll, k = 5, nlist = 8, nprobe = 2)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     def ov(s: Set[(Long, Long)]) =

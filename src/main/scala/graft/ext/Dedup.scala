@@ -73,9 +73,13 @@ object Dedup {
     */
   def dropExactKnown(incoming: DataFrame, existing: DataFrame,
                      textCol: String, idCol: String): DataFrame = {
-    val known = existing.select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    val known = existing.select(sha2(col(textCol), 256).as("known_hash")).distinct()
+    // null-SAFE anti-join: sha2(null) is null, and a plain equi-join
+    // would let every null-text row through even when the corpus has
+    // null-text rows — diverging from [[exact]], whose groupBy treats
+    // the null hash as a real key
     incoming.withColumn("content_hash", sha2(col(textCol), 256))
-      .join(known, Seq("content_hash"), "left_anti")
+      .join(known, col("content_hash") <=> col("known_hash"), "left_anti")
       .drop("content_hash")
   }
 

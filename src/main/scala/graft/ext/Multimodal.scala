@@ -110,7 +110,10 @@ object Multimodal {
         val nFrames = if (frameSize > 0) pcm.length / frameSize else 0
         if (nFrames == 0) return None
         val feats = Array.tabulate(featureDim) { i =>
-          val frame = math.min(nFrames - 1, i * nFrames / featureDim)
+          // long arithmetic: i * nFrames wraps Int for WAVs past ~34M
+          // frames (~13 min of 44.1 kHz mono), which would negative-index
+          // pcm and silently quarantine a perfectly valid file
+          val frame = math.min(nFrames - 1L, i.toLong * nFrames / featureDim).toInt
           val off = frame * frameSize // first channel's 16-bit LE sample
           val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort
           math.abs(s.toInt) / 32768.0f

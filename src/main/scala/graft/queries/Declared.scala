@@ -93,20 +93,30 @@ object Declared {
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i))""".stripMargin
 
-  private val jaccardPairsOracleSql: String =
-    shingleCte + """,
+  /** The exact shingle-Jaccard oracle, parameterized by the pair
+    * predicate and output names so the self-join (x02/x09) and the
+    * cross-corpus split (x41) share ONE copy of the CTE logic — a
+    * tokenizer/shingle change reaches every consumer or none.
+    */
+  private def jaccardOracle(pairPred: String, aName: String,
+                            bName: String, threshold: Double): String =
+    shingleCte + s""",
       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |common AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  SELECT a.doc_id AS $aName, b.doc_id AS $bName, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s
+      |  WHERE $pairPred
       |  GROUP BY 1, 2)
-      |SELECT id_a, id_b, jaccard FROM (
-      |  SELECT id_a, id_b,
+      |SELECT $aName, $bName, jaccard FROM (
+      |  SELECT $aName, $bName,
       |    round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
       |  FROM common
-      |  JOIN sizes sa ON sa.doc_id = id_a
-      |  JOIN sizes sb ON sb.doc_id = id_b)
-      |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+      |  JOIN sizes sa ON sa.doc_id = $aName
+      |  JOIN sizes sb ON sb.doc_id = $bName)
+      |WHERE jaccard >= $threshold ORDER BY $aName, $bName""".stripMargin
+
+  private val jaccardPairsOracleSql: String =
+    jaccardOracle("a.doc_id < b.doc_id", "id_a", "id_b", 0.2)
 
   private val curationE2eOracle: String =
     s"""WITH RECURSIVE t0 AS (
@@ -1246,25 +1256,8 @@ object Declared {
           "text", "doc_id", k = 3, threshold = 0.2)
           .orderBy("id_new", "id_old")
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-             |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-             |common AS (
-             |  SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS common
-             |  FROM sh a JOIN sh b ON a.s = b.s
-             |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-             |  GROUP BY 1, 2)
-             |SELECT id_new, id_old, jaccard FROM (
-             |  SELECT id_new, id_old,
-             |    round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
-             |  FROM common
-             |  JOIN sizes sa ON sa.doc_id = id_new
-             |  JOIN sizes sb ON sb.doc_id = id_old)
-             |WHERE jaccard >= 0.2 ORDER BY id_new, id_old""".stripMargin)),
+      Some(jaccardOracle("a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0",
+        "id_new", "id_old", 0.2))),
 
     // X2 (SimHash pair-finding), property-oracled (r7): the xxhash64-
     // based fingerprint is not DuckDB-expressible, so the driver-visible

@@ -60,11 +60,26 @@ object FileSources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
-  /** ORC files carry their schema; passing one anyway pins the expected
-    * shape so drift fails at read time instead of downstream.
+  /** ORC files carry their schema; passing one pins the expected shape
+    * so drift fails AT READ TIME instead of downstream. Spark's ORC
+    * reader supports schema evolution — a pinned column absent from the
+    * files comes back silently all-null, the exact
+    * quietly-computed-over-missing-data failure this module exists to
+    * prevent — so the pin is enforced against the files' OWN footer
+    * schema (a metadata-only read), field names and types both.
     */
   def readOrc(spark: SparkSession, path: String,
               schema: Option[StructType] = None): DataFrame = {
+    schema.foreach { s =>
+      val fileFields = spark.read.orc(path).schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val missing = s.fields.filter(f =>
+        !fileFields.get(f.name).contains(f.dataType))
+      require(missing.isEmpty,
+        s"ORC schema drift at $path: expected fields absent or retyped: " +
+          missing.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", "))
+    }
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).orc(path)
   }

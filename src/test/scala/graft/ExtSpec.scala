@@ -52,6 +52,15 @@ class ExtSpec extends SparkSuite {
     // payload columns survive the gate untouched
     assert(Dedup.dropExactKnown(incoming, existing, "text", "doc_id")
       .columns.toSeq == Seq("doc_id", "text"))
+    // null text must behave like exact()'s groupBy (null hash is a real
+    // key): a corpus null-text row blocks incoming null-text rows
+    val existingN = Seq((1L, Option("alpha")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val incomingN = Seq((10L, Option.empty[String]), (11L, Option("fresh")))
+      .toDF("doc_id", "text")
+    val keptN = Dedup.dropExactKnown(incomingN, existingN, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptN == Set(11L), s"null-text re-ingest must drop, got $keptN")
   }
 
   test("X2 crossDupPairs equals the cross-side slice of the full exact pair set") {

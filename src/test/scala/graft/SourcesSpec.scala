@@ -64,6 +64,21 @@ class SourcesSpec extends SparkSuite {
     assert(sig(back) == sig(docs))
   }
 
+  test("ORC pinned-schema drift fails loudly instead of returning all-null columns") {
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id", "lang")
+    val dir = tmp("orcdrift")
+    FileSources.writeOrc(docs, dir)
+    // matching pin reads fine
+    assert(FileSources.readOrc(spark, dir, Some(docs.schema)).count() == docs.count())
+    // a pinned column the files don't have must throw, not null-fill
+    val drifted = org.apache.spark.sql.types.StructType(docs.schema.fields :+
+      org.apache.spark.sql.types.StructField("dropped_upstream",
+        org.apache.spark.sql.types.StringType))
+    intercept[IllegalArgumentException] {
+      FileSources.readOrc(spark, dir, Some(drifted))
+    }
+  }
+
   test("ANN banded index: partitioned write probes with partition pruning, results unchanged") {
     import graft.streaming.StreamSimilarity
     import graft.ext.Similarity
