@@ -1646,6 +1646,41 @@ object Declared {
         |SELECT id_a, id_b, containment FROM directed
         |WHERE containment >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
 
+    // AS-OF join (SURVEY §2.6 extension; SPARK-22947 — no native Spark
+    // operator): every 7th event is the query side, the rest the
+    // reference series per user; each query matches the latest
+    // reference event at-or-before its timestamp. DuckDB recomputes the
+    // match independently via left-join + max_by. Timestamps emitted as
+    // epoch micros (both engines truncate the nanos fixture identically)
+    // so the hash compare never touches timestamp formatting.
+    "x47_asof_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        graft.operators.AsofJoin.asofJoin(
+          ev.filter(col("event_id") % 7 === 0),
+          ev.filter(col("event_id") % 7 =!= 0),
+          "user_id", "ts", "event_id", "event_id")
+          .select(col("lid").as("qid"), col("k").as("user_id"),
+            unix_micros(col("t")).as("q_us"),
+            col("matched_id"),
+            unix_micros(col("matched_t")).as("matched_us"))
+          .orderBy("qid")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 7 = 0),
+             |r AS (
+             |  SELECT user_id, ts, max(event_id) AS rid FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 7 <> 0 GROUP BY 1, 2)
+             |SELECT l.event_id AS qid, l.user_id,
+             |  epoch_us(l.ts) AS q_us,
+             |  max_by(r.rid, r.ts) AS matched_id,
+             |  epoch_us(max(r.ts)) AS matched_us
+             |FROM l LEFT JOIN r
+             |  ON l.user_id = r.user_id AND r.ts <= l.ts
+             |GROUP BY l.event_id, l.user_id, l.ts
+             |ORDER BY qid""".stripMargin)),
+
     // X7d: within-doc duplicated n-gram coverage (the Gopher-family
     // duplicate-n-gram rule, token-level) — DuckDB recomputes the
     // positional shingle frame, the duplicate set, and the covered-index

@@ -123,6 +123,17 @@ object ScaleCheck {
           nlist = 16, nprobe = 8)
           .select(count(lit(1))).collect()
       },
+      "x47 as-of join (events, per-user series)" -> { n =>
+        // user_id remap scales the key cardinality; per-key series keep
+        // their shape, so the single-shuffle window plan must be linear
+        val ev = replicate(
+          graft.Tables.load(spark, sfDir, "events"), "user_id", n)
+        graft.operators.AsofJoin.asofJoin(
+          ev.filter(col("event_id") % 7 === 0),
+          ev.filter(col("event_id") % 7 =!= 0),
+          "user_id", "ts", "event_id", "event_id")
+          .agg(count(lit(1)), count(col("matched_id"))).collect()
+      },
       "x44 int8 quantization (embeddings)" -> { n =>
         // map-only: scale + 64 rounds per row, drained via an agg
         graft.ext.Similarity.quantizeInt8(replicate(emb0, "vec_id", n))

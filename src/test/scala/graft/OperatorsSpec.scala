@@ -109,4 +109,28 @@ class OperatorsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("as-of join: latest at-or-before match, inclusive ties, nulls when nothing precedes") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, ts(10), 100L), // latest right before t=10 is rid 202 @ t=8
+      (1L, ts(5), 101L),  // equal-ts right included; tie -> max rid 201
+      (1L, ts(1), 102L),  // nothing at-or-before -> nulls
+      (2L, ts(10), 103L)  // key with no right rows at all -> nulls
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts(5), 200L), (1L, ts(5), 201L), (1L, ts(8), 202L),
+      (3L, ts(1), 300L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = AsofJoin.asofJoin(left, right, "user_id", "ts", "event_id", "event_id")
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getTimestamp(4).getTime / 1000)))
+    assert(got.toSeq == Seq(
+      (100L, Some(202L), Some(8L)),
+      (101L, Some(201L), Some(5L)),
+      (102L, None, None),
+      (103L, None, None)))
+  }
 }

@@ -199,6 +199,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  // x47: the as-of join must stay the union+window plan — the key-only
+  // window exchange plus the right-side (key, ts) dedup's partial-agg
+  // exchange (slim rows), never a range-join candidate blow-up
+  test("as-of join plans the key window shuffle, no join blow-up") {
+    val p = planOf("x47_asof_join")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected <= 2 hash exchanges, got $hashEx:\n$p")
+    val keyWindowEx = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(k#"))
+    assert(keyWindowEx, s"no key-only window exchange:\n$p")
+    assert(p.contains("partial_max"), s"right-side dedup not partial-aggregated:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"as-of join materialized a join:\n$p")
+  }
+
   // x45: the banded-LSH candidate join must be a broadcast equi-join on
   // (band, bucket) — the corpus is bucketed map-side and never shuffled
   // before the candidate dedup
