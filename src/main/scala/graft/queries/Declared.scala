@@ -1681,6 +1681,37 @@ object Declared {
              |GROUP BY l.event_id, l.user_id, l.ts
              |ORDER BY qid""".stripMargin)),
 
+    // Interval (range-containment) join (§2.6 extension, x47's sibling):
+    // every 11th event opens a 2-hour interval; which other events of
+    // the same user fall inside it. The binned equi-join never
+    // materializes the l x r candidate set; DuckDB recomputes the
+    // answer with the plain inequality join.
+    "x48_interval_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        val intervals = ev.filter(col("event_id") % 11 === 0)
+          .select(col("event_id"), col("user_id"), col("ts").as("t_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("t_end"))
+        val points = ev.filter(col("event_id") % 11 =!= 0)
+        graft.operators.RangeJoin.intervalJoin(
+          intervals, points, "user_id", "t_start", "t_end", "ts",
+          "event_id", "event_id")
+          .select(col("iid"), col("k").as("user_id"), col("pid"),
+            col("pt").as("p_us"))
+          .orderBy("iid", "pid")
+      },
+      Some("""WITH i AS (
+             |  SELECT event_id AS iid, user_id, ts AS t0,
+             |    ts + INTERVAL 2 HOUR AS t1
+             |  FROM events WHERE ts IS NOT NULL AND event_id % 11 = 0),
+             |p AS (
+             |  SELECT event_id AS pid, user_id, ts FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 11 <> 0)
+             |SELECT i.iid, i.user_id, p.pid, epoch_us(p.ts) AS p_us
+             |FROM i JOIN p
+             |  ON i.user_id = p.user_id AND p.ts >= i.t0 AND p.ts <= i.t1
+             |ORDER BY iid, pid""".stripMargin)),
+
     // X7d: within-doc duplicated n-gram coverage (the Gopher-family
     // duplicate-n-gram rule, token-level) — DuckDB recomputes the
     // positional shingle frame, the duplicate set, and the covered-index

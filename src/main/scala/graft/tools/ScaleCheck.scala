@@ -134,6 +134,18 @@ object ScaleCheck {
           "user_id", "ts", "event_id", "event_id")
           .agg(count(lit(1)), count(col("matched_id"))).collect()
       },
+      "x48 interval join (events, binned)" -> { n =>
+        val ev = replicate(
+          graft.Tables.load(spark, sfDir, "events"), "user_id", n)
+          .filter(col("ts").isNotNull)
+        val intervals = ev.filter(col("event_id") % 11 === 0)
+          .select(col("event_id"), col("user_id"), col("ts").as("t_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("t_end"))
+        graft.operators.RangeJoin.intervalJoin(
+          intervals, ev.filter(col("event_id") % 11 =!= 0),
+          "user_id", "t_start", "t_end", "ts", "event_id", "event_id")
+          .agg(count(lit(1))).collect()
+      },
       "x44 int8 quantization (embeddings)" -> { n =>
         // map-only: scale + 64 rounds per row, drained via an agg
         graft.ext.Similarity.quantizeInt8(replicate(emb0, "vec_id", n))

@@ -110,6 +110,27 @@ class OperatorsSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("interval join: inclusive bounds, bin-crossing intervals, key isolation, no dup pairs") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val intervals = Seq(
+      (1L, ts(5), ts(25), 500L), // spans 3 ten-second bins
+      (2L, ts(0), ts(10), 501L)
+    ).toDF("user_id", "t_start", "t_end", "event_id")
+    val points = Seq(
+      (1L, ts(5), 600L),  // start boundary -> in
+      (1L, ts(25), 601L), // end boundary -> in
+      (1L, ts(26), 602L), // just past -> out
+      (2L, ts(7), 603L),  // other key's interval
+      (1L, ts(7), 604L)   // interior
+    ).toDF("user_id", "ts", "event_id")
+    val got = RangeJoin.intervalJoin(intervals, points,
+        "user_id", "t_start", "t_end", "ts", "event_id", "event_id",
+        binWidthUs = 10L * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == got.distinct.length, "duplicate pairs emitted")
+    assert(got.toSet == Set((500L, 600L), (500L, 601L), (500L, 604L), (501L, 603L)))
+  }
+
   test("as-of join: latest at-or-before match, inclusive ties, nulls when nothing precedes") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     val left = Seq(

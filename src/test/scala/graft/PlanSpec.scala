@@ -215,6 +215,20 @@ class PlanSpec extends SparkSuite {
       !p.contains("CartesianProduct"), s"as-of join materialized a join:\n$p")
   }
 
+  // x48: the interval join must be the binned hash EQUI-join on
+  // (k, bin) — a raw BETWEEN join would plan BroadcastNestedLoop
+  // (the l x r blow-up the operator exists to avoid)
+  test("interval join equi-joins on (key, bin), never nested-loop") {
+    val p = planOf("x48_interval_join")
+    val binJoin = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin")) &&
+        "[\\[(, ]k#\\d".r.findFirstIn(l).isDefined &&
+        "[\\[(, ]bin#\\d".r.findFirstIn(l).isDefined)
+    assert(binJoin, s"no hash equi-join on (k, bin):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to nested-loop:\n$p")
+  }
+
   // x45: the banded-LSH candidate join must be a broadcast equi-join on
   // (band, bucket) — the corpus is bucketed map-side and never shuffled
   // before the candidate dedup
