@@ -11,15 +11,23 @@ import org.apache.spark.sql.functions._
   * snapshot/quote/config-version at event time.
   *
   * Plan (the standard distributed formulation): tag and union the two
-  * sides, shuffle ONCE on the key, sort each key's rows by
-  * (ts, side-tag) inside the partition, and carry the last-seen right
-  * row forward with a running `last(_, ignoreNulls)` window — right
-  * rows sort before left rows at equal ts, which is exactly the
-  * inclusive <= semantics. No join blow-up (never materializes the
-  * l x r candidate set a range-join would), no global sort; windows
+  * sides, shuffle on the key, sort each key's rows by (ts, side-tag)
+  * inside the partition, and carry the last-seen right row forward with
+  * a running `last(_, ignoreNulls)` window — right rows sort before
+  * left rows at equal ts, which is exactly the inclusive <= semantics.
+  * Two shuffles total: the key window exchange plus the slim (key, ts)
+  * dedup's partial-agg exchange. No join blow-up (never materializes
+  * the l x r candidate set a range-join would), no global sort; windows
   * parallelize across keys. A key whose history dwarfs the others is
   * the usual skew caveat — salt by coarse time-range and stitch the
   * boundary rows if one key's series outgrows a partition.
+  *
+  * Null semantics mirror the SQL formulation (`ON l.key = r.key AND
+  * r.ts <= l.ts`, left join): right rows with a null key or null ts can
+  * never match and are dropped up front (a null-ts right row would
+  * otherwise sort NULLS-FIRST and poison every left row's running
+  * `last`); left rows always surface — null-key or null-ts left rows
+  * with null match columns, exactly as the left join leaves them.
   *
   * Right rows are first deduplicated per (key, ts) to the max-id
   * representative, so ties at the same timestamp resolve
@@ -38,6 +46,7 @@ object AsofJoin {
       col(leftIdCol).cast("long").as("lid"),
       lit(1).as("tag"), lit(null).cast("long").as("rid"))
     val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol).as("k"), col(tsCol).as("t"))
       .agg(max(col(rightIdCol)).cast("long").as("rid"))
       .select(col("k"), col("t"), lit(null).cast("long").as("lid"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed interval (range-containment) join — "which point events
@@ -33,17 +33,23 @@ object RangeJoin {
                    tsCol: String, intervalIdCol: String, pointIdCol: String,
                    binWidthUs: Long = 3600L * 1000000L): DataFrame = {
     require(binWidthUs > 0, s"binWidthUs must be positive (got $binWidthUs)")
+    // the bin id is the bin's START micro-timestamp, computed in exact
+    // LONG arithmetic (t - pmod(t, w)) — floor(t / w) through doubles
+    // is only exact for |t| < 2^53, so a far-future/past timestamp
+    // could land a boundary point in the wrong bin and silently miss a
+    // pair; the stepped sequence never divides at all
+    def binOf(t: Column): Column = t - pmod(t, lit(binWidthUs))
     val i = intervals.select(col(keyCol).as("k"),
         col(intervalIdCol).cast("long").as("iid"),
         unix_micros(col(startCol)).as("t0"),
         unix_micros(col(endCol)).as("t1"))
       .filter(col("t0") <= col("t1"))
       .withColumn("bin", explode(sequence(
-        floor(col("t0") / binWidthUs), floor(col("t1") / binWidthUs))))
+        binOf(col("t0")), binOf(col("t1")), lit(binWidthUs))))
     val p = points.select(col(keyCol).as("k"),
         col(pointIdCol).cast("long").as("pid"),
         unix_micros(col(tsCol)).as("pt"))
-      .withColumn("bin", floor(col("pt") / binWidthUs))
+      .withColumn("bin", binOf(col("pt")))
     i.join(p, Seq("k", "bin"))
       .filter(col("pt") >= col("t0") && col("pt") <= col("t1"))
       .select(col("iid"), col("k"), col("pid"), col("pt"))

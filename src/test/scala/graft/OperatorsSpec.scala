@@ -153,5 +153,25 @@ class OperatorsSpec extends SparkSuite {
       (101L, Some(201L), Some(5L)),
       (102L, None, None),
       (103L, None, None)))
+    // SQL null semantics: a null-ts right row would sort NULLS FIRST and
+    // poison every left row's running last; a null-key right row would
+    // meet null-key left rows in the null window partition. Both are
+    // unmatchable under the SQL formulation and must be ignored, while
+    // left rows always surface (left-join shape).
+    val leftN = Seq(
+      (Option(1L), Option(ts(10)), 100L),
+      (Option.empty[Long], Option(ts(10)), 101L), // null key -> no match
+      (Option(1L), Option.empty[Timestamp], 102L) // null ts -> no match
+    ).toDF("user_id", "ts", "event_id")
+    val rightN = Seq(
+      (Option(1L), Option.empty[Timestamp], 200L), // null ts: ignored
+      (Option.empty[Long], Option(ts(5)), 201L),   // null key: ignored
+      (Option(1L), Option(ts(3)), 202L)
+    ).toDF("user_id", "ts", "event_id")
+    val gotN = AsofJoin.asofJoin(leftN, rightN, "user_id", "ts", "event_id", "event_id")
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(gotN.toSeq == Seq(
+      (100L, Some(202L)), (101L, None), (102L, None)))
   }
 }

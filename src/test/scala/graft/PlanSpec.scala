@@ -207,8 +207,11 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), s"no window operator:\n$p")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx <= 2, s"expected <= 2 hash exchanges, got $hashEx:\n$p")
-    val keyWindowEx = p.linesIterator.exists(l =>
-      l.contains("Exchange hashpartitioning(k#"))
+    // key-ONLY partitioning (k as the sole expression) — a bare
+    // contains("hashpartitioning(k#") would also match the dedup agg's
+    // (k, t) exchange and never fail
+    val keyWindowEx =
+      "Exchange hashpartitioning\\(k#\\d+L?, \\d+\\)".r.findFirstIn(p).isDefined
     assert(keyWindowEx, s"no key-only window exchange:\n$p")
     assert(p.contains("partial_max"), s"right-side dedup not partial-aggregated:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
