@@ -81,8 +81,10 @@ object Curation {
     */
   def dupNgramCoverage(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, materialize: Boolean = true): DataFrame = {
+    // coalesce null text (the chunkWithOverlap policy): size(null) = -1
+    // would otherwise leak n_tokens = -1 instead of the documented 0
     val base0 = docs.select(col(idCol).as("doc_id"),
-      Dedup.tokens(col(textCol)).as("w"))
+      Dedup.tokens(coalesce(col(textCol), lit(""))).as("w"))
     val base = if (materialize)
       base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base0

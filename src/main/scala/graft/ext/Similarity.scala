@@ -76,8 +76,15 @@ object Similarity {
         col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("sim"))
   }
 
-  /** Deterministic random hyperplanes for sign-LSH: `planes(i)(d)`. */
+  /** Deterministic random hyperplanes for sign-LSH: `planes(i)(d)`.
+    * At most 64: [[lshBucket]] packs one bit per plane into a single
+    * long, and `shiftleft(1L, i)` wraps mod 64 in Java — a 65th plane
+    * would silently OR-corrupt bit 0 (the same overflow `bandedFrame`
+    * rejects; guarding here covers every lshBucket caller).
+    */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    require(numPlanes <= 64,
+      s"sign-LSH signatures pack into one long: numPlanes must be <= 64 (got $numPlanes)")
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }

@@ -48,7 +48,10 @@ object AsofJoin {
     val r = right
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .groupBy(col(keyCol).as("k"), col(tsCol).as("t"))
-      .agg(max(col(rightIdCol)).cast("long").as("rid"))
+      // cast BEFORE the max: a string id column would tie-break
+      // lexicographically ('9' > '10'), diverging from the documented
+      // numeric max-id representative and from the oracle
+      .agg(max(col(rightIdCol).cast("long")).as("rid"))
       .select(col("k"), col("t"), lit(null).cast("long").as("lid"),
         lit(0).as("tag"), col("rid"))
     val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))

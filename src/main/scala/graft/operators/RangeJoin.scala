@@ -27,12 +27,24 @@ object RangeJoin {
 
   /** Output: one row per (interval, contained point) —
     * (iid, k, pid, p_ts). Bounds inclusive on both ends.
+    *
+    * `maxBinsPerInterval` bounds the per-interval explode factor
+    * (span/binWidthUs + 1): one corrupt outlier interval (an epoch-0
+    * start against current timestamps, say) would otherwise generate
+    * millions of bin rows from a single input row — and Spark's
+    * `sequence()` hard-errors past ~2^31 elements mid-job. The guard is
+    * evaluated per row INSIDE the plan (assert_true feeding the sequence
+    * start, so it cannot be pruned away) and fails loudly with the
+    * offending interval id before anything explodes into the shuffle.
     */
   def intervalJoin(intervals: DataFrame, points: DataFrame,
                    keyCol: String, startCol: String, endCol: String,
                    tsCol: String, intervalIdCol: String, pointIdCol: String,
-                   binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+                   binWidthUs: Long = 3600L * 1000000L,
+                   maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidthUs > 0, s"binWidthUs must be positive (got $binWidthUs)")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive (got $maxBinsPerInterval)")
     // the bin id is the bin's START micro-timestamp, computed in exact
     // LONG arithmetic (t - pmod(t, w)) — floor(t / w) through doubles
     // is only exact for |t| < 2^53, so a far-future/past timestamp
@@ -44,8 +56,21 @@ object RangeJoin {
         unix_micros(col(startCol)).as("t0"),
         unix_micros(col(endCol)).as("t1"))
       .filter(col("t0") <= col("t1"))
+      // degenerate-span gate: nBins = (binOf(t1) - binOf(t0)) / w + 1.
+      // assert_true returns null when the predicate holds (coalesced to
+      // a 0 offset on the sequence start), raises with the interval id
+      // when it doesn't — in-plan, so column pruning cannot drop it
       .withColumn("bin", explode(sequence(
-        binOf(col("t0")), binOf(col("t1")), lit(binWidthUs))))
+        binOf(col("t0")) + coalesce(
+          assert_true(
+            (binOf(col("t1")) - binOf(col("t0"))) / binWidthUs + 1
+              <= maxBinsPerInterval,
+            concat(lit("intervalJoin: interval id="), col("iid"),
+              lit(s" spans more than $maxBinsPerInterval bins of " +
+                s"$binWidthUs us — corrupt bounds or binWidthUs far " +
+                "too small for this data"))).cast("long"),
+          lit(0L)),
+        binOf(col("t1")), lit(binWidthUs))))
     val p = points.select(col(keyCol).as("k"),
         col(pointIdCol).cast("long").as("pid"),
         unix_micros(col(tsCol)).as("pt"))

@@ -65,20 +65,31 @@ object FileSources {
     * reader supports schema evolution — a pinned column absent from the
     * files comes back silently all-null, the exact
     * quietly-computed-over-missing-data failure this module exists to
-    * prevent — so the pin is enforced against the files' OWN footer
-    * schema (a metadata-only read), field names and types both.
+    * prevent — so the pin is enforced against EVERY file's own footer
+    * (metadata-only reads), field names and types both. Per-file, not
+    * per-dataset: a single inferred schema comes from one file's footer,
+    * so a dataset where only SOME files dropped or retyped a column
+    * would pass the check and the drifted files would still come back
+    * all-null. Cost: one footer read per file on the driver — metadata
+    * only, and opt-in via the schema pin.
     */
   def readOrc(spark: SparkSession, path: String,
               schema: Option[StructType] = None): DataFrame = {
     schema.foreach { s =>
-      val fileFields = spark.read.orc(path).schema.fields
-        .map(f => f.name -> f.dataType).toMap
-      val missing = s.fields.filter(f =>
-        !fileFields.get(f.name).contains(f.dataType))
-      require(missing.isEmpty,
-        s"ORC schema drift at $path: expected fields absent or retyped: " +
-          missing.map(f => s"${f.name}: ${f.dataType.simpleString}")
-            .mkString(", "))
+      val files = spark.read.orc(path).inputFiles
+      val drifted = files.flatMap { f =>
+        val fileFields = spark.read.orc(f).schema.fields
+          .map(x => x.name -> x.dataType).toMap
+        val missing = s.fields.filter(x =>
+          !fileFields.get(x.name).contains(x.dataType))
+        if (missing.isEmpty) None
+        else Some(f -> missing.map(x =>
+          s"${x.name}: ${x.dataType.simpleString}").mkString(", "))
+      }
+      require(drifted.isEmpty,
+        s"ORC schema drift at $path: expected fields absent or retyped in " +
+          s"${drifted.length}/${files.length} files: " +
+          drifted.take(5).map { case (f, m) => s"$f [$m]" }.mkString("; "))
     }
     val r = spark.read
     schema.fold(r)(s => r.schema(s)).orc(path)

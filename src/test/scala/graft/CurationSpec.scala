@@ -61,6 +61,16 @@ class CurationSpec extends SparkSuite {
       "dup-ngram coverage must separate what distinct-ratio cannot")
   }
 
+  test("dup-ngram coverage: null text reports zero tokens, not size(null) = -1") {
+    val docs = Seq((1L, Option("a b c a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = ext.Curation.dupNgramCoverage(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got(1).getInt(1) == 0 && got(1).getLong(2) == 0L &&
+      got(1).getDouble(3) == 0.0,
+      s"null text leaked through size(null): ${got(1)}")
+  }
+
   test("boilerplate fraction: cross-doc common shingles counted, within-doc invisible") {
     val docs = Seq(
       (1L, "unique one alpha the common footer"),

@@ -307,6 +307,16 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("sign-LSH rejects more than 64 planes (packed-long overflow guard)") {
+    // shiftleft(1L, 65) wraps mod 64 in Java — bucket bit 0 would be
+    // silently OR-corrupted; every lshBucket caller goes through
+    // hyperplanes, so the guard there covers lshTopK too
+    intercept[IllegalArgumentException] {
+      ext.Similarity.hyperplanes(65, 4, seed = 1L)
+    }
+    assert(ext.Similarity.hyperplanes(64, 4, seed = 1L).length == 64)
+  }
+
   test("native cosine_sim is bit-identical to the built-ins formulation") {
     val e = Tables.load(spark, sf(), "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -131,6 +131,44 @@ class OperatorsSpec extends SparkSuite {
     assert(got.toSet == Set((500L, 600L), (500L, 601L), (500L, 604L), (501L, 603L)))
   }
 
+  test("interval join: degenerate span fails loudly before exploding into the shuffle") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // one corrupt epoch-0 interval against 2024-era bounds: ~473k hourly
+    // bins from a single row — must raise with the interval id, not
+    // silently flood the shuffle (or hit sequence()'s 2^31 hard error)
+    val corrupt = Seq(
+      (1L, ts(0), Timestamp.valueOf("2024-01-01 00:00:00"), 900L)
+    ).toDF("user_id", "t_start", "t_end", "event_id")
+    val points = Seq((1L, ts(5), 600L)).toDF("user_id", "ts", "event_id")
+    val e = intercept[Exception] {
+      RangeJoin.intervalJoin(corrupt, points,
+        "user_id", "t_start", "t_end", "ts", "event_id", "event_id").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("spans more than")),
+      s"expected the in-plan span guard to fire, got: $e")
+    // a legitimate span under the cap still runs through the same path
+    val fine = Seq((1L, ts(0), ts(7200), 901L))
+      .toDF("user_id", "t_start", "t_end", "event_id")
+    assert(RangeJoin.intervalJoin(fine, points,
+      "user_id", "t_start", "t_end", "ts", "event_id", "event_id")
+      .count() == 1L)
+  }
+
+  test("as-of join: string right-id ties resolve numerically, not lexicographically") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // '9' > '10' as strings: the max-id representative must come from
+    // the LONG cast ('10'), matching the numeric oracle
+    val left = Seq((1L, ts(10), 100L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(5), "9"), (1L, ts(5), "10"))
+      .toDF("user_id", "ts", "event_id")
+    val got = AsofJoin.asofJoin(left, right, "user_id", "ts", "event_id", "event_id")
+      .collect()
+    assert(got.length == 1 && got(0).getLong(3) == 10L,
+      s"string-id tie broke lexicographically: ${got.mkString}")
+  }
+
   test("as-of join: latest at-or-before match, inclusive ties, nulls when nothing precedes") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     val left = Seq(

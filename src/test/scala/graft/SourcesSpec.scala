@@ -79,6 +79,30 @@ class SourcesSpec extends SparkSuite {
     }
   }
 
+  test("ORC drift in only SOME files still fails loudly (per-file footer check)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    // a mixed directory: one file with (doc_id, lang), one where lang
+    // was dropped upstream. Single-schema inference reads ONE footer and
+    // can land on the good file — the per-file check must still throw.
+    val good = Tables.load(spark, sf(), "documents")
+      .select("doc_id", "lang").limit(10).coalesce(1)
+    val bad = Tables.load(spark, sf(), "documents")
+      .select("doc_id").limit(10).coalesce(1)
+    val dir = tmp("orcpartial"); val badDir = tmp("orcpartial-bad")
+    FileSources.writeOrc(good, dir)
+    FileSources.writeOrc(bad, badDir)
+    val badPart = Files.list(Paths.get(badDir)).iterator().asScala
+      .find(p => p.getFileName.toString.endsWith(".orc")).get
+    Files.copy(badPart, Paths.get(dir, "part-drifted.orc"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val e = intercept[IllegalArgumentException] {
+      FileSources.readOrc(spark, dir, Some(good.schema))
+    }
+    assert(e.getMessage.contains("1/2 files"),
+      s"expected exactly the drifted file flagged, got: ${e.getMessage}")
+  }
+
   test("ANN banded index: partitioned write probes with partition pruning, results unchanged") {
     import graft.streaming.StreamSimilarity
     import graft.ext.Similarity
