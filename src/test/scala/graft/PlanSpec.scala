@@ -244,6 +244,23 @@ class PlanSpec extends SparkSuite {
     assert(bandJoin, s"no broadcast equi-join on (band, bucket):\n$p")
   }
 
+  // no declared query may plan a window with an EMPTY partition spec —
+  // that is the move-every-row-to-one-partition stage (the r7 verdict's
+  // 12-WindowExec-warnings finding against the old assignByIndex; its
+  // replacement ranks per range-partition with a driver prefix sum)
+  test("no empty-partition-spec window anywhere in the declared suite") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- SparkEntry.queries.keys.toSeq.sorted
+         if !eagerQueries.contains(q)) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q: empty-partition-spec window (all rows funnel to one partition)")
+    }
+  }
+
   // scans must prune columns: the documents scan of a two-column query
   // must not read the text body (ReadSchema check on the parquet scan)
   test("column pruning reaches the parquet scan") {
