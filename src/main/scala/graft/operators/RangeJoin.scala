@@ -42,6 +42,60 @@ object RangeJoin {
                    tsCol: String, intervalIdCol: String, pointIdCol: String,
                    binWidthUs: Long = 3600L * 1000000L,
                    maxBinsPerInterval: Long = 100000L): DataFrame = {
+    val (i, p) = intervalJoinPrepared(intervals, points, keyCol, startCol,
+      endCol, tsCol, intervalIdCol, pointIdCol, binWidthUs, maxBinsPerInterval)
+    i.join(p, Seq("k", "bin"))
+      .filter(col("pt") >= col("t0") && col("pt") <= col("t1"))
+      .select(col("iid"), col("k"), col("pid"), col("pt"))
+  }
+
+  /** Hot-bin salted variant — identical output contract to
+    * [[intervalJoin]], for the flash-crowd regime its docstring names:
+    * one (key, bin) holding most of the points (a viral hour) makes
+    * that join partition a straggler no matter how the rest balances.
+    *
+    * The join key grows a salt: each POINT gets a deterministic
+    * sub-bucket `pmod(xxhash64(pid), salt)`, each interval-bin row
+    * explodes to all `salt` sub-buckets, and the equi-join runs on
+    * (key, bin, salt) — the hot bin's points spread across `salt`
+    * partitions while every true (interval, point) pair still meets
+    * exactly once (a point lives in ONE (bin, salt); the interval
+    * covers all salts of its bins). Cost: the interval side's slim
+    * bin rows replicate `salt` x — the standard replicate-the-small-
+    * side/spread-the-big-side skew trade. Keep `salt` modest (8-32):
+    * it multiplies interval-bin rows unconditionally, so it buys tail
+    * latency with a proportional candidate-build cost; AQE skew-join
+    * handles mild skew without any of this, the salt handles the
+    * pathological case AQE's byte thresholds miss.
+    */
+  def intervalJoinSalted(intervals: DataFrame, points: DataFrame,
+                         keyCol: String, startCol: String, endCol: String,
+                         tsCol: String, intervalIdCol: String, pointIdCol: String,
+                         binWidthUs: Long = 3600L * 1000000L,
+                         maxBinsPerInterval: Long = 100000L,
+                         salt: Int = 8): DataFrame = {
+    require(salt > 0, s"salt must be positive (got $salt)")
+    val (i0, p0) = intervalJoinPrepared(intervals, points, keyCol, startCol,
+      endCol, tsCol, intervalIdCol, pointIdCol, binWidthUs, maxBinsPerInterval)
+    val i = i0.withColumn("salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    val p = p0.withColumn("salt",
+      pmod(xxhash64(col("pid")), lit(salt.toLong)))
+    i.join(p, Seq("k", "bin", "salt"))
+      .filter(col("pt") >= col("t0") && col("pt") <= col("t1"))
+      .select(col("iid"), col("k"), col("pid"), col("pt"))
+  }
+
+  /** The shared binned frames behind both join forms (one code path, so
+    * the salted variant cannot drift from the plain one): interval rows
+    * exploded to their bins (with the degenerate-span gate) and point
+    * rows tagged with their single bin.
+    */
+  private def intervalJoinPrepared(intervals: DataFrame, points: DataFrame,
+                                   keyCol: String, startCol: String, endCol: String,
+                                   tsCol: String, intervalIdCol: String, pointIdCol: String,
+                                   binWidthUs: Long, maxBinsPerInterval: Long):
+      (DataFrame, DataFrame) = {
     require(binWidthUs > 0, s"binWidthUs must be positive (got $binWidthUs)")
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be positive (got $maxBinsPerInterval)")
@@ -75,8 +129,6 @@ object RangeJoin {
         col(pointIdCol).cast("long").as("pid"),
         unix_micros(col(tsCol)).as("pt"))
       .withColumn("bin", binOf(col("pt")))
-    i.join(p, Seq("k", "bin"))
-      .filter(col("pt") >= col("t0") && col("pt") <= col("t1"))
-      .select(col("iid"), col("k"), col("pid"), col("pt"))
+    (i, p)
   }
 }

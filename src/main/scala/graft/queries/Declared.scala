@@ -1681,6 +1681,39 @@ object Declared {
              |GROUP BY l.event_id, l.user_id, l.ts
              |ORDER BY qid""".stripMargin)),
 
+    // x47's skew-salted twin: identical semantics and oracle, but the
+    // window partition key is (user, hour-bin) with a bin-granular
+    // carry-in stitch — the form for a hot key whose series outgrows a
+    // partition. Same independent DuckDB recomputation proves the salt +
+    // stitch change NOTHING about the result.
+    "x47_asof_salted" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        graft.operators.AsofJoin.asofJoinSalted(
+          ev.filter(col("event_id") % 7 === 0),
+          ev.filter(col("event_id") % 7 =!= 0),
+          "user_id", "ts", "event_id", "event_id")
+          .select(col("lid").as("qid"), col("k").as("user_id"),
+            unix_micros(col("t")).as("q_us"),
+            col("matched_id"),
+            unix_micros(col("matched_t")).as("matched_us"))
+          .orderBy("qid")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 7 = 0),
+             |r AS (
+             |  SELECT user_id, ts, max(event_id) AS rid FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 7 <> 0 GROUP BY 1, 2)
+             |SELECT l.event_id AS qid, l.user_id,
+             |  epoch_us(l.ts) AS q_us,
+             |  max_by(r.rid, r.ts) AS matched_id,
+             |  epoch_us(max(r.ts)) AS matched_us
+             |FROM l LEFT JOIN r
+             |  ON l.user_id = r.user_id AND r.ts <= l.ts
+             |GROUP BY l.event_id, l.user_id, l.ts
+             |ORDER BY qid""".stripMargin)),
+
     // Interval (range-containment) join (§2.6 extension, x47's sibling):
     // every 11th event opens a 2-hour interval; which other events of
     // the same user fall inside it. The binned equi-join never
@@ -1694,6 +1727,36 @@ object Declared {
             (col("ts") + expr("INTERVAL 2 HOURS")).as("t_end"))
         val points = ev.filter(col("event_id") % 11 =!= 0)
         graft.operators.RangeJoin.intervalJoin(
+          intervals, points, "user_id", "t_start", "t_end", "ts",
+          "event_id", "event_id")
+          .select(col("iid"), col("k").as("user_id"), col("pid"),
+            col("pt").as("p_us"))
+          .orderBy("iid", "pid")
+      },
+      Some("""WITH i AS (
+             |  SELECT event_id AS iid, user_id, ts AS t0,
+             |    ts + INTERVAL 2 HOUR AS t1
+             |  FROM events WHERE ts IS NOT NULL AND event_id % 11 = 0),
+             |p AS (
+             |  SELECT event_id AS pid, user_id, ts FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 11 <> 0)
+             |SELECT i.iid, i.user_id, p.pid, epoch_us(p.ts) AS p_us
+             |FROM i JOIN p
+             |  ON i.user_id = p.user_id AND p.ts >= i.t0 AND p.ts <= i.t1
+             |ORDER BY iid, pid""".stripMargin)),
+
+    // x48's hot-bin salted twin: join key grows a per-point sub-bucket
+    // (interval bins replicate salt x, points spread) — the flash-crowd
+    // form. Identical semantics, same independent DuckDB inequality-join
+    // recomputation.
+    "x48_interval_salted" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        val intervals = ev.filter(col("event_id") % 11 === 0)
+          .select(col("event_id"), col("user_id"), col("ts").as("t_start"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("t_end"))
+        val points = ev.filter(col("event_id") % 11 =!= 0)
+        graft.operators.RangeJoin.intervalJoinSalted(
           intervals, points, "user_id", "t_start", "t_end", "ts",
           "event_id", "event_id")
           .select(col("iid"), col("k").as("user_id"), col("pid"),

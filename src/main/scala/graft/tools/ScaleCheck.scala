@@ -412,6 +412,123 @@ object ScaleCheck {
       }
     }
 
+    // --- as-of join under hot-key skew: salted vs plain ---------------
+    // Fixture: the sf events with ~half of all rows remapped onto ONE
+    // key — the regime AsofJoin.asofJoin's docstring warns about (its
+    // per-key window makes the hot key a single straggler task). The
+    // salted form's window partitions on (key, hour-bin) instead.
+    // Witnesses (all deterministic): (a) the salted partition key's
+    // largest group is a small fraction of the hot key's row count —
+    // the per-task balance argument, since window tasks are keyed by
+    // the partition key; (b) salted output is IDENTICAL to plain on
+    // the skewed fixture (count + order-independent hash). Wall times
+    // reported for context, not asserted (local[32] understates
+    // straggler pain: 32 cores vs 1000 executors).
+    sb.append("\n## As-of join under hot-key skew (salted vs plain)\n\n")
+    locally {
+      val ev = graft.Tables.load(spark, sfDir, "events")
+        .filter(col("ts").isNotNull)
+        .withColumn("user_id",
+          when(col("event_id") % 2 === 0, lit(77777L)).otherwise(col("user_id")))
+      val l = ev.filter(col("event_id") % 7 === 0)
+      val r = ev.filter(col("event_id") % 7 =!= 0)
+      val binW = 3600L * 1000000L
+      def plain() = graft.operators.AsofJoin.asofJoin(
+        l, r, "user_id", "ts", "event_id", "event_id")
+      def salted() = graft.operators.AsofJoin.asofJoinSalted(
+        l, r, "user_id", "ts", "event_id", "event_id", binW)
+      // partition-key balance: biggest per-key group vs biggest
+      // per-(key, bin) group over the unioned window input
+      val both = ev.select(col("user_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(binW))).as("bin"))
+      val maxKey = both.groupBy("user_id").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val maxSalted = both.groupBy("user_id", "bin").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxSalted * 4 <= maxKey,
+        s"salting did not spread the hot key: maxKeyRows=$maxKey maxSaltedRows=$maxSalted")
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      plain().count(); salted().count() // warm-up
+      val tPlain = time(assert(sig(plain())._1 > 0))
+      val tSalted = time(assert(sig(salted())._1 > 0))
+      val (cp, hp) = sig(plain()); val (cs, hs) = sig(salted())
+      assert(cp == cs && hp == hs,
+        s"salted output diverged on the skew fixture: ($cp,$hp) vs ($cs,$hs)")
+      sb.append("Half of all event rows remapped to one key; hourly salt bins.\n\n")
+      sb.append("| form | wall (s) | max rows per window-partition key |\n|---|---|---|\n")
+      sb.append(f"| plain (per-key window) | $tPlain%.2f | $maxKey |\n")
+      sb.append(f"| salted (per-(key,bin) window) | $tSalted%.2f | $maxSalted |\n")
+      sb.append(f"\nOutputs identical (count $cp, xor-hash match); balance factor " +
+        f"${maxKey.toDouble / maxSalted}%.1f x.\n")
+      println(f"SCALE x47 skew: plain $tPlain%.2f s salted $tSalted%.2f s " +
+        f"maxKey=$maxKey maxSalted=$maxSalted")
+    }
+
+    // --- interval join under hot-bin skew: salted vs plain ------------
+    // Flash-crowd fixture: most points remapped onto ONE (key, hour) —
+    // the regime RangeJoin's docstring names. The salted form spreads
+    // that bin's points across `salt` sub-buckets of the join key.
+    // Witnesses: (a) the salted join key's largest group shrinks by
+    // ~salt x vs the plain (key, bin) key; (b) outputs identical.
+    sb.append("\n## Interval join under hot-bin skew (salted vs plain)\n\n")
+    locally {
+      val ev0 = graft.Tables.load(spark, sfDir, "events")
+        .filter(col("ts").isNotNull)
+      // remap ~70% of points into one user's single hour
+      val hotStart = lit("2024-01-15 12:00:00").cast("timestamp")
+      val ev = ev0.withColumn("flash", col("event_id") % 10 < 7)
+        .withColumn("user_id",
+          when(col("flash"), lit(77777L)).otherwise(col("user_id")))
+        .withColumn("ts", when(col("flash"),
+          timestamp_micros(unix_micros(hotStart) +
+            pmod(col("event_id"), lit(3600L)) * 1000000L))
+          .otherwise(col("ts")))
+      val intervals = ev.filter(col("event_id") % 11 === 0)
+        .select(col("event_id"), col("user_id"), col("ts").as("t_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("t_end"))
+      val points = ev.filter(col("event_id") % 11 =!= 0)
+      val binW = 3600L * 1000000L
+      val saltN = 8
+      def plain() = graft.operators.RangeJoin.intervalJoin(intervals, points,
+        "user_id", "t_start", "t_end", "ts", "event_id", "event_id", binW)
+      def salted() = graft.operators.RangeJoin.intervalJoinSalted(
+        intervals, points, "user_id", "t_start", "t_end", "ts",
+        "event_id", "event_id", binW, salt = saltN)
+      // join-key balance on the POINT side (what the hot bin skews)
+      val pk = points.select(col("user_id"),
+        (unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(binW))).as("bin"),
+        pmod(xxhash64(col("event_id")), lit(saltN.toLong)).as("salt"))
+      val maxBin = pk.groupBy("user_id", "bin").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val maxSaltedBin = pk.groupBy("user_id", "bin", "salt").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxSaltedBin * 4 <= maxBin,
+        s"salting did not spread the hot bin: maxBin=$maxBin maxSalted=$maxSaltedBin")
+      def sig(df: DataFrame): (Long, Long) = {
+        val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      plain().count(); salted().count() // warm-up
+      val tPlain = time(assert(sig(plain())._1 > 0))
+      val tSalted = time(assert(sig(salted())._1 > 0))
+      val (cp, hp) = sig(plain()); val (cs, hs) = sig(salted())
+      assert(cp == cs && hp == hs,
+        s"salted interval join diverged on the flash-crowd fixture: ($cp,$hp) vs ($cs,$hs)")
+      sb.append("~70% of points remapped into one (user, hour); salt = 8.\n\n")
+      sb.append("| form | wall (s) | max points per join-key group |\n|---|---|---|\n")
+      sb.append(f"| plain (k, bin) | $tPlain%.2f | $maxBin |\n")
+      sb.append(f"| salted (k, bin, salt) | $tSalted%.2f | $maxSaltedBin |\n")
+      sb.append(f"\nOutputs identical (count $cp, xor-hash match); balance factor " +
+        f"${maxBin.toDouble / maxSaltedBin}%.1f x.\n")
+      println(f"SCALE x48 skew: plain $tPlain%.2f s salted $tSalted%.2f s " +
+        f"maxBin=$maxBin maxSalted=$maxSaltedBin")
+    }
+
     // --- generator: linear scaling with numPartitions ----------------
     // BASELINE.md's remaining derived target: wire-record generation
     // "scales linearly with numPartitions". Fixed 1M records, varying

@@ -131,6 +131,97 @@ class OperatorsSpec extends SparkSuite {
     assert(got.toSet == Set((500L, 600L), (500L, 601L), (500L, 604L), (501L, 603L)))
   }
 
+  test("salted interval join equals the plain form (crafted + events fixture)") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val intervals = Seq(
+      (1L, ts(5), ts(25), 500L),
+      (2L, ts(0), ts(10), 501L)
+    ).toDF("user_id", "t_start", "t_end", "event_id")
+    val points = Seq(
+      (1L, ts(5), 600L), (1L, ts(25), 601L), (1L, ts(26), 602L),
+      (2L, ts(7), 603L), (1L, ts(7), 604L)
+    ).toDF("user_id", "ts", "event_id")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val plain = run(RangeJoin.intervalJoin(intervals, points,
+      "user_id", "t_start", "t_end", "ts", "event_id", "event_id",
+      binWidthUs = 10L * 1000000L))
+    val salted = run(RangeJoin.intervalJoinSalted(intervals, points,
+      "user_id", "t_start", "t_end", "ts", "event_id", "event_id",
+      binWidthUs = 10L * 1000000L, salt = 4))
+    assert(salted == plain && plain ==
+      Set((500L, 600L), (500L, 601L), (500L, 604L), (501L, 603L)))
+    // fixture scale: no dup pairs, identical pair set
+    val ev = Tables.load(spark, sf(), "events").filter(col("ts").isNotNull)
+    val iv = ev.filter(col("event_id") % 11 === 0)
+      .select(col("event_id"), col("user_id"), col("ts").as("t_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("t_end"))
+    val pts = ev.filter(col("event_id") % 11 =!= 0)
+    val fp = run(RangeJoin.intervalJoin(iv, pts,
+      "user_id", "t_start", "t_end", "ts", "event_id", "event_id"))
+    val fs0 = RangeJoin.intervalJoinSalted(iv, pts,
+      "user_id", "t_start", "t_end", "ts", "event_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(fs0.length == fs0.distinct.length, "salted join emitted dup pairs")
+    assert(fp.nonEmpty && fs0.toSet == fp)
+  }
+
+  test("salted as-of join equals the plain form on boundary/carry/tie/null fixtures") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // bins of 10 s; crafted to cover every stitch case: match in SAME
+    // bin, carry from previous bin, carry across EMPTY bins, right row
+    // exactly AT a bin start, tie at equal ts (max-id dedup), left row
+    // before any right, key with no right rows, null key/ts both sides
+    val left = Seq(
+      (Option(1L), Option(ts(12)), 100L), // match in same bin (t=11)
+      (Option(1L), Option(ts(25)), 101L), // carry from bin 1 (t=11)
+      (Option(1L), Option(ts(47)), 102L), // carry across empty bins 2,3
+      (Option(1L), Option(ts(30)), 103L), // right exactly at bin start 30
+      (Option(1L), Option(ts(3)), 104L),  // before any right -> nulls
+      (Option(2L), Option(ts(50)), 105L), // key with no rights -> nulls
+      (Option.empty[Long], Option(ts(5)), 106L), // null key -> nulls
+      (Option(1L), Option.empty[Timestamp], 107L) // null ts -> nulls
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (Option(1L), Option(ts(11)), 200L),
+      (Option(1L), Option(ts(11)), 201L), // tie -> max id 201
+      (Option(1L), Option(ts(30)), 202L), // at bin boundary
+      (Option(3L), Option(ts(1)), 300L),
+      (Option.empty[Long], Option(ts(2)), 400L), // null key: ignored
+      (Option(1L), Option.empty[Timestamp], 401L) // null ts: ignored
+    ).toDF("user_id", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getTimestamp(4).getTime))).toSet
+    val plain = canon(AsofJoin.asofJoin(
+      left, right, "user_id", "ts", "event_id", "event_id"))
+    val salted = canon(AsofJoin.asofJoinSalted(
+      left, right, "user_id", "ts", "event_id", "event_id",
+      binWidthUs = 10L * 1000000L))
+    assert(salted == plain, s"salted diverged:\nplain  $plain\nsalted $salted")
+    // spot-check the semantics, not just self-consistency
+    val byLid = salted.map(t => t._1 -> t).toMap
+    assert(byLid(100L)._2 == Some(201L)) // same-bin match, tie -> max id
+    assert(byLid(102L)._2 == Some(202L)) // carried across empty bins
+    assert(byLid(103L)._2 == Some(202L)) // right at bin start matches
+    assert(byLid(104L)._2 == None && byLid(105L)._2 == None &&
+      byLid(106L)._2 == None && byLid(107L)._2 == None)
+  }
+
+  test("salted as-of join equals the plain form on the events fixture") {
+    val ev = Tables.load(spark, sf(), "events").filter(col("ts").isNotNull)
+    val l = ev.filter(col("event_id") % 7 === 0)
+    val r = ev.filter(col("event_id") % 7 =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)),
+        if (x.isNullAt(4)) None else Some(x.getTimestamp(4).getTime))).toSet
+    val plain = canon(AsofJoin.asofJoin(l, r, "user_id", "ts", "event_id", "event_id"))
+    val salted = canon(AsofJoin.asofJoinSalted(l, r, "user_id", "ts", "event_id", "event_id"))
+    assert(plain.nonEmpty && salted == plain)
+  }
+
   test("interval join: degenerate span fails loudly before exploding into the shuffle") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     // one corrupt epoch-0 interval against 2024-era bounds: ~473k hourly

@@ -218,6 +218,20 @@ class PlanSpec extends SparkSuite {
       !p.contains("CartesianProduct"), s"as-of join materialized a join:\n$p")
   }
 
+  // x47's salted twin: the big window must partition by (k, bin) — the
+  // whole point of the salt; k-only partitioning would mean the hot key
+  // still funnels to one task. Join operators stay absent (the stitch
+  // is windows + unions, never a join blow-up).
+  test("salted as-of join windows on (key, bin), no join blow-up") {
+    val p = planOf("x47_asof_salted")
+    val saltedEx =
+      "Exchange hashpartitioning\\(k#\\d+L?, bin#\\d+L?, \\d+\\)".r
+        .findFirstIn(p).isDefined
+    assert(saltedEx, s"no (k, bin) window exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"salted as-of materialized a join:\n$p")
+  }
+
   // x48: the interval join must be the binned hash EQUI-join on
   // (k, bin) — a raw BETWEEN join would plan BroadcastNestedLoop
   // (the l x r blow-up the operator exists to avoid)
@@ -230,6 +244,20 @@ class PlanSpec extends SparkSuite {
     assert(binJoin, s"no hash equi-join on (k, bin):\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"interval join fell back to nested-loop:\n$p")
+  }
+
+  // x48's salted twin: the equi-join key must include the salt — a
+  // (k, bin)-only join would mean the hot bin still lands on one task
+  test("salted interval join equi-joins on (key, bin, salt)") {
+    val p = planOf("x48_interval_salted")
+    val saltJoin = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin")) &&
+        "[\\[(, ]k#\\d".r.findFirstIn(l).isDefined &&
+        "[\\[(, ]bin#\\d".r.findFirstIn(l).isDefined &&
+        "[\\[(, ]salt#\\d".r.findFirstIn(l).isDefined)
+    assert(saltJoin, s"no hash equi-join on (k, bin, salt):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted interval join fell back to nested-loop:\n$p")
   }
 
   // x45: the banded-LSH candidate join must be a broadcast equi-join on
