@@ -288,27 +288,67 @@ object Dedup {
                     k: Int, threshold: Double,
                     bands: Int = 16, rowsPerBand: Int = 4,
                     materialize: Boolean = true): DataFrame = {
-    val newSig0 = sigFrame(incoming, textCol, idCol, k, bands * rowsPerBand)
     val oldSig0 = sigFrame(existing, textCol, idCol, k, bands * rowsPerBand)
-    val (newSig, oldSig) =
-      if (materialize)
-        (newSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          oldSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else (newSig0, oldSig0)
+    val oldSig = if (materialize)
+      oldSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else oldSig0
+    try {
+      crossDupPairsPrebuilt(incoming,
+        bandedFrame(oldSig, bands, rowsPerBand),
+        oldSig.select("doc_id", "sh"),
+        textCol, idCol, k, threshold, bands, rowsPerBand, materialize)
+    } finally if (materialize) oldSig.unpersist()
+  }
+
+  /** The precomputed existing-side LSH index for incremental refreshes —
+    * the crossDupPairs docstring's "write them out instead of passing
+    * `existing` raw" policy made concrete: one slim (doc_id, band,
+    * bucket) row per (doc, band). At 100 TB this (plus [[shingleFrame]])
+    * is a one-off `partitionBy(band)` write reused by every refresh and
+    * by the streaming probe (graft.streaming.StreamDedup.crossDupProbe).
+    */
+  def minhashBandIndex(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandedFrame(sigFrame(docs, textCol, idCol, k, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** The (doc_id, sh) shingle table — [[minhashBandIndex]]'s verification
+    * companion (candidates are exact-Jaccard-verified against it).
+    */
+  def shingleFrame(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** [[crossDupPairs]] against a PREBUILT existing-side index + shingle
+    * table — the refresh/streaming form; the from-raw overload delegates
+    * here, so the two cannot drift. Only the incoming side is hashed:
+    * per-refresh (or per-micro-batch) cost is |new|-proportional.
+    */
+  def crossDupPairsPrebuilt(incoming: DataFrame,
+                            oldIndex: DataFrame, oldShingles: DataFrame,
+                            textCol: String, idCol: String,
+                            k: Int, threshold: Double,
+                            bands: Int = 16, rowsPerBand: Int = 4,
+                            materialize: Boolean = true): DataFrame = {
+    val newSig0 = sigFrame(incoming, textCol, idCol, k, bands * rowsPerBand)
+    val newSig = if (materialize)
+      newSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else newSig0
     try {
       val a = bandedFrame(newSig, bands, rowsPerBand).as("a")
-      val b = bandedFrame(oldSig, bands, rowsPerBand).as("b")
+      val b = oldIndex.as("b")
       // no id ordering constraint — sides are distinct by contract
       val cand = a.join(b,
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val pairs = verifyJaccard(cand,
-        newSig.select("doc_id", "sh"), oldSig.select("doc_id", "sh"), threshold)
+        newSig.select("doc_id", "sh"), oldShingles, threshold)
         .withColumnRenamed("id_a", "id_new")
         .withColumnRenamed("id_b", "id_old")
       if (materialize) pairs.localCheckpoint(true) else pairs
-    } finally if (materialize) { newSig.unpersist(); oldSig.unpersist() }
+    } finally if (materialize) newSig.unpersist()
   }
 
   /** SimHash 64-bit fingerprint over the token sequence: bit b of the

@@ -33,4 +33,32 @@ object StreamDedup {
     docs.withColumn("content_hash", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Cross-corpus NEAR-dup at ingest (x41's streaming form — the
+    * [[StreamSimilarity]] batch-index / stream-probe split): "is this
+    * new document a near-duplicate of anything already in the corpus?"
+    * answered per micro-batch inside `foreachBatch`.
+    *
+    * The corpus side is built ONCE —
+    * [[graft.ext.Dedup.minhashBandIndex]] (slim (doc_id, band, bucket)
+    * rows) plus [[graft.ext.Dedup.shingleFrame]] (exact-verification
+    * table); at 100 TB both are one-off partitioned writes reused
+    * across corpus refreshes, and persisting them is what makes the
+    * per-batch probe |batch|-proportional. The probe itself is
+    * [[graft.ext.Dedup.crossDupPairsPrebuilt]] VERBATIM (one code path
+    * with the batch refresh operator, so they cannot drift): only the
+    * micro-batch is shingled/hashed, candidates come from the banded
+    * equi-join, and every emitted pair is exact-Jaccard verified —
+    * precision 1, recall identical to the batch form.
+    *
+    * `foreachBatch` (not a continuous stream-static join) because the
+    * candidate dedup + verification join are plain batch ops there —
+    * the same reasoning as [[StreamSimilarity.topKPerBatch]].
+    */
+  def crossDupProbe(batch: DataFrame, oldIndex: DataFrame,
+                    oldShingles: DataFrame, textCol: String, idCol: String,
+                    k: Int, threshold: Double,
+                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    graft.ext.Dedup.crossDupPairsPrebuilt(batch, oldIndex, oldShingles,
+      textCol, idCol, k, threshold, bands, rowsPerBand, materialize = false)
 }

@@ -477,6 +477,79 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming cross-corpus dedup: per-batch index probe equals batch crossDupPairs") {
+    import graft.ext.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sf(), "documents")
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L) // disjoint id spaces
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = canon(Dedup.crossDupPairs(incoming, existing,
+      "text", "doc_id", k = 3, threshold = 0.2).collect())
+    // corpus index + shingle table built once; incoming docs stream in
+    // two micro-batches — each batch probes independently, so the
+    // union of per-batch pairs must equal the batch operator exactly
+    val index = Dedup.minhashBandIndex(existing, "text", "doc_id", k = 3).persist()
+    val shingles = Dedup.shingleFrame(existing, "text", "doc_id", k = 3).persist()
+    try {
+      val fixture = incoming.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val input = MemoryStream[(Long, String)]
+      val buf = scala.collection.mutable.Set[(Long, Long, Double)]()
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = StreamDedup.crossDupProbe(b, index, shingles,
+            "text", "doc_id", k = 3, threshold = 0.2).collect()
+          buf.synchronized {
+            rows.foreach(r => buf += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+          }
+        }.start()
+      try {
+        val (b1, b2) = fixture.splitAt(fixture.length / 2)
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+        assert(batch.nonEmpty && buf.toSet == batch)
+      } finally q.stop()
+    } finally { index.unpersist(); shingles.unpersist() }
+  }
+
+  test("streaming as-of: stream-static interval probe equals the batch asofJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, sf(), "events").filter(col("ts").isNotNull)
+    val l = ev.filter(col("event_id") % 7 === 0)
+    val r = ev.filter(col("event_id") % 7 =!= 0)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(x => (x.getLong(0),
+        if (x.isNullAt(3)) None else Some(x.getLong(3)),
+        if (x.isNullAt(4)) None else Some(x.getTimestamp(4).getTime))).toSet
+    val batch = canon(graft.operators.AsofJoin.asofJoin(
+      l, r, "user_id", "ts", "event_id", "event_id").collect())
+    // index built once from the static series; events stream in two
+    // micro-batches — each event answers within its own batch (the
+    // probe is stateless), so the union must equal the batch operator
+    val index = StreamAsof.intervalIndex(r, "user_id", "ts", "event_id")
+      .persist()
+    try {
+      val fixture = l.select(col("user_id"), col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long)].collect()
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      val probed = StreamAsof.asofProbe(
+        input.toDF().toDF("user_id", "ts", "event_id"),
+        index, "user_id", "ts", "event_id")
+      val q = probed.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("sasof").start()
+      try {
+        val (b1, b2) = fixture.splitAt(fixture.length / 2)
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+        val streamed = canon(spark.table("sasof").collect())
+        assert(batch.nonEmpty && streamed == batch)
+      } finally q.stop()
+    } finally index.unpersist()
+  }
+
   test("streaming quantization: map-only int8 op streams unchanged") {
     import graft.ext.Similarity
     implicit val sqlCtx = spark.sqlContext
