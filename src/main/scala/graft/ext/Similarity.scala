@@ -298,15 +298,43 @@ object Similarity {
       .select(col(id), col(vec), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Deterministic per-(band, bucket) size cap — the ANN analogue of
+    * Dedup's `maxDocFreq` stop-shingle guard: a bucket holding far more
+    * than the expected `n / 2^bitsPerBand` occupancy is a degenerate
+    * hash region (clustered data piling into one signature), and at
+    * 100 TB one such mega-bucket is an unbounded per-query candidate
+    * scan. Keeps the `maxBucketSize`-smallest rows by
+    * (xxhash64(id), id) — a deterministic, similarity-blind uniform
+    * sample of the bucket, so the cap trims only what a hot bucket
+    * could tell you least about. Plans as WindowGroupLimit: per-input-
+    * partition bounded heaps BEFORE the (band, bucket) exchange, so the
+    * shuffle itself is capped too (PlanSpec gate). Size the cap a few
+    * multiples above expected occupancy: inert on healthy buckets,
+    * binding exactly on the pathological ones (recall deltas measured
+    * in tools/BoundProbe, provenance in BASELINE.md).
+    */
+  def capBuckets(banded: DataFrame, maxBucketSize: Int,
+                 idCol: String): DataFrame = {
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive (got $maxBucketSize)")
+    val w = Window.partitionBy("band", "bucket")
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    banded.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxBucketSize).drop("_r")
+  }
+
   def lshTopKBanded(queries: DataFrame, corpus: DataFrame, k: Int,
                     bands: Int, bitsPerBand: Int, dim: Int,
                     seed: Long = 42L, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
       bandedFrame(df, id, vec, bands, bitsPerBand, planes, idCol, vecCol)
     val q = broadcast(banded(queries, "query_id", "qv"))
-    val c = banded(corpus, "neighbor_id", "cv")
+    val c0 = banded(corpus, "neighbor_id", "cv")
+    val c = if (maxBucketSize == Int.MaxValue) c0
+      else capBuckets(c0, maxBucketSize, "neighbor_id")
     // score BEFORE the dedup: duplicate candidates (multi-band
     // collisions, <= bands per pair) cost one extra 64-multiply cosine
     // each, and in exchange the dedup + window exchanges shuffle three

@@ -1869,6 +1869,41 @@ object Declared {
              |  true AS mean_recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
 
+    // x45's hot-bucket-capped twin (r8): per-(band, bucket) candidate
+    // cap 256 — sized >= 2x the fixture's largest expected occupancy
+    // (avg 31/31/125 at sf0.001/0.01/0.1), so it is INERT on healthy
+    // buckets (measured recall identical to uncapped: 0.86/0.92/0.92,
+    // tools/BoundProbe, provenance in BASELINE.md) and binds only on
+    // the degenerate mega-buckets of a clustered corpus (binding
+    // behavior witnessed in ExtSpec's hot-bucket fixture + ScaleCheck's
+    // 16x replication, where occupancy crosses the cap).
+    "x45_ann_capped" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val lsh = Similarity.lshTopKBanded(q, e, k = 5,
+          bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 256)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        val hits = bf.select("query_id", "neighbor_id")
+          .join(lsh.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hit"))
+        val kcnt = lsh.groupBy("query_id").agg(count(lit(1)).as("k_rows"))
+        q.select(col("vec_id").as("query_id"))
+          .join(kcnt, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            max(coalesce(col("k_rows"), lit(0L))).as("max_k"),
+            (sum(coalesce(col("hit"), lit(0L))) /
+              (count(lit(1)) * 5.0)).as("mr"))
+          .select(col("n_queries"),
+            (col("max_k") <= 5).as("k_bounded"),
+            (col("mr") >= 0.6).as("mean_recall_ok"))
+      },
+      Some("""SELECT count(*) AS n_queries, true AS k_bounded,
+             |  true AS mean_recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -28,11 +28,17 @@ object StreamSimilarity {
     */
   def bandedIndex(corpus: DataFrame, bands: Int, bitsPerBand: Int,
                   dim: Int, seed: Long = 42L, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame =
-    Similarity.bandedFrame(corpus, "neighbor_id", "cv",
+                  vecCol: String = "embedding",
+                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val b = Similarity.bandedFrame(corpus, "neighbor_id", "cv",
       bands, bitsPerBand,
       Similarity.hyperplanes(bands * bitsPerBand, dim, seed),
       idCol, vecCol)
+    // optional hot-bucket cap (Similarity.capBuckets): bounds the
+    // per-probe candidate scan a mega-bucket would otherwise cost
+    if (maxBucketSize == Int.MaxValue) b
+    else Similarity.capBuckets(b, maxBucketSize, "neighbor_id")
+  }
 
   /** Band the query stream (map-only, stateless) and join the static
     * index on (band, bucket): emits scored candidate rows

@@ -107,6 +107,23 @@ object BoundProbe {
         println(f"x45 bands=$nb bits=$bpb mean_recall=${rec.sum / rec.size}%.4f min_recall=${rec.min}%.4f")
       }
 
+      // x45-capped: recall with the per-bucket candidate cap (r8) at
+      // plausible cap sizes, plus the bucket-occupancy profile the cap
+      // is sized against — expected occupancy is n / 2^bitsPerBand per
+      // band, so cap/occupancy is the survival fraction inside a bucket
+      // that saturates the cap
+      locally {
+        val nCorpus = e.count()
+        println(f"x45cap corpus=$nCorpus avg_occ_16x4=${nCorpus / 16.0}%.0f")
+        for (cap <- Seq(256, 1024, 4096)) {
+          val lshC = topkSet(Similarity.lshTopKBanded(q, e, k = 5,
+            bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = cap))
+          val rec = bf.map { case (qid, s) =>
+            lshC.getOrElse(qid, Set.empty[Long]).intersect(s).size.toDouble / s.size }
+          println(f"x45cap bands=16 bits=4 cap=$cap mean_recall=${rec.sum / rec.size}%.4f min_recall=${rec.min}%.4f")
+        }
+      }
+
       // x44: int8 quantization worst-case reconstruction cosine (spec
       // bound 0.999) + worst |q| magnitude sanity
       val qstats = Similarity.quantizeInt8(e)

@@ -159,6 +159,17 @@ object ScaleCheck {
           replicate(emb0, "vec_id", n), k = 5,
           bands = 16, bitsPerBand = 4, dim = 64)
           .select(count(lit(1))).collect()
+      },
+      "x45 banded LSH ANN capped (cap=256)" -> { n =>
+        // the r8 per-bucket cap: occupancy crosses 256 as the replicas
+        // stack (avg 125 at 1x -> ~2000 at 16x), so the cap binds at
+        // scale and the candidate volume — and so the time curve —
+        // flattens vs the uncapped row above
+        graft.ext.Similarity.lshTopKBanded(
+          emb0.filter(col("vec_id") % 50 === 0),
+          replicate(emb0, "vec_id", n), k = 5,
+          bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 256)
+          .select(count(lit(1))).collect()
       })
 
     // --- dup-structure-preserving replication for the pair operators ---

@@ -542,6 +542,45 @@ class ExtSpec extends SparkSuite {
     assert(qOverlap >= 0.85, s"int8-index banded ANN drifted: overlap $qOverlap")
   }
 
+  test("X3d per-bucket cap: mega-bucket work bounded, degenerate-bucket queries still served") {
+    // clustered corpus: 400 near-identical vectors share one signature,
+    // so every (band, bucket) they occupy holds 400 rows — the
+    // unbounded-candidate-scan regime the cap exists for; 100 diverse
+    // vectors ride along
+    val rnd = new scala.util.Random(11)
+    val base = Seq.tabulate(64)(i => if (i < 32) 1.0 else -1.0)
+    val cluster = (0L until 400L).map(i =>
+      (i, base.map(x => x + rnd.nextDouble() * 0.001)))
+    val diverse = (1000L until 1100L).map(i =>
+      (i, Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val corpus = (cluster ++ diverse).toDF("vec_id", "embedding")
+    // work bound: after the cap no (band, bucket) group exceeds it
+    val planes = Similarity.hyperplanes(64, 64, 42L)
+    val banded = Similarity.bandedFrame(corpus, "neighbor_id", "cv",
+      bands = 16, bitsPerBand = 4, planes, "vec_id", "embedding")
+    val uncappedMax = banded.groupBy("band", "bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(uncappedMax >= 400L, s"fixture lost its mega-bucket: $uncappedMax")
+    val cappedMax = Similarity.capBuckets(banded, 50, "neighbor_id")
+      .groupBy("band", "bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(cappedMax <= 50L, s"cap leaked: $cappedMax")
+    // a mega-bucket query is still served: any 50-sample of 400
+    // near-identical vectors contains >= k sim~1 neighbors (redundancy
+    // is exactly what makes the bucket degenerate)
+    val res = Similarity.lshTopKBanded(
+      corpus.filter(col("vec_id") === 0L), corpus, k = 5,
+      bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 50)
+    val rows = res.collect()
+    assert(rows.length == 5 && rows.forall(_.getDouble(3) > 0.99),
+      s"capped mega-bucket query degraded: ${rows.mkString(", ")}")
+    // deterministic: the hash-sampled head is stable across runs
+    val again = Similarity.lshTopKBanded(
+      corpus.filter(col("vec_id") === 0L), corpus, k = 5,
+      bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 50).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
     // Spark-side mirror of the x34 DuckDB oracle: the declared query
     // synthesizes headers with doc_id-derived dims and parses them back;

@@ -289,6 +289,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  // x45's capped twin: the bucket cap's rank filter must plan as
+  // WindowGroupLimit — per-input-partition bounded heaps BEFORE the
+  // (band, bucket) exchange, so a mega-bucket's rows are trimmed
+  // map-side and the shuffle itself is capped, not just the join input
+  test("capped banded ANN bounds buckets via WindowGroupLimit before the exchange") {
+    val p = planOf("x45_ann_capped")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+    val bandJoin = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") &&
+        "[\\[(, ]band#\\d".r.findFirstIn(l).isDefined &&
+        "[\\[(, ]bucket#\\d".r.findFirstIn(l).isDefined)
+    assert(bandJoin, s"no broadcast equi-join on (band, bucket):\n$p")
+  }
+
   // scans must prune columns: the documents scan of a two-column query
   // must not read the text body (ReadSchema check on the parquet scan)
   test("column pruning reaches the parquet scan") {
