@@ -151,15 +151,16 @@ object Bench {
       .map(_._1).sum / (1024 * 1024)
     // field order is TRUNCATION-SAFE (r7 verdict): the driver keeps only
     // the LAST 2000 chars of this line, so the adjudication-critical
-    // fields — sentinels, the per-query WALL map, the total — come last
-    // (the wall map is ~1.6k chars for the full suite, so the kept tail
-    // always contains sentinels + wall + total). The CPU map and
-    // metadata ride up front where truncation can only cost diagnostics,
-    // never invert a wall-vs-cpu reading (the r7 phantom-regression
-    // misread). `total_sec` duplicates `value` at the very end so the
-    // headline figure survives even if the wall map ever outgrows the
-    // window.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"queries":$qs,"total_sec":$total%.3f}""")
+    // fields come last — the per-query WALL map, then the sentinels,
+    // then `total_sec` (duplicating `value`). The full wall map has
+    // outgrown 2000 chars (78 queries), so the kept tail is: sentinels
+    // + total + the TAIL of the wall map — the name-sorted x-queries,
+    // which are the expensive ones a regression read cares about; the
+    // first-truncated entries are the sub-second q0x rows. The CPU map
+    // and metadata ride up front where truncation can only cost
+    // diagnostics, never invert a wall-vs-cpu reading (the r7
+    // phantom-regression misread).
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qs,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

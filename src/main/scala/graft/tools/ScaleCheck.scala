@@ -159,17 +159,6 @@ object ScaleCheck {
           replicate(emb0, "vec_id", n), k = 5,
           bands = 16, bitsPerBand = 4, dim = 64)
           .select(count(lit(1))).collect()
-      },
-      "x45 banded LSH ANN capped (cap=256)" -> { n =>
-        // the r8 per-bucket cap: occupancy crosses 256 as the replicas
-        // stack (avg 125 at 1x -> ~2000 at 16x), so the cap binds at
-        // scale and the candidate volume — and so the time curve —
-        // flattens vs the uncapped row above
-        graft.ext.Similarity.lshTopKBanded(
-          emb0.filter(col("vec_id") % 50 === 0),
-          replicate(emb0, "vec_id", n), k = 5,
-          bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 256)
-          .select(count(lit(1))).collect()
       })
 
     // --- dup-structure-preserving replication for the pair operators ---
@@ -479,6 +468,65 @@ object ScaleCheck {
         f"maxKey=$maxKey maxSalted=$maxSalted")
     }
 
+    // --- banded ANN under hot-bucket skew: capped vs uncapped ---------
+    // The r8 per-bucket cap's regime: a CLUSTERED corpus (half of all
+    // vectors share one embedding -> one signature -> 16 mega-buckets of
+    // n/2 rows each). Uncapped, every query colliding with the mega
+    // bucket scans all of it; capped, the scan is bounded at 256. On a
+    // UNIFORM corpus the cap is a wash by design (trim savings ~ the
+    // added WindowGroupLimit exchange) — which is why this section uses
+    // the skewed fixture, not plain replication. Witnesses
+    // (deterministic): occupancy bound before/after; top-k for the
+    // cluster probes still k rows of sim ~ 1 through the capped path.
+    sb.append("\n## Banded ANN under hot-bucket skew (capped vs uncapped)\n\n")
+    locally {
+      import graft.ext.Similarity
+      val n = 16
+      val hot = Seq.tabulate(64)(i => if (i < 32) 1.0 else -1.0)
+      // half the replicated corpus collapses onto one vector (id parity)
+      val corpus = replicate(emb0, "vec_id", n)
+        .withColumn("embedding",
+          when(col("vec_id") % 2 === 0, typedLit(hot))
+            .otherwise(col("embedding").cast("array<double>")))
+      // fixed diverse queries + 5 cluster probes (ids disjoint)
+      val probes = spark.range(5).select(
+        (col("id") - 1000000L).as("vec_id"), typedLit(hot).as("embedding"))
+      val queries = emb0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .unionByName(probes)
+      val planes = Similarity.hyperplanes(64, 64, 42L)
+      val banded = Similarity.bandedFrame(corpus, "neighbor_id", "cv",
+        16, 4, planes, "vec_id", "embedding")
+      val occUncapped = banded.groupBy("band", "bucket").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      val occCapped = Similarity.capBuckets(banded, 256, "neighbor_id")
+        .groupBy("band", "bucket").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(occCapped <= 256L, s"cap leaked: $occCapped")
+      assert(occUncapped >= 50L * occCapped,
+        s"fixture not skewed enough: $occUncapped vs $occCapped")
+      def run(cap: Int): Long = Similarity.lshTopKBanded(
+        queries, corpus, k = 5, bands = 16, bitsPerBand = 4, dim = 64,
+        maxBucketSize = cap).count()
+      run(256) // warm-up
+      val tCapped = time(run(256))
+      val tUncapped = time(run(Int.MaxValue))
+      // cluster probes still served through the capped path
+      val probeRows = Similarity.lshTopKBanded(probes, corpus, k = 5,
+        bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 256)
+        .filter(col("sim") > 0.99).count()
+      assert(probeRows == 25L,
+        s"capped mega-bucket probes degraded: $probeRows of 25 sim~1 rows")
+      sb.append(s"${n}x corpus, half collapsed onto one embedding; cap = 256.\n\n")
+      sb.append("| form | wall (s) | max bucket occupancy |\n|---|---|---|\n")
+      sb.append(f"| uncapped | $tUncapped%.2f | $occUncapped |\n")
+      sb.append(f"| capped (256) | $tCapped%.2f | $occCapped |\n")
+      sb.append(f"\nCluster probes still return k sim~1 rows through the capped " +
+        f"path; occupancy bound ${occUncapped / occCapped}x.\n")
+      println(f"SCALE x45 hot-bucket: uncapped $tUncapped%.2f s capped $tCapped%.2f s " +
+        f"occ $occUncapped -> $occCapped")
+    }
+
     // --- interval join under hot-bin skew: salted vs plain ------------
     // Flash-crowd fixture: most points remapped onto ONE (key, hour) —
     // the regime RangeJoin's docstring names. The salted form spreads
@@ -535,7 +583,13 @@ object ScaleCheck {
       sb.append(f"| plain (k, bin) | $tPlain%.2f | $maxBin |\n")
       sb.append(f"| salted (k, bin, salt) | $tSalted%.2f | $maxSaltedBin |\n")
       sb.append(f"\nOutputs identical (count $cp, xor-hash match); balance factor " +
-        f"${maxBin.toDouble / maxSaltedBin}%.1f x.\n")
+        f"${maxBin.toDouble / maxSaltedBin}%.1f x. The salted wall is HIGHER " +
+        "here: the salt replicates every interval-bin row 8x unconditionally, " +
+        "and on 32 local cores the hot bin does not straggle enough to pay " +
+        "that back — the documented trade (salt buys tail latency on a real " +
+        "cluster, where one 64k-row task among thousands is the whole stage's " +
+        "critical path; AQE skew-join covers the mild-skew middle ground " +
+        "with no replication cost).\n")
       println(f"SCALE x48 skew: plain $tPlain%.2f s salted $tSalted%.2f s " +
         f"maxBin=$maxBin maxSalted=$maxSaltedBin")
     }
