@@ -38,10 +38,18 @@ object AsofJoin {
 
   /** Output: one row per left row — (lid, k, t, matched_id, matched_t),
     * match columns null when no right row precedes the left row.
+    *
+    * `maxStalenessUs` (the feature-store / point-in-time form): a match
+    * older than the bound nulls out — "the prevailing quote, unless it
+    * has gone stale". Exact as a POST-filter because the as-of match is
+    * already the CLOSEST preceding right row: if it is too stale, every
+    * other candidate is staler. Applied as one map-only `when` over the
+    * joined output — no change to the window plan.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String,
-               leftIdCol: String, rightIdCol: String): DataFrame = {
+               leftIdCol: String, rightIdCol: String,
+               maxStalenessUs: Option[Long] = None): DataFrame = {
     val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
       col(leftIdCol).cast("long").as("lid"),
       lit(1).as("tag"), lit(null).cast("long").as("rid"))
@@ -56,14 +64,28 @@ object AsofJoin {
         lit(0).as("tag"), col("rid"))
     val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val joined = l.unionByName(r)
       .withColumn("matched_id", last(col("rid"), ignoreNulls = true).over(w))
       .withColumn("matched_t",
         last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("lid"), col("k"), col("t"),
         col("matched_id"), col("matched_t"))
+    applyStaleness(joined, maxStalenessUs)
   }
+
+  /** Null out matches staler than the bound (shared by the plain and
+    * salted forms — one code path for the tolerance semantics).
+    */
+  private def applyStaleness(joined: DataFrame,
+                             maxStalenessUs: Option[Long]): DataFrame =
+    maxStalenessUs.fold(joined) { tol =>
+      require(tol >= 0, s"maxStalenessUs must be >= 0 (got $tol)")
+      val fresh = unix_micros(col("t")) - unix_micros(col("matched_t")) <= tol
+      joined.select(col("lid"), col("k"), col("t"),
+        when(fresh, col("matched_id")).as("matched_id"),
+        when(fresh, col("matched_t")).as("matched_t"))
+    }
 
   /** Skew-salted AS-OF join — identical output contract to [[asofJoin]],
     * for the hot-key regime the plain form's docstring warns about: one
@@ -96,7 +118,8 @@ object AsofJoin {
   def asofJoinSalted(left: DataFrame, right: DataFrame,
                      keyCol: String, tsCol: String,
                      leftIdCol: String, rightIdCol: String,
-                     binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+                     binWidthUs: Long = 3600L * 1000000L,
+                     maxStalenessUs: Option[Long] = None): DataFrame = {
     require(binWidthUs > 0, s"binWidthUs must be positive (got $binWidthUs)")
     def binOf(t: Column): Column = {
       val us = unix_micros(t)
@@ -156,6 +179,6 @@ object AsofJoin {
         col(keyCol).as("k"), col(tsCol).as("t"),
         lit(null).cast("long").as("matched_id"),
         lit(null).cast(carry.schema("rt").dataType).as("matched_t"))
-    matched.unionByName(lNull)
+    applyStaleness(matched.unionByName(lNull), maxStalenessUs)
   }
 }

@@ -1904,6 +1904,89 @@ object Declared {
              |  true AS mean_recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
 
+    // Tolerance-bounded AS-OF (r8, the feature-store point-in-time
+    // form): same as-of match, but a match staler than 30 minutes nulls
+    // out — exact as a post-filter since the as-of match is already the
+    // closest preceding row. DuckDB recomputes with the bound INSIDE
+    // the join predicate (a structurally different formulation — the
+    // two agreeing is the test).
+    "x49_asof_tolerance" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("ts").isNotNull)
+        graft.operators.AsofJoin.asofJoin(
+          ev.filter(col("event_id") % 7 === 0),
+          ev.filter(col("event_id") % 7 =!= 0),
+          "user_id", "ts", "event_id", "event_id",
+          maxStalenessUs = Some(1800L * 1000000L))
+          .select(col("lid").as("qid"), col("k").as("user_id"),
+            unix_micros(col("t")).as("q_us"),
+            col("matched_id"),
+            unix_micros(col("matched_t")).as("matched_us"))
+          .orderBy("qid")
+      },
+      Some("""WITH l AS (
+             |  SELECT event_id, user_id, ts FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 7 = 0),
+             |r AS (
+             |  SELECT user_id, ts, max(event_id) AS rid FROM events
+             |  WHERE ts IS NOT NULL AND event_id % 7 <> 0 GROUP BY 1, 2)
+             |SELECT l.event_id AS qid, l.user_id,
+             |  epoch_us(l.ts) AS q_us,
+             |  max_by(r.rid, r.ts) AS matched_id,
+             |  epoch_us(max(r.ts)) AS matched_us
+             |FROM l LEFT JOIN r
+             |  ON l.user_id = r.user_id AND r.ts <= l.ts
+             |    AND epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000
+             |GROUP BY l.event_id, l.user_id, l.ts
+             |ORDER BY qid""".stripMargin)),
+
+    // Rolling trailing-hour per-key aggregates (r8): one RANGE-frame
+    // window per key; sums carried in integer cents so the compare is
+    // exact (double accumulation order differs across engines). DuckDB
+    // recomputes with its own RANGE window over epoch micros.
+    "x50_rolling_stats" -> Q(
+      (s, dir) => graft.operators.Rolling.rollingStats(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy("id"),
+      Some("""SELECT event_id AS id, user_id AS k, epoch_us(ts) AS t_us,
+             |  count(*) OVER w AS roll_cnt,
+             |  CAST(sum(round(value * 100)::bigint) OVER w AS BIGINT)
+             |    AS roll_sum_cents,
+             |  round(CAST(sum(round(value * 100)::bigint) OVER w AS BIGINT)
+             |    / 100.0 / (count(*) OVER w), 6) AS roll_avg
+             |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY id""".stripMargin)),
+
+    // Native session_window sessionization (r8, x13's streaming-capable
+    // twin — the lag formulation cannot stream): merged gap sessions
+    // per user, session end = last event + gap, successor exactly gap
+    // later still MERGES (Spark's window is the closed [t, t+gap] —
+    // pinned by an OperatorsSpec boundary test). DuckDB recomputes
+    // with the lag+cumsum formulation — two structurally different
+    // session constructions agreeing.
+    "x51_session_window" -> Q(
+      (s, dir) => graft.operators.SessionWindows.sessionCounts(
+        t(s, dir, "events"), "user_id", "ts", gap = "30 minutes")
+        .orderBy("k", "sess_start_us"),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t FROM events
+             |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             |m AS (SELECT user_id, t,
+             |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             |    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+             |      > 1800000000
+             |    THEN 1 ELSE 0 END AS new_s FROM e),
+             |s AS (SELECT user_id, t,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+             |SELECT user_id AS k, min(t) AS sess_start_us,
+             |  max(t) + 1800000000 AS sess_end_us,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY k, sess_start_us""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -159,6 +159,21 @@ object ScaleCheck {
           replicate(emb0, "vec_id", n), k = 5,
           bands = 16, bitsPerBand = 4, dim = 64)
           .select(count(lit(1))).collect()
+      },
+      "x50 rolling stats (events, trailing hour)" -> { n =>
+        // one RANGE window per key; the two-pointer frame walk is
+        // O(rows) per key, so key-remapped replication must be linear
+        graft.operators.Rolling.rollingStats(
+          replicate(graft.Tables.load(spark, sfDir, "events"), "user_id", n),
+          "user_id", "ts", "event_id", "value")
+          .agg(count(lit(1)), sum(col("roll_cnt"))).collect()
+      },
+      "x51 session windows (events)" -> { n =>
+        // native session merge: hash agg keyed by (user, merged window)
+        graft.operators.SessionWindows.sessionCounts(
+          replicate(graft.Tables.load(spark, sfDir, "events"), "user_id", n),
+          "user_id", "ts")
+          .agg(count(lit(1)), sum(col("n_events"))).collect()
       })
 
     // --- dup-structure-preserving replication for the pair operators ---

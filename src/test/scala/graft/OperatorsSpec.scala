@@ -131,6 +131,69 @@ class OperatorsSpec extends SparkSuite {
     assert(got.toSet == Set((500L, 600L), (500L, 601L), (500L, 604L), (501L, 603L)))
   }
 
+  test("tolerance as-of: stale matches null out, boundary staleness kept, salted agrees") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, ts(100), 100L), // match at t=40: 60 s stale -> kept at tol=60
+      (1L, ts(101), 101L), // 61 s stale -> nulled
+      (2L, ts(100), 102L)  // no right at all -> null
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(40), 200L)).toDF("user_id", "ts", "event_id")
+    val tol = Some(60L * 1000000L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val plain = canon(AsofJoin.asofJoin(
+      left, right, "user_id", "ts", "event_id", "event_id", tol))
+    assert(plain == Set((100L, Some(200L)), (101L, None), (102L, None)))
+    val salted = canon(AsofJoin.asofJoinSalted(
+      left, right, "user_id", "ts", "event_id", "event_id",
+      binWidthUs = 10L * 1000000L, maxStalenessUs = tol))
+    assert(salted == plain)
+  }
+
+  test("rolling stats: inclusive trailing range, peers aggregate together, key isolation") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // width 60 s; events at 0, 30, 60, 61 (+ a tie at 30) for key 1
+    val ev = Seq(
+      (1L, ts(0), 0L, 1.00), (1L, ts(30), 1L, 2.00), (1L, ts(30), 2L, 3.00),
+      (1L, ts(60), 3L, 4.00), (1L, ts(61), 4L, 5.00),
+      (2L, ts(30), 5L, 10.00)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Rolling.rollingStats(ev, "user_id", "ts", "event_id", "value",
+        widthUs = 60L * 1000000L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toList
+    assert(got == List(
+      (0L, 1L, 100L),   // just itself
+      (1L, 3L, 600L),   // 0 + both peers at t=30 (RANGE peers)
+      (2L, 3L, 600L),
+      (3L, 4L, 1000L),  // [0, 60] inclusive lower bound
+      (4L, 4L, 1400L),  // [1, 61]: t=0 aged out
+      (5L, 1L, 1000L)), // other key isolated
+      s"got $got")
+  }
+
+  test("session_window: gap merge, closed-interval boundary, end = last + gap") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // gap 60 s: 0 and 59 merge (diff < gap); 119 exactly gap after 59
+    // STILL merges (Spark's session window is the closed [t, t+gap] —
+    // this test pins the boundary convention the x51 oracle mirrors);
+    // 300 is 181 s after 119 -> separate
+    val ev = Seq(
+      (1L, ts(0), 0L), (1L, ts(59), 1L), (1L, ts(119), 2L),
+      (1L, ts(300), 3L), (2L, ts(0), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = SessionWindows.sessionCounts(ev, "user_id", "ts", gap = "60 seconds")
+      .orderBy("k", "sess_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+        r.getLong(2) / 1000000L, r.getLong(3))).toList
+    assert(got == List(
+      (1L, 0L, 179L, 3L),   // {0, 59, 119}, end = 119 + 60
+      (1L, 300L, 360L, 1L),
+      (2L, 0L, 60L, 1L)), s"got $got")
+  }
+
   test("salted interval join equals the plain form (crafted + events fixture)") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     val intervals = Seq(

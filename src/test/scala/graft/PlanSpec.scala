@@ -260,6 +260,27 @@ class PlanSpec extends SparkSuite {
       s"salted interval join fell back to nested-loop:\n$p")
   }
 
+  // x50: one per-key window with a RANGE frame — a single hash exchange
+  // on the key; the only other exchange is the presentation sort's
+  // range partition. No join anywhere.
+  test("rolling stats plan: one key-hash exchange, RANGE frame, no join") {
+    val p = planOf("x50_rolling_stats")
+    assert(p.contains("Window"), s"no window:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"rolling stats planned a join:\n$p")
+  }
+
+  // x51: the native session aggregation — session merge + hash exchange
+  // on the key, partial aggregation before the shuffle, no join
+  test("session_window plan: session merge keyed by user, no join") {
+    val p = planOf("x51_session_window")
+    assert(p.toLowerCase.contains("session"), s"no session operator:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size >= 1,
+      s"no key hash exchange:\n$p")
+    assert(!p.contains("Join"), s"session plan joined:\n$p")
+  }
+
   // x45: the banded-LSH candidate join must be a broadcast equi-join on
   // (band, bucket) — the corpus is bucketed map-side and never shuffled
   // before the candidate dedup

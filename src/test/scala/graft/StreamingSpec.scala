@@ -550,6 +550,38 @@ class StreamingSpec extends SparkSuite {
     } finally index.unpersist()
   }
 
+  test("streaming session_window: replayed fixture sessions equal the batch operator") {
+    import graft.operators.SessionWindows
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.load(spark, sf(), "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val batch = SessionWindows.sessionCounts(ev, "user_id", "ts", "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // same groupBy, streaming: two in-order micro-batches, then a
+    // far-future sentinel (key -1) advances the watermark past every
+    // session end so append mode emits them all
+    val fixture = ev.select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect().sortBy(_._2.getTime)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = SessionWindows.sessionCounts(
+      input.toDF().toDF("user_id", "ts").withWatermark("ts", "1 second"),
+      "user_id", "ts", "30 minutes")
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssess").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val maxTs = fixture.last._2.getTime
+      input.addData(Seq((-1L, new java.sql.Timestamp(maxTs + 86400L * 1000L))))
+      q.processAllAvailable()
+      val streamed = spark.table("ssess").filter(col("k") =!= -1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming quantization: map-only int8 op streams unchanged") {
     import graft.ext.Similarity
     implicit val sqlCtx = spark.sqlContext
