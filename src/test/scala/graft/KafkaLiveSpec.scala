@@ -36,10 +36,11 @@ class KafkaLiveSpec extends SparkSuite {
       .withColumn("topic", lit(topic))
 
     // K1 produce: batch Kafka write through the same wire columns the
-    // streaming writer carries (topic, key, value, headers)
+    // streaming writer carries (topic, key, value, headers — the sink
+    // emits the headers column automatically when present;
+    // includeHeaders is a SOURCE option, needed only on the read below)
     wire.write.format("kafka")
       .option("kafka.bootstrap.servers", bs)
-      .option("includeHeaders", "true")
       .save()
 
     // S4 consume: bounded batch read of the whole topic
