@@ -32,17 +32,65 @@ object Rolling {
   def rollingStats(df: DataFrame, keyCol: String, tsCol: String,
                    idCol: String, valueCol: String,
                    widthUs: Long = 3600L * 1000000L): DataFrame = {
+    val base = prepared(df, keyCol, tsCol, idCol, valueCol, widthUs)
+    val w = Window.partitionBy("k").orderBy("t_us")
+      .rangeBetween(-widthUs, 0)
+    rollOver(base, w)
+  }
+
+  /** Skew-salted twin — identical output contract, for the hot-key
+    * regime (one key holding most rows makes the per-key window a
+    * single straggler task). The window partition key becomes
+    * (key, time-bin) with `binWidthUs >= widthUs`; the boundary stitch
+    * is a CONTEXT COPY: every row within `widthUs` of its bin's end is
+    * duplicated into the NEXT bin as a non-emitting context row, so a
+    * row early in a bin still sees its full trailing frame. Exact by
+    * construction (a frame spans at most two bins when bin >= width);
+    * context volume is <= one width-worth of rows per (key, bin) —
+    * the replicate-small/spread-big trade, same family as
+    * [[graft.operators.RangeJoin.intervalJoinSalted]]. Emitted rows
+    * are the `own` copies only.
+    */
+  def rollingStatsSalted(df: DataFrame, keyCol: String, tsCol: String,
+                         idCol: String, valueCol: String,
+                         widthUs: Long = 3600L * 1000000L,
+                         binWidthUs: Long = 6L * 3600L * 1000000L): DataFrame = {
+    require(binWidthUs >= widthUs,
+      s"binWidthUs ($binWidthUs) must be >= widthUs ($widthUs): a " +
+        "trailing frame may span at most two bins")
+    val base = prepared(df, keyCol, tsCol, idCol, valueCol, widthUs)
+    def binOf(t: org.apache.spark.sql.Column) = t - pmod(t, lit(binWidthUs))
+    val own = base.withColumn("bin", binOf(col("t_us")))
+      .withColumn("own", lit(true))
+    val context = base
+      .filter(pmod(col("t_us"), lit(binWidthUs)) >= binWidthUs - widthUs)
+      .withColumn("bin", binOf(col("t_us")) + binWidthUs)
+      .withColumn("own", lit(false))
+    val w = Window.partitionBy("k", "bin").orderBy("t_us")
+      .rangeBetween(-widthUs, 0)
+    rollOver(own.unionByName(context), w).filter(col("own"))
+      .drop("bin", "own")
+  }
+
+  private def prepared(df: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valueCol: String,
+                       widthUs: Long): DataFrame = {
     require(widthUs >= 0, s"widthUs must be >= 0 (got $widthUs)")
-    val base = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(keyCol).as("k"),
         unix_micros(col(tsCol)).as("t_us"),
         round(col(valueCol) * 100).cast("long").as("cents"))
-    val w = Window.partitionBy("k").orderBy("t_us")
-      .rangeBetween(-widthUs, 0)
-    base.select(col("id"), col("k"), col("t_us"),
-      count(lit(1)).over(w).as("roll_cnt"),
-      sum(col("cents")).over(w).as("roll_sum_cents"),
-      round(sum(col("cents")).over(w).cast("double") / 100.0 /
-        count(lit(1)).over(w), 6).as("roll_avg"))
   }
+
+  /** One shared aggregate body for both window shapes — the plain and
+    * salted forms cannot drift.
+    */
+  private def rollOver(base: DataFrame,
+                       w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    base.withColumn("roll_cnt", count(lit(1)).over(w))
+      .withColumn("roll_sum_cents", sum(col("cents")).over(w))
+      .withColumn("roll_avg",
+        round(sum(col("cents")).over(w).cast("double") / 100.0 /
+          count(lit(1)).over(w), 6))
+      .drop("cents")
 }

@@ -1959,6 +1959,26 @@ object Declared {
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY id""".stripMargin)),
 
+    // x50's skew-salted twin: window partitions on (user, 6h bin) with
+    // a context-copy boundary stitch (rows within the trailing width of
+    // a bin end duplicate into the next bin, non-emitting). Same
+    // independent DuckDB RANGE-window oracle — salt + stitch must
+    // change nothing.
+    "x50_rolling_salted" -> Q(
+      (s, dir) => graft.operators.Rolling.rollingStatsSalted(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy("id"),
+      Some("""SELECT event_id AS id, user_id AS k, epoch_us(ts) AS t_us,
+             |  count(*) OVER w AS roll_cnt,
+             |  CAST(sum(round(value * 100)::bigint) OVER w AS BIGINT)
+             |    AS roll_sum_cents,
+             |  round(CAST(sum(round(value * 100)::bigint) OVER w AS BIGINT)
+             |    / 100.0 / (count(*) OVER w), 6) AS roll_avg
+             |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY id""".stripMargin)),
+
     // Native session_window sessionization (r8, x13's streaming-capable
     // twin — the lag formulation cannot stream): merged gap sessions
     // per user, session end = last event + gap, successor exactly gap

@@ -481,6 +481,22 @@ object ScaleCheck {
         f"${maxKey.toDouble / maxSalted}%.1f x.\n")
       println(f"SCALE x47 skew: plain $tPlain%.2f s salted $tSalted%.2f s " +
         f"maxKey=$maxKey maxSalted=$maxSalted")
+
+      // x50's salted twin on the same hot-key fixture: (key, 6h-bin)
+      // window + context-copy stitch; identical output asserted
+      def rollPlain() = graft.operators.Rolling.rollingStats(
+        ev, "user_id", "ts", "event_id", "value")
+      def rollSalted() = graft.operators.Rolling.rollingStatsSalted(
+        ev, "user_id", "ts", "event_id", "value")
+      rollPlain().count(); rollSalted().count() // warm-up
+      val tRp = time(assert(sig(rollPlain())._1 > 0))
+      val tRs = time(assert(sig(rollSalted())._1 > 0))
+      val (rp, rph) = sig(rollPlain()); val (rs, rsh) = sig(rollSalted())
+      assert(rp == rs && rph == rsh,
+        s"salted rolling diverged on the skew fixture: ($rp,$rph) vs ($rs,$rsh)")
+      sb.append(f"\nRolling stats on the same fixture (6h salt bins): plain " +
+        f"$tRp%.2f s, salted $tRs%.2f s, outputs identical ($rp rows).\n")
+      println(f"SCALE x50 skew: plain $tRp%.2f s salted $tRs%.2f s rows=$rp")
     }
 
     // --- banded ANN under hot-bucket skew: capped vs uncapped ---------

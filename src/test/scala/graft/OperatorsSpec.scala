@@ -174,6 +174,34 @@ class OperatorsSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("salted rolling stats equals the plain form (bin-boundary frames, events fixture)") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // width 60 s, bins 100 s: rows at 95, 99 are context-copied into
+    // the next bin; rows at 100, 155 have frames crossing the boundary
+    val ev = Seq(
+      (1L, ts(10), 0L, 1.00), (1L, ts(95), 1L, 2.00), (1L, ts(99), 2L, 3.00),
+      (1L, ts(100), 3L, 4.00), (1L, ts(155), 4L, 5.00), (1L, ts(161), 5L, 6.00),
+      (2L, ts(99), 6L, 7.00), (2L, ts(101), 7L, 8.00)
+    ).toDF("user_id", "ts", "event_id", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val plain = canon(Rolling.rollingStats(
+      ev, "user_id", "ts", "event_id", "value", widthUs = 60L * 1000000L))
+    val salted = canon(Rolling.rollingStatsSalted(
+      ev, "user_id", "ts", "event_id", "value",
+      widthUs = 60L * 1000000L, binWidthUs = 100L * 1000000L))
+    assert(salted == plain, s"plain $plain\nsalted $salted")
+    // spot-check a boundary frame: id 4 at t=155 sees {95, 99, 100, 155}
+    assert(plain.find(_._1 == 4L).get._2 == 4L)
+    // fixture scale
+    val events = Tables.load(spark, sf(), "events")
+    val fp = canon(Rolling.rollingStats(
+      events, "user_id", "ts", "event_id", "value"))
+    val fs = canon(Rolling.rollingStatsSalted(
+      events, "user_id", "ts", "event_id", "value"))
+    assert(fp.nonEmpty && fs == fp)
+  }
+
   test("session_window: gap merge, closed-interval boundary, end = last + gap") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     // gap 60 s: 0 and 59 merge (diff < gap); 119 exactly gap after 59

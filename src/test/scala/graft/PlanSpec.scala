@@ -271,6 +271,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"rolling stats planned a join:\n$p")
   }
 
+  // x50's salted twin: the window must partition on (k, bin) — the
+  // salt's whole point (k-only would still funnel the hot key)
+  test("salted rolling stats windows on (key, bin), no join") {
+    val p = planOf("x50_rolling_salted")
+    val saltedEx =
+      "Exchange hashpartitioning\\(k#\\d+L?, bin#\\d+L?, \\d+\\)".r
+        .findFirstIn(p).isDefined
+    assert(saltedEx, s"no (k, bin) window exchange:\n$p")
+    assert(!p.contains("Join"), s"salted rolling stats planned a join:\n$p")
+  }
+
   // x51: the native session aggregation — session merge + hash exchange
   // on the key, partial aggregation before the shuffle, no join
   test("session_window plan: session merge keyed by user, no join") {
