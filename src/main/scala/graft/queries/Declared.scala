@@ -2007,6 +2007,31 @@ object Declared {
              |FROM s GROUP BY user_id, sid
              |ORDER BY k, sess_start_us""".stripMargin)),
 
+    // x51's skew-salted twin: per-(user, 6h-bin) session build + a
+    // summary-granularity chain merge (sessions merge iff start <=
+    // prev end — the same closed-interval rule, applied to bin-local
+    // session summaries). Same independent DuckDB lag+cumsum oracle.
+    "x51_session_salted" -> Q(
+      (s, dir) => graft.operators.SessionWindows.sessionCountsSalted(
+        t(s, dir, "events"), "user_id", "ts")
+        .orderBy("k", "sess_start_us"),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t FROM events
+             |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             |m AS (SELECT user_id, t,
+             |  CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             |    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+             |      > 1800000000
+             |    THEN 1 ELSE 0 END AS new_s FROM e),
+             |s AS (SELECT user_id, t,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+             |SELECT user_id AS k, min(t) AS sess_start_us,
+             |  max(t) + 1800000000 AS sess_end_us,
+             |  count(*) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY k, sess_start_us""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -497,6 +497,22 @@ object ScaleCheck {
       sb.append(f"\nRolling stats on the same fixture (6h salt bins): plain " +
         f"$tRp%.2f s, salted $tRs%.2f s, outputs identical ($rp rows).\n")
       println(f"SCALE x50 skew: plain $tRp%.2f s salted $tRs%.2f s rows=$rp")
+
+      // x51's salted twin on the same hot-key fixture: (key, bin)
+      // session build + summary chain merge; identical output asserted
+      def sessPlain() = graft.operators.SessionWindows.sessionCounts(
+        ev, "user_id", "ts")
+      def sessSalted() = graft.operators.SessionWindows.sessionCountsSalted(
+        ev, "user_id", "ts")
+      sessPlain().count(); sessSalted().count() // warm-up
+      val tSp = time(assert(sig(sessPlain())._1 > 0))
+      val tSs = time(assert(sig(sessSalted())._1 > 0))
+      val (sp, sph) = sig(sessPlain()); val (ss, ssh) = sig(sessSalted())
+      assert(sp == ss && sph == ssh,
+        s"salted sessions diverged on the skew fixture: ($sp,$sph) vs ($ss,$ssh)")
+      sb.append(f"Session counts on the same fixture: plain $tSp%.2f s, " +
+        f"salted $tSs%.2f s, outputs identical ($sp sessions).\n")
+      println(f"SCALE x51 skew: plain $tSp%.2f s salted $tSs%.2f s sessions=$sp")
     }
 
     // --- banded ANN under hot-bucket skew: capped vs uncapped ---------

@@ -222,6 +222,36 @@ class OperatorsSpec extends SparkSuite {
       (2L, 0L, 60L, 1L)), s"got $got")
   }
 
+  test("salted session counts equal the plain form (cross-bin chains, events fixture)") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // gap 60 s, bins 100 s: {90, 140} chains ACROSS the bin-0/bin-1
+    // boundary (diff 50 <= gap); 210 starts a new session (70 > gap)
+    // that absorbs 230 and the boundary-exact 290 (290 - 230 = 60 =
+    // gap -> merges under the closed-interval rule); 500 isolated;
+    // key 2 rides along untouched
+    val ev = Seq(
+      (1L, ts(90), 0L), (1L, ts(140), 1L), (1L, ts(210), 2L),
+      (1L, ts(230), 3L), (1L, ts(290), 4L),
+      (1L, ts(500), 5L), (2L, ts(95), 6L), (2L, ts(105), 7L)
+    ).toDF("user_id", "ts", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val plain = canon(SessionWindows.sessionCounts(ev, "user_id", "ts", "60 seconds"))
+    val salted = canon(SessionWindows.sessionCountsSalted(ev, "user_id", "ts",
+      gapUs = 60L * 1000000L, binWidthUs = 100L * 1000000L))
+    assert(salted == plain, s"plain $plain\nsalted $salted")
+    // the cross-bin chain {90, 140} is ONE session; the boundary-exact
+    // merge yields the 3-event session {210, 230, 290}
+    assert(plain.exists(s => s._1 == 1L && s._2 == 90000000L && s._4 == 2L))
+    assert(plain.exists(s => s._1 == 1L && s._2 == 210000000L && s._4 == 3L))
+    // fixture scale, default gap/bins
+    val events = Tables.load(spark, sf(), "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    val fp = canon(SessionWindows.sessionCounts(events, "user_id", "ts"))
+    val fs = canon(SessionWindows.sessionCountsSalted(events, "user_id", "ts"))
+    assert(fp.nonEmpty && fs == fp)
+  }
+
   test("salted interval join equals the plain form (crafted + events fixture)") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     val intervals = Seq(

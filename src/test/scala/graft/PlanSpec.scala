@@ -292,6 +292,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"session plan joined:\n$p")
   }
 
+  // x51's salted twin: the per-ROW session aggregation must be keyed by
+  // (k, bin) — the expensive pass spreads; the only per-key-ONLY window
+  // runs over session summaries (rows ∝ sessions, not events)
+  test("salted session counts group the row pass by (key, bin)") {
+    val p = planOf("x51_session_salted")
+    val binAgg = p.linesIterator.exists(l =>
+      (l.contains("MergingSessions") || l.contains("Aggregate")) &&
+        l.contains("session_window#") &&
+        "[\\[(, ]bin#\\d".r.findFirstIn(l).isDefined)
+    assert(binAgg, s"no (key, bin) session aggregation:\n$p")
+    assert(!p.contains("Join"), s"salted sessions planned a join:\n$p")
+  }
+
   // x45: the banded-LSH candidate join must be a broadcast equi-join on
   // (band, bucket) — the corpus is bucketed map-side and never shuffled
   // before the candidate dedup
