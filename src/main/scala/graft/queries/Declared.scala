@@ -2032,6 +2032,77 @@ object Declared {
              |FROM s GROUP BY user_id, sid
              |ORDER BY k, sess_start_us""".stripMargin)),
 
+    // CDC latest-version compaction (r8): newest event per user as ONE
+    // hash aggregation over a greatest-row struct — no window, no sort
+    // (PlanSpec-gated). DuckDB recomputes with its own struct max;
+    // equal-ts ties resolve to max event_id in both engines via the
+    // same lexicographic struct rule (pinned by an OperatorsSpec test).
+    "x52_latest_compaction" -> Q(
+      (s, dir) => graft.operators.Compaction.latestByKey(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq("event_type", "value"))
+        .select(col("k"), unix_micros(col("last_ts")).as("last_ts_us"),
+          col("last_event_id"), col("last_event_type"),
+          round(col("last_value"), 6).as("last_value"))
+        .orderBy("k"),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type,
+             |    value
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_id IS NOT NULL),
+             |m AS (SELECT user_id AS k,
+             |    max({'t': t, 'id': event_id, 'ty': event_type,
+             |         'v': value}) AS s
+             |  FROM e GROUP BY user_id)
+             |SELECT k, (s).t AS last_ts_us, (s).id AS last_event_id,
+             |  (s).ty AS last_event_type, round((s).v, 6) AS last_value
+             |FROM m ORDER BY k""".stripMargin)),
+
+    // Deterministic epoch shuffle (r8): md5(seed:id) draws a pseudorandom
+    // (shard, pos) per document — the reproducible global training order.
+    // One hash exchange on shard + in-shard sort, never a global range
+    // sort (PlanSpec-gated). DuckDB re-derives the permutation from the
+    // same md5 arithmetic.
+    "x53_epoch_shuffle" -> Q(
+      (s, dir) => graft.ext.TrainSet.epochShuffle(
+        t(s, dir, "documents"), "doc_id", seed = "e1", numShards = 8)
+        .orderBy("shard", "pos"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, md5('e1:' || doc_id::varchar) AS hx
+             |  FROM documents WHERE doc_id IS NOT NULL)
+             |SELECT ('0x' || substr(hx, 1, 8))::bigint % 8 AS shard,
+             |  row_number() OVER (
+             |    PARTITION BY ('0x' || substr(hx, 1, 8))::bigint % 8
+             |    ORDER BY hx, doc_id) AS pos,
+             |  doc_id
+             |FROM h ORDER BY shard, pos""".stripMargin)),
+
+    // Weight-proportional sample without replacement, K per stratum
+    // (r8, Efraimidis–Spiridakis with md5-derived uniforms — one pass,
+    // deterministic). n_chars as the weight: longer documents are
+    // favoured exactly proportionally. DuckDB replays the race from the
+    // same md5 uniforms; rank ties are impossible (128-bit priorities).
+    "x54_weighted_sample" -> Q(
+      (s, dir) => graft.ext.TrainSet.weightedSample(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 15)
+        .orderBy("stratum", "rank"),
+      Some("""WITH c AS (
+             |  SELECT lang AS stratum, doc_id,
+             |    -ln((('0x' || substr(md5('graft-wsample:'
+             |        || doc_id::varchar), 1, 8))::bigint + 1)
+             |      / 4294967296.0) / n_chars::double AS pri
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+             |    AND n_chars IS NOT NULL AND n_chars > 0),
+             |r AS (SELECT stratum, doc_id, pri,
+             |    row_number() OVER (PARTITION BY stratum
+             |      ORDER BY pri, doc_id) AS rank
+             |  FROM c)
+             |SELECT stratum, rank, doc_id, round(pri, 6) AS priority
+             |FROM r WHERE rank <= 15
+             |ORDER BY stratum, rank""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -19,7 +19,8 @@ object Plans {
     "x45_ann_lsh_banded", "x45_ann_capped", "x47_asof_join",
     "x47_asof_salted", "x48_interval_join", "x48_interval_salted",
     "x49_asof_tolerance", "x50_rolling_stats", "x50_rolling_salted",
-    "x51_session_window", "x51_session_salted")
+    "x51_session_window", "x51_session_salted", "x52_latest_compaction",
+    "x53_epoch_shuffle", "x54_weighted_sample")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

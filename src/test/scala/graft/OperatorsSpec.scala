@@ -424,4 +424,77 @@ class OperatorsSpec extends SparkSuite {
     assert(gotN.toSeq == Seq(
       (100L, Some(202L)), (101L, None), (102L, None)))
   }
+
+  test("latestByKey keeps the newest row, ties to max tie-id, drops null keys/ord") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq(
+      (Option(1L), Option(ts(10)), Option(5L), "a", 1.0),
+      (Option(1L), Option(ts(10)), Option(7L), "b", 2.0), // ts tie -> id 7
+      (Option(1L), Option(ts(9)), Option(99L), "c", 3.0), // older, big id: loses
+      (Option(2L), Option(ts(1)), Option(1L), "z", 4.0),
+      (Option.empty[Long], Option(ts(50)), Option(2L), "x", 5.0), // null key
+      (Option(2L), Option.empty[Timestamp], Option(3L), "y", 6.0) // null ts
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Compaction.latestByKey(df, "user_id", "ts", "event_id",
+      Seq("event_type", "value")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 10L, 7L, "b", 2.0), (2L, 1L, 1L, "z", 4.0)),
+      s"got ${got.toSeq}")
+  }
+
+  test("epochShuffle is a balanced deterministic permutation, redrawn by seed") {
+    val docs = Tables.load(spark, sf(), "documents").select("doc_id")
+    val n = docs.count()
+    val a = graft.ext.TrainSet.epochShuffle(docs, "doc_id", "e1", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation: every doc exactly once
+    assert(a.map(_._3).toSet == docs.collect().map(_.getLong(0)).toSet)
+    assert(a.length.toLong == n)
+    // pos is contiguous 1..size within each shard
+    a.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // md5 sharding is balanced: no shard above 2x the mean (500 docs / 8)
+    val sizes = a.groupBy(_._1).map(_._2.length)
+    assert(sizes.max < 2.0 * n / 8, s"shard sizes $sizes")
+    // deterministic; a different seed draws a different order
+    val b = graft.ext.TrainSet.epochShuffle(docs, "doc_id", "e1", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sorted.toSeq == b.sorted.toSeq)
+    val c = graft.ext.TrainSet.epochShuffle(docs, "doc_id", "e2", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.sorted.toSeq != a.sorted.toSeq)
+  }
+
+  test("weightedSample: per-stratum size, weight gates, determinism, heavy doc wins") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val got = graft.ext.TrainSet.weightedSample(docs, "lang", "doc_id", "n_chars", 15)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val strata = docs.filter(col("n_chars") > 0 && col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.length == math.min(15L, strata(s)),
+        s"stratum $s: ${rows.length} of ${strata(s)}")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = graft.ext.TrainSet.weightedSample(docs, "lang", "doc_id", "n_chars", 15)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // a weight 10^9 above the field is effectively certain to be drawn
+    // first (P(miss) ~ 1e-9, and deterministic under the fixed salt)
+    val crafted = (Seq((100L, "s", 1.0e9)) ++
+      (1L to 50L).map(i => (i, "s", 1.0))).toDF("doc_id", "s", "w")
+    val top = graft.ext.TrainSet.weightedSample(crafted, "s", "doc_id", "w", 3)
+      .filter(col("rank") === 1).collect()
+    assert(top.length == 1 && top(0).getLong(2) == 100L)
+    // zero/negative/null weights are never drawn
+    val gated = (Seq((1L, "s", 0.0), (2L, "s", -5.0), (3L, "s", 2.0)))
+      .toDF("doc_id", "s", "w")
+    val kept = graft.ext.TrainSet.weightedSample(gated, "s", "doc_id", "w", 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(kept == Set(3L))
+  }
 }

@@ -305,6 +305,42 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"salted sessions planned a join:\n$p")
   }
 
+  // x52: latest-per-key must be ONE hash aggregation over the greatest-row
+  // struct — map-side partial max, never the window-sort formulation that
+  // ships every key's full history through the exchange
+  test("latest compaction plans a partial-max hash agg, no window, no join") {
+    val p = planOf("x52_latest_compaction")
+    assert(p.contains("partial_max"), s"no map-side partial max:\n$p")
+    assert(!p.contains("Window"), s"compaction fell back to a window sort:\n$p")
+    assert(!p.contains("Join"), s"compaction planned a join:\n$p")
+  }
+
+  // x53: the epoch shuffle's only shuffles are ONE hash exchange on the
+  // shard id (the in-shard rank) and the final presentation sort — a
+  // global range sort of the corpus must never appear before the window
+  test("epoch shuffle hash-exchanges on shard; no global sort before the rank") {
+    val p = planOf("x53_epoch_shuffle")
+    val shardEx = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        "[\\[(, ]shard#\\d".r.findFirstIn(l).isDefined)
+    assert(shardEx, s"no hash exchange on shard:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"extra range sort beyond the presentation orderBy:\n$p")
+    assert(!p.contains("Join"), s"epoch shuffle planned a join:\n$p")
+  }
+
+  // x54: the per-stratum top-K must push the rank limit below the
+  // exchange (WindowGroupLimit): each input partition keeps at most K
+  // rows per stratum map-side, the shuffle never carries the corpus
+  test("weighted sample pushes the per-stratum limit down (WindowGroupLimit)") {
+    val p = planOf("x54_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    val stratumWin = p.linesIterator.exists(l =>
+      l.contains("Window") && "[\\[(, ]stratum#\\d".r.findFirstIn(l).isDefined)
+    assert(stratumWin, s"no per-stratum window:\n$p")
+    assert(!p.contains("Join"), s"weighted sample planned a join:\n$p")
+  }
+
   // x45: the banded-LSH candidate join must be a broadcast equi-join on
   // (band, bucket) — the corpus is bucketed map-side and never shuffled
   // before the candidate dedup
