@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   * the struct precisely so the comparison never reaches them when that
   * holds (null payloads therefore cannot influence engine-dependent null
   * ordering).
+  *
+  * The same expression STREAMS: in update mode the max-struct state is
+  * one slim struct per key, monotone under the greatest-row order, so
+  * out-of-order arrivals can never regress it (StreamingSpec "streaming
+  * latest-per-key compaction equals the batch operator"). Production
+  * streams should bound the key-space state (watermark + state TTL) as
+  * with any streaming aggregation.
   */
 object Compaction {
 

@@ -39,6 +39,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming latest-per-key compaction equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+    val latest = graft.operators.Compaction.latestByKey(
+      input.toDF().toDF(cols: _*), "user_id", "ts", "event_id",
+      Seq("event_type", "value"))
+    val q = latest.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("lpk").start()
+    val b1 = Seq((1L, ts(10), 5L, "a", 1.0), (2L, ts(20), 6L, "b", 2.0))
+    // batch 2 arrives out of order: an OLDER row for key 2 (must not
+    // regress the state), a ts-tie for key 1 (max id wins), a new key
+    val b2 = Seq((2L, ts(15), 7L, "c", 3.0), (1L, ts(10), 9L, "d", 4.0),
+      (3L, ts(1), 8L, "e", 5.0))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // the memory sink accumulates per-batch updates; state is monotone
+      // in the greatest-row order, so the final state per key is the max
+      val got = spark.table("lpk")
+        .groupBy("k").agg(max(struct(col("last_ts"), col("last_event_id"),
+          col("last_event_type"), col("last_value"))).as("m"))
+        .select(col("k"), col("m.last_ts"), col("m.last_event_id"),
+          col("m.last_event_type"), col("m.last_value"))
+        .orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getLong(2), r.getString(3), r.getDouble(4)))
+      val batch = graft.operators.Compaction.latestByKey(
+        (b1 ++ b2).toDF(cols: _*), "user_id", "ts", "event_id",
+        Seq("event_type", "value")).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getLong(2), r.getString(3), r.getDouble(4)))
+      assert(got.toSeq == batch.toSeq, s"stream $got vs batch $batch")
+      assert(got.toSeq == Seq((1L, 10L, 9L, "d", 4.0),
+        (2L, 20L, 6L, "b", 2.0), (3L, 1L, 8L, "e", 5.0)))
+    } finally q.stop()
+  }
+
   test("J1/F5 progressMonitor: snapshot deltas carried across batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
