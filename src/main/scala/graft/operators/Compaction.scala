@@ -9,16 +9,20 @@ import org.apache.spark.sql.functions._
   * reference: DataGenerator.java:474-503 keys records by id exactly so a
   * compacted topic retains one latest value per key).
   *
-  * Formulated as ONE hash aggregation over a greatest-row struct:
-  * `max(struct(ord..., payload...))` — struct comparison is lexicographic,
-  * so the max struct IS the row with the greatest (ts, tie) prefix. The
-  * partial max runs map-side inside each scan task; the shuffle carries at
-  * most one slim struct per (task, key). The textbook alternative —
-  * `row_number() over (partition by key order by ts desc) = 1` — sorts
-  * every key's full history and ships EVERY row through the exchange; at
-  * 100 TB with long histories per key, that is the difference between a
-  * map-combined agg and a full-data sort-shuffle. No window, no sort, no
-  * join anywhere in this plan (PlanSpec-gated).
+  * Formulated as ONE hash aggregation over a greatest-row struct
+  * ([[graft.functions.GreatestRow greatest_row]]`(struct(ord...,
+  * payload...))` — struct comparison is lexicographic, so the greatest
+  * struct IS the row with the greatest (ts, tie) prefix). The partial max
+  * runs map-side inside each scan task; the shuffle carries at most one
+  * slim struct per (task, key). Two rejected formulations, in order:
+  * `row_number() over (partition by key order by ts desc) = 1` sorts
+  * every key's full history AND ships every row through the exchange;
+  * the built-in `max(struct(...))` keeps the shuffle slim but is not
+  * hash-aggregable (struct agg buffers don't fit the fixed-width hash
+  * map), so it silently degrades to SortAggregate — every scan partition
+  * sorts by key first. greatest_row is a TypedImperativeAggregate, so the
+  * plan is ObjectHashAggregate: no window, no sort, no join anywhere
+  * (PlanSpec-gated).
   *
   * Tie rule: equal `tsCol` resolves to the greatest `tieCol` (the struct
   * comparison's second field). `(tsCol, tieCol)` must uniquely identify a
@@ -47,7 +51,8 @@ object Compaction {
     df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
         col(tieCol).isNotNull)
       .groupBy(col(keyCol).as("k"))
-      .agg(max(struct(fields.map(col): _*)).as("m"))
+      .agg(graft.functions.GreatestRow.greatest_row(
+        struct(fields.map(col): _*)).as("m"))
       .select(col("k") +: fields.map(c => col(s"m.$c").as(s"last_$c")): _*)
   }
 }

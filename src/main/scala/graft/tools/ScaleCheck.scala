@@ -174,6 +174,34 @@ object ScaleCheck {
           replicate(graft.Tables.load(spark, sfDir, "events"), "user_id", n),
           "user_id", "ts")
           .agg(count(lit(1)), sum(col("n_events"))).collect()
+      },
+      "x52 latest compaction (events)" -> { n =>
+        // one greatest-row-struct hash agg: partial max map-side, the
+        // shuffle carries one struct per (task, key) — must be linear
+        graft.operators.Compaction.latestByKey(
+          replicate(graft.Tables.load(spark, sfDir, "events"), "user_id", n),
+          "user_id", "ts", "event_id", Seq("event_type", "value"))
+          .agg(count(lit(1)), sum(col("last_event_id"))).collect()
+      },
+      "x53 epoch shuffle (documents, 32 shards)" -> { n =>
+        // one shard-hash exchange + in-shard sort; also witnesses the
+        // md5 shard BALANCE the no-global-sort plan depends on
+        val sizes = graft.ext.TrainSet.epochShuffle(
+          replicate(docs0, "doc_id", n), "doc_id", "e1", 32)
+          .groupBy("shard").agg(count(lit(1)).as("c"))
+          .collect().map(_.getLong(1))
+        val mean = sizes.sum.toDouble / sizes.length
+        assert(sizes.length == 32 && sizes.max < 1.2 * mean,
+          s"md5 shards unbalanced: max ${sizes.max} vs mean $mean")
+      },
+      "x54 weighted sample (documents, K=50/stratum)" -> { n =>
+        // WindowGroupLimit caps every partition at K rows per stratum
+        // map-side; the shuffle is O(partitions x strata x K) — the
+        // measured time must stay scan-dominated (linear)
+        assert(graft.ext.TrainSet.weightedSample(
+          replicate(docs0, "doc_id", n).withColumn("w",
+            (length(col("text")) + 1).cast("double")),
+          "lang", "doc_id", "w", 50).count() > 0)
       })
 
     // --- dup-structure-preserving replication for the pair operators ---

@@ -310,7 +310,12 @@ class PlanSpec extends SparkSuite {
   // ships every key's full history through the exchange
   test("latest compaction plans a partial-max hash agg, no window, no join") {
     val p = planOf("x52_latest_compaction")
-    assert(p.contains("partial_max"), s"no map-side partial max:\n$p")
+    assert(p.contains("partial_greatest_row"), s"no map-side partial max:\n$p")
+    // the TypedImperativeAggregate must hash-aggregate — built-in
+    // max(struct) silently degrades to SortAggregate (per-partition sort
+    // by key), the exact plan greatest_row exists to avoid
+    assert(p.contains("ObjectHashAggregate"), s"not hash-aggregated:\n$p")
+    assert(!p.contains("SortAggregate"), s"degraded to sort agg:\n$p")
     assert(!p.contains("Window"), s"compaction fell back to a window sort:\n$p")
     assert(!p.contains("Join"), s"compaction planned a join:\n$p")
   }
