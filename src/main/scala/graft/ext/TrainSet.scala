@@ -85,4 +85,55 @@ object TrainSet {
       .select(col("stratum"), col("rank"), col(idCol),
         round(col("_pri"), 6).as("priority"))
   }
+
+  /** Deterministic uniform negative sampling for contrastive training:
+    * each anchor draws `k` pseudorandom corpus documents (the classic
+    * in-batch-negatives replacement when batches must be reproducible).
+    *
+    * Two-step arithmetic-join formulation:
+    *  1. the corpus is indexed ONCE into contiguous global slots 1..N in
+    *     pseudorandom order — [[epochShuffle]] shards + a driver-side
+    *     prefix sum over the 32 per-SHARD counts (cluster-metadata-sized,
+    *     never data; the [[graft.operators.Routing.assignByIndex]]
+    *     zipWithIndex pattern) — so no global sort at any corpus size,
+    *     and the index is reusable across anchor batches;
+    *  2. each anchor explodes to k draws with slot_j =
+    *     md5(salt:anchor:j) % N + 1, and negatives resolve via ONE hash
+    *     equi-join on slot over slim (slot, id) rows.
+    *
+    * Draws are independent across j (with replacement): a duplicate
+    * negative for one anchor is possible at probability ~k²/2N —
+    * vanishing for real corpora. Self-matches (anchor drew itself,
+    * ~k/N) are dropped, so an anchor very occasionally carries k-1
+    * negatives; re-draw chains would make every draw depend on corpus
+    * membership, destroying slot-arithmetic reproducibility. Output:
+    * (anchor_id, j, neg_id).
+    */
+  def negativeSample(anchors: DataFrame, anchorIdCol: String,
+                     corpus: DataFrame, corpusIdCol: String,
+                     k: Int, salt: String = "graft-negs"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val idx = epochShuffle(corpus, corpusIdCol, salt, numShards = 32)
+    val counts = idx.groupBy("shard").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    require(n > 0, "corpus is empty")
+    var acc = 0L
+    val offsets = counts.map { case (s, c) =>
+      val off = acc; acc += c; s -> off
+    }.toMap
+    val slotted = idx.withColumn("slot",
+        element_at(typedLit(offsets), col("shard")) + col("pos"))
+      .select(col("slot"), col(corpusIdCol).as("neg_id"))
+    val draws = anchors.filter(col(anchorIdCol).isNotNull)
+      .select(col(anchorIdCol).as("anchor_id"))
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      // 48-bit md5 prefix: modulo bias ~n/2^48, immaterial for any corpus
+      .withColumn("slot", conv(substring(md5(concat(lit(salt), lit(":"),
+        col("anchor_id").cast("string"), lit(":"), col("j").cast("string"))),
+        1, 12), 16, 10).cast("long") % n + 1)
+    draws.join(slotted, Seq("slot"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"))
+  }
 }

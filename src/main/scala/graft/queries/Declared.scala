@@ -2103,6 +2103,78 @@ object Declared {
              |FROM r WHERE rank <= 15
              |ORDER BY stratum, rank""".stripMargin)),
 
+    // Corpus snapshot diff (r8): old = the fixture, new = a deterministic
+    // perturbation (drop %17, retext %5, add %13 under shifted ids); the
+    // diff is one full-outer equi-join over slim (id, md5) frames — the
+    // payload never shuffles. DuckDB rebuilds both snapshots and diffs
+    // them with its own full-outer join.
+    "x55_corpus_diff" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val nw = docs.filter(col("doc_id") % 17 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" v2")))
+            .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        graft.ext.CorpusDiff.diff(docs, nw, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH old AS (
+             |  SELECT doc_id, md5(coalesce(text, '')) AS h_old
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |nw AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 5 = 0
+             |      THEN coalesce(text, '') || ' v2'
+             |      ELSE coalesce(text, '') END) AS h_new
+             |  FROM documents
+             |  WHERE doc_id IS NOT NULL AND doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5(coalesce(text, ''))
+             |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 = 0),
+             |d AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |    h_old, h_new
+             |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+             |SELECT doc_id,
+             |  CASE WHEN h_old IS NULL THEN 'added'
+             |    WHEN h_new IS NULL THEN 'removed'
+             |    WHEN h_old <> h_new THEN 'changed'
+             |    ELSE 'unchanged' END AS status, h_old, h_new
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic contrastive negative sampling (r8): corpus indexed
+    // into pseudorandom slots 1..N (epochShuffle shards + driver prefix
+    // sum — no global sort), anchors draw k slots by md5 arithmetic,
+    // negatives resolve via one slot equi-join. DuckDB rebuilds the SAME
+    // slot index with a global-sort row_number and replays the draws.
+    "x56_negative_sample" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.TrainSet.negativeSample(
+          docs.filter(col("doc_id") % 25 === 0), "doc_id", docs, "doc_id",
+          k = 4)
+          .orderBy("anchor_id", "j")
+      },
+      Some("""WITH idx AS (
+             |  SELECT doc_id AS neg_id,
+             |    row_number() OVER (ORDER BY
+             |      ('0x' || substr(md5('graft-negs:' || doc_id::varchar),
+             |        1, 8))::bigint % 32,
+             |      md5('graft-negs:' || doc_id::varchar), doc_id) AS slot
+             |  FROM documents WHERE doc_id IS NOT NULL),
+             |draws AS (
+             |  SELECT a.doc_id AS anchor_id, j,
+             |    ('0x' || substr(md5('graft-negs:' || a.doc_id::varchar
+             |      || ':' || j::varchar), 1, 12))::bigint
+             |      % (SELECT count(*) FROM idx) + 1 AS slot
+             |  FROM documents a, generate_series(1, 4) t(j)
+             |  WHERE a.doc_id IS NOT NULL AND a.doc_id % 25 = 0)
+             |SELECT anchor_id, j::bigint AS j, neg_id
+             |FROM draws JOIN idx USING (slot)
+             |WHERE neg_id <> anchor_id
+             |ORDER BY anchor_id, j""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -20,7 +20,8 @@ object Plans {
     "x47_asof_salted", "x48_interval_join", "x48_interval_salted",
     "x49_asof_tolerance", "x50_rolling_stats", "x50_rolling_salted",
     "x51_session_window", "x51_session_salted", "x52_latest_compaction",
-    "x53_epoch_shuffle", "x54_weighted_sample")
+    "x53_epoch_shuffle", "x54_weighted_sample", "x55_corpus_diff",
+    "x56_negative_sample")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

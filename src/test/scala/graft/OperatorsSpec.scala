@@ -497,4 +497,45 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(_.getLong(2)).toSet
     assert(kept == Set(3L))
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged; null text hashes as empty") {
+    val old = Seq(
+      (1L, Option("same")), (2L, Option("was")), (3L, Option("gone")),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, Option("same")), (2L, Option("now")), (5L, Option("new")),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val got = graft.ext.CorpusDiff.diff(old, nw, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.toSeq == Seq(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"), s"got ${got.toSeq}")
+  }
+
+  test("negativeSample matches a pure-Scala md5 replay of the slot arithmetic") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = (1L to 100L)
+    val corpus = ids.toDF("doc_id")
+    val anchors = Seq(10L, 20L, 30L).toDF("doc_id")
+    val k = 4
+    val got = graft.ext.TrainSet.negativeSample(
+      anchors, "doc_id", corpus, "doc_id", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent replay: index by (md5-shard, md5-hex, id), then draw
+    val slotOf = ids.map(i => i -> md5hex(s"graft-negs:$i"))
+      .sortBy { case (i, h) =>
+        (BigInt(h.substring(0, 8), 16) % 32, h, i)
+      }.zipWithIndex.map { case ((i, _), z) => (z + 1).toLong -> i }.toMap
+    val expected = (for {
+      a <- Seq(10L, 20L, 30L); j <- 1 to k
+      slot = BigInt(md5hex(s"graft-negs:$a:$j").substring(0, 12), 16)
+        .toLong % ids.length + 1
+      neg = slotOf(slot) if neg != a
+    } yield (a, j.toLong, neg)).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.forall { case (a, j, neg) =>
+      j >= 1 && j <= k && ids.contains(neg) && neg != a })
+  }
 }

@@ -346,6 +346,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"weighted sample planned a join:\n$p")
   }
 
+  // x55: the snapshot diff must be one full-outer EQUI-join over the slim
+  // (id, md5) frames — never a nested-loop, and the document payload
+  // must not reach the join (only id + hash columns pass the exchange)
+  test("corpus diff plans a full-outer equi-join over slim hash frames") {
+    val p = planOf("x55_corpus_diff")
+    assert(p.contains("FullOuter"), s"no full-outer join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"diff degraded to nested-loop:\n$p")
+    // text is consumed map-side by md5() and must not cross the join
+    val joinLine = p.linesIterator.find(_.contains("Join")).get
+    assert(!joinLine.contains("text#"), s"payload crossed the join:\n$p")
+  }
+
+  // x56: negatives resolve via an equi-join on the slot id; the corpus
+  // index side must never nested-loop against the draws
+  test("negative sampling equi-joins on slot, no nested loop") {
+    val p = planOf("x56_negative_sample")
+    val slotJoin = p.linesIterator.exists(l =>
+      l.contains("Join") && "[\\[(, ]slot#\\d".r.findFirstIn(l).isDefined)
+    assert(slotJoin, s"no slot equi-join:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"sampling degraded to nested-loop:\n$p")
+  }
+
   // x45: the banded-LSH candidate join must be a broadcast equi-join on
   // (band, bucket) — the corpus is bucketed map-side and never shuffled
   // before the candidate dedup
