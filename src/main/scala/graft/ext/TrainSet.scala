@@ -112,19 +112,45 @@ object TrainSet {
   def negativeSample(anchors: DataFrame, anchorIdCol: String,
                      corpus: DataFrame, corpusIdCol: String,
                      k: Int, salt: String = "graft-negs"): DataFrame = {
-    require(k > 0, s"k must be positive (got $k)")
+    val idx = corpusSlotIndex(corpus, corpusIdCol, salt)
+    negativeSampleIndexed(anchors, anchorIdCol, idx, k, salt)
+  }
+
+  /** The reusable corpus slot index: (slot, neg_id) with contiguous
+    * pseudorandom slots 1..N. Build once per (corpus version, salt) —
+    * persist or write it out — and serve every anchor batch (batch or
+    * streaming) from [[negativeSampleIndexed]]; at 100 TB the index is a
+    * one-off bucketed write, not a per-batch recompute. N is
+    * `slot`'s max; the driver-side work here is one 32-row count
+    * collect.
+    */
+  def corpusSlotIndex(corpus: DataFrame, corpusIdCol: String,
+                      salt: String = "graft-negs"): DataFrame = {
     val idx = epochShuffle(corpus, corpusIdCol, salt, numShards = 32)
     val counts = idx.groupBy("shard").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val n = counts.map(_._2).sum
-    require(n > 0, "corpus is empty")
+    require(counts.nonEmpty, "corpus is empty")
     var acc = 0L
     val offsets = counts.map { case (s, c) =>
       val off = acc; acc += c; s -> off
     }.toMap
-    val slotted = idx.withColumn("slot",
+    idx.withColumn("slot",
         element_at(typedLit(offsets), col("shard")) + col("pos"))
       .select(col("slot"), col(corpusIdCol).as("neg_id"))
+  }
+
+  /** Draw against a prebuilt [[corpusSlotIndex]]. Stream-friendly: with a
+    * STREAMING anchors frame this is a stateless stream-static equi-join
+    * (the StreamSimilarity batch-index/stream-probe pattern) — tested for
+    * batch/stream equality in StreamingSpec. N comes from one scalar agg
+    * over the index (constant-folded once per batch plan).
+    */
+  def negativeSampleIndexed(anchors: DataFrame, anchorIdCol: String,
+                            slotIndex: DataFrame, k: Int,
+                            salt: String = "graft-negs"): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    val n = slotIndex.agg(max(col("slot"))).collect()(0).getLong(0)
+    require(n > 0, "corpus is empty")
     val draws = anchors.filter(col(anchorIdCol).isNotNull)
       .select(col(anchorIdCol).as("anchor_id"))
       .withColumn("j", explode(sequence(lit(1), lit(k))))
@@ -132,7 +158,7 @@ object TrainSet {
       .withColumn("slot", conv(substring(md5(concat(lit(salt), lit(":"),
         col("anchor_id").cast("string"), lit(":"), col("j").cast("string"))),
         1, 12), 16, 10).cast("long") % n + 1)
-    draws.join(slotted, Seq("slot"))
+    draws.join(slotIndex, Seq("slot"))
       .filter(col("neg_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"))
   }

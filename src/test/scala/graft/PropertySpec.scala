@@ -310,6 +310,90 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("epochShuffle: permutation + contiguous shard positions for arbitrary ids/shards") {
+    import spark.implicits._
+    val cases = samples(for {
+      ids <- Gen.nonEmptyListOf(Gen.choose(-100000L, 100000L)).map(_.distinct)
+      shards <- Gen.choose(1, 64)
+      seed <- Gen.alphaNumStr.map(_.take(8))
+    } yield (ids, shards, seed), 5)
+    cases.foreach { case (ids, shards, seed) =>
+      val got = graft.ext.TrainSet.epochShuffle(
+        ids.toDF("doc_id"), "doc_id", seed, shards).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._3).toSet == ids.toSet, s"not a permutation ($seed)")
+      got.groupBy(_._1).foreach { case (sh, rows) =>
+        assert(sh >= 0 && sh < shards)
+        assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+          s"shard $sh not contiguous ($seed)")
+      }
+    }
+  }
+
+  test("latestByKey equals a Scala argmax recompute on random keyed rows with ties") {
+    import spark.implicits._
+    val row = for {
+      k <- Gen.choose(1L, 5L); ts <- Gen.choose(1L, 20L)
+      id <- Gen.choose(1L, 1000L); v <- Gen.choose(-100, 100)
+    } yield (k, ts, id, v.toDouble)
+    samples(Gen.nonEmptyListOf(row), 5).foreach { rows0 =>
+      // (ts, id) must uniquely identify a row per key (the documented
+      // CDC contract) — dedup the generator's collisions accordingly
+      val rows = rows0.groupBy(r => (r._1, r._2, r._3)).values.map(_.head).toSeq
+      val df = rows.toDF("k", "ts", "id", "v")
+      val got = graft.operators.Compaction.latestByKey(
+        df, "k", "ts", "id", Seq("v")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        val m = g.maxBy(r => (r._2, r._3)); k -> (m._2, m._3, m._4)
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("corpusDiff statuses equal a Scala map diff for random snapshots") {
+    import spark.implicits._
+    val snap = Gen.mapOf(Gen.zip(Gen.choose(1L, 30L), Gen.oneOf("a", "b", "c")))
+    samples(Gen.zip(snap, snap), 5).foreach { case (o, n) =>
+      val got = graft.ext.CorpusDiff.diff(
+        o.toSeq.toDF("doc_id", "text"), n.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = (o.keySet ++ n.keySet).map { id =>
+        id -> ((o.get(id), n.get(id)) match {
+          case (None, _) => "added"
+          case (_, None) => "removed"
+          case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+        })
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("weightedSample: output is exactly min(k, eligible) per stratum, ranks contiguous") {
+    import spark.implicits._
+    val row = for {
+      id <- Gen.choose(1L, 500L); s <- Gen.oneOf("x", "y", "z")
+      w <- Gen.oneOf(Gen.const(0.0), Gen.choose(0.1, 100.0))
+    } yield (id, s, w)
+    samples(Gen.zip(Gen.nonEmptyListOf(row), Gen.choose(1, 10)), 5)
+      .foreach { case (rows0, k) =>
+        val rows = rows0.groupBy(_._1).values.map(_.head).toSeq // unique ids
+        val got = graft.ext.TrainSet.weightedSample(
+          rows.toDF("doc_id", "s", "w"), "s", "doc_id", "w", k).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val eligible = rows.filter(_._3 > 0).groupBy(_._2)
+        got.groupBy(_._1).foreach { case (s, g) =>
+          assert(g.length == math.min(k, eligible(s).size))
+          assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq)
+          assert(g.map(_._3).forall(id => eligible(s).exists(_._1 == id)))
+        }
+        assert(got.groupBy(_._1).keySet == eligible.keySet.filter(s =>
+          eligible(s).nonEmpty))
+      }
+  }
+
   test("deterministic_base64 fuzz: any (seed, id, n) round-trips to exactly n bytes, deterministically") {
     val cases = samples(for {
       seed <- Gen.choose(Long.MinValue, Long.MaxValue)

@@ -79,6 +79,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming negative sampling: stream-static slot probe equals batch draws") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (1L to 100L).toDF("doc_id")
+    val idx = graft.ext.TrainSet.corpusSlotIndex(corpus, "doc_id")
+      .persist()
+    try {
+      val input = MemoryStream[Long]
+      val negs = graft.ext.TrainSet.negativeSampleIndexed(
+        input.toDF().toDF("doc_id"), "doc_id", idx, k = 4)
+      val q = negs.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("negs").start()
+      try {
+        input.addData(10L, 20L); q.processAllAvailable()
+        input.addData(30L); q.processAllAvailable()
+        val got = spark.table("negs").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val batch = graft.ext.TrainSet.negativeSample(
+          Seq(10L, 20L, 30L).toDF("doc_id"), "doc_id", corpus, "doc_id", 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == batch, s"stream $got vs batch $batch")
+        assert(got.nonEmpty)
+      } finally q.stop()
+    } finally idx.unpersist()
+  }
+
   test("J1/F5 progressMonitor: snapshot deltas carried across batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
