@@ -303,24 +303,65 @@ object Similarity {
     * than the expected `n / 2^bitsPerBand` occupancy is a degenerate
     * hash region (clustered data piling into one signature), and at
     * 100 TB one such mega-bucket is an unbounded per-query candidate
-    * scan. Keeps the `maxBucketSize`-smallest rows by
-    * (xxhash64(id), id) — a deterministic, similarity-blind uniform
-    * sample of the bucket, so the cap trims only what a hot bucket
-    * could tell you least about. Plans as WindowGroupLimit: per-input-
-    * partition bounded heaps BEFORE the (band, bucket) exchange, so the
-    * shuffle itself is capped too (PlanSpec gate). Size the cap a few
-    * multiples above expected occupancy: inert on healthy buckets,
-    * binding exactly on the pathological ones (recall deltas measured
-    * in tools/BoundProbe, provenance in BASELINE.md).
+    * scan.
+    *
+    * Hash-threshold formulation (r8, replacing the row_number window
+    * form): hot buckets are detected on a deterministic 1-in-16 id
+    * sample — the sample predicate references only the id, so Catalyst
+    * pushes it below the banding projection and the sizing pass costs
+    * ~1/16 of a banding pass, with the count shuffle carrying slim
+    * (band, bucket, n) rows. Estimated occupancy = 16·sample count; the
+    * over-cap buckets are collected once at operator build and inlined
+    * as a literal map (pathological by definition, so a handful — at
+    * most bands·2^bits cluster-metadata triples, never data; repeated
+    * actions over the capped frame pay no per-action sizing job, no
+    * broadcast and no join), and each row of a hot bucket survives iff
+    * `xxhash64(band, bucket, id) mod est < cap` — a deterministic,
+    * similarity-blind uniform sample, trimming only what a hot bucket
+    * could tell you least about. The banded corpus itself is NEVER
+    * exchanged or sorted (PlanSpec gate): the window form's exact ≤ cap
+    * bound cost a full shuffle + sort of every banded row — measured 2×
+    * the uncapped runtime on the hot-bucket fixture, i.e. the guard cost
+    * more than the degeneracy it guarded — and a full-count variant
+    * still paid one extra whole banding pass. This form binds the
+    * bucket at cap in expectation (survival Binomial plus ~√(16·size)
+    * size-estimate noise: a few percent wherever the cap matters;
+    * sub-threshold buckets are untouched EXACTLY, and detection noise
+    * only matters inside the sampling band — a bucket up to ~1.6× cap
+    * can escape detection and pass untrimmed, which is fine because the
+    * guard exists for the orders-of-magnitude mega-bucket, not the
+    * boundary: this is a work bound, not an exact-size contract). Size
+    * the cap a few multiples above expected occupancy (recall deltas
+    * measured in tools/BoundProbe, provenance in BASELINE.md).
     */
   def capBuckets(banded: DataFrame, maxBucketSize: Int,
                  idCol: String): DataFrame = {
     require(maxBucketSize > 0,
       s"maxBucketSize must be positive (got $maxBucketSize)")
-    val w = Window.partitionBy("band", "bucket")
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-    banded.withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= maxBucketSize).drop("_r")
+    val p = 16L
+    // ONE eager driver-side sizing pass at operator build (the
+    // Routing.assignByIndex offsets convention): the result is at most
+    // bands * 2^bits (band, bucket, est) triples — cluster metadata,
+    // never data — inlined below as a literal map, so repeated actions
+    // over the capped frame pay NO per-action sizing job, no broadcast
+    // exchange and no join (an earlier broadcast-left-outer-join form
+    // cost more than the mega-bucket scans it trimmed)
+    val hotRows = banded
+      .filter(pmod(xxhash64(col(idCol)), lit(p)) === 0)
+      .groupBy("band", "bucket")
+      .agg((count(lit(1)) * p).as("_bsz"))
+      .filter(col("_bsz") > maxBucketSize)
+      .collect()
+    if (hotRows.isEmpty) banded
+    else {
+      val est = element_at(
+        typedLit(hotRows.map(r =>
+          s"${r.get(0)}:${r.get(1)}" -> r.getLong(2)).toMap),
+        concat_ws(":", col("band"), col("bucket")))
+      banded.filter(est.isNull ||
+        pmod(xxhash64(col("band"), col("bucket"), col(idCol)), est)
+          < maxBucketSize)
+    }
   }
 
   def lshTopKBanded(queries: DataFrame, corpus: DataFrame, k: Int,

@@ -2175,6 +2175,38 @@ object Declared {
              |WHERE neg_id <> anchor_id
              |ORDER BY anchor_id, j""".stripMargin)),
 
+    // Mergeable HLL sketch state (r8, X4's incremental form): per-lang
+    // DataSketches HLL blobs roll up through an intermediate level (the
+    // daily->weekly->total refresh topology) and the estimate must
+    // agree with the one-level union within 1% (register-wise max is
+    // associative — EXACTLY so in the dense regime, asserted == in
+    // ExtSpec; in the sparse->dense transition the union gadget's
+    // promotion point is topology-dependent, measured drift 1 count at
+    // the 500-distinct boundary) and sit within the measured 5% of the
+    // exact count (provenance in BASELINE.md). DuckDB anchors the exact
+    // count; the claims are constant-true property columns.
+    "x57_sketch_union" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val parts = graft.ext.Sketches.hllPerGroup(docs, "lang", "doc_id")
+        val oneLevel = parts.agg(
+          graft.ext.Sketches.hllUnionEstimate().as("est_one"))
+        val twoLevel = parts
+          .groupBy((col("lang") < "f").as("shard"))
+          .agg(graft.ext.Sketches.hllUnion().as("sketch"))
+          .agg(graft.ext.Sketches.hllUnionEstimate().as("est_two"))
+        docs.agg(count_distinct(col("doc_id")).as("n_exact"))
+          .crossJoin(oneLevel).crossJoin(twoLevel)
+          .select(col("n_exact"),
+            (abs(col("est_one").cast("double") - col("est_two")) /
+              col("n_exact") <= 0.01).as("reagg_stable"),
+            (abs(col("est_one").cast("double") - col("n_exact")) /
+              col("n_exact") <= 0.05).as("err_ok"))
+      },
+      Some("""SELECT count(DISTINCT doc_id) AS n_exact,
+             |  true AS reagg_stable, true AS err_ok
+             |FROM documents WHERE doc_id IS NOT NULL""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

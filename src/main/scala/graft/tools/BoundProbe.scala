@@ -38,6 +38,35 @@ object BoundProbe {
         .agg(max("rel_err")).collect()(0).getDouble(0)
       println(f"x04 max rel_err = $x04%.4f")
 
+      // x57: DataSketches HLL (lgK=12) — roll-up (two-level) union vs
+      // one-level union estimate equality (must be exact: register-wise
+      // max is associative) and relative error vs the exact count, at
+      // each SF. Also printed: the whole-corpus direct sketch, to
+      // document the claim we do NOT make (at small cardinality a
+      // direct sketch stays coupon-exact while the union gadget is
+      // dense-HLL — both inside the error bound, not equal)
+      val docsX57 = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id").isNotNull)
+      val r57 = {
+        val parts = graft.ext.Sketches.hllPerGroup(docsX57, "lang", "doc_id")
+        parts.persist()
+        val e1 = parts.agg(graft.ext.Sketches.hllUnionEstimate().as("e"))
+          .collect()(0).getLong(0)
+        val e2 = parts.groupBy((col("lang") < "f").as("shard"))
+          .agg(graft.ext.Sketches.hllUnion().as("sketch"))
+          .agg(graft.ext.Sketches.hllUnionEstimate().as("e"))
+          .collect()(0).getLong(0)
+        val ew = docsX57.agg(hll_sketch_estimate(
+          hll_sketch_agg(col("doc_id"), lit(12))).as("e"))
+          .collect()(0).getLong(0)
+        val ex = docsX57.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+        parts.unpersist()
+        (e1, e2, ew, ex)
+      }
+      println(f"x57 est_one=${r57._1} est_two=${r57._2} est_whole=${r57._3} " +
+        f"exact=${r57._4} reagg_eq=${r57._1 == r57._2} " +
+        f"rel_err=${math.abs(r57._1 - r57._4).toDouble / r57._4}%.4f")
+
       // x15: approx_percentile(accuracy=1000) rank position per lang
       val docs = Tables.load(spark, dir, "documents")
       val ap = docs.groupBy("lang").agg(

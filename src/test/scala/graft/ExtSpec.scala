@@ -564,8 +564,13 @@ class ExtSpec extends SparkSuite {
     val cappedMax = Similarity.capBuckets(banded, 50, "neighbor_id")
       .groupBy("band", "bucket").count()
       .agg(max("count")).collect()(0).getLong(0)
-    assert(cappedMax <= 50L, s"cap leaked: $cappedMax")
-    // a mega-bucket query is still served: any 50-sample of 400
+    // the hash-threshold cap binds in expectation: Binomial(400, 1/8)
+    // per hot bucket, mean 50, sd ~ 6.6 — 80 is > 4.5 sigma over the
+    // mean even for the max over the 16 bucket-groups
+    assert(cappedMax <= 80L, s"cap leaked: $cappedMax")
+    assert(cappedMax < uncappedMax / 3,
+      s"cap did not bind: $cappedMax of $uncappedMax")
+    // a mega-bucket query is still served: any ~50-sample of 400
     // near-identical vectors contains >= k sim~1 neighbors (redundancy
     // is exactly what makes the bucket degenerate)
     val res = Similarity.lshTopKBanded(
@@ -579,6 +584,48 @@ class ExtSpec extends SparkSuite {
       corpus.filter(col("vec_id") === 0L), corpus, k = 5,
       bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 50).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("X17 mergeable HLL sketches: re-aggregation invariance, error bound, incremental add") {
+    import graft.ext.Sketches
+    // 4 sources x 3000 ids with heavy cross-source overlap (the refresh
+    // scenario: sources re-see most of each other's documents); 3000
+    // distinct at lgK=12 is past the coupon limit, i.e. the DENSE
+    // regime, where roll-up topology equality is EXACT (the declared
+    // x57 asserts the 1%-tolerance form valid through the sparse
+    // transition too)
+    val df = spark.range(12000).select(
+      (col("id") % 4).as("src"), (col("id") % 3000).as("doc"))
+    val parts = Sketches.hllPerGroup(df, "src", "doc").persist()
+    try {
+      val one = parts.agg(Sketches.hllUnionEstimate().as("e"))
+        .collect()(0).getLong(0)
+      // roll up through an intermediate level (sources 0,1 | 2,3), then
+      // union the two roll-ups: must be EXACTLY the one-level estimate
+      val two = parts.groupBy((col("src") < 2).as("shard"))
+        .agg(Sketches.hllUnion().as("sketch"))
+        .agg(Sketches.hllUnionEstimate().as("e"))
+        .collect()(0).getLong(0)
+      assert(one == two, s"re-aggregation changed the estimate: $one vs $two")
+      // and a different grouping of the same sketches agrees too
+      val two2 = parts.groupBy((col("src") % 2).as("shard"))
+        .agg(Sketches.hllUnion().as("sketch"))
+        .agg(Sketches.hllUnionEstimate().as("e"))
+        .collect()(0).getLong(0)
+      assert(one == two2, s"grouping changed the estimate: $one vs $two2")
+      // estimate within the lgK=12 sketch tolerance of the exact 3000
+      assert(math.abs(one - 3000L) / 3000.0 <= 0.05,
+        s"estimate $one outside 5% of 3000")
+      // incremental refresh: union(old sketches, sketch(new batch)) sees
+      // genuinely new ids — estimate grows past the old distinct count
+      val newBatch = spark.range(3000, 4500)
+        .select(lit(9L).as("src"), col("id").as("doc"))
+      val refreshed = parts.select(col("sketch"))
+        .union(Sketches.hllPerGroup(newBatch, "src", "doc").select(col("sketch")))
+        .agg(Sketches.hllUnionEstimate().as("e")).collect()(0).getLong(0)
+      assert(math.abs(refreshed - 4500L) / 4500.0 <= 0.05,
+        s"refreshed estimate $refreshed outside 5% of 4500")
+    } finally parts.unpersist()
   }
 
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {

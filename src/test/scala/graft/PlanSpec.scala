@@ -399,18 +399,66 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  // x45's capped twin: the bucket cap's rank filter must plan as
-  // WindowGroupLimit — per-input-partition bounded heaps BEFORE the
-  // (band, bucket) exchange, so a mega-bucket's rows are trimmed
-  // map-side and the shuffle itself is capped, not just the join input
-  test("capped banded ANN bounds buckets via WindowGroupLimit before the exchange") {
+  // x45's capped twin (r8 hash-threshold form): the hot-bucket sizes are
+  // collected ONCE at operator build and inlined as a literal map, so the
+  // cap is a pure map-side filter — no banded-corpus exchange, no sort
+  // keyed by (band, bucket) anywhere (the old window-cap's full-shuffle-
+  // and-sort signature, measured 2x the uncapped runtime), and no extra
+  // join (the broadcast-LOJ variant cost more than the scans it trimmed)
+  test("capped banded ANN: no band-keyed window/sort, probe join intact") {
     val p = planOf("x45_ann_capped")
-    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
-    val bandJoin = p.linesIterator.exists(l =>
+    // the top-k WindowGroupLimit on query_id is the WANTED rank pushdown;
+    // the cap must not reintroduce one keyed by (band, bucket)
+    val capWindow = p.linesIterator.exists(l =>
+      (l.contains("WindowGroupLimit") || l.contains("Window ")) &&
+        "[\\[(, ]band#\\d".r.findFirstIn(l).isDefined)
+    assert(!capWindow, s"window-cap form resurfaced:\n$p")
+    val bandSort = p.linesIterator.exists(l =>
+      l.contains("Sort [band") || "Sort \\[.*[, ]band#\\d".r.findFirstIn(l).isDefined)
+    assert(!bandSort, s"banded corpus sorted on (band, bucket):\n$p")
+    val bandJoins = p.linesIterator.count(l =>
       l.contains("BroadcastHashJoin") &&
         "[\\[(, ]band#\\d".r.findFirstIn(l).isDefined &&
         "[\\[(, ]bucket#\\d".r.findFirstIn(l).isDefined)
-    assert(bandJoin, s"no broadcast equi-join on (band, bucket):\n$p")
+    // exactly the query-bucket probe joins — the cap adds NO join (on the
+    // healthy sf fixture no bucket crosses the cap, so capBuckets is also
+    // required to be a structural no-op here)
+    assert(bandJoins >= 1, s"query-bucket broadcast probe join missing:\n$p")
+  }
+
+  // x57: sketch partials must merge map-side (partial hll_sketch_agg
+  // below the lang exchange) and stay hash-aggregated — a SortAggregate
+  // here would mean the binary sketch buffer fell off the hash path
+  test("sketch build aggregates hash-side with map-side partials") {
+    val p = planOf("x57_sketch_union")
+    assert(p.contains("partial_hll_sketch_agg") ||
+      "ObjectHashAggregate.*hll_sketch_agg".r.findFirstIn(p).isDefined,
+      s"no partial sketch aggregation:\n$p")
+    assert(!p.contains("SortAggregate"), s"sketch agg fell to SortAggregate:\n$p")
+  }
+
+  // the cap's positive form, on a frame with a forced hot bucket: the
+  // survival predicate is an inlined literal-map filter (element_at +
+  // pmod) directly over the banded rows — no join, no window, no sort
+  test("bucket cap plans as a literal-map filter on a hot fixture") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val hot = spark.range(600).select(lit(0).as("band"),
+      lit(7L).as("bucket"), col("id").as("nid"))
+    val capped = Similarity.capBuckets(hot, 64, "nid")
+    val p = capped.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    // the survival predicate is the pmod-threshold filter; with constant
+    // (band, bucket) Catalyst folds the literal-map lookup to a literal
+    // modulus — fine, it's still the pure filter form
+    assert(p.contains("pmod(xxhash64"),
+      s"hash-threshold survival filter missing:\n$p")
+    assert(!p.contains("Join"), s"cap added a join:\n$p")
+    assert(!p.contains("Window"), s"cap added a window:\n$p")
+    assert(!p.contains("Sort"), s"cap added a sort:\n$p")
+    // and it binds: Binomial(600, 64/est) survivors, est = 16 * sample
+    val n = capped.count()
+    assert(n < 200 && n > 10, s"cap did not bind in expectation: $n of 600")
   }
 
   // scans must prune columns: the documents scan of a two-column query
