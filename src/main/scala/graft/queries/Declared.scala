@@ -2207,6 +2207,51 @@ object Declared {
              |  true AS reagg_stable, true AS err_ok
              |FROM documents WHERE doc_id IS NOT NULL""".stripMargin)),
 
+    // Mergeable KLL quantile sketch state (r8, x15's incremental form —
+    // functions.QuantileSketch TypedImperativeAggregate over
+    // DataSketches KLL): per-lang quantile blobs union per refresh;
+    // quantiles read from BOTH the one-level union and a two-level
+    // roll-up must sit within the sketch's rank bound of the target
+    // rank, checked against the raw n_chars column (x15's pattern:
+    // empirical CDF of the returned element). eps = 0.02 + 2/n — KLL
+    // k=200 normalized rank error is 1.65% single-sided at 99% conf;
+    // measured deviations in BoundProbe, provenance in BASELINE.md.
+    // DuckDB anchors the domain and n; claims are constant-true.
+    "x58_kll_quantiles" -> Q(
+      (s, dir) => {
+        import graft.ext.Sketches
+        val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+        val parts = Sketches.kllPerGroup(docs, "lang", "n_chars")
+        val one = parts.agg(Sketches.kllUnion().as("sk"))
+          .select(Sketches.kllQuantile("sk", 0.5).as("q50_one"),
+            Sketches.kllQuantile("sk", 0.9).as("q90_one"))
+        val two = parts.groupBy((col("lang") < "f").as("shard"))
+          .agg(Sketches.kllUnion().as("sk"))
+          .agg(Sketches.kllUnion("sk").as("sk"))
+          .select(Sketches.kllQuantile("sk", 0.5).as("q50_two"),
+            Sketches.kllQuantile("sk", 0.9).as("q90_two"))
+        val eps = lit(0.02) + lit(2.0) / col("n")
+        def inBound(q: String, target: Double) =
+          (col(s"fle_$q") >= lit(target) - eps &&
+            col(s"flt_$q") <= lit(target) + eps).as(s"${q}_in_bound")
+        def cdf(q: String) = Seq(
+          (sum(when(col("n_chars") <= col(q), 1).otherwise(0)) /
+            count(lit(1))).as(s"fle_$q"),
+          (sum(when(col("n_chars") < col(q), 1).otherwise(0)) /
+            count(lit(1))).as(s"flt_$q"))
+        docs.crossJoin(broadcast(one)).crossJoin(broadcast(two))
+          .agg(count(lit(1)).as("n"),
+            (cdf("q50_one") ++ cdf("q90_one") ++
+              cdf("q50_two") ++ cdf("q90_two")): _*)
+          .select(col("n"),
+            inBound("q50_one", 0.5), inBound("q90_one", 0.9),
+            inBound("q50_two", 0.5), inBound("q90_two", 0.9))
+      },
+      Some("""SELECT count(*) AS n,
+             |  true AS q50_one_in_bound, true AS q90_one_in_bound,
+             |  true AS q50_two_in_bound, true AS q90_two_in_bound
+             |FROM documents WHERE n_chars IS NOT NULL""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

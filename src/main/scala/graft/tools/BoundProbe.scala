@@ -67,6 +67,33 @@ object BoundProbe {
         f"exact=${r57._4} reagg_eq=${r57._1 == r57._2} " +
         f"rel_err=${math.abs(r57._1 - r57._4).toDouble / r57._4}%.4f")
 
+      // x58: KLL quantile sketches (k=200) — worst rank deviation of the
+      // one-level and two-level union quantiles vs the raw empirical CDF
+      // (the declared bound is 0.02 + 2/n; KLL's own bound 1.65% @99%)
+      {
+        import graft.ext.Sketches
+        val docs = docsX57.filter(col("n_chars").isNotNull)
+        val n = docs.count().toDouble
+        val parts = Sketches.kllPerGroup(docs, "lang", "n_chars").persist()
+        val one = parts.agg(Sketches.kllUnion().as("sk"))
+          .select(Sketches.kllQuantile("sk", 0.5), Sketches.kllQuantile("sk", 0.9))
+          .collect()(0)
+        val two = parts.groupBy((col("lang") < "f").as("shard"))
+          .agg(Sketches.kllUnion().as("sk"))
+          .agg(Sketches.kllUnion("sk").as("sk"))
+          .select(Sketches.kllQuantile("sk", 0.5), Sketches.kllQuantile("sk", 0.9))
+          .collect()(0)
+        parts.unpersist()
+        def dev(v: Double, target: Double): Double = {
+          val r = docs.filter(col("n_chars") <= v).count() / n
+          math.abs(r - target)
+        }
+        println(f"x58 dev_one50=${dev(one.getDouble(0), 0.5)}%.4f " +
+          f"dev_one90=${dev(one.getDouble(1), 0.9)}%.4f " +
+          f"dev_two50=${dev(two.getDouble(0), 0.5)}%.4f " +
+          f"dev_two90=${dev(two.getDouble(1), 0.9)}%.4f bound=${0.02 + 2 / n}%.4f")
+      }
+
       // x15: approx_percentile(accuracy=1000) rank position per lang
       val docs = Tables.load(spark, dir, "documents")
       val ap = docs.groupBy("lang").agg(

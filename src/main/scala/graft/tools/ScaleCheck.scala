@@ -37,7 +37,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "lang", "text")
+      .select("doc_id", "lang", "text", "n_chars")
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nDocs0 = docs0.select("doc_id").distinct().count()
@@ -203,6 +203,22 @@ object ScaleCheck {
           replicate(docs0, "doc_id", n).withColumn("w",
             (length(col("text")) + 1).cast("double")),
           "lang", "doc_id", "w", 50).count() > 0)
+      },
+      "x58 KLL quantile sketch (documents, per-lang k=200)" -> { n =>
+        // same shape as x57: partials merge map-side, the exchange
+        // carries one ~few-KB blob per (partition, lang); replicas
+        // duplicate every n_chars value so the distribution — and hence
+        // every quantile — is scale-INVARIANT: the estimate must stay
+        // within the rank bound of the 1x empirical quantile
+        val q50 = graft.ext.Sketches.kllPerGroup(
+          replicate(docs0, "doc_id", n), "lang", "n_chars")
+          .agg(graft.ext.Sketches.kllUnion().as("sk"))
+          .select(graft.ext.Sketches.kllQuantile("sk", 0.5))
+          .collect()(0).getDouble(0)
+        val rank = docs0.filter(col("n_chars") <= q50).count().toDouble /
+          docs0.count()
+        assert(math.abs(rank - 0.5) <= 0.03,
+          s"replicated-corpus q50 rank drifted: $q50 -> $rank")
       },
       "x57 sketch build+union (documents, per-lang HLL)" -> { n =>
         // sketch partials merge map-side, so the lang exchange carries

@@ -628,6 +628,54 @@ class ExtSpec extends SparkSuite {
     } finally parts.unpersist()
   }
 
+  test("X17b mergeable KLL quantile sketches: rank bounds survive build, union, roll-up") {
+    import graft.ext.Sketches
+    import graft.functions.QuantileSketch._
+    // 4 sources over a known uniform distribution 0..9999 (so the true
+    // quantile at rank q is q*10000); KLL k=200 rank error ~1.65%
+    val df = spark.range(10000).select(
+      (col("id") % 4).as("src"), col("id").cast("double").as("v"))
+    val parts = Sketches.kllPerGroup(df, "src", "v").persist()
+    try {
+      def checkRank(value: Double, target: Double, what: String): Unit =
+        assert(math.abs(value / 10000.0 - target) <= 0.02,
+          s"$what: value $value rank ${value / 10000.0} vs target $target")
+      val one = parts.agg(Sketches.kllUnion().as("sk"))
+        .select(Sketches.kllQuantile("sk", 0.5).as("q50"),
+          Sketches.kllQuantile("sk", 0.9).as("q90"),
+          kll_rank(col("sk"), lit(2500.0)).as("r25")).collect()(0)
+      checkRank(one.getDouble(0), 0.5, "one-level q50")
+      checkRank(one.getDouble(1), 0.9, "one-level q90")
+      assert(math.abs(one.getDouble(2) - 0.25) <= 0.02,
+        s"kll_rank(2500) = ${one.getDouble(2)} not ~0.25")
+      // roll-up through an intermediate level keeps the bound
+      val two = parts.groupBy((col("src") < 2).as("shard"))
+        .agg(Sketches.kllUnion().as("sk"))
+        .agg(Sketches.kllUnion("sk").as("sk"))
+        .select(Sketches.kllQuantile("sk", 0.5).as("q50")).collect()(0)
+      checkRank(two.getDouble(0), 0.5, "two-level q50")
+      // a single-group sketch with NO compaction pressure is exact
+      val tiny = spark.range(101).select(lit(0L).as("src"),
+        col("id").cast("double").as("v"))
+      val tq = Sketches.kllPerGroup(tiny, "src", "v")
+        .select(Sketches.kllQuantile("qsketch", 0.5)).collect()(0).getDouble(0)
+      assert(tq == 50.0, s"small-sketch median $tq != exact 50")
+      // null values are skipped; an all-null group yields an empty
+      // sketch whose quantile is NaN (not a crash, not a zero)
+      val withNulls = spark.range(10).select(lit(0L).as("src"),
+        when(col("id") < 5, col("id").cast("double")).as("v"))
+      val nq = Sketches.kllPerGroup(withNulls, "src", "v")
+        .select(Sketches.kllQuantile("qsketch", 1.0)).collect()(0).getDouble(0)
+      assert(nq == 4.0, s"null-skipping sketch max $nq != 4")
+      val allNull = spark.range(5).select(lit(0L).as("src"),
+        lit(null).cast("double").as("v"))
+      val an = Sketches.kllPerGroup(allNull, "src", "v")
+        .select(Sketches.kllQuantile("qsketch", 0.5)).collect()
+      assert(an.isEmpty || an(0).getDouble(0).isNaN,
+        s"all-null group quantile should be NaN/absent: ${an.mkString}")
+    } finally parts.unpersist()
+  }
+
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
     // Spark-side mirror of the x34 DuckDB oracle: the declared query
     // synthesizes headers with doc_id-derived dims and parses them back;

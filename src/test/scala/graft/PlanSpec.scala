@@ -437,6 +437,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), s"sketch agg fell to SortAggregate:\n$p")
   }
 
+  // x58: the KLL TypedImperativeAggregate must plan exactly like the
+  // HLL one — ObjectHashAggregate with map-side partials, no fallback
+  // to SortAggregate anywhere in the sketch build or union
+  test("KLL quantile sketch aggregates hash-side with map-side partials") {
+    val p = planOf("x58_kll_quantiles")
+    assert(p.contains("partial_kll_sketch_agg") ||
+      "ObjectHashAggregate.*kll_sketch_agg".r.findFirstIn(p).isDefined,
+      s"no partial KLL sketch aggregation:\n$p")
+    assert(!p.contains("SortAggregate"), s"KLL agg fell to SortAggregate:\n$p")
+  }
+
   // the cap's positive form, on a frame with a forced hot bucket: the
   // survival predicate is an inlined literal-map filter (element_at +
   // pmod) directly over the banded rows — no join, no window, no sort
