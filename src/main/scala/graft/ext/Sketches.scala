@@ -55,27 +55,51 @@ object Sketches {
   def hllUnionEstimate(sketchCol: String = "sketch"): Column =
     hll_sketch_estimate(hllUnion(sketchCol))
 
-  // ---- quantile state (KLL — see functions.QuantileSketch) ----------
+  // ---- quantile state (KLL — Spark's own DataSketches bindings) -----
 
   /** One KLL quantile sketch blob per group: (groupCol, qsketch). The
     * quantile companion to [[hllPerGroup]] — persist these per
     * partition/day/source, union per refresh, never re-scan. `k` = 200
-    * gives ~1.65% single-sided rank error at 99% confidence.
+    * gives ~1.65% single-sided rank error at 99% confidence. Built on
+    * Spark's own `kll_sketch_agg_double` (4.1 ships the full KLL
+    * surface next to the HLL one), NOT `approx_percentile`, whose
+    * sketch state never leaves the aggregation.
     */
   def kllPerGroup(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 200): DataFrame =
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(graft.functions.QuantileSketch.kll_sketch_agg(
+      .agg(kll_sketch_agg_double(
         col(valueCol).cast("double"), k).as("qsketch"))
 
   /** Aggregate Column: union a frame of KLL blobs into one blob. Pass
     * the BUILD k (a larger union k cannot add accuracy back).
     */
   def kllUnion(sketchCol: String = "qsketch", k: Int = 200): Column =
-    graft.functions.QuantileSketch.kll_union_agg(col(sketchCol), k)
+    kll_merge_agg_double(col(sketchCol), k)
 
   /** Scalar Column: the value at normalized rank `q` of a sketch blob. */
   def kllQuantile(sketchCol: String, q: Double): Column =
-    graft.functions.QuantileSketch.kll_quantile(col(sketchCol), lit(q))
+    kll_sketch_get_quantile_double(col(sketchCol), lit(q))
+
+  // ---- set-algebra state (Theta — Spark's own bindings) -------------
+
+  /** One Theta sketch blob per group: (groupCol, sketch). The
+    * SET-ALGEBRA member of the sketch family: unlike HLL (union-only),
+    * Theta blobs support intersection and difference — "how many docs
+    * do snapshots A and B share / how many are new in B" without an
+    * exact id join, the sketch companion to X15's corpus diff.
+    * `lgK` = 12 (4096 nominal entries) keeps the sketch EXACT below
+    * ~4k distinct and ~1.6% RSE above (errors scale with the UNION
+    * size for intersections — see x59's bound provenance).
+    */
+  def thetaPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                    lgK: Int = 12): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(theta_sketch_agg(col(valueCol), lgK).as("sketch"))
+
+  /** Aggregate Column: union a frame of Theta blobs into one blob. */
+  def thetaUnion(sketchCol: String = "sketch", lgK: Int = 12): Column =
+    theta_union_agg(col(sketchCol), lgK)
 }

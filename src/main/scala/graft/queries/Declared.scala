@@ -2208,8 +2208,8 @@ object Declared {
              |FROM documents WHERE doc_id IS NOT NULL""".stripMargin)),
 
     // Mergeable KLL quantile sketch state (r8, x15's incremental form —
-    // functions.QuantileSketch TypedImperativeAggregate over
-    // DataSketches KLL): per-lang quantile blobs union per refresh;
+    // Spark 4.1's own DataSketches KLL built-ins, kll_*_double):
+    // per-lang quantile blobs union per refresh;
     // quantiles read from BOTH the one-level union and a two-level
     // roll-up must sit within the sketch's rank bound of the target
     // rank, checked against the raw n_chars column (x15's pattern:
@@ -2251,6 +2251,50 @@ object Declared {
              |  true AS q50_one_in_bound, true AS q90_one_in_bound,
              |  true AS q50_two_in_bound, true AS q90_two_in_bound
              |FROM documents WHERE n_chars IS NOT NULL""".stripMargin)),
+
+    // Theta sketch set algebra (r8, X17c — Spark 4.1's own theta
+    // bindings): snapshot A = documents ids, snapshot B = x55's
+    // deterministic perturbation (drops % 17, adds % 13 under new ids).
+    // Theta blobs support intersect/difference — the set ops HLL
+    // cannot — so overlap bookkeeping needs no exact id join. At the
+    // fixture scales the distinct counts sit below the lgK=14 nominal
+    // 16384, where Theta retains every hash: the four estimates are
+    // EXACT and the oracle pins them to DuckDB's own set arithmetic
+    // as plain integers (the sampling regime's error bound is
+    // witnessed in ExtSpec at 100k distinct and in ScaleCheck's 16x
+    // 80k-id witness).
+    "x59_theta_overlap" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val aIds = docs.select(col("doc_id"))
+        val bIds = docs.filter(col("doc_id") % 17 =!= 0).select(col("doc_id"))
+          .unionByName(docs.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id")))
+        val skA = aIds.agg(theta_sketch_agg(col("doc_id"), 14).as("ska"))
+        val skB = bIds.agg(theta_sketch_agg(col("doc_id"), 14).as("skb"))
+        skA.crossJoin(skB).select(
+          theta_sketch_estimate(
+            theta_intersection(col("ska"), col("skb"))).as("n_shared"),
+          theta_sketch_estimate(
+            theta_difference(col("ska"), col("skb"))).as("n_removed"),
+          theta_sketch_estimate(
+            theta_difference(col("skb"), col("ska"))).as("n_added"),
+          theta_sketch_estimate(
+            theta_union(col("ska"), col("skb"))).as("n_union"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT doc_id FROM documents
+             |  WHERE doc_id IS NOT NULL),
+             |b AS (SELECT doc_id FROM documents
+             |    WHERE doc_id IS NOT NULL AND doc_id % 17 <> 0
+             |  UNION
+             |  SELECT doc_id + 1000000 FROM documents
+             |    WHERE doc_id IS NOT NULL AND doc_id % 13 = 0)
+             |SELECT
+             |  (SELECT count(*) FROM a JOIN b USING (doc_id)) AS n_shared,
+             |  (SELECT count(*) FROM a ANTI JOIN b USING (doc_id)) AS n_removed,
+             |  (SELECT count(*) FROM b ANTI JOIN a USING (doc_id)) AS n_added,
+             |  (SELECT count(*) FROM (SELECT doc_id FROM a
+             |     UNION SELECT doc_id FROM b)) AS n_union""".stripMargin)),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

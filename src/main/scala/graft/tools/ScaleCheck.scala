@@ -220,6 +220,24 @@ object ScaleCheck {
         assert(math.abs(rank - 0.5) <= 0.03,
           s"replicated-corpus q50 rank drifted: $q50 -> $rank")
       },
+      "x59 theta set algebra (documents, lgK=14)" -> { n =>
+        // replicas carry offset ids with i=0 keeping the originals, so
+        // set arithmetic is known exactly: union = n*nDocs0 distinct,
+        // and intersect(replicated, originals) = nDocs0. 1x sits in the
+        // exact regime (< 16384 nominal); 16x (80k ids) exercises the
+        // sampling regime — both must land within 5%
+        val skAll = replicate(docs0, "doc_id", n)
+          .agg(theta_sketch_agg(col("doc_id"), 14).as("ska"))
+        val skOrig = docs0.agg(theta_sketch_agg(col("doc_id"), 14).as("skb"))
+        val r = skAll.crossJoin(skOrig).select(
+          theta_sketch_estimate(theta_union(col("ska"), col("skb"))),
+          theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))))
+          .collect()(0)
+        assert(math.abs(r.getLong(0) - n * nDocs0) <= 0.05 * n * nDocs0,
+          s"theta union estimate drifted: ${r.getLong(0)} vs ${n * nDocs0}")
+        assert(math.abs(r.getLong(1) - nDocs0) <= 0.05 * n * nDocs0,
+          s"theta intersect estimate drifted: ${r.getLong(1)} vs $nDocs0")
+      },
       "x57 sketch build+union (documents, per-lang HLL)" -> { n =>
         // sketch partials merge map-side, so the lang exchange carries
         // one ~1.6 KB blob per (partition, lang) regardless of n — the

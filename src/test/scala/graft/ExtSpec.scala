@@ -630,7 +630,6 @@ class ExtSpec extends SparkSuite {
 
   test("X17b mergeable KLL quantile sketches: rank bounds survive build, union, roll-up") {
     import graft.ext.Sketches
-    import graft.functions.QuantileSketch._
     // 4 sources over a known uniform distribution 0..9999 (so the true
     // quantile at rank q is q*10000); KLL k=200 rank error ~1.65%
     val df = spark.range(10000).select(
@@ -643,7 +642,8 @@ class ExtSpec extends SparkSuite {
       val one = parts.agg(Sketches.kllUnion().as("sk"))
         .select(Sketches.kllQuantile("sk", 0.5).as("q50"),
           Sketches.kllQuantile("sk", 0.9).as("q90"),
-          kll_rank(col("sk"), lit(2500.0)).as("r25")).collect()(0)
+          kll_sketch_get_rank_double(col("sk"), lit(2500.0)).as("r25"))
+        .collect()(0)
       checkRank(one.getDouble(0), 0.5, "one-level q50")
       checkRank(one.getDouble(1), 0.9, "one-level q90")
       assert(math.abs(one.getDouble(2) - 0.25) <= 0.02,
@@ -674,6 +674,51 @@ class ExtSpec extends SparkSuite {
       assert(an.isEmpty || an(0).getDouble(0).isNaN,
         s"all-null group quantile should be NaN/absent: ${an.mkString}")
     } finally parts.unpersist()
+  }
+
+  test("X17c theta set algebra: exact below nominal entries, bounded above, roll-up works") {
+    import graft.ext.Sketches
+    // exact regime: |A|=1000, |B|=1000, overlap 500 — all below the
+    // lgK=12 nominal 4096, so every hash is retained and the four set
+    // estimates are EXACT integers
+    val a = spark.range(1000).select(col("id").as("v"))
+    val b = spark.range(500, 1500).select(col("id").as("v"))
+    val ska = a.agg(theta_sketch_agg(col("v"), 12).as("ska"))
+    val skb = b.agg(theta_sketch_agg(col("v"), 12).as("skb"))
+    val r = ska.crossJoin(skb).select(
+      theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))),
+      theta_sketch_estimate(theta_difference(col("ska"), col("skb"))),
+      theta_sketch_estimate(theta_difference(col("skb"), col("ska"))),
+      theta_sketch_estimate(theta_union(col("ska"), col("skb"))))
+      .collect()(0)
+    assert((0 to 3).map(r.getLong) == Seq(500L, 500L, 500L, 1500L),
+      s"exact-regime theta drifted: $r")
+    // sampling regime: 100k-element sets, overlap 50k, k=4096 — each
+    // estimate within 5% of truth normalized by the UNION size (theta
+    // RSE ~1/sqrt(k) ~ 1.6%, intersection error scales with the union)
+    val bigA = spark.range(100000).select(col("id").as("v"))
+    val bigB = spark.range(50000, 150000).select(col("id").as("v"))
+    val r2 = bigA.agg(theta_sketch_agg(col("v"), 12).as("ska"))
+      .crossJoin(bigB.agg(theta_sketch_agg(col("v"), 12).as("skb")))
+      .select(
+        theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))),
+        theta_sketch_estimate(theta_difference(col("ska"), col("skb"))),
+        theta_sketch_estimate(theta_union(col("ska"), col("skb"))))
+      .collect()(0)
+    for ((got, want, what) <- Seq(
+        (r2.getLong(0), 50000L, "intersection"),
+        (r2.getLong(1), 50000L, "difference"),
+        (r2.getLong(2), 150000L, "union")))
+      assert(math.abs(got - want) <= 0.05 * 150000,
+        s"sampling-regime $what: $got vs $want")
+    // roll-up: per-group sketches union into the same exact answer the
+    // one-shot sketch gives (exact regime — associativity is literal)
+    val grouped = spark.range(1000).select((col("id") % 4).as("src"),
+      col("id").as("v"))
+    val viaGroups = Sketches.thetaPerGroup(grouped, "src", "v")
+      .agg(Sketches.thetaUnion().as("sk"))
+      .select(theta_sketch_estimate(col("sk"))).collect()(0).getLong(0)
+    assert(viaGroups == 1000L, s"grouped theta union: $viaGroups != 1000")
   }
 
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {

@@ -448,6 +448,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), s"KLL agg fell to SortAggregate:\n$p")
   }
 
+  // x59: theta sketch aggs follow the same contract — partials merge
+  // map-side under hash aggregation, never SortAggregate
+  test("theta sketch aggregates hash-side with map-side partials") {
+    val p = planOf("x59_theta_overlap")
+    assert(p.contains("partial_theta_sketch_agg") ||
+      "ObjectHashAggregate.*theta_sketch_agg".r.findFirstIn(p).isDefined,
+      s"no partial theta sketch aggregation:\n$p")
+    assert(!p.contains("SortAggregate"), s"theta agg fell to SortAggregate:\n$p")
+  }
+
   // the cap's positive form, on a frame with a forced hot bucket: the
   // survival predicate is an inlined literal-map filter (element_at +
   // pmod) directly over the banded rows — no join, no window, no sort
