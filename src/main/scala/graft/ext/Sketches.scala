@@ -102,4 +102,25 @@ object Sketches {
   /** Aggregate Column: union a frame of Theta blobs into one blob. */
   def thetaUnion(sketchCol: String = "sketch", lgK: Int = 12): Column =
     theta_union_agg(col(sketchCol), lgK)
+
+  // ---- heavy-hitter state (frequencies — functions.FreqSketch) ------
+
+  /** One frequent-items sketch blob per group: (groupCol, fsketch).
+    * The heavy-hitters member of the family (top terms/domains in one
+    * pass, bounded state) — Spark has no built-in for it, so this
+    * rides the custom `functions.FreqSketch` aggregate.
+    */
+  def freqPerGroup(df: DataFrame, groupCol: String, itemCol: String,
+                   maxMapSize: Int = 1024): DataFrame =
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.FreqSketch.freq_sketch_agg(
+        col(itemCol), maxMapSize).as("fsketch"))
+
+  /** Aggregate Column: union a frame of frequent-items blobs (error
+    * bounds add across merges — never silently reset).
+    */
+  def freqUnion(sketchCol: String = "fsketch",
+                maxMapSize: Int = 1024): Column =
+    graft.functions.FreqSketch.freq_merge_agg(col(sketchCol), maxMapSize)
 }

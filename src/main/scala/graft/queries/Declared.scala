@@ -2296,6 +2296,41 @@ object Declared {
              |  (SELECT count(*) FROM (SELECT doc_id FROM a
              |     UNION SELECT doc_id FROM b)) AS n_union""".stripMargin)),
 
+    // Frequent-items heavy hitters (r8, X17d — functions.FreqSketch,
+    // the sketch family member Spark has NO built-in for): one
+    // Misra-Gries sketch over the token stream; the exact top-20 terms
+    // (DuckDB-replicable integers) must each satisfy the sketch's
+    // guarantees — est <= true <= est + maxError, and any term with
+    // true count above maxError is in the NO_FALSE_NEGATIVES frequent
+    // set. Tokenization mirrors x14's pinned convention.
+    "x60_heavy_hitters" -> Q(
+      (s, dir) => {
+        import graft.functions.FreqSketch._
+        val toks = t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("term"))
+        val sk = toks.agg(freq_sketch_agg(col("term"), 1024).as("sk"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(20)
+        top.crossJoin(broadcast(sk))
+          .select(col("term"), col("cnt"),
+            (freq_estimate(col("sk"), col("term")) <= col("cnt") &&
+              col("cnt") <= freq_estimate(col("sk"), col("term")) +
+                freq_max_error(col("sk"))).as("est_ok"),
+            (col("cnt") <= freq_max_error(col("sk")) ||
+              array_contains(freq_items(col("sk")).getField("item"),
+                col("term"))).as("found_ok"))
+          .orderBy(col("cnt").desc, col("term").asc)
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> x <> '')) AS term
+             |  FROM documents)
+             |SELECT term, cnt, true AS est_ok, true AS found_ok FROM (
+             |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+             |  ORDER BY cnt DESC, term ASC LIMIT 20)
+             |ORDER BY cnt DESC, term ASC""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -220,6 +220,25 @@ object ScaleCheck {
         assert(math.abs(rank - 0.5) <= 0.03,
           s"replicated-corpus q50 rank drifted: $q50 -> $rank")
       },
+      "x60 heavy hitters (documents tokens, maxMapSize=1024)" -> { n =>
+        // replication multiplies every exact term count by n while the
+        // sketch state stays 1024 counters; the Misra-Gries bound
+        // (est <= true <= est + maxError) must hold for the exact
+        // top-20 at every stream length
+        import graft.functions.FreqSketch._
+        val toks = replicate(docs0, "doc_id", n)
+          .select(explode(graft.ext.Dedup.tokens(col("text"))).as("term"))
+        val sk = toks.agg(freq_sketch_agg(col("term"), 1024).as("sk"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(20)
+        val bad = top.crossJoin(broadcast(sk))
+          .select(col("cnt"), freq_estimate(col("sk"), col("term")).as("est"),
+            freq_max_error(col("sk")).as("me"))
+          .filter(!(col("est") <= col("cnt") &&
+            col("cnt") <= col("est") + col("me")))
+          .count()
+        assert(bad == 0L, s"$bad of top-20 outside the Misra-Gries bound")
+      },
       "x59 theta set algebra (documents, lgK=14)" -> { n =>
         // replicas carry offset ids with i=0 keeping the originals, so
         // set arithmetic is known exactly: union = n*nDocs0 distinct,
@@ -665,13 +684,19 @@ object ScaleCheck {
       sb.append("| form | 5-probe wall (s) | 50-probe wall (s) | max bucket occupancy |\n|---|---|---|---|\n")
       sb.append(f"| uncapped | $tUncapped%.2f | $tHeavyUncapped%.2f | $occUncapped |\n")
       sb.append(f"| capped (256) | $tCapped%.2f | $tHeavyCapped%.2f | $occCapped |\n")
+      val slopeUncapped = (tHeavyUncapped - tUncapped) / 45.0
+      val slopeCapped = (tHeavyCapped - tCapped) / 45.0
       sb.append(f"\nCluster probes still return k sim~1 rows through the capped " +
-        f"path; occupancy bound ${occUncapped / occCapped}x. At light probe\n" +
-        f"volume the cap's fixed cost (the one-off 1/16-sampled sizing pass\n" +
-        f"at operator build) exceeds its savings; the 50-probe column is the\n" +
-        f"regime the guard exists for — candidate volume ∝ probes × occupancy,\n" +
-        f"so the uncapped side grows with the mega-bucket while the capped\n" +
-        f"side stays ∝ cap.\n")
+        f"path; occupancy bound ${occUncapped / occCapped}x. The cap's fixed\n" +
+        f"cost (the one-off 1/16-sampled sizing pass at operator build)\n" +
+        f"dominates at these probe volumes — what the two columns witness is\n" +
+        f"the SLOPE: uncapped grows ${slopeUncapped * 1000}%.0f ms/probe with " +
+        f"the mega-bucket,\ncapped ${slopeCapped * 1000}%.0f ms/probe ∝ cap. " +
+        f"At 100 TB dedup volumes (every\ncorpus row probes) the slope is the " +
+        f"whole cost; the guard also exists\nfor the hard bound itself — one " +
+        f"degenerate bucket cannot make per-query\nwork unbounded.\n")
+      assert(slopeCapped < slopeUncapped,
+        s"capped slope $slopeCapped not below uncapped $slopeUncapped")
       println(f"SCALE x45 hot-bucket: uncapped $tUncapped%.2f/$tHeavyUncapped%.2f s " +
         f"capped $tCapped%.2f/$tHeavyCapped%.2f s occ $occUncapped -> $occCapped")
     }

@@ -721,6 +721,52 @@ class ExtSpec extends SparkSuite {
     assert(viaGroups == 1000L, s"grouped theta union: $viaGroups != 1000")
   }
 
+  test("X17d frequent-items heavy hitters: exact below map size, bounded above, merge-safe") {
+    import graft.ext.Sketches
+    import graft.functions.FreqSketch._
+    // exact regime: 100-term vocab under maxMapSize 256 — the counter
+    // map never purges, so maxError = 0 and every estimate is exact
+    val small = spark.range(10000)
+      .select(concat(lit("t"), col("id") % 100).as("term"))
+    val r1 = small.agg(freq_sketch_agg(col("term"), 256).as("sk"))
+      .select(freq_max_error(col("sk")),
+        freq_estimate(col("sk"), lit("t5")),
+        size(freq_items(col("sk")))).collect()(0)
+    assert(r1.getLong(0) == 0L, s"exact regime: maxError ${r1.getLong(0)}")
+    assert(r1.getLong(1) == 100L, s"exact regime: est(t5) ${r1.getLong(1)}")
+    assert(r1.getInt(2) == 100, s"exact regime: ${r1.getInt(2)} frequent items")
+    // overflow regime: 10 hot terms (~9k each) in a sea of 10k unique
+    // tail terms, maxMapSize 64 — the map purges constantly; the
+    // Misra-Gries contract must still hold: est <= true <= est +
+    // maxError, and every hot term (true >> maxError) is in the
+    // NO_FALSE_NEGATIVES frequent set
+    val stream = spark.range(100000).select(
+      when(col("id") % 10 < 9, concat(lit("hh"), col("id") % 9))
+        .otherwise(concat(lit("u"), col("id"))).as("term"),
+      (col("id") % 8).as("src"))
+    val skb = stream.agg(freq_sketch_agg(col("term"), 64).as("sk"))
+    def checkContract(skDf: org.apache.spark.sql.DataFrame): Unit = {
+      val r = skDf.select(freq_max_error(col("sk")).as("me"),
+        freq_items(col("sk")).getField("item").as("items"),
+        freq_estimate(col("sk"), lit("hh3")).as("est")).collect()(0)
+      val me = r.getLong(0)
+      val items = r.getSeq[String](1)
+      val est = r.getLong(2)
+      val trueCnt = 10000L // each hh term: 9 of every 90 in 100k rows
+      assert(me > 0L, "overflow regime should have nonzero error")
+      assert(est <= trueCnt && trueCnt <= est + me,
+        s"estimate bound violated: est=$est true=$trueCnt me=$me")
+      for (i <- 0 until 9)
+        assert(items.contains(s"hh$i"),
+          s"no-false-negative violated: hh$i missing from $items")
+    }
+    checkContract(skb)
+    // merge safety: per-source sketches unioned through freqUnion obey
+    // the same contract (error bounds add, never reset)
+    checkContract(Sketches.freqPerGroup(stream, "src", "term", 64)
+      .agg(Sketches.freqUnion(maxMapSize = 64).as("sk")))
+  }
+
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
     // Spark-side mirror of the x34 DuckDB oracle: the declared query
     // synthesizes headers with doc_id-derived dims and parses them back;

@@ -458,6 +458,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), s"theta agg fell to SortAggregate:\n$p")
   }
 
+  // x60: the custom frequent-items aggregate must plan like the other
+  // sketch aggs (hash-side, map-side partials), and the exact top-20
+  // side must keep its TakeOrderedAndProject (no global sort)
+  test("frequent-items sketch aggregates hash-side, top-k stays TakeOrdered") {
+    val p = planOf("x60_heavy_hitters")
+    assert(p.contains("partial_freq_sketch_agg") ||
+      "ObjectHashAggregate.*freq_sketch_agg".r.findFirstIn(p).isDefined,
+      s"no partial freq sketch aggregation:\n$p")
+    assert(!p.contains("SortAggregate"), s"freq agg fell to SortAggregate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 lost its rank pushdown:\n$p")
+  }
+
   // the cap's positive form, on a frame with a forced hot bucket: the
   // survival predicate is an inlined literal-map filter (element_at +
   // pmod) directly over the banded rows — no join, no window, no sort
