@@ -29,8 +29,17 @@ object GraftFunctions {
     "deterministic_base64" -> (args =>
       DeterministicBase64(args(0), args(1),
         if (args.length > 2) intLit(args(2), "numBytes") else 500)),
-    // aggregate: the analyzer wraps AggregateFunctions automatically
-    "top_k_by_score" -> (args => TopKByScore(args(0), args(1), args(2))))
+    // aggregates: the analyzer wraps AggregateFunctions automatically
+    "top_k_by_score" -> (args => TopKByScore(args(0), args(1), args(2))),
+    "greatest_row" -> (args => GreatestRow(args(0))),
+    // frequent-items sketches (the family with no Spark built-in)
+    "freq_sketch_agg" -> (args => FreqSketch.FreqSketchAgg(args(0),
+      if (args.length > 1) intLit(args(1), "maxMapSize") else 1024)),
+    "freq_merge_agg" -> (args => FreqSketch.FreqMergeAgg(args(0),
+      if (args.length > 1) intLit(args(1), "maxMapSize") else 1024)),
+    "freq_estimate" -> (args => FreqSketch.FreqEstimate(args(0), args(1))),
+    "freq_max_error" -> (args => FreqSketch.FreqMaxError(args(0))),
+    "freq_items" -> (args => FreqSketch.FreqItems(args(0))))
 
   /** Register as temp functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -684,19 +684,15 @@ object ScaleCheck {
       sb.append("| form | 5-probe wall (s) | 50-probe wall (s) | max bucket occupancy |\n|---|---|---|---|\n")
       sb.append(f"| uncapped | $tUncapped%.2f | $tHeavyUncapped%.2f | $occUncapped |\n")
       sb.append(f"| capped (256) | $tCapped%.2f | $tHeavyCapped%.2f | $occCapped |\n")
-      val slopeUncapped = (tHeavyUncapped - tUncapped) / 45.0
-      val slopeCapped = (tHeavyCapped - tCapped) / 45.0
       sb.append(f"\nCluster probes still return k sim~1 rows through the capped " +
-        f"path; occupancy bound ${occUncapped / occCapped}x. The cap's fixed\n" +
-        f"cost (the one-off 1/16-sampled sizing pass at operator build)\n" +
-        f"dominates at these probe volumes — what the two columns witness is\n" +
-        f"the SLOPE: uncapped grows ${slopeUncapped * 1000}%.0f ms/probe with " +
-        f"the mega-bucket,\ncapped ${slopeCapped * 1000}%.0f ms/probe ∝ cap. " +
-        f"At 100 TB dedup volumes (every\ncorpus row probes) the slope is the " +
-        f"whole cost; the guard also exists\nfor the hard bound itself — one " +
-        f"degenerate bucket cannot make per-query\nwork unbounded.\n")
-      assert(slopeCapped < slopeUncapped,
-        s"capped slope $slopeCapped not below uncapped $slopeUncapped")
+        f"path. The ASSERTED witness is the occupancy bound " +
+        f"(${occUncapped / occCapped}x here):\nper-probe candidate work is " +
+        f"proportional to bucket occupancy by\nconstruction, so the cap turns " +
+        f"an unbounded per-query scan into a\n≤ cap one — that is the 100 TB " +
+        f"contract. Wall times are reported as\ndata only (convention: never " +
+        f"asserted on local[32]); at these fixture\nsizes the cap's one-off " +
+        f"1/16-sampled sizing pass dominates both\ncolumns and the per-probe " +
+        f"slope sits inside JVM noise.\n")
       println(f"SCALE x45 hot-bucket: uncapped $tUncapped%.2f/$tHeavyUncapped%.2f s " +
         f"capped $tCapped%.2f/$tHeavyCapped%.2f s occ $occUncapped -> $occCapped")
     }

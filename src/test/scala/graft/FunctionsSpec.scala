@@ -243,4 +243,28 @@ class FunctionsSpec extends SparkSuite {
         |GROUP BY g""".stripMargin).collect()(0)
     assert(agg.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(1L, 3L))
   }
+
+  test("SQL registration: sketch aggregates and greatest_row from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    // freq family end-to-end in SQL: exact regime (3 distinct << 64)
+    val r = spark.sql(
+      """WITH sk AS (SELECT freq_sketch_agg(t, 64) AS s FROM VALUES
+        |  ('a'), ('a'), ('a'), ('b'), ('b'), ('c') AS v(t))
+        |SELECT freq_estimate(s, 'a') AS ea, freq_max_error(s) AS me,
+        |  size(freq_items(s)) AS ni FROM sk""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L && r.getInt(2) == 3)
+    // merge path: two per-group blobs union to the same answer
+    val m = spark.sql(
+      """WITH parts AS (SELECT g, freq_sketch_agg(t, 64) AS s FROM VALUES
+        |  (1, 'a'), (1, 'a'), (2, 'a'), (2, 'b') AS v(g, t) GROUP BY g)
+        |SELECT freq_estimate(freq_merge_agg(s, 64), 'a') AS ea FROM parts"""
+        .stripMargin).collect()(0)
+    assert(m.getLong(0) == 3L)
+    // greatest_row: latest (ts, payload) per key
+    val gr = spark.sql(
+      """SELECT k, greatest_row(struct(ts, p)) AS g FROM VALUES
+        |  ('u', 1L, 'old'), ('u', 9L, 'new'), ('u', 5L, 'mid') AS v(k, ts, p)
+        |GROUP BY k""".stripMargin).collect()(0)
+    assert(gr.getStruct(1).getString(1) == "new")
+  }
 }

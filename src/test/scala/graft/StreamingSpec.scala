@@ -760,4 +760,59 @@ class StreamingSpec extends SparkSuite {
       assert(bodyBack.contains("\"records\":\"7\""))
     } finally { server.stop(); q.stop() }
   }
+
+  test("X17 streaming sketch journal: multi-batch fold equals the one-shot delta") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.FreqSketch._
+    val dir = java.nio.file.Files.createTempDirectory("sketch_journal").toString
+    // 3 micro-batches of 1500 rows each: 3000 distinct ids (each id
+    // seen twice across batches — the re-ingest scenario), uniform
+    // values 0..4499, 3 hot terms in a unique tail. 3000 distinct at
+    // lgK=12 is the DENSE regime, so the HLL fold must equal the
+    // one-shot union EXACTLY; 4500 < 16384 keeps theta exact.
+    def batch(i: Int) = (0 until 1500).map { j =>
+      val row = i * 1500 + j
+      (row.toLong % 3000, row.toDouble,
+        if (j % 3 < 2) s"hot${j % 3}" else s"u$row")
+    }
+    val input = MemoryStream[(Long, Double, String)]
+    val stream = input.toDF().toDF("id", "v", "term")
+    val q = StreamSketches.journal(stream, dir, "id", "v", "term")
+    try {
+      (0 until 3).foreach { i => input.addData(batch(i): _*); q.processAllAvailable() }
+    } finally q.stop()
+    val journal = spark.read.parquet(dir)
+    assert(journal.count() == 3, s"expected 3 journal rows, got ${journal.count()}")
+    val folded = StreamSketches.fold(spark, dir).collect()(0)
+    // exact row total rides the journal
+    assert(folded.getLong(0) == 4500L)
+    // HLL fold == one-shot delta over the union of all batches (dense
+    // regime: associativity is exact)
+    val all = (0 until 3).flatMap(batch).toDF("id", "v", "term")
+    val oneShot = StreamSketches.sketchDelta(all, "id", "v", "term")
+    val oneHll = oneShot.select(hll_sketch_estimate(col("hll"))).collect()(0).getLong(0)
+    assert(folded.getLong(1) == oneHll,
+      s"streamed HLL fold ${folded.getLong(1)} != one-shot $oneHll")
+    // KLL median of uniform 0..4499 within the k=200 rank bound
+    assert(math.abs(folded.getDouble(2) / 4499.0 - 0.5) <= 0.02,
+      s"journal median ${folded.getDouble(2)}")
+    // theta set algebra across journals: the folded blob intersects a
+    // fresh batch-side sketch exactly (both in the exact regime)
+    val inter = spark.range(2000, 5000).agg(
+        theta_sketch_agg(col("id"), 14).as("skb"))
+      .crossJoin(StreamSketches.fold(spark, dir))
+      .select(theta_sketch_estimate(
+        theta_intersection(col("theta"), col("skb")))).collect()(0).getLong(0)
+    assert(inter == 1000L, s"journal-vs-batch theta intersection $inter != 1000")
+    // freq contract on the folded blob: hot terms (1000 each) found,
+    // estimates bounded
+    val fr = StreamSketches.fold(spark, dir)
+      .select(freq_estimate(col("freq"), lit("hot0")).as("est"),
+        freq_max_error(col("freq")).as("me"),
+        freq_items(col("freq")).getField("item").as("items")).collect()(0)
+    assert(fr.getLong(0) <= 1500L && 1500L <= fr.getLong(0) + fr.getLong(1),
+      s"freq bound: est=${fr.getLong(0)} me=${fr.getLong(1)}")
+    assert(fr.getSeq[String](2).exists(_.startsWith("hot")),
+      "hot terms missing from folded frequent set")
+  }
 }
