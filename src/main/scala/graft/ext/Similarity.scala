@@ -207,6 +207,110 @@ object Similarity {
     * `q_i * scale / 127`. An all-zero vector quantizes to zeros with
     * scale 0 (dequantizes to zeros, excluded from cosine checks).
     */
+  /** Product-quantization codebooks (X3e — the memory-compression
+    * companion to [[quantizeInt8]]: int8 shrinks 8x, PQ shrinks
+    * dim*8 bytes to m bytes, 64x at the declared m=8/dim=64): the
+    * vector splits into `m` contiguous subspaces and each gets its own
+    * spherical-k-means codebook of `codebookSize` centroids (reusing
+    * [[kmeansCentroids]] — cosine assignment everywhere, consistent
+    * with the engine's similarity metric). Returns
+    * codebooks(subspace)(centroid)(component). Deterministic
+    * (hash-sampled init, fixed iterations). At 100 TB this trains once
+    * per corpus refresh (m * iters distributed passes) and the
+    * codebooks — m * codebookSize * (dim/m) doubles, kilobytes — ship
+    * to every consumer as a literal.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, dim: Int, codebookSize: Int = 16,
+              iters: Int = 3, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
+            .as(vecCol)),
+        codebookSize, iters, idCol, vecCol)
+    }.toArray
+  }
+
+  /** PQ encode: (id, codes array<int> of length m) — each code is the
+    * nearest codebook centroid of that subspace slice ([[graft.functions.NearestCells]]
+    * top-1 per subspace, map-only; the codebooks ride as codegen
+    * reference objects, never literals). The codes frame IS the
+    * compressed ANN state a 100 TB deployment persists.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells
+    val sub = codebooks(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    corpus.select(col(idCol),
+      array(codebooks.zipWithIndex.map { case (cb, s) =>
+        element_at(nearest_cells(slice(v, s * sub + 1, sub), cb, 1), 1)
+          .cast("int")
+      }: _*).as("codes"))
+  }
+
+  /** PQ decode: reconstruct each vector as the concatenation of its
+    * chosen centroids. One broadcast equi-join of the exploded codes
+    * against the kilobyte codebook dimension + one hash re-assembly per
+    * id — done ONCE per corpus refresh and amortized over every query
+    * batch (the inner product against a reconstruction equals the
+    * classic per-subspace ADC table sum exactly, so this IS asymmetric
+    * distance computation, expressed with built-ins instead of a 3-D
+    * literal the codegen would choke on — the NearestCells lesson).
+    */
+  def pqDecode(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cbRows = for {
+      (cb, s) <- codebooks.zipWithIndex.toSeq
+      (c, j) <- cb.zipWithIndex
+    } yield (s, j, c.toSeq)
+    val cbDf = broadcast(cbRows.toDF("s", "code", "cvec"))
+    codes.select(col(idCol), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(cbDf, Seq("s", "code"))
+      .groupBy(col(idCol))
+      .agg(flatten(array_sort(collect_list(struct(col("s"), col("cvec"))))
+        .getField("cvec")).as("decoded"))
+  }
+
+  /** PQ ANN top-k: ADC scan of the reconstructed corpus (cosine against
+    * the decoded vectors — mathematically the per-subspace table-lookup
+    * sum), optionally refined: take `refine` ADC candidates, re-rank by
+    * EXACT cosine against the original vectors (the int8/IVF cold-store
+    * pattern), return the top `k`. PQ is compression, not pruning —
+    * compose with IVF cells when the scan itself must shrink.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int,
+             dim: Int, codebookSize: Int = 16, refine: Int = 32,
+             codebooks: Option[Array[Array[Array[Double]]]] = None,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
+    val cbs = codebooks.getOrElse(pqTrain(corpus, m, dim, codebookSize,
+      idCol = idCol, vecCol = vecCol))
+    val dec = pqDecode(pqEncode(corpus, cbs, idCol, vecCol), cbs, idCol)
+      .select(col(idCol), col("decoded").as(vecCol))
+    val cand = bruteForceTopKAgg(queries, dec, math.max(refine, k),
+      idCol, vecCol).select("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")))
+    val cv = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    cand.join(cv, "neighbor_id").join(qv, "query_id")
+      .select(col("query_id"), cosine(col("qv"), col("cv")).as("sim"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("sim"))
+  }
+
   def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")

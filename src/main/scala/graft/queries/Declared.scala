@@ -2331,6 +2331,41 @@ object Declared {
              |  ORDER BY cnt DESC, term ASC LIMIT 20)
              |ORDER BY cnt DESC, term ASC""".stripMargin)),
 
+    // Product-quantization ANN (r8, X3e — x45's pattern): codes are
+    // m=8 5-bit entries per vector vs dim*8 = 512 bytes (~100x state
+    // compression); ADC scan of the reconstructed corpus (inner product
+    // vs a reconstruction == the per-subspace table sum exactly),
+    // refine=100 exact re-rank from the original vectors. Property
+    // row: k bounded, mean recall@5 vs the oracle-green brute force >=
+    // 0.5 (measured 0.71-0.98 across SFs at this budget, BoundProbe
+    // provenance in BASELINE.md). DuckDB anchors the query domain.
+    "x61_ann_pq" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val pq = Similarity.pqTopK(q, e, k = 5, m = 8, dim = 64,
+          codebookSize = 32, refine = 100)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        val hits = bf.select("query_id", "neighbor_id")
+          .join(pq.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hit"))
+        val kcnt = pq.groupBy("query_id").agg(count(lit(1)).as("k_rows"))
+        q.select(col("vec_id").as("query_id"))
+          .join(kcnt, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            max(coalesce(col("k_rows"), lit(0L))).as("max_k"),
+            (sum(coalesce(col("hit"), lit(0L))) /
+              (count(lit(1)) * 5.0)).as("mr"))
+          .select(col("n_queries"),
+            (col("max_k") <= 5).as("k_bounded"),
+            (col("mr") >= 0.5).as("mean_recall_ok"))
+      },
+      Some("""SELECT count(*) AS n_queries, true AS k_bounded,
+             |  true AS mean_recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -94,6 +94,22 @@ object BoundProbe {
           f"dev_two90=${dev(two.getDouble(1), 0.9)}%.4f bound=${0.02 + 2 / n}%.4f")
       }
 
+      // x61: PQ ANN recall vs brute force at each SF (m=8, 16-entry
+      // codebooks, refine=100 exact re-rank — declared bound 0.5)
+      {
+        import graft.ext.Similarity
+        val e = Tables.load(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val pq = Similarity.pqTopK(q, e, k = 5, m = 8, dim = 64,
+          codebookSize = 32, refine = 100)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        val recall = bf.select("query_id", "neighbor_id")
+          .join(pq.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .count().toDouble / bf.count()
+        println(f"x61 pq mean_recall=$recall%.4f")
+      }
+
       // x15: approx_percentile(accuracy=1000) rank position per lang
       val docs = Tables.load(spark, dir, "documents")
       val ap = docs.groupBy("lang").agg(

@@ -220,6 +220,15 @@ object ScaleCheck {
         assert(math.abs(rank - 0.5) <= 0.03,
           s"replicated-corpus q50 rank drifted: $q50 -> $rank")
       },
+      "x61 PQ ANN (embeddings, m=8 cb=16 refine=32, fixed 40 queries)" -> { n =>
+        // train + encode + decode are corpus-linear one-offs; the ADC
+        // scan is corpus-linear per query batch (compression, not
+        // pruning — compose with IVF to prune); fixed query set, so
+        // the whole pipeline must scale linearly with the corpus
+        val q = emb0.limit(40)
+        assert(graft.ext.Similarity.pqTopK(q, replicate(emb0, "vec_id", n),
+          k = 5, m = 8, dim = 64).count() > 0)
+      },
       "x60 heavy hitters (documents tokens, maxMapSize=1024)" -> { n =>
         // replication multiplies every exact term count by n while the
         // sketch state stays 1024 counters; the Misra-Gries bound

@@ -767,6 +767,47 @@ class ExtSpec extends SparkSuite {
       .agg(Sketches.freqUnion(maxMapSize = 64).as("sk")))
   }
 
+  test("X3e product quantization: codes bounded, reconstruction faithful, strong pairs recovered") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val cbs = Similarity.pqTrain(emb, m = 8, dim = 64)
+    assert(cbs.length == 8 && cbs.forall(_.forall(_.length == 8)))
+    // codes: m entries, each a valid codebook index
+    val codes = Similarity.pqEncode(emb, cbs)
+    val codeStats = codes.select(
+      min(array_min(col("codes"))), max(array_max(col("codes"))),
+      min(size(col("codes"))), max(size(col("codes")))).collect()(0)
+    assert(codeStats.getInt(0) >= 0 && codeStats.getInt(1) < 16,
+      s"code out of range: $codeStats")
+    assert(codeStats.getInt(2) == 8 && codeStats.getInt(3) == 8)
+    // determinism: same corpus -> same codes
+    val again = Similarity.pqEncode(emb, Similarity.pqTrain(emb, m = 8, dim = 64))
+    assert(codes.orderBy("vec_id").collect().map(_.toString).toSeq ==
+      again.orderBy("vec_id").collect().map(_.toString).toSeq)
+    // reconstruction: decoded vectors keep meaningful cosine to the
+    // original (16 centroids x 8 subspaces on the fixture corpus)
+    val dec = Similarity.pqDecode(codes, cbs)
+    val meanCos = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(dec, "vec_id")
+      .select(Similarity.cosine(col("v"), col("decoded")).as("c"))
+      .agg(avg("c")).collect()(0).getDouble(0)
+    assert(meanCos > 0.5, s"mean reconstruction cosine $meanCos")
+    // strong-similarity regime: a planted near-identical pair must be
+    // each other's top PQ neighbor after the exact re-rank
+    val base = emb.select("vec_id", "embedding").limit(40)
+    val minId = base.select(min("vec_id")).collect()(0).getLong(0)
+    val planted = base.unionByName(base.filter(col("vec_id") === minId)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+    val top = Similarity.pqTopK(
+      planted.filter(col("vec_id") === minId), planted, k = 1,
+      m = 8, dim = 64)
+      .collect()
+    assert(top.length == 1 && top(0).getLong(2) == minId + 1000000L,
+      s"planted twin not top-1: ${top.mkString}")
+    assert(top(0).getDouble(3) > 0.999, s"twin sim ${top(0).getDouble(3)}")
+  }
+
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
     // Spark-side mirror of the x34 DuckDB oracle: the declared query
     // synthesizes headers with doc_id-derived dims and parses them back;

@@ -470,6 +470,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 lost its rank pushdown:\n$p")
   }
 
+  // x61: the PQ decode join must broadcast the kilobyte codebook (never
+  // shuffle the codes), and the top-k must stay in the bounded-heap
+  // ObjectHashAggregate — no sort-based aggregation anywhere
+  test("PQ ANN broadcasts the codebook dimension, top-k stays bounded-heap") {
+    val p = planOf("x61_ann_pq")
+    val cbJoin = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") &&
+        "[\\[(, ]s#\\d".r.findFirstIn(l).isDefined &&
+        "[\\[(, ]code#\\d".r.findFirstIn(l).isDefined)
+    assert(cbJoin, s"codebook join not broadcast on (s, code):\n$p")
+    assert(p.contains("top_k_by_score"), s"bounded-heap top-k missing:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate in the PQ plan:\n$p")
+  }
+
   // the cap's positive form, on a frame with a forced hot bucket: the
   // survival predicate is an inlined literal-map filter (element_at +
   // pmod) directly over the banded rows — no join, no window, no sort
