@@ -194,19 +194,6 @@ object Similarity {
         col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Int8 scalar quantization of an embedding column — the memory lever
-    * for ANN at 100 TB: a 64-dim float32 vector is 256 bytes, its int8
-    * form is 64 bytes + one float scale (4x smaller state for the
-    * IVF/LSH candidate structures; the full-precision vectors stay in
-    * cold storage for final re-ranking). Per-vector max-abs scaling:
-    * `q_i = round(x_i / scale * 127)` with `scale = max|x_i|`, so every
-    * component lands in [-127, 127] with no clamp branch. Map-only,
-    * deterministic, engine-portable (plain IEEE double arithmetic +
-    * half-away-from-zero rounding on both Spark and the oracle side).
-    * Output: (id, scale, q array<int>); [[dequantize]] inverts with
-    * `q_i * scale / 127`. An all-zero vector quantizes to zeros with
-    * scale 0 (dequantizes to zeros, excluded from cosine checks).
-    */
   /** Product-quantization codebooks (X3e — the memory-compression
     * companion to [[quantizeInt8]]: int8 shrinks 8x, PQ shrinks
     * dim*8 bytes to m bytes, 64x at the declared m=8/dim=64): the
@@ -311,6 +298,78 @@ object Similarity {
         col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("sim"))
   }
 
+  /** IVF-PQ top-k (X3e+X3-adj composition — the production ANN shape):
+    * IVF cells PRUNE the scan (each query touches ~nprobe/nlist of the
+    * corpus), PQ codes COMPRESS what's scanned (~100x smaller resident
+    * state), and the final `k` come from an exact re-rank of the
+    * surviving `refine` candidates against the original vectors in
+    * cold storage. Cell assignment runs over the ORIGINAL vectors
+    * (quantization error must not move a vector across a cell
+    * boundary); the ADC scan runs over the reconstructed ones. At
+    * 100 TB: centroids + codebooks are kilobyte one-off artifacts, the
+    * (id, cell, codes) frame is the persisted index, and a query batch
+    * costs one broadcast probe join over nprobe cells.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 32, nprobe: Int = 12, m: Int = 8,
+                dim: Int = 64, codebookSize: Int = 32, refine: Int = 100,
+                centroids: Option[Array[Array[Double]]] = None,
+                codebooks: Option[Array[Array[Array[Double]]]] = None,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells
+    import graft.functions.TopKByScore.top_k_by_score
+    val cents = centroids.getOrElse(sampledCentroids(corpus, nlist, idCol, vecCol))
+    val cbs = codebooks.getOrElse(pqTrain(corpus, m, dim, codebookSize,
+      idCol = idCol, vecCol = vecCol))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    // the persisted index: (neighbor_id, cell, decoded) — cell from the
+    // original vector, decoded from the PQ codes
+    val cells = c.select(col("neighbor_id"),
+      element_at(nearest_cells(col("cv"), cents, 1), 1).as("cell"))
+    val index = pqDecode(
+      pqEncode(c, cbs, "neighbor_id", "cv"), cbs, "neighbor_id")
+      .join(cells, "neighbor_id")
+    val probed = broadcast(queries.select(
+        col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(nearest_cells(col("qv"), cents, nprobe))))
+    // ADC inside the probed cells only, bounded-heap top-refine
+    val cand = probed.join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        cosine(col("qv"), col("decoded")).as("adc"), col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("adc"), col("neighbor_id"),
+        math.max(refine, k)).as("topk"))
+      .select(col("query_id"), explode(col("topk").getField("id"))
+        .as("neighbor_id"))
+    // exact re-rank from the original vectors
+    val qv = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")))
+    cand.join(c, "neighbor_id").join(qv, "query_id")
+      .select(col("query_id"), cosine(col("qv"), col("cv")).as("sim"),
+        col("neighbor_id"))
+      .groupBy("query_id")
+      .agg(top_k_by_score(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), round(col("t.score"), 6).as("sim"))
+  }
+
+  /** Int8 scalar quantization of an embedding column — the memory lever
+    * for ANN at 100 TB: a 64-dim float32 vector is 256 bytes, its int8
+    * form is 64 bytes + one float scale (4x smaller state for the
+    * IVF/LSH candidate structures; the full-precision vectors stay in
+    * cold storage for final re-ranking). Per-vector max-abs scaling:
+    * `q_i = round(x_i / scale * 127)` with `scale = max|x_i|`, so every
+    * component lands in [-127, 127] with no clamp branch. Map-only,
+    * deterministic, engine-portable (plain IEEE double arithmetic +
+    * half-away-from-zero rounding on both Spark and the oracle side).
+    * Output: (id, scale, q array<int>); [[dequantize]] inverts with
+    * `q_i * scale / 127`. An all-zero vector quantizes to zeros with
+    * scale 0 (dequantizes to zeros, excluded from cosine checks).
+    */
   def quantizeInt8(vecs: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")

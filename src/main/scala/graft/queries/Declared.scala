@@ -2366,6 +2366,40 @@ object Declared {
              |  true AS mean_recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
 
+    // IVF-PQ ANN (r8, X3e composition — the production shape: cells
+    // prune ~nprobe/nlist of the scan, PQ compresses what's scanned,
+    // exact re-rank from originals). Property row like x61/x45:
+    // k bounded, mean recall@5 >= 0.5 vs oracle-green brute force
+    // (measured 0.63-0.78 across SFs at nlist=32/nprobe=12 — the same
+    // mean-bound stance as x11: per-query recall varies on this
+    // weakly-clustered fixture; BoundProbe provenance in BASELINE.md).
+    // DuckDB anchors the query domain.
+    "x62_ann_ivfpq" -> Q(
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val pq = Similarity.ivfPqTopK(q, e, k = 5)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        val hits = bf.select("query_id", "neighbor_id")
+          .join(pq.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("hit"))
+        val kcnt = pq.groupBy("query_id").agg(count(lit(1)).as("k_rows"))
+        q.select(col("vec_id").as("query_id"))
+          .join(kcnt, Seq("query_id"), "left")
+          .join(hits, Seq("query_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            max(coalesce(col("k_rows"), lit(0L))).as("max_k"),
+            (sum(coalesce(col("hit"), lit(0L))) /
+              (count(lit(1)) * 5.0)).as("mr"))
+          .select(col("n_queries"),
+            (col("max_k") <= 5).as("k_bounded"),
+            (col("mr") >= 0.5).as("mean_recall_ok"))
+      },
+      Some("""SELECT count(*) AS n_queries, true AS k_bounded,
+             |  true AS mean_recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

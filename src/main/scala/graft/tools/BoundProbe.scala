@@ -108,6 +108,13 @@ object BoundProbe {
             Seq("query_id", "neighbor_id"), "left_semi")
           .count().toDouble / bf.count()
         println(f"x61 pq mean_recall=$recall%.4f")
+        // x62: IVF-PQ composition at the declared defaults
+        val ipq = Similarity.ivfPqTopK(q, e, k = 5)
+        val recall2 = bf.select("query_id", "neighbor_id")
+          .join(ipq.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .count().toDouble / bf.count()
+        println(f"x62 ivfpq mean_recall=$recall2%.4f")
       }
 
       // x15: approx_percentile(accuracy=1000) rank position per lang

@@ -229,6 +229,13 @@ object ScaleCheck {
         assert(graft.ext.Similarity.pqTopK(q, replicate(emb0, "vec_id", n),
           k = 5, m = 8, dim = 64).count() > 0)
       },
+      "x62 IVF-PQ ANN (embeddings, nlist=32 nprobe=8, fixed 40 queries)" -> { n =>
+        // the production composition: the probe join touches ~nprobe/
+        // nlist of the corpus, so growth should track the pruned scan
+        val q = emb0.limit(40)
+        assert(graft.ext.Similarity.ivfPqTopK(q, replicate(emb0, "vec_id", n),
+          k = 5).count() > 0)
+      },
       "x60 heavy hitters (documents tokens, maxMapSize=1024)" -> { n =>
         // replication multiplies every exact term count by n while the
         // sketch state stays 1024 counters; the Misra-Gries bound

@@ -808,6 +808,40 @@ class ExtSpec extends SparkSuite {
     assert(top(0).getDouble(3) > 0.999, s"twin sim ${top(0).getDouble(3)}")
   }
 
+  test("X3e IVF-PQ: pruned+compressed scan still recovers the planted twin, full probe covers") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    // full-probe IVF-PQ (nprobe == nlist) degenerates to x61's PQ path:
+    // the cells partition the corpus but every cell is scanned, so
+    // recall vs brute force equals the PQ-only recall on this fixture
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val full = Similarity.ivfPqTopK(q, emb, k = 5, nlist = 8, nprobe = 8)
+    val pqOnly = Similarity.pqTopK(q, emb, k = 5, m = 8, dim = 64,
+      codebookSize = 32, refine = 100)
+    val fullSet = full.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqSet = pqOnly.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullSet == pqSet,
+      s"full-probe IVF-PQ diverged from PQ: ${(fullSet diff pqSet).take(3)} / ${(pqSet diff fullSet).take(3)}")
+    // planted twin: recovered through the pruned path (the twin shares
+    // its original's cell by construction — identical vector)
+    val minId = q.select(min("vec_id")).collect()(0).getLong(0)
+    val planted = emb.unionByName(emb.filter(col("vec_id") === minId)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val top = Similarity.ivfPqTopK(
+      planted.filter(col("vec_id") === minId), planted, k = 1,
+      nlist = 8, nprobe = 2)
+      .collect()
+    assert(top.length == 1 && top(0).getLong(2) == minId + 1000000L,
+      s"planted twin lost through the pruned scan: ${top.mkString}")
+    // k bounded per query even at tiny refine
+    val kmax = Similarity.ivfPqTopK(q, emb, k = 3, nlist = 8, nprobe = 2,
+        refine = 4)
+      .groupBy("query_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(kmax <= 3L, s"k leaked: $kmax")
+  }
+
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
     // Spark-side mirror of the x34 DuckDB oracle: the declared query
     // synthesizes headers with doc_id-derived dims and parses them back;

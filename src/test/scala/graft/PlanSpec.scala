@@ -484,6 +484,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), s"SortAggregate in the PQ plan:\n$p")
   }
 
+  // x62: IVF-PQ must keep BOTH structural wins — the cell probe and the
+  // codebook decode are broadcast equi-joins (corpus never shuffles for
+  // either), and both top-k stages stay in the bounded-heap aggregate
+  test("IVF-PQ probes cells and decodes codes via broadcast joins") {
+    val p = planOf("x62_ann_ivfpq")
+    val cellJoin = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") &&
+        "[\\[(, ]cell#\\d".r.findFirstIn(l).isDefined)
+    assert(cellJoin, s"cell probe join not broadcast:\n$p")
+    val cbJoin = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") &&
+        "[\\[(, ]s#\\d".r.findFirstIn(l).isDefined &&
+        "[\\[(, ]code#\\d".r.findFirstIn(l).isDefined)
+    assert(cbJoin, s"codebook join not broadcast on (s, code):\n$p")
+    assert(p.contains("top_k_by_score"), s"bounded-heap top-k missing:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate in the IVF-PQ plan:\n$p")
+  }
+
   // the cap's positive form, on a frame with a forced hot bucket: the
   // survival predicate is an inlined literal-map filter (element_at +
   // pmod) directly over the banded rows — no join, no window, no sort
