@@ -229,7 +229,7 @@ object ScaleCheck {
         assert(graft.ext.Similarity.pqTopK(q, replicate(emb0, "vec_id", n),
           k = 5, m = 8, dim = 64).count() > 0)
       },
-      "x62 IVF-PQ ANN (embeddings, nlist=32 nprobe=8, fixed 40 queries)" -> { n =>
+      "x62 IVF-PQ ANN (embeddings, nlist=32 nprobe=12, fixed 40 queries)" -> { n =>
         // the production composition: the probe join touches ~nprobe/
         // nlist of the corpus, so growth should track the pruned scan
         val q = emb0.limit(40)
