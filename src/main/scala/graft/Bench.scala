@@ -99,16 +99,24 @@ object Bench {
     // hot paths (cold-vs-warm is ~7x on the expression-heavy dedup
     // queries, and AQE picks scale-dependent join plans, so the warm-up
     // must run at the measured scale); the second pass is the timed one.
+    // opt-in iteration filter: SPARK_GRAFT_BENCH_ONLY=x61_ann_pq,x62_...
+    // restricts the suite (and skips the generator-scaling legs) so a
+    // single operator can be re-timed in seconds; unset = full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def included(name: String): Boolean = only.forall(_.contains(name))
+
     spark.range(1000000L).select(sum(col("id"))).collect()
-    SparkEntry.queries.values.foreach { fn =>
-      try drain(fn(spark, sfDir)) catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (included(name))
+        try drain(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     gen.RecordGen.toWire(gen.RecordGen.records(spark, 100000L, numPartitions = cpus.toInt))
       .select(sum(length(col("value")))).collect()
 
     val sentinelStart = sentinel()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.filter(included).sorted
     val (firstHalf, secondHalf) = names.splitAt(names.length / 2)
     def run(ns: Seq[String]) = ns.map { name =>
       val fn = SparkEntry.queries(name)
@@ -136,8 +144,8 @@ object Bench {
       gen.RecordGen.toWire(gen.RecordGen.records(spark, 8000000L, numPartitions = parts))
         .select(sum(length(col("value")))).collect()
     }
-    val gen8p32 = genScale(32)
-    val gen8p2 = genScale(2)
+    val gen8p32 = if (only.isEmpty) genScale(32) else -1.0
+    val gen8p2 = if (only.isEmpty) genScale(2) else -1.0
     val sentinelEnd = sentinel()
 
     val all = queryTimes :+ ("gen_1m_wire" -> (genSec, genCpu))

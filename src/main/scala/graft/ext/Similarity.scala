@@ -241,28 +241,20 @@ object Similarity {
   }
 
   /** PQ decode: reconstruct each vector as the concatenation of its
-    * chosen centroids. One broadcast equi-join of the exploded codes
-    * against the kilobyte codebook dimension + one hash re-assembly per
-    * id — done ONCE per corpus refresh and amortized over every query
-    * batch (the inner product against a reconstruction equals the
-    * classic per-subspace ADC table sum exactly, so this IS asymmetric
-    * distance computation, expressed with built-ins instead of a 3-D
-    * literal the codegen would choke on — the NearestCells lesson).
+    * chosen centroids, via the codegen'd [[graft.functions.PqReconstruct]]
+    * expression — one map-only projection, zero shuffles (the codebook
+    * tensor rides as a codegen reference object, never literals — the
+    * NearestCells lesson). The inner product against a reconstruction
+    * equals the classic per-subspace ADC table sum exactly, so
+    * cosine(query, decoded) IS asymmetric distance computation; fusing
+    * decode into the scan projection keeps the whole encode+ADC path
+    * inside one WholeStageCodegen span.
     */
   def pqDecode(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
                idCol: String = "vec_id"): DataFrame = {
-    val spark = codes.sparkSession
-    import spark.implicits._
-    val cbRows = for {
-      (cb, s) <- codebooks.zipWithIndex.toSeq
-      (c, j) <- cb.zipWithIndex
-    } yield (s, j, c.toSeq)
-    val cbDf = broadcast(cbRows.toDF("s", "code", "cvec"))
-    codes.select(col(idCol), posexplode(col("codes")).as(Seq("s", "code")))
-      .join(cbDf, Seq("s", "code"))
-      .groupBy(col(idCol))
-      .agg(flatten(array_sort(collect_list(struct(col("s"), col("cvec"))))
-        .getField("cvec")).as("decoded"))
+    import graft.functions.PqReconstruct.pq_reconstruct
+    codes.select(col(idCol),
+      pq_reconstruct(col("codes"), codebooks).as("decoded"))
   }
 
   /** PQ ANN top-k: ADC scan of the reconstructed corpus (cosine against

@@ -470,34 +470,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 lost its rank pushdown:\n$p")
   }
 
-  // x61: the PQ decode join must broadcast the kilobyte codebook (never
-  // shuffle the codes), and the top-k must stay in the bounded-heap
-  // ObjectHashAggregate — no sort-based aggregation anywhere
-  test("PQ ANN broadcasts the codebook dimension, top-k stays bounded-heap") {
+  // x61: the PQ decode must be the map-only pq_reconstruct projection
+  // (zero joins, zero shuffles for decode — the codebook rides as a
+  // codegen reference object), and the top-k must stay in the
+  // bounded-heap ObjectHashAggregate — no sort-based aggregation
+  test("PQ ANN decodes map-only via pq_reconstruct, top-k stays bounded-heap") {
     val p = planOf("x61_ann_pq")
-    val cbJoin = p.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") &&
-        "[\\[(, ]s#\\d".r.findFirstIn(l).isDefined &&
-        "[\\[(, ]code#\\d".r.findFirstIn(l).isDefined)
-    assert(cbJoin, s"codebook join not broadcast on (s, code):\n$p")
+    assert(p.contains("pq_reconstruct"), s"map-only PQ decode missing:\n$p")
+    val cbJoin = "[\\[(, ]code#\\d".r.findFirstIn(p).isDefined
+    assert(!cbJoin, s"decode regressed to a codebook join:\n$p")
     assert(p.contains("top_k_by_score"), s"bounded-heap top-k missing:\n$p")
     assert(!p.contains("SortAggregate"), s"SortAggregate in the PQ plan:\n$p")
   }
 
-  // x62: IVF-PQ must keep BOTH structural wins — the cell probe and the
-  // codebook decode are broadcast equi-joins (corpus never shuffles for
-  // either), and both top-k stages stay in the bounded-heap aggregate
-  test("IVF-PQ probes cells and decodes codes via broadcast joins") {
+  // x62: IVF-PQ must keep BOTH structural wins — the cell probe is a
+  // broadcast equi-join (the corpus never shuffles) and the codebook
+  // decode is the map-only pq_reconstruct projection; both top-k
+  // stages stay in the bounded-heap aggregate
+  test("IVF-PQ probes cells via broadcast join, decodes codes map-only") {
     val p = planOf("x62_ann_ivfpq")
     val cellJoin = p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") &&
         "[\\[(, ]cell#\\d".r.findFirstIn(l).isDefined)
     assert(cellJoin, s"cell probe join not broadcast:\n$p")
-    val cbJoin = p.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") &&
-        "[\\[(, ]s#\\d".r.findFirstIn(l).isDefined &&
-        "[\\[(, ]code#\\d".r.findFirstIn(l).isDefined)
-    assert(cbJoin, s"codebook join not broadcast on (s, code):\n$p")
+    assert(p.contains("pq_reconstruct"), s"map-only PQ decode missing:\n$p")
     assert(p.contains("top_k_by_score"), s"bounded-heap top-k missing:\n$p")
     assert(!p.contains("SortAggregate"), s"SortAggregate in the IVF-PQ plan:\n$p")
   }
