@@ -660,4 +660,99 @@ object Curation {
     }
     df.withColumn("split", assigned)
   }
+
+  /** X7e: CROSS-document exact duplicated-substring spans — the
+    * suffix-array-family "deduplicating training data" rule
+    * (Lee et al. 2022) re-expressed relationally: a token position is
+    * duplicated when some n-gram covering it occurs at >= 2 (doc, pos)
+    * sites CORPUS-WIDE (a verbatim quote shared across documents, or a
+    * passage pasted twice into one); the output is each document's
+    * MAXIMAL runs of duplicated positions — one row per span:
+    * (doc_id, span_id, start_pos, end_pos, span_len), 0-based inclusive
+    * token indices, span_id numbered by start. The spans are what a
+    * dedup pass CUTS (see [[cutDupSpans]]); x46's within-doc coverage
+    * and x42's boilerplate fraction only ever score documents.
+    *
+    * Scale (100 TB): the corpus tokenizes ONCE into a persisted frame
+    * (the unigramLogProb policy); anchors explode to (doc_id, pos,
+    * 64-bit gram hash) — slim rows, never text. The corpus-wide gram
+    * count is one map-side-partial aggregation; marking anchors is one
+    * equi-join where each anchor row matches exactly one df row (no
+    * multiplication by construction — the x42 argument; a stop-gram's
+    * anchors land on one partition, AQE skew-split covers it). Span
+    * merging never explodes covered positions: a per-doc window
+    * (running max of anchor end) finds island breaks directly on the
+    * anchor rows, so the merge shuffles only duplicated anchors.
+    */
+  def dupSpans(docs: DataFrame, textCol: String, idCol: String,
+               n: Int = 5, materialize: Boolean = true): DataFrame = {
+    val base0 = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(coalesce(col(textCol), lit(""))).as("w"))
+    val base = if (materialize)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    try {
+      val pos = base.filter(size(col("w")) >= n)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("w")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+        .toDF("doc_id", "pos", "h")
+      val dupGrams = pos.groupBy("h")
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+        .select("h")
+      val anchors = pos.join(dupGrams, Seq("h"))
+        .select(col("doc_id"), col("pos"))
+      // island merge on intervals [pos, pos+n-1]: break when this
+      // anchor starts past the running coverage end + 1
+      val byPos = Window.partitionBy("doc_id").orderBy("pos")
+      val prevEnd = max(col("pos") + (n - 1))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = anchors
+        .withColumn("brk",
+          when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+        .withColumn("island", sum(col("brk")).over(byPos))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("start_pos"),
+          (max(col("pos")) + (n - 1)).as("end_pos"))
+        .select(col("doc_id"), col("island").cast("long").as("span_id"),
+          col("start_pos").cast("long").as("start_pos"),
+          col("end_pos").cast("long").as("end_pos"),
+          (col("end_pos") - col("start_pos") + 1).cast("long").as("span_len"))
+      if (materialize) spans.localCheckpoint(true) else spans
+    } finally if (materialize) base.unpersist()
+  }
+
+  /** The cut: rebuild each document with its duplicated spans removed —
+    * the transform [[dupSpans]] exists for. Output is one row per input
+    * document: (doc_id, n_tokens, n_cut, clean_text) where clean_text
+    * joins the surviving tokens (token-level normalization: lowercased,
+    * punctuation collapsed — mapping spans back to raw character
+    * offsets needs an offset-preserving tokenizer, a documented
+    * boundary). Documents with no duplicated span pass through with
+    * n_cut = 0.
+    *
+    * Scale: document text never shuffles — the slim span frame
+    * aggregates per doc (a few ints) and broadcasts back onto the
+    * corpus via a left join keyed by doc_id; the cut itself is one
+    * map-side filter-by-index lambda over the token array, inside
+    * whole-stage codegen.
+    */
+  def cutDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                  n: Int = 5): DataFrame = {
+    val spans = dupSpans(docs, textCol, idCol, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
+    docs.select(col(idCol).as("doc_id"),
+        Dedup.tokens(coalesce(col(textCol), lit(""))).as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + sp.getField("end_pos") -
+            sp.getField("start_pos") + 1), lit(0L)).as("n_cut"),
+        concat_ws(" ", filter(col("w"), (_, i) =>
+          !coalesce(exists(col("spans"), sp =>
+            i.cast("long") >= sp.getField("start_pos") &&
+              i.cast("long") <= sp.getField("end_pos")), lit(false))))
+          .as("clean_text"))
+  }
 }

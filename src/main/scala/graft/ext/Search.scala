@@ -72,4 +72,53 @@ object Search {
       if (materialize) topk.localCheckpoint(true) else topk
     } finally if (materialize) base.unpersist()
   }
+
+  /** X8b: hybrid retrieval — reciprocal-rank fusion (RRF, the standard
+    * score-free fusion rule) of a BM25 lexical ranking and an embedding
+    * cosine ranking over the same corpus:
+    * `rrf(d) = 1/(c + lex_rank(d)) + 1/(c + sem_rank(d))`, a ranking
+    * absent from either list contributing 0. Returns the fused top `k`:
+    * (doc_id, rrf_score, lex_rank, sem_rank), rank 0 = "not in that
+    * retriever's top `kRetrieve`". Both ranks order by the ROUNDED
+    * (6 dp) retrieval score with doc_id tie-break — rounding before
+    * ranking is what makes the ranks engine-portable (an ulp of
+    * float-sum drift cannot swap two ranks).
+    *
+    * Scale (100 TB): each retriever does its heavy work in its own
+    * proven plan — BM25 prunes postings to query terms and bound-heaps
+    * via TakeOrderedAndProject; the semantic side is a map-only cosine
+    * against the broadcast query literal, also TakeOrderedAndProject.
+    * Fusion itself touches 2 x kRetrieve rows — dimension-sized by
+    * construction, so its single-partition rank windows and the full
+    * outer join are free at any corpus size.
+    */
+  def hybridTopK(docs: DataFrame, textCol: String, idCol: String,
+                 emb: DataFrame, queryTerms: Seq[String],
+                 queryVec: Seq[Double], k: Int = 10, kRetrieve: Int = 50,
+                 c: Int = 60, embIdCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = bm25TopK(docs, textCol, idCol, queryTerms, kRetrieve,
+      materialize = materialize)
+    val wLex = Window.orderBy(desc("score"), col("doc_id"))
+    val lex = lexTop.select(col("doc_id"),
+      row_number().over(wLex).cast("long").as("lex_rank"))
+    val sem0 = emb.select(col(embIdCol).as("doc_id"),
+        round(Similarity.cosine(col(vecCol).cast("array<double>"),
+          typedLit(queryVec)), 6).as("sim"))
+      .orderBy(desc("sim"), col("doc_id")).limit(kRetrieve)
+    val wSem = Window.orderBy(desc("sim"), col("doc_id"))
+    val sem = sem0.select(col("doc_id"),
+      row_number().over(wSem).cast("long").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (col("lex_rank") + c), lit(0.0)) +
+          coalesce(lit(1.0) / (col("sem_rank") + c), lit(0.0)), 6)
+          .as("rrf_score"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .orderBy(desc("rrf_score"), col("doc_id"))
+      .limit(k)
+  }
 }

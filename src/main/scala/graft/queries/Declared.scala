@@ -2400,6 +2400,128 @@ object Declared {
              |  true AS mean_recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
 
+    // X7e: cross-document duplicated-substring spans (r8 — the
+    // suffix-array-family Lee et al. dedup rule, relational form).
+    // DuckDB independently retokenizes, finds every 5-gram with >= 2
+    // corpus-wide occurrences, and re-merges maximal islands with its
+    // own window chain; positions 0-based both sides. Exact hash-match.
+    "x63_dup_spans" -> Q(
+      (s, dir) => Curation.dupSpans(
+        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        .orderBy("doc_id", "span_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |a AS (
+        |  SELECT doc_id, p FROM shp
+        |  WHERE s IN (SELECT s FROM shp GROUP BY s HAVING count(*) >= 2)),
+        |m AS (
+        |  SELECT doc_id, p, max(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM a),
+        |b AS (SELECT doc_id, p,
+        |  CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END AS brk FROM m),
+        |isl AS (SELECT doc_id, p,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM b)
+        |SELECT doc_id, island::bigint AS span_id,
+        |  min(p)::bigint AS start_pos, (max(p) + 4)::bigint AS end_pos,
+        |  (max(p) + 4 - min(p) + 1)::bigint AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_id""".stripMargin)),
+
+    // X7e cut: the transform the spans exist for — every document
+    // rebuilt minus its duplicated spans (token-level). DuckDB replays
+    // the cut with an independent covered-position set + ordered
+    // string_agg; n_cut equals the covered-position count because
+    // merged spans are disjoint by construction. Exact hash-match,
+    // clean_text included in the hash.
+    "x63_cut_spans" -> Q(
+      (s, dir) => Curation.cutDupSpans(
+        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |a AS (
+        |  SELECT doc_id, p FROM shp
+        |  WHERE s IN (SELECT s FROM shp GROUP BY s HAVING count(*) >= 2)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, j FROM a, unnest(range(p, p + 5)) AS u(j)),
+        |per AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, i, w[i] AS tok
+        |  FROM toks t, unnest(range(1, len(w) + 1)) AS u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |    WHERE c.doc_id = t.doc_id AND c.j = i - 1)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.w)::bigint AS n_tokens,
+        |  coalesce(p.n_cov, 0)::bigint AS n_cut,
+        |  coalesce(c.ct, '') AS clean_text
+        |FROM toks t LEFT JOIN per p USING (doc_id)
+        |  LEFT JOIN clean c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // X8b: hybrid retrieval — RRF fusion of the x24 BM25 ranking and a
+    // cosine ranking against a fixture query vector (doc 42's
+    // embedding). Both ranks order by the ROUNDED retrieval score
+    // (engine-portable by construction); DuckDB independently recomputes
+    // BM25, the cosine scan, both rank windows, and the fusion. Exact
+    // hash-match.
+    "x64_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.filter(col("vec_id") === 42)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0)
+        Search.hybridTopK(t(s, dir, "documents"), "text", "doc_id",
+          emb, Seq("spark", "vector", "stream"), qv, k = 20)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(w) AS dl FROM toks),
+        |g AS (SELECT count(*)::double AS n, avg(dl) AS avgdl FROM d),
+        |t AS (
+        |  SELECT doc_id, u.term AS term FROM toks, unnest(w) AS u(term)
+        |  WHERE u.term IN ('spark', 'vector', 'stream')),
+        |tf AS (SELECT doc_id, term, count(*)::double AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id)::double AS df FROM t GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1 + (g.n - df.df + 0.5) / (df.df + 0.5))
+        |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))), 6) AS score
+        |  FROM tf JOIN df USING (term) JOIN d ON d.doc_id = tf.doc_id CROSS JOIN g
+        |  GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        |  FROM (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 50)),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+        |c0 AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS sim
+        |  FROM embeddings),
+        |sem AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank
+        |  FROM (SELECT * FROM c0 ORDER BY sim DESC, doc_id LIMIT 50)),
+        |f AS (
+        |  SELECT doc_id,
+        |    round(coalesce(1.0::double / (lex_rank + 60), 0) +
+        |          coalesce(1.0::double / (sem_rank + 60), 0), 6) AS rrf_score,
+        |    coalesce(lex_rank, 0)::bigint AS lex_rank,
+        |    coalesce(sem_rank, 0)::bigint AS sem_rank
+        |  FROM lex FULL JOIN sem USING (doc_id))
+        |SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -23,7 +23,7 @@ object Plans {
     "x53_epoch_shuffle", "x54_weighted_sample", "x55_corpus_diff",
     "x56_negative_sample", "x57_sketch_union", "x58_kll_quantiles",
     "x59_theta_overlap", "x60_heavy_hitters", "x61_ann_pq",
-    "x62_ann_ivfpq")
+    "x62_ann_ivfpq", "x63_cut_spans", "x64_hybrid_rrf")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -52,6 +52,8 @@ object Plans {
         docs, "text", "doc_id", n = 3, materialize = false),
       "x27_unigram_logprob (lazy form)" -> graft.ext.Curation.unigramLogProb(
         docs, "text", "doc_id", materialize = false),
+      "x63_dup_spans (lazy form)" -> graft.ext.Curation.dupSpans(
+        docs, "text", "doc_id", n = 5, materialize = false),
       "x38_bigram_logprob (lazy form)" -> graft.ext.Curation.bigramLogProb(
         docs, "text", "doc_id", materialize = false),
       "x41_cross_dedup (lazy form)" -> graft.ext.Dedup.crossDupPairs(

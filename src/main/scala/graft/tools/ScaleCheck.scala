@@ -358,6 +358,15 @@ object ScaleCheck {
         graft.ext.Dedup.containmentPairs(replicateDocsPerturbed(n),
           "text", "doc_id", k = 3, threshold = 0.3)
       }, sameReplica),
+      // cross-doc dup spans: the retag bijection preserves every
+      // replica's corpus-wide gram multiplicities (disjoint gram spaces
+      // across replicas), so each replica emits the fixture's exact
+      // span set -> witness (span rows) tracks n exactly while the
+      // anchor join and merge window carry n x the duplicated anchors
+      ("x63 dup spans (documents, n=5)", { n: Int =>
+        graft.ext.Curation.dupSpans(replicateDocsPerturbed(n),
+          "text", "doc_id", 5)
+      }, col("span_len") >= 5),
       // dup-ngram coverage is a WITHIN-doc metric: verbatim replication
       // (id-remapped) is already interaction-free, every replica's
       // per-doc output is identical -> witness 16x exactly

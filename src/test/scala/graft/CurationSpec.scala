@@ -448,4 +448,59 @@ class CurationSpec extends SparkSuite {
       Curation.splitAssign(df, "id", Seq("a" -> 0.5, "b" -> 0.1))
     }
   }
+
+  test("dup spans: cross-doc shared passage yields merged maximal spans") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "x y alpha beta gamma delta q r"),   // shares a 4-token run with d1
+      (3L, "p q r s"),                          // no shared 3-gram anywhere
+      (4L, "one two"),                          // < n tokens
+      (5L, "m n o m n o m n o")                 // within-doc triple repeat
+    ).toDF("doc_id", "text")
+    val got = Curation.dupSpans(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id", "span_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // d1: anchors {0,1} ("alpha beta gamma", "beta gamma delta" both also
+    // in d2) -> one merged span [0,3]; d2: anchors {2,3} -> [2,5];
+    // d5: every anchor 0..6 duplicated within-doc -> whole doc [0,8]
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 3L, 4L),
+      (2L, 1L, 2L, 5L, 4L),
+      (5L, 1L, 0L, 8L, 9L)), got.toSeq)
+  }
+
+  test("dup spans: disjoint islands stay separate, contiguous coverage merges") {
+    // "u v w" occurs in both docs at two sites each; the gap token in d1
+    // (pos 3 uncovered) splits islands, while d2's back-to-back copies
+    // produce contiguous coverage -> ONE span
+    val docs = Seq(
+      (1L, "u v w gap u v w"),       // anchors 0 and 4 -> [0,2], [4,6]
+      (2L, "u v w u v w")            // anchors 0,1(within),3 -> [0,5]
+    ).toDF("doc_id", "text")
+    val got = Curation.dupSpans(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id", "span_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 2L), (1L, 2L, 4L, 6L),
+      (2L, 1L, 0L, 5L)), got.toSeq)
+  }
+
+  test("cut dup spans: rebuilds text minus spans, clean docs pass through") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "x y alpha beta gamma delta q r"),
+      (3L, "p q r s"),
+      (4L, Option.empty[String].orNull),
+      (5L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val got = Curation.cutDupSpans(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 7L, 4L, "epsilon zeta eta"),
+      (2L, 8L, 4L, "x y q r"),
+      (3L, 4L, 0L, "p q r s"),
+      (4L, 0L, 0L, ""),
+      (5L, 9L, 9L, "")), got.toSeq)
+  }
 }

@@ -390,6 +390,46 @@ class ExtSpec extends SparkSuite {
     assert(s("rare") > s("common"))
   }
 
+  test("hybrid RRF: both-list docs fuse both terms, single-list docs keep one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark engine"),   // lexical hit only
+      (2L, "nothing relevant here"),      // semantic hit only
+      (3L, "spark vector pipeline"),      // hits both retrievers
+      (4L, "unrelated filler words")      // hits neither
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(0.0, 1.0)),                // orthogonal to the query
+      (2L, Seq(1.0, 0.05)),
+      (3L, Seq(0.9, 0.1)),
+      (4L, Seq(-1.0, 0.0))                // anti-parallel
+    ).toDF("vec_id", "embedding")
+    val got = ext.Search.hybridTopK(docs, "text", "doc_id", emb,
+      Seq("spark", "vector"), Seq(1.0, 0.0), k = 4, kRetrieve = 2, c = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.map(g => g._1 -> g).toMap
+    // doc 3 is in both top-2 lists; docs 1/2 in exactly one; doc 4
+    // (sim -1, no lexical hit) is in neither list -> absent entirely
+    assert(!byDoc.contains(4L), got.toSeq)
+    assert(byDoc(3L)._3 > 0 && byDoc(3L)._4 > 0, got.toSeq)
+    assert(byDoc(1L)._3 > 0 && byDoc(1L)._4 == 0, got.toSeq)
+    assert(byDoc(2L)._3 == 0 && byDoc(2L)._4 > 0, got.toSeq)
+    // every row's rrf score must equal the RRF arithmetic over its own
+    // emitted ranks (0 = absent contributes nothing)
+    for ((id, s, lr, sr) <- got) {
+      val want = BigDecimal(
+        (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+          (if (sr > 0) 1.0 / (60 + sr) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    // output ordered by fused score desc
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+    // doc 3 (fused from both lists) must outrank the single-list docs
+    assert(got.head._1 == 3L, got.toSeq)
+  }
+
   test("approx percentiles track exact within sketch tolerance") {
     val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
     val exact = docs.groupBy("lang")
