@@ -323,7 +323,7 @@ object Curation {
     * followed by a same-salt 4-hex gate keeps thr/0xc000, not
     * thr/0x10000). The library's own decisions are salt-separated:
     * "graft" (sample gates), "graft-temp" (temperature mixing),
-    * "graft-split" (split assignment).
+    * "graft-mix" (recipe mixing), "graft-split" (split assignment).
     */
   def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft",
                width: Int = 2): Column = {
@@ -419,6 +419,69 @@ object Curation {
       // thr/0x10000 on the gated population (see hashKeep's salt note)
       .filter(col("thr").isNull ||
         hashKeep(col(idCol), col("thr"), salt = "graft-temp", width = 4))
+      .drop("thr")
+  }
+
+  /** X7f: explicit mixture-recipe execution over TOKEN mass — the
+    * data-mixing primitive that runs a published recipe (Pile/DoReMi
+    * style target shares) against a corpus: group g with target share
+    * w_g and token mass T_g gets keep-rate
+    * `min(1, w_g * budgetTokens / T_g)` so the SAMPLED corpus's token
+    * mixture approaches the recipe, bounded by each group's supply
+    * (a group that undershoots its target keeps rate 1 — the budget is
+    * a target, not a redistribution; DoReMi-style re-allocation of
+    * unused budget is a policy layered on top). Groups absent from the
+    * recipe get rate 0 (dropped). Distinct from [[temperatureRates]] on
+    * both axes: targets are EXPLICIT (not derived from corpus shares)
+    * and accounting is token mass, not document count.
+    *
+    * Returns one row per group present in the corpus: (groupCol,
+    * n_docs, n_tokens, target_w, rate, thr) — thr is the 4-hex md5 gate
+    * threshold ([[hashKeep]] semantics; null = keep all, "0000" = drop
+    * all). Scale: one corpus scan for the (group, count, token-sum)
+    * aggregate — map-side partial, group-sized result — and the recipe
+    * rides as a broadcast literal frame. Salt "graft-mix" (see the salt
+    * discipline note on [[hashKeep]]).
+    */
+  def mixtureRates(docs: DataFrame, groupCol: String, textCol: String,
+                   targets: Seq[(String, Double)],
+                   budgetTokens: Long): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 >= 0) &&
+      math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"mixture target shares must be >= 0 and sum to 1 (got $targets)")
+    require(budgetTokens > 0, s"budgetTokens must be positive (got $budgetTokens)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(coalesce(col(textCol), lit("")))))
+          .cast("long").as("n_tokens"))
+    val recipe = broadcast(targets.toDF(groupCol, "target_w"))
+    counts.join(recipe, Seq(groupCol), "left")
+      .withColumn("target_w", coalesce(col("target_w"), lit(0.0)))
+      .withColumn("rate", least(lit(1.0),
+        col("target_w") * budgetTokens /
+          greatest(col("n_tokens").cast("double"), lit(1.0))))
+      .withColumn("thr",
+        when(col("rate") >= 1.0, lit(null).cast("string"))
+          .otherwise(format_string("%04x", floor(col("rate") * 65536).cast("int"))))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("target_w"), col("rate"), col("thr"))
+  }
+
+  /** Apply [[mixtureRates]]: deterministic md5-gate sampling realizing
+    * the recipe (the [[temperatureSample]] plumbing with the "graft-mix"
+    * salt). Rates frame is group-sized, always broadcast; the corpus
+    * side stays map-only.
+    */
+  def mixtureSample(docs: DataFrame, groupCol: String, textCol: String,
+                    idCol: String, targets: Seq[(String, Double)],
+                    budgetTokens: Long): DataFrame = {
+    val rates = mixtureRates(docs, groupCol, textCol, targets, budgetTokens)
+      .select(col(groupCol), col("thr"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(col("thr").isNull ||
+        hashKeep(col(idCol), col("thr"), salt = "graft-mix", width = 4))
       .drop("thr")
   }
 

@@ -2522,6 +2522,63 @@ object Declared {
         |  FROM lex FULL JOIN sem USING (doc_id))
         |SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // X7f: explicit mixture-recipe execution over token mass — per-lang
+    // keep-rates from target shares + a 10k-token budget, realized by
+    // the md5 gate. DuckDB independently retokenizes, recomputes every
+    // rate/threshold, and replays the gate doc-by-doc. Exact hash-match
+    // (rates are IEEE double division + floor — engine-portable like
+    // the x31 temperature thresholds).
+    "x65_mixture_sample" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val targets = Seq("en" -> 0.4, "fr" -> 0.15, "es" -> 0.15,
+          "zh" -> 0.15, "de" -> 0.15)
+        val kept = Curation.mixtureSample(
+            docs, "lang", "text", "doc_id", targets, 10000L)
+          .groupBy("lang").agg(count(lit(1)).as("kept_docs"),
+            sum(size(Dedup.tokens(coalesce(col("text"), lit("")))))
+              .cast("long").as("kept_tokens"))
+        Curation.mixtureRates(docs, "lang", "text", targets, 10000L)
+          .join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            round(col("rate"), 6).as("rate"),
+            coalesce(col("thr"), lit("")).as("thr"),
+            coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')) AS nt
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT lang, count(*) AS n_docs, sum(nt)::bigint AS n_tokens
+        |  FROM toks GROUP BY lang),
+        |tw AS (SELECT * FROM (VALUES
+        |  ('en', 0.4::double), ('fr', 0.15::double), ('es', 0.15::double),
+        |  ('zh', 0.15::double), ('de', 0.15::double)) t(lang, w)),
+        |r AS (
+        |  SELECT c.lang, n_docs, n_tokens,
+        |    least(1.0::double, coalesce(w, 0) * 10000 / greatest(n_tokens::double, 1.0)) AS rate
+        |  FROM cnt c LEFT JOIN tw USING (lang)),
+        |thr AS (
+        |  SELECT lang, n_docs, n_tokens, rate,
+        |    CASE WHEN rate >= 1.0 THEN NULL
+        |      ELSE printf('%04x', floor(rate * 65536)::int) END AS thr
+        |  FROM r),
+        |kept AS (
+        |  SELECT t2.lang, count(*) AS kept_docs, sum(t2.nt)::bigint AS kept_tokens
+        |  FROM toks t2 JOIN thr ON t2.lang = thr.lang
+        |  WHERE thr.thr IS NULL
+        |     OR substr(md5('graft-mix' || t2.doc_id::varchar), 1, 4) < thr.thr
+        |  GROUP BY t2.lang)
+        |SELECT t.lang, n_docs, n_tokens, round(rate, 6) AS rate,
+        |  coalesce(t.thr, '') AS thr,
+        |  coalesce(kept_docs, 0)::bigint AS kept_docs,
+        |  coalesce(kept_tokens, 0)::bigint AS kept_tokens
+        |FROM thr t LEFT JOIN kept USING (lang)
+        |ORDER BY lang""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

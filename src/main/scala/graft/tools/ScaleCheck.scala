@@ -77,6 +77,14 @@ object ScaleCheck {
         assert(replicate(docs0, "doc_id", n)
           .filter(graft.ext.Curation.hashKeep(col("doc_id"), lit("40"))).count() > 0)
       },
+      "x65 mixture sample (documents, 5-lang recipe)" -> { n =>
+        // budget scales with the corpus so the gate keeps a constant
+        // fraction — the realistic growth mode for a recipe re-run
+        assert(graft.ext.Curation.mixtureSample(
+          replicate(docs0, "doc_id", n), "lang", "text", "doc_id",
+          Seq("en" -> 0.4, "fr" -> 0.15, "es" -> 0.15,
+            "zh" -> 0.15, "de" -> 0.15), 10000L * n).count() > 0)
+      },
       "x24 BM25 top-20 (documents)" -> { n =>
         graft.ext.Search.bm25TopK(replicate(docs0, "doc_id", n), "text", "doc_id",
           Seq("spark", "vector", "stream"), k = 20).collect()

@@ -449,6 +449,56 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("mixture rates: token-mass accounting, supply cap, off-recipe drop") {
+    // group a: 3 docs x 4 tokens = 12 tokens; group b: 1 doc x 2 tokens;
+    // group c: not in the recipe at all
+    val docs = Seq(
+      (1L, "a", "w x y z"), (2L, "a", "p q r s"), (3L, "a", "k l m n"),
+      (4L, "b", "u v"),
+      (5L, "c", "o1 o2 o3")).toDF("doc_id", "lang", "text")
+    val targets = Seq("a" -> 0.5, "b" -> 0.5)
+    // budget 8: a wants 4 of its 12 tokens -> rate 1/3; b wants 4 but
+    // supplies only 2 -> capped at 1 (thr null); c -> rate 0, thr 0000
+    val got = Curation.mixtureRates(docs, "lang", "text", targets, 8L)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), Option(r.getString(5))))
+    assert(got(0) == ("a", 3L, 12L, 4.0 / 12.0, Some("5555")), got.toSeq)
+    assert(got(1) == ("b", 1L, 2L, 1.0, None), got.toSeq)
+    assert(got(2) == ("c", 1L, 3L, 0.0, Some("0000")), got.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.mixtureRates(docs, "lang", "text", Seq("a" -> 0.7), 8L)
+    }
+  }
+
+  test("mixture sample: kept set equals a plain-JVM md5 gate replay") {
+    val docs = (1L to 400L).map { i =>
+      val lang = if (i % 4 == 0) "b" else "a"
+      (i, lang, "tok " * (1 + (i % 3).toInt))
+    }.toDF("doc_id", "lang", "text")
+    val targets = Seq("a" -> 0.5, "b" -> 0.5)
+    val kept = Curation.mixtureSample(
+        docs, "lang", "text", "doc_id", targets, 300L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent replay: thresholds from the rates frame, gate via
+    // java.security MessageDigest — no Spark expression reuse
+    val thr = Curation.mixtureRates(docs, "lang", "text", targets, 300L)
+      .collect().map(r => r.getString(0) -> Option(r.getString(5))).toMap
+    def gate(id: Long, lang: String): Boolean = thr(lang) match {
+      case None => true
+      case Some(t) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"graft-mix$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        hex.substring(0, 4) < t
+    }
+    val want = (1L to 400L).filter(i =>
+      gate(i, if (i % 4 == 0) "b" else "a")).toSet
+    assert(kept == want,
+      s"diff: ${(kept diff want).take(5)} / ${(want diff kept).take(5)}")
+    assert(kept.nonEmpty && kept.size < 400, kept.size)
+  }
+
   test("dup spans: cross-doc shared passage yields merged maximal spans") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),

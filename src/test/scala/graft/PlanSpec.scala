@@ -395,6 +395,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), s"SortAggregate in the fusion plan:\n$p")
   }
 
+  // x65: the corpus-side gate must be a broadcast join carrying the
+  // group-sized recipe thresholds (the corpus never shuffles for the
+  // gate) and every aggregate stays hash-based with map-side partials;
+  // the only SMJ allowed is the group-sized rates-to-kept summary join
+  test("mixture sample gates the corpus via a broadcast recipe join") {
+    val p = planOf("x65_mixture_sample")
+    val gateJoin = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("graft-mix"))
+    assert(gateJoin, s"md5 gate join not broadcast:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate in the mixture plan:\n$p")
+  }
+
   // no declared query may plan a window with an EMPTY partition spec —
   // that is the move-every-row-to-one-partition stage (the r7 verdict's
   // 12-WindowExec-warnings finding against the old assignByIndex; its
