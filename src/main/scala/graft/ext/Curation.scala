@@ -485,6 +485,47 @@ object Curation {
       .drop("thr")
   }
 
+  /** X7g: per-group frequency cap — keep at most `cap` documents per
+    * group, chosen by a deterministic pseudorandom priority (the
+    * RefinedWeb/C4-style "at most N pages per domain" step that stops a
+    * handful of giant domains from dominating a web corpus). The kept
+    * set is the `cap` smallest md5-derived uniforms per group — i.e. a
+    * uniform without-replacement subsample, reproducible in (salt, id)
+    * across engines, runs and retries.
+    *
+    * Returns the slim index form (groupCol, rank, idCol, priority);
+    * join back to the payload by id ([[graft.ext.TrainSet.epochShuffle]]
+    * convention). `priority` is the uniform rounded to 6dp; rank 1 is
+    * the most-preferred survivor.
+    *
+    * Scale: this is NOT the window+row_number plan (which shuffles and
+    * sorts every row of a hot domain into one partition). The per-group
+    * top-cap runs through the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate: map-side partial
+    * aggregation reduces every task's contribution to <= cap rows per
+    * group BEFORE the shuffle, so a 100M-page domain crosses the wire
+    * as (tasks x cap) slim rows, never as 100M — the hot-domain skew
+    * that motivates the cap cannot hurt the cap itself.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Int,
+                  salt: String = "graft-cap"): DataFrame = {
+    require(cap > 0, s"cap must be positive (got $cap)")
+    import graft.functions.TopKByScore.top_k_by_score
+    // (v + 1) / 2^32 over v in [0, 2^32): u in (0, 1], ties impossible
+    // short of a 32-bit md5-prefix collision (id tiebreak covers even
+    // that, in the heap and in the oracle's ORDER BY)
+    val u = (conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") + 1) /
+      lit(4294967296.0)
+    df.filter(col(idCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), col(idCol), (-u).as("_s"))
+      .groupBy(groupCol)
+      .agg(top_k_by_score(col("_s"), col(idCol), cap).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as(idCol), round(-col("t.score"), 6).as("priority"))
+  }
+
   /** Sequence packing (pretraining batch prep): concatenate documents in
     * a deterministic order within each shard and split at `capacity`
     * tokens — chunk_id = floor(preceding_tokens / capacity). Running sum

@@ -2579,6 +2579,29 @@ object Declared {
         |FROM thr t LEFT JOIN kept USING (lang)
         |ORDER BY lang""".stripMargin)),
 
+    // X7g: per-source frequency cap — at most 15 docs per source by
+    // deterministic md5 priority (RefinedWeb-style domain cap). The
+    // engine runs the bounded-heap aggregate; DuckDB replays the same
+    // decision with the window+row_number formulation — the two plans
+    // must agree exactly (same uniforms, same tiebreak).
+    "x66_domain_cap" -> Q(
+      (s, dir) => Curation.capPerGroup(
+        t(s, dir, "documents"), "source", "doc_id", cap = 15)
+        .orderBy("source", "rank"),
+      Some("""WITH c AS (
+        |  SELECT source, doc_id,
+        |    (('0x' || substr(md5('graft-cap:' || doc_id::varchar), 1, 8))::bigint + 1)
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |r AS (
+        |  SELECT source, doc_id, u,
+        |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rank
+        |  FROM c)
+        |SELECT source, rank, doc_id, round(u, 6) AS priority
+        |FROM r WHERE rank <= 15
+        |ORDER BY source, rank""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -203,6 +203,14 @@ object ScaleCheck {
         assert(sizes.length == 32 && sizes.max < 1.2 * mean,
           s"md5 shards unbalanced: max ${sizes.max} vs mean $mean")
       },
+      "x66 domain cap (documents, 15/source)" -> { n =>
+        // bounded-heap: map-side partials keep <= cap rows per (task,
+        // group), and the OUTPUT is constant-size as the input grows —
+        // 20 sources x 15 regardless of n
+        val kept = graft.ext.Curation.capPerGroup(
+          replicate(docs0, "doc_id", n), "source", "doc_id", 15).count()
+        assert(kept == 20L * 15, s"cap output not saturated: $kept")
+      },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum
         // map-side; the shuffle is O(partitions x strata x K) — the

@@ -499,6 +499,33 @@ class CurationSpec extends SparkSuite {
     assert(kept.nonEmpty && kept.size < 400, kept.size)
   }
 
+  test("domain cap: kept set is the cap smallest md5 uniforms per group") {
+    val docs = (1L to 300L).map { i =>
+      (i, s"src${i % 3}", s"text $i")
+    }.toDF("doc_id", "source", "text")
+    val got = Curation.capPerGroup(docs, "source", "doc_id", cap = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent replay via java.security MessageDigest
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-cap:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) + 1) / 4294967296.0
+    }
+    val want = (1L to 300L).groupBy(i => s"src${i % 3}").flatMap {
+      case (src, ids) =>
+        ids.sortBy(i => (u(i), i)).take(10).zipWithIndex
+          .map { case (id, r) => (src, r + 1L, id) }
+    }.toSet
+    assert(got.toSet == want,
+      s"diff: ${(got.toSet diff want).take(3)} / ${(want diff got.toSet).take(3)}")
+    // per-group output exactly cap, ranks contiguous from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length == 10 && rows.map(_._2).sorted.toSeq == (1L to 10L))
+    }
+  }
+
   test("dup spans: cross-doc shared passage yields merged maximal spans") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),

@@ -407,6 +407,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortAggregate"), s"SortAggregate in the mixture plan:\n$p")
   }
 
+  // x66: the domain cap must run through the bounded-heap aggregate —
+  // ObjectHashAggregate with a map-side partial — never the
+  // window+row_number plan (which sorts every row of a hot domain in
+  // one partition; that formulation is the ORACLE, not the engine)
+  test("domain cap plans the bounded heap, not a window") {
+    val p = planOf("x66_domain_cap")
+    assert(p.contains("top_k_by_score"), s"bounded heap missing:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_top_k_by_score"),
+      s"no map-side partial heap:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"window plan leaked into the cap:\n$p")
+  }
+
   // no declared query may plan a window with an EMPTY partition spec —
   // that is the move-every-row-to-one-partition stage (the r7 verdict's
   // 12-WindowExec-warnings finding against the old assignByIndex; its
