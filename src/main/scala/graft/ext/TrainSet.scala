@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,109 @@ object TrainSet {
       .filter(col("rank") <= k)
       .select(col("stratum"), col("rank"), col(idCol),
         round(col("_pri"), 6).as("priority"))
+  }
+
+  /** Hashed n-gram feature buckets (the DSIR feature space): one row per
+    * unigram AND sequential-bigram occurrence, bucketed by
+    * md5(gram) % numBuckets. Tokenization is the corpus-wide
+    * [[Dedup.tokens]] convention; bucketing is pure md5 arithmetic, so
+    * DuckDB reproduces the exact feature stream. Documents with no
+    * tokens produce no rows (explode of an empty array) and therefore
+    * drop out of any downstream scoring — the same convention both
+    * engines. Map-only at any scale.
+    */
+  def hashedNgramBuckets(df: DataFrame, textCol: String, idCol: String,
+                         numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    val toks = graft.ext.Dedup.tokens(coalesce(col(textCol), lit("")))
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), toks.as("toks"))
+    val uni = base.select(col("_id"), explode(col("toks")).as("gram"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("gram"))
+    uni.unionByName(bi).select(col("_id"),
+      (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+        % numBuckets).as("bucket"))
+  }
+
+  /** X18: DSIR-style importance resampling (Data Selection via
+    * Importance Resampling, Xie et al. 2023 — the published
+    * hashed-n-gram formulation): select k documents from a raw corpus
+    * whose feature distribution matches a small TARGET corpus (e.g.
+    * curated reference text), by importance weighting + Gumbel top-k.
+    *
+    *  1. features: hashed unigram+bigram buckets
+    *     ([[hashedNgramBuckets]]);
+    *  2. bucket distributions: Laplace-smoothed
+    *     p(b) = (count(b) + 1) / (total + numBuckets) for target and
+    *     raw; per-bucket log-ratio lr(b) = ln p_t(b) - ln p_r(b);
+    *  3. per-doc log importance weight = sum of lr over the doc's
+    *     feature OCCURRENCES (a bucket hit twice counts twice);
+    *  4. Gumbel-top-k resampling: key_i = logw_i + g_i with
+    *     g_i = -ln(-ln(u_i)) and u_i an md5-derived uniform in (0,1) —
+    *     distributionally identical to k sequential draws without
+    *     replacement ∝ exp(logw), but embarrassingly parallel and
+    *     deterministic in (salt, id).
+    *
+    * Output: (rank, idCol, log_weight, gumbel_key), rank 1 = first
+    * draw; log_weight/gumbel_key rounded to 6dp.
+    *
+    * Scale (100 TB raw corpus, MB-scale target): the target side is
+    * tiny by construction; the raw corpus is featurized ONCE (persisted
+    * with lineage, released in `finally` — the Dedup materialization
+    * policy) and re-read for the two raw passes (bucket histogram,
+    * per-doc sum). The log-ratio table is at most numBuckets rows and
+    * rides as a BROADCAST join — the corpus never shuffles by bucket.
+    * The global top-k runs through the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate: map-side partial
+    * aggregation caps every task's contribution at k slim rows, so no
+    * window, no global sort, no single-partition stage at any corpus
+    * size. `logw` is recovered from the heap's key as key − g(id)
+    * (pure arithmetic in the id — no join back to the corpus).
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, textCol: String,
+                   idCol: String, k: Int, numBuckets: Int = 1024,
+                   salt: String = "graft-dsir",
+                   materialize: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    import graft.functions.TopKByScore.top_k_by_score
+    val feats0 = hashedNgramBuckets(raw, textCol, idCol, numBuckets)
+    val feats = if (materialize)
+      feats0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else feats0
+    try {
+      val ct = hashedNgramBuckets(target, textCol, idCol, numBuckets)
+        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+      val cr = feats.groupBy("bucket").agg(count(lit(1)).as("cr"))
+      val tTot = ct.agg(sum(col("ct")).cast("double").as("tt"))
+      val rTot = cr.agg(sum(col("cr")).cast("double").as("tr"))
+      val ratio = cr.join(ct, Seq("bucket"), "left")
+        .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+        .select(col("bucket"),
+          (log((coalesce(col("ct"), lit(0L)) + 1) / (col("tt") + numBuckets))
+            - log((col("cr") + 1) / (col("tr") + numBuckets))).as("lr"))
+      // gumbel perturbation, deterministic in (salt, id): u in (0, 1)
+      // strictly — (v + 0.5)/2^32 keeps both logs finite at the edges
+      def gumbel(id: Column): Column = -log(-log(
+        (conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
+          1, 8), 16, 10).cast("long") + 0.5) / lit(4294967296.0)))
+      val keyed = feats.join(broadcast(ratio), Seq("bucket"))
+        .groupBy("_id").agg(sum(col("lr")).as("logw"))
+        .select(col("_id"), (col("logw") + gumbel(col("_id"))).as("key"))
+      val res = keyed
+        .agg(top_k_by_score(col("key"), col("_id"), k).as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "t")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("t.id").as(idCol),
+          round(col("t.score") - gumbel(col("t.id")), 6).as("log_weight"),
+          round(col("t.score"), 6).as("gumbel_key"))
+      // k-row result: checkpoint eagerly so the featurization runs once
+      // while `feats` is cached (the Dedup materialization policy)
+      if (materialize) res.localCheckpoint(true) else res
+    } finally if (materialize) feats.unpersist()
   }
 
   /** Deterministic uniform negative sampling for contrastive training:

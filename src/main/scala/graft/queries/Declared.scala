@@ -2602,6 +2602,55 @@ object Declared {
         |FROM r WHERE rank <= 15
         |ORDER BY source, rank""".stripMargin)),
 
+    // X18: DSIR importance resampling — 60 docs drawn toward the
+    // English target distribution over hashed unigram+bigram buckets.
+    // DuckDB independently rebuilds the feature stream, both smoothed
+    // bucket distributions, every per-doc log weight and gumbel key
+    // from the same md5 arithmetic, and replays the top-k race with
+    // window+row_number — the bounded-heap plan must agree exactly
+    // (same keys, same DESC/id tiebreak).
+    "x67_dsir_resample" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.TrainSet.dsirResample(docs, docs.filter(col("lang") === "en"),
+          "text", "doc_id", k = 60, numBuckets = 1024)
+          .orderBy("rank")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id, lang, u.g AS gram FROM toks, unnest(w) AS u(g)
+        |  UNION ALL
+        |  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(gram), 1, 8))::bigint % 1024 AS bucket
+        |  FROM grams),
+        |ct AS (SELECT bucket, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM feats WHERE lang = 'en')::double AS tt,
+        |  (SELECT count(*) FROM feats)::double AS tr),
+        |ratio AS (
+        |  SELECT cr.bucket,
+        |    ln((coalesce(ct, 0) + 1) / (tt + 1024)) - ln((cr + 1) / (tr + 1024)) AS lr
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot),
+        |logw AS (
+        |  SELECT doc_id, sum(lr) AS logw
+        |  FROM feats JOIN ratio USING (bucket) GROUP BY 1),
+        |keyed AS (
+        |  SELECT doc_id, logw,
+        |    logw + (-ln(-ln(
+        |      (('0x' || substr(md5('graft-dsir:' || doc_id::varchar), 1, 8))::bigint + 0.5)
+        |        / 4294967296.0))) AS gk
+        |  FROM logw)
+        |SELECT row_number() OVER (ORDER BY gk DESC, doc_id) AS rank,
+        |  doc_id, round(logw, 6) AS log_weight, round(gk, 6) AS gumbel_key
+        |FROM keyed ORDER BY gk DESC, doc_id LIMIT 60""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -24,7 +24,7 @@ object Plans {
     "x56_negative_sample", "x57_sketch_union", "x58_kll_quantiles",
     "x59_theta_overlap", "x60_heavy_hitters", "x61_ann_pq",
     "x62_ann_ivfpq", "x63_cut_spans", "x64_hybrid_rrf",
-    "x65_mixture_sample", "x66_domain_cap")
+    "x65_mixture_sample", "x66_domain_cap", "x67_dsir_resample")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -57,6 +57,9 @@ object Plans {
         docs, "text", "doc_id", n = 5, materialize = false),
       "x38_bigram_logprob (lazy form)" -> graft.ext.Curation.bigramLogProb(
         docs, "text", "doc_id", materialize = false),
+      "x67_dsir_resample (lazy form)" -> graft.ext.TrainSet.dsirResample(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id",
+        k = 60, numBuckets = 1024, materialize = false),
       "x41_cross_dedup (lazy form)" -> graft.ext.Dedup.crossDupPairs(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),

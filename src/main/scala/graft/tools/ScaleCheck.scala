@@ -37,7 +37,7 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "lang", "text", "n_chars")
+      .select("doc_id", "lang", "source", "text", "n_chars")
     val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nDocs0 = docs0.select("doc_id").distinct().count()
@@ -210,6 +210,15 @@ object ScaleCheck {
         val kept = graft.ext.Curation.capPerGroup(
           replicate(docs0, "doc_id", n), "source", "doc_id", 15).count()
         assert(kept == 20L * 15, s"cap output not saturated: $kept")
+      },
+      "x67 DSIR resample (documents, fixed en target, k=60)" -> { n =>
+        // corpus featurize + histogram are scan-linear; the log-ratio
+        // table is <= numBuckets rows (broadcast, constant in n); the
+        // global top-k is the bounded heap — output constant-size
+        val kept = graft.ext.TrainSet.dsirResample(
+          replicate(docs0, "doc_id", n), docs0.filter(col("lang") === "en"),
+          "text", "doc_id", k = 60, numBuckets = 1024).count()
+        assert(kept == 60L, s"resample output not k-sized: $kept")
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum

@@ -498,6 +498,48 @@ class OperatorsSpec extends SparkSuite {
     assert(kept == Set(3L))
   }
 
+  test("dsirResample: k ranked rows, deterministic, target-like docs win the draw") {
+    // the target corpus must carry enough mass that Laplace smoothing
+    // doesn't hand unseen grams a p_t above tiny observed rates, and the
+    // target-like docs must be RARE in raw (the whole point of the
+    // importance ratio: p_t high, p_r low). 15 target-like docs hide
+    // among 200 per-doc-unique noise docs; repetition amplifies the
+    // per-doc weight gap (~±1 nat per occurrence) far past the Gumbel
+    // noise spread (~1.3)
+    val phrase = Array.fill(6)("data engine pipeline quality").mkString(" ")
+    val raw = ((1L to 15L).map(i => (i, phrase)) ++
+      (101L to 300L).map(i => (i, s"junk$i noise$i filler$i pad$i")))
+      .toDF("doc_id", "text")
+    val target = (1L to 50L).map(i =>
+      (1000L + i, Array.fill(3)("data engine pipeline quality").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TrainSet.dsirResample(raw, target, "text", "doc_id",
+      k = 10, numBuckets = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).sorted.toSeq == (1L to 10L).toSeq, "ranks not contiguous")
+    assert(got.map(_._2).distinct.length == 10, "duplicate ids drawn")
+    assert(got.forall(_._2 <= 15L),
+      s"noise doc out-drew target-like docs: ${got.toSeq}")
+    // gumbel_key strictly decreasing in rank; key = log_weight + gumbel
+    val byRank = got.sortBy(_._1)
+    assert(byRank.sliding(2).forall(p => p(0)._4 >= p(1)._4), "keys not sorted")
+    // deterministic end-to-end; a different salt redraws
+    val again = graft.ext.TrainSet.dsirResample(raw, target, "text", "doc_id",
+      k = 10, numBuckets = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    val redraw = graft.ext.TrainSet.dsirResample(raw, target, "text", "doc_id",
+      k = 10, numBuckets = 256, salt = "other").collect().map(_.getLong(1))
+    assert(redraw.sorted.toSeq != got.map(_._2).sorted.toSeq,
+      "salt change did not redraw the Gumbel race")
+    // tokenless docs produce no features and cannot be drawn
+    val withEmpty = raw.union(Seq((999L, "")).toDF("doc_id", "text"))
+    val k2 = graft.ext.TrainSet.dsirResample(withEmpty, target, "text", "doc_id",
+      k = 300, numBuckets = 256).collect().map(_.getLong(1))
+    assert(!k2.contains(999L), "empty doc was scored")
+    assert(k2.length == 215, s"expected all 215 scorable docs, got ${k2.length}")
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged; null text hashes as empty") {
     val old = Seq(
       (1L, Option("same")), (2L, Option("was")), (3L, Option("gone")),

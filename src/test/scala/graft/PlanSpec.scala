@@ -95,7 +95,7 @@ class PlanSpec extends SparkSuite {
     "x23_dup_clusters", "x24_bm25", "x27_unigram_logprob",
     "x33_simhash_pairs", "x38_bigram_logprob", "x41_cross_dedup",
     "x42_boilerplate", "x43_containment", "x46_dup_ngram_coverage",
-    "x63_dup_spans", "x63_cut_spans")
+    "x63_dup_spans", "x63_cut_spans", "x67_dsir_resample")
 
   test("no cartesian product outside the declared n-squared oracles") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted
@@ -120,7 +120,9 @@ class PlanSpec extends SparkSuite {
     // the 1-row corpus-stats frames (bm25's (n, avgdl), unigram's tot)
     val bnljAllowance = Map(
       "x24_bm25 (lazy form)" -> 1,
-      "x27_unigram_logprob (lazy form)" -> 1).withDefaultValue(0)
+      "x27_unigram_logprob (lazy form)" -> 1,
+      // the two 1-row smoothing totals (target, raw) broadcast in
+      "x67_dsir_resample (lazy form)" -> 2).withDefaultValue(0)
     for ((name, p) <- lazyPlans) {
       assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
@@ -147,6 +149,7 @@ class PlanSpec extends SparkSuite {
     hashJoinOn("x36 blocked decontam (operator raw form)", "cell")
     hashJoinOn("x38_bigram_logprob (lazy form)", "w1", "w2")
     hashJoinOn("x41_cross_dedup (lazy form)", "band", "bucket")
+    hashJoinOn("x67_dsir_resample (lazy form)", "bucket") // broadcast log-ratio table
     // bm25's top-k must still bound-heap, not globally sort
     assert(lazyPlans("x24_bm25 (lazy form)").contains("TakeOrderedAndProject"))
   }
@@ -418,6 +421,25 @@ class PlanSpec extends SparkSuite {
       s"no map-side partial heap:\n$p")
     assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
       s"window plan leaked into the cap:\n$p")
+  }
+
+  // x67: the global Gumbel-top-k must run through the bounded heap with
+  // a map-side partial (never window+row_number — that funnels every
+  // scored doc to one partition), and the log-ratio table must join the
+  // feature stream as a BROADCAST hash join (the corpus never shuffles
+  // by bucket)
+  test("DSIR resample plans the bounded heap and a broadcast ratio join") {
+    val p = graft.tools.Plans.lazyForms(spark, sf()).toMap
+      .apply("x67_dsir_resample (lazy form)")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("top_k_by_score"), s"bounded heap missing:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_top_k_by_score"),
+      s"no map-side partial heap:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"window plan leaked into the resample:\n$p")
+    val ratioBroadcast = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("bucket#"))
+    assert(ratioBroadcast, s"log-ratio join not broadcast on bucket:\n$p")
   }
 
   // no declared query may plan a window with an EMPTY partition spec —
