@@ -189,6 +189,90 @@ object TrainSet {
     } finally if (materialize) feats.unpersist()
   }
 
+  /** The DSIR "train" artifact: the full per-bucket smoothed log-ratio
+    * table ln p_target(b) − ln p_raw(b) over the UNION of observed
+    * buckets (full-outer on the two histograms; a bucket unseen on one
+    * side keeps its Laplace floor). At most numBuckets rows — a
+    * kilobyte-scale artifact built once per (raw snapshot, target)
+    * pair and reused by every scoring pass, batch or streaming.
+    */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, textCol: String,
+                    idCol: String, numBuckets: Int = 1024): DataFrame = {
+    val ct = hashedNgramBuckets(target, textCol, idCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val cr = hashedNgramBuckets(raw, textCol, idCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tTot = ct.agg(coalesce(sum(col("ct")), lit(0L)).cast("double").as("tt"))
+    val rTot = cr.agg(coalesce(sum(col("cr")), lit(0L)).cast("double").as("tr"))
+    cr.join(ct, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1) / (col("tt") + numBuckets))
+          - log((coalesce(col("cr"), lit(0L)) + 1) / (col("tr") + numBuckets)))
+          .as("lr"))
+  }
+
+  /** [[dsirLogRatios]] collected to a driver-side lookup (the
+    * codebook/centroid precedent: a kilobyte artifact that rides into
+    * map-only scoring as a literal). Returns (bucket → log-ratio,
+    * default) where `default` is the both-sides-unseen Laplace floor
+    * ln((Tr + B) / (Tt + B)) — the value any bucket absent from the
+    * map must score (possible only for documents the raw histogram
+    * never saw, e.g. new streaming arrivals).
+    */
+  def dsirRatioMap(raw: DataFrame, target: DataFrame, textCol: String,
+                   idCol: String, numBuckets: Int = 1024): (Map[Long, Double], Double) = {
+    def hist(df: DataFrame): Map[Long, Long] =
+      hashedNgramBuckets(df, textCol, idCol, numBuckets)
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one corpus pass per side; the [[dsirLogRatios]] formula replayed
+    // in driver arithmetic over the <= numBuckets-entry histograms
+    val ct = hist(target)
+    val cr = hist(raw)
+    val tt = ct.values.sum.toDouble
+    val tr = cr.values.sum.toDouble
+    val m = (ct.keySet ++ cr.keySet).iterator.map { b =>
+      b -> (math.log((ct.getOrElse(b, 0L) + 1) / (tt + numBuckets))
+        - math.log((cr.getOrElse(b, 0L) + 1) / (tr + numBuckets)))
+    }.toMap
+    (m, math.log((tr + numBuckets) / (tt + numBuckets)))
+  }
+
+  /** Map-only per-row DSIR log importance weight: the sum of
+    * [[dsirRatioMap]] log-ratios over the row's unigram+bigram
+    * occurrences, evaluated entirely inside the row via higher-order
+    * array functions — NO join, NO aggregation, NO shuffle, so it runs
+    * identically over a batch frame or per micro-batch on a stream
+    * (the applyTemperature train/apply discipline: one expression, two
+    * planes, zero drift). A tokenless document scores 0.0 over 0 grams.
+    */
+  def dsirLogWeight(text: Column, ratio: Map[Long, Double],
+                    defaultLr: Double, numBuckets: Int): Column = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    // bucket_lookup, not element_at-on-a-literal-map: the latter linear-
+    // scans all numBuckets entries per gram occurrence
+    def lr(g: Column): Column = graft.functions.BucketLookup.bucket_lookup(
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % numBuckets,
+      ratio, defaultLr)
+    val toks = graft.ext.Dedup.tokens(coalesce(text, lit("")))
+    val uniSum = aggregate(toks, lit(0.0), (acc, w) => acc + lr(w))
+    val biSum = aggregate(
+      when(size(toks) >= 2, transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "),
+          element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>")),
+      lit(0.0), (acc, g) => acc + lr(g))
+    uniSum + biSum
+  }
+
+  /** The gram count behind [[dsirLogWeight]]: 2·len − 1 unigram+bigram
+    * occurrences for len ≥ 1 tokens, 0 for a tokenless document. */
+  def dsirGramCount(text: Column): Column = {
+    val len = size(graft.ext.Dedup.tokens(coalesce(text, lit(""))))
+    greatest(len * 2 - 1, lit(0)).cast("long")
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * each anchor draws `k` pseudorandom corpus documents (the classic
     * in-batch-negatives replacement when batches must be reproducible).

@@ -2651,6 +2651,58 @@ object Declared {
         |  doc_id, round(logw, 6) AS log_weight, round(gk, 6) AS gumbel_key
         |FROM keyed ORDER BY gk DESC, doc_id LIMIT 60""".stripMargin)),
 
+    // X18b: the map-only DSIR scorer — x67's per-doc log weight
+    // evaluated entirely inside each row (ratio map as a literal,
+    // higher-order array sum; no join, no aggregation — the form that
+    // streams unchanged). DuckDB rebuilds the distributions and sums
+    // per-gram log-ratios over its own unnest; every doc of the raw
+    // corpus hits only trained buckets, so the Laplace-floor default
+    // never fires here (it is spec-tested on unseen text).
+    "x68_dsir_score" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (ratio, dflt) = graft.ext.TrainSet.dsirRatioMap(
+          docs, docs.filter(col("lang") === "en"), "text", "doc_id",
+          numBuckets = 1024)
+        docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            graft.ext.TrainSet.dsirGramCount(col("text")).as("n_grams"),
+            round(graft.ext.TrainSet.dsirLogWeight(
+              col("text"), ratio, dflt, 1024), 6).as("log_weight"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |grams AS (
+        |  SELECT doc_id, lang, u.g AS gram FROM toks, unnest(w) AS u(g)
+        |  UNION ALL
+        |  SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |feats AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(gram), 1, 8))::bigint % 1024 AS bucket
+        |  FROM grams),
+        |ct AS (SELECT bucket, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+        |tot AS (SELECT
+        |  (SELECT count(*) FROM feats WHERE lang = 'en')::double AS tt,
+        |  (SELECT count(*) FROM feats)::double AS tr),
+        |ratio AS (
+        |  SELECT cr.bucket,
+        |    ln((coalesce(ct, 0) + 1) / (tt + 1024)) - ln((cr + 1) / (tr + 1024)) AS lr
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot),
+        |logw AS (
+        |  SELECT doc_id, sum(lr) AS logw
+        |  FROM feats JOIN ratio USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  greatest(2 * len(t.w) - 1, 0)::bigint AS n_grams,
+        |  round(coalesce(l.logw, 0.0), 6) AS log_weight
+        |FROM documents d JOIN toks t USING (doc_id) LEFT JOIN logw l USING (doc_id)
+        |WHERE d.doc_id IS NOT NULL
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

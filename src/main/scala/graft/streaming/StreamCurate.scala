@@ -51,6 +51,26 @@ object StreamCurate {
       .drop("thr")
   }
 
+  /** Batch-train / stream-apply DSIR gating: `(ratio, defaultLr)` is
+    * the [[graft.ext.TrainSet.dsirRatioMap]] artifact trained on a
+    * batch (raw snapshot, target) pair; the stream keeps documents
+    * whose map-only [[graft.ext.TrainSet.dsirLogWeight]] clears
+    * `minLogWeight` — the ingest-time "does this look like the target
+    * distribution" filter (the thresholded form of x67's resample; a
+    * stream has no global top-k, so the gate is the streamable
+    * semantics). Pure per-row expression: stateless, no join, no
+    * shuffle, identical batch vs. stream by construction. Grams the
+    * training histograms never saw score the Laplace floor
+    * `defaultLr`.
+    */
+  def applyDsir(docs: DataFrame, ratio: Map[Long, Double],
+                defaultLr: Double, numBuckets: Int,
+                minLogWeight: Double, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.filter(graft.ext.TrainSet.dsirLogWeight(
+      col(textCol), ratio, defaultLr, numBuckets) >= minLogWeight)
+  }
+
   /** Batch-train / stream-apply decontamination: `flagged` is a
     * benchmark-contaminated id set from a batch pass —
     * [[Curation.contaminationOverlap]] (shingle) or

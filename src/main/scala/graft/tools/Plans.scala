@@ -24,7 +24,8 @@ object Plans {
     "x56_negative_sample", "x57_sketch_union", "x58_kll_quantiles",
     "x59_theta_overlap", "x60_heavy_hitters", "x61_ann_pq",
     "x62_ann_ivfpq", "x63_cut_spans", "x64_hybrid_rrf",
-    "x65_mixture_sample", "x66_domain_cap", "x67_dsir_resample")
+    "x65_mixture_sample", "x66_domain_cap", "x67_dsir_resample",
+    "x68_dsir_score")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

@@ -50,6 +50,13 @@ object ScaleCheck {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // x68's fixed train-once artifact (built on the 1x corpus, strictly
+    // BEFORE any timed region so the 1x datum isn't flattered by
+    // carrying the train cost — the deployment shape)
+    val dsirRatio1x: (Map[Long, Double], Double) =
+      graft.ext.TrainSet.dsirRatioMap(
+        docs0, docs0.filter(col("lang") === "en"), "text", "doc_id", 1024)
+
     val scales = Seq(1, 4, 16)
     // (name, per-scale runnable built on the scaled frame)
     val cases: Seq[(String, Int => Unit)] = Seq(
@@ -219,6 +226,17 @@ object ScaleCheck {
           replicate(docs0, "doc_id", n), docs0.filter(col("lang") === "en"),
           "text", "doc_id", k = 60, numBuckets = 1024).count()
         assert(kept == 60L, s"resample output not k-sized: $kept")
+      },
+      "x68 DSIR map-only scorer (documents, fixed 1x-trained table)" -> { n =>
+        // train once on the 1x corpus (fixed artifact, the stream-apply
+        // deployment shape); scoring the replicated corpus is pure
+        // map-only — time must stay scan-linear
+        val docsN = replicate(docs0, "doc_id", n)
+        val scored = docsN.select(col("doc_id"),
+          graft.ext.TrainSet.dsirLogWeight(
+            col("text"), dsirRatio1x._1, dsirRatio1x._2, 1024).as("w"))
+        assert(scored.filter(col("w") =!= 0.0).count() >= docsN.count() * 9 / 10,
+          "scorer degenerated to zeros")
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum

@@ -222,6 +222,21 @@ class FunctionsSpec extends SparkSuite {
       err.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
+  test("bucket_lookup: found/missing/null; interpreted == codegen") {
+    import graft.functions.BucketLookup.bucket_lookup
+    val table = Map(3L -> 0.25, 17L -> -1.5, 900L -> 2.0)
+    val df = Seq(Option(3L), Option(17L), Option(42L), Option.empty[Long])
+      .toDF("b")
+      .select(col("b"), bucket_lookup(col("b"), table, -9.0).as("v"))
+    val got = df.collect().map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(got.toSeq == Seq(Some(0.25), Some(-1.5), Some(-9.0), None), got.toSeq)
+    // interpreted path agrees (the nullSafeEval body)
+    assert(graft.functions.BucketLookup.compute(
+      17L, Array(3L, 17L, 900L), Array(0.25, -1.5, 2.0), -9.0) == -1.5)
+    assert(graft.functions.BucketLookup.compute(
+      42L, Array(3L, 17L, 900L), Array(0.25, -1.5, 2.0), -9.0) == -9.0)
+  }
+
   test("SQL registration: custom functions usable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -540,6 +540,46 @@ class OperatorsSpec extends SparkSuite {
     assert(k2.length == 215, s"expected all 215 scorable docs, got ${k2.length}")
   }
 
+  test("dsirLogWeight: plain-JVM replay, Laplace floor on unseen grams, resample consistency") {
+    // independent replay via java.security MessageDigest — no Spark
+    // expression reuse
+    def bucket(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64
+    }
+    val grams = Seq("alpha", "beta", "alpha", "alpha beta", "beta alpha")
+    val ratio = Map(bucket("alpha") -> 0.5, bucket("beta") -> -0.25)
+    val dflt = -1.5 // bigram buckets are (very likely) unseen -> floor
+    val want = grams.map(g => ratio.getOrElse(bucket(g), dflt)).sum
+    val got = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+      .select(graft.ext.TrainSet.dsirLogWeight(col("text"), ratio, dflt, 64))
+      .head.getDouble(0)
+    assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+    // tokenless document: 0.0 over 0 grams (the both-planes convention)
+    val zero = Seq((2L, "")).toDF("doc_id", "text")
+      .select(graft.ext.TrainSet.dsirLogWeight(col("text"), ratio, dflt, 64),
+        graft.ext.TrainSet.dsirGramCount(col("text"))).head
+    assert(zero.getDouble(0) == 0.0 && zero.getLong(1) == 0L)
+    // the map-only scorer and the resample's recovered log_weight are
+    // the same quantity (different summation orders; 1e-5 covers fp)
+    val docs = Tables.load(spark, sf(), "documents")
+    val en = docs.filter(col("lang") === "en")
+    val (m, d) = graft.ext.TrainSet.dsirRatioMap(docs, en, "text", "doc_id", 1024)
+    val scored = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        graft.ext.TrainSet.dsirLogWeight(col("text"), m, d, 1024))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val res = graft.ext.TrainSet.dsirResample(docs, en, "text", "doc_id",
+      k = 60, numBuckets = 1024).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    res.foreach { case (id, lw) =>
+      assert(math.abs(scored(id) - lw) < 1e-5,
+        s"doc $id: scorer ${scored(id)} vs resample $lw")
+    }
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged; null text hashes as empty") {
     val old = Seq(
       (1L, Option("same")), (2L, Option("was")), (3L, Option("gone")),

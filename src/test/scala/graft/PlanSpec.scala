@@ -442,6 +442,18 @@ class PlanSpec extends SparkSuite {
     assert(ratioBroadcast, s"log-ratio join not broadcast on bucket:\n$p")
   }
 
+  // x68: the map-only scorer must BE map-only — the ratio table rides
+  // as an expression reference object, so the scoring plan has no join,
+  // no aggregation, and no shuffle beyond the declared output ordering
+  test("DSIR map-only scorer plans zero joins, zero aggregates, one sort exchange") {
+    val p = planOf("x68_dsir_score")
+    assert(!p.contains("Join"), s"join in the map-only scorer:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregation operator in the map-only scorer:\n$p")
+    assert(p.contains("bucket_lookup"), s"ratio lookup not in-plan:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy's allowed):\n$p")
+  }
+
   // no declared query may plan a window with an EMPTY partition spec —
   // that is the move-every-row-to-one-partition stage (the r7 verdict's
   // 12-WindowExec-warnings finding against the old assignByIndex; its

@@ -285,6 +285,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate: stream kept set equals the batch filter exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on the batch fixture (raw = all docs, target = en)
+    val docsB = Tables.load(spark, sf(), "documents")
+    val (ratio, dflt) = graft.ext.TrainSet.dsirRatioMap(
+      docsB, docsB.filter(col("lang") === "en"), "text", "doc_id", 1024)
+    // median-ish threshold so both outcomes are populated
+    val thr = 0.0
+    val batchKept = StreamCurate.applyDsir(docsB, ratio, dflt, 1024, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < docsB.count(),
+      s"degenerate threshold: ${batchKept.size} kept")
+    // replay the fixture + one out-of-corpus doc (unseen grams -> the
+    // Laplace floor default decides it) in 2 micro-batches
+    val fixture = docsB.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val docsS = input.toDF().toDF("doc_id", "text")
+    val q = StreamCurate.applyDsir(docsS, ratio, dflt, 1024, thr)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdsir").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq)
+      q.processAllAvailable()
+      input.addData(b2.toSeq :+ ((9999999L, "zzqx9 qqzv8 vvqk7")))
+      q.processAllAvailable()
+      val streamKept = spark.table("sdsir").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // the out-of-corpus doc's fate comes from the SAME expression on
+      // the batch plane (its unseen grams take trained buckets on
+      // collision, the Laplace floor otherwise) — stream == batch
+      // either way
+      val novelKept = StreamCurate.applyDsir(
+        Seq((9999999L, "zzqx9 qqzv8 vvqk7")).toDF("doc_id", "text"),
+        ratio, dflt, 1024, thr).count() == 1L
+      val want = if (novelKept) batchKept + 9999999L else batchKept
+      assert(streamKept == want,
+        s"stream/batch divergence: ${streamKept.diff(want)} extra, ${want.diff(streamKept)} missing")
+    } finally q.stop()
+  }
+
   test("streaming curation e2e: replayed fixture batches match the batch gates") {
     implicit val sqlCtx = spark.sqlContext
     // replay the real documents fixture in 3 micro-batches, plus an
