@@ -83,6 +83,48 @@ object Dedup {
       .drop("content_hash")
   }
 
+  /** X1c: multi-source corpus merge with source precedence — the
+    * assembly step that unions N source corpora (curated books > web
+    * crawl > mirror dumps ...) into one training corpus keeping exactly
+    * ONE document per distinct content: the copy from the
+    * highest-priority source; within a priority level the smallest id
+    * wins. Sources absent from `priority` rank below every listed one
+    * (-1) but still merge — a merge must never silently drop content
+    * just because its source wasn't ranked.
+    *
+    * Output: (content_hash, source, idCol, n_copies, n_sources) — the
+    * surviving copy plus the provenance counts an ablation needs.
+    *
+    * Scale: the [[exact]] plan shape — the shuffle carries a 32-byte
+    * hash + a 4-field struct per row, never document bodies; the
+    * survivor argmax is the bounded `greatest_row` aggregate
+    * (ObjectHashAggregate with map-side partials), NOT a window over
+    * the union, so the hot key (a boilerplate page shared by every
+    * source) reduces map-side to one struct per task. Null ids are
+    * excluded up front ((priority, -id) must be a total order for the
+    * survivor to be well-defined).
+    */
+  def mergeByPrecedence(docs: DataFrame, textCol: String, idCol: String,
+                        sourceCol: String,
+                        priority: Map[String, Int]): DataFrame = {
+    require(priority.values.forall(_ >= 0),
+      "listed priorities must be >= 0 (unlisted sources take -1)")
+    val prio = priority.toSeq.sortBy(_._1).foldLeft(lit(-1)) {
+      case (acc, (s, p)) => when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    docs.filter(col(idCol).isNotNull)
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(
+        graft.functions.GreatestRow.greatest_row(struct(
+          prio.as("prio"), (-col(idCol)).cast("long").as("negid"),
+          col(sourceCol).as("source"), col(idCol).cast("long").as("id")))
+          .as("w"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col(sourceCol)).as("n_sources"))
+      .select(col("content_hash"), col("w.source").as("source"),
+        col("w.id").as(idCol), col("n_copies"), col("n_sources"))
+  }
+
   /** X2 (exact form, the oracle): all pairs with k-shingle Jaccard >=
     * threshold. Inverted-index self-join on shingle — the classic
     * "exact near-dup" plan. Quadratic per shingle bucket; use

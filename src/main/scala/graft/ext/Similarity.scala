@@ -378,6 +378,48 @@ object Similarity {
     when(scale === 0d, transform(q, _ => lit(0.0d)))
       .otherwise(transform(q, qi => qi.cast("double") * scale / 127d))
 
+  /** The ±1/√k sign matrix behind [[randomProjection]] (Achlioptas 2003
+    * "database-friendly" JL — signs, not Gaussians, so the projection
+    * is exact integer-weighted sums and engine-portable). Entry (j, c)
+    * takes its sign from the parity of the first md5 byte of
+    * "rp:salt:j:c" — deterministic, seedable, and replayable by any
+    * engine with md5 (the corpus-wide randomness convention).
+    */
+  def signMatrix(outDim: Int, dim: Int, salt: String): Array[Array[Double]] = {
+    Array.tabulate(outDim, dim) { (j, c) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp:$salt:$j:$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 2), 16) % 2 == 0) 1.0
+      else -1.0
+    }
+  }
+
+  /** X3f: Johnson–Lindenstrauss random projection — the DIMENSION lever
+    * of the embedding-compression family, next to [[quantizeInt8]]'s
+    * precision lever and [[pqEncode]]'s codebook lever: project d-dim
+    * vectors to `outDim` dims with pairwise inner products preserved in
+    * expectation (error ~ 1/√outDim), for cheap pre-filtering, sketch
+    * storage, or as the input to a downstream coarse quantizer.
+    *
+    * `proj_j = (1/√outDim) · Σ_c S_jc · v_c` with S = [[signMatrix]].
+    * The matrix rides into the plan as ONE array literal (a codegen
+    * reference object — Catalyst never inlines complex literals into
+    * generated source) and the whole operator is a per-row expression:
+    * map-only, zero shuffles at any corpus size, streams unchanged.
+    * Left-fold summation in index order keeps the arithmetic
+    * bit-reproducible cross-engine (the oracle folds the same order).
+    */
+  def randomProjection(vec: Column, outDim: Int, dim: Int,
+                       salt: String = "jl"): Column = {
+    require(outDim > 0 && dim > 0, s"bad dims ($outDim x $dim)")
+    val sLit = typedLit(signMatrix(outDim, dim, salt).map(_.toSeq).toSeq)
+    val v = vec.cast("array<double>")
+    transform(sequence(lit(1), lit(outDim)), j =>
+      aggregate(zip_with(v, element_at(sLit, j), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x) / math.sqrt(outDim.toDouble))
+  }
+
   /** Approximate top-k: bucket corpus + queries with sign-LSH, rank only
     * within the query's bucket. Trades recall for probing ~corpus/2^p.
     * NOTE: single-probe sign-LSH only has useful recall when true

@@ -78,6 +78,91 @@ object TextStats {
       .otherwise("und")
   }
 
+  /** The hashed unigram+bigram bucket stream of one document as an
+    * in-row array (doc order; the per-row form of
+    * [[TrainSet.hashedNgramBuckets]]'s exploded corpus frame — same
+    * md5-bucket convention, so models trained on one featurization
+    * score through the other). Null text → 0 grams.
+    */
+  def nbGramBuckets(text: Column, numBuckets: Int): Column = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    val toks = Dedup.tokens(coalesce(text, lit("")))
+    val bi = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bi),
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long") % numBuckets)
+  }
+
+  /** X5c: trained multiclass Naive-Bayes text classifier over hashed
+    * n-gram buckets (the trained complement to [[langId]]'s fixed
+    * marker heuristic — language ID is the canonical use, but any
+    * label column trains: source, quality tier, topic).
+    *
+    * `labels` sorted ascending; per-label Laplace-smoothed bucket
+    * log-likelihoods ln((c_{l,b}+1)/(T_l+B)) and log priors
+    * ln(n_l/N). A bucket unseen by label l scores the same formula at
+    * c=0 (`defaults(l)`), so train and apply share one smoothing rule.
+    * The whole model is ≤ labels × numBuckets doubles — kilobytes,
+    * riding into the scoring plan as [[graft.functions.BucketLookup]]
+    * reference arrays.
+    */
+  case class NbModel(labels: Array[String], logPriors: Array[Double],
+                     tables: Array[Map[Long, Double]],
+                     defaults: Array[Double], numBuckets: Int)
+
+  /** Train [[NbModel]] from a labeled corpus: ONE featurize pass
+    * (slim (id, bucket) rows joined to the (id, label) frame — the
+    * join never carries text), one (label, bucket) count aggregate,
+    * collected at ≤ labels × numBuckets rows. Rows with null id or
+    * null label are excluded from training.
+    */
+  def nbTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+              labelCol: String, idCol: String,
+              numBuckets: Int = 1024): NbModel = {
+    val lab = docs.filter(col(idCol).isNotNull && col(labelCol).isNotNull)
+    val perLabel = lab.groupBy(col(labelCol).as("_lab"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val labels = perLabel.keys.toArray.sorted
+    val nTotal = perLabel.values.sum.toDouble
+    val hist = TrainSet.hashedNgramBuckets(lab, textCol, idCol, numBuckets)
+      .join(lab.select(col(idCol).as("_id"), col(labelCol).as("_lab")), "_id")
+      .groupBy("_lab", "bucket").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = labels.map(l =>
+      hist.collect { case ((`l`, _), c) => c }.sum.toDouble)
+    val tables = labels.zipWithIndex.map { case (l, i) =>
+      hist.collect { case ((`l`, b), c) =>
+        b -> math.log((c + 1) / (totals(i) + numBuckets)) }.toMap
+    }
+    NbModel(labels,
+      labels.map(l => math.log(perLabel(l) / nTotal)),
+      tables,
+      totals.map(t => math.log(1.0 / (t + numBuckets))),
+      numBuckets)
+  }
+
+  /** Map-only NB inference over a [[nbGramBuckets]] array: per-label
+    * log-posterior = prior + Σ bucket log-likelihoods (binary-search
+    * `bucket_lookup` probes — no join, no aggregation, no shuffle;
+    * streams unchanged). Returns struct(lang, score); ties take the
+    * FIRST label in ascending order (array_position semantics). A
+    * gramless document scores priors only → the largest-prior label.
+    */
+  def nbPredict(buckets: Column, model: NbModel): Column = {
+    val scores = array(model.labels.indices.map { l =>
+      (lit(model.logPriors(l)) + aggregate(buckets, lit(0.0),
+        (acc, b) => acc + graft.functions.BucketLookup.bucket_lookup(
+          b, model.tables(l), model.defaults(l)))).as(model.labels(l))
+    }: _*)
+    val idx = array_position(scores, array_max(scores)).cast("int")
+    struct(element_at(typedLit(model.labels.toSeq), idx).as("lang"),
+      array_max(scores).as("score"))
+  }
+
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 

@@ -2703,6 +2703,150 @@ object Declared {
         |WHERE d.doc_id IS NOT NULL
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // X1c: multi-source corpus merge with source precedence. The fixture
+    // has no multi-source overlap (500 distinct contents), so the query
+    // constructs one: curated (every 3rd doc), web (docs off the 7-grid,
+    // retagged ids), mirror (every 2nd doc, retagged, UNLISTED in the
+    // priority map -> -1). All three sources win somewhere (curated on
+    // the 3-grid, mirror on {%2=0, %7=0, %3!=0}, web elsewhere; docs in
+    // no source are absent from the merge input and stay absent from
+    // the output). Survivor: curated > web > mirror; DuckDB replays the
+    // same union and picks survivors via struct-max over the identical
+    // (prio, -id) order.
+    "x69_corpus_merge" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val curated = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), lit("curated").as("src"))
+        val web = docs.filter(col("doc_id") % 7 =!= 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            lit("web").as("src"))
+        val mirror = docs.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+            lit("mirror").as("src"))
+        graft.ext.Dedup.mergeByPrecedence(
+          curated.unionByName(web).unionByName(mirror),
+          "text", "doc_id", "src", Map("curated" -> 2, "web" -> 1))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+        |  SELECT doc_id, text, 'curated' AS src, 2 AS prio
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'web', 1
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, 'mirror', -1
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |m AS (
+        |  SELECT sha256(text) AS content_hash,
+        |    max({'prio': prio, 'negid': -doc_id, 'src': src, 'id': doc_id}) AS w,
+        |    count(*) AS n_copies, count(DISTINCT src) AS n_sources
+        |  FROM u GROUP BY 1)
+        |SELECT content_hash, (w).src AS source, (w).id AS doc_id,
+        |  n_copies, n_sources
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // X3f: JL random projection 64 -> 16 dims, exploded to one row per
+    // (vector, output dim) so every projected coordinate is a scalar
+    // hash-compare. DuckDB rebuilds the +-1 sign matrix from the same
+    // md5-parity convention and folds the weighted sum in the same
+    // index order (list_reduce == Spark's aggregate left fold, so the
+    // doubles are bit-identical before the shared 6dp round).
+    "x70_random_projection" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        emb.filter(col("vec_id").isNotNull)
+          .select(col("vec_id"), posexplode(
+            graft.ext.Similarity.randomProjection(
+              col("embedding"), outDim = 16, dim = 64)))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim_j"),
+            round(col("col"), 6).as("val"))
+          .orderBy("vec_id", "dim_j")
+      },
+      Some("""SELECT e.vec_id, j.j AS dim_j,
+        |  round(list_reduce(
+        |    [(CASE WHEN ('0x' || substr(md5('rp:jl:' || (j.j - 1) || ':' || (c - 1)), 1, 2))::bigint % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END) * embedding[c]::double
+        |     FOR c IN range(1, 65)], (a, b) -> a + b) / sqrt(16.0), 6) AS val
+        |FROM embeddings e, range(1, 17) j(j)
+        |WHERE e.vec_id IS NOT NULL
+        |ORDER BY vec_id, dim_j""".stripMargin)),
+
+    // X5c: trained NB language classifier, trained and applied on the
+    // same labeled fixture (train/eval separation is the caller's
+    // concern; the oracle replays BOTH phases). DuckDB rebuilds the
+    // per-lang Laplace-smoothed bucket log-likelihoods and priors,
+    // rescores every doc against every lang, and resolves the argmax
+    // with the same first-label-ascending tie rule. The oracle's per-
+    // label totals come from a LEFT join over the distinct-label frame
+    // so a label whose docs yield zero ascii grams still carries t=0
+    // (scoring prior + n·ln(1/B) like Spark's defaults) rather than
+    // silently dropping out of the cross join. Fixture accuracy is
+    // ~0.74 — the synthetic vocab overlaps across langs; exactness,
+    // not accuracy, is what this row asserts (accuracy is spec-bound).
+    "x71_nb_langid" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.ext.TextStats.nbTrain(
+          docs, "text", "lang", "doc_id", numBuckets = 1024)
+        docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+          .select(col("doc_id"), col("lang").as("actual_lang"),
+            graft.ext.TextStats.nbPredict(
+              graft.ext.TextStats.nbGramBuckets(col("text"), 1024), model)
+              .as("p"))
+          .select(col("doc_id"), col("actual_lang"),
+            col("p.lang").as("pred_lang"),
+            (col("actual_lang") === col("p.lang")).as("correct"),
+            round(col("p.score"), 6).as("log_post"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH lab AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM lab),
+        |grams AS (
+        |  SELECT doc_id, u.g AS gram FROM toks, unnest(w) AS u(g)
+        |  UNION ALL
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |feats AS (
+        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::bigint % 1024 AS bucket
+        |  FROM grams),
+        |hist AS (
+        |  SELECT l.lang, f.bucket, count(*) AS c
+        |  FROM feats f JOIN lab l USING (doc_id) GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lg.lang, coalesce(sum(h.c), 0)::double AS t
+        |  FROM (SELECT DISTINCT lang FROM lab) lg
+        |  LEFT JOIN hist h USING (lang) GROUP BY 1),
+        |pri AS (
+        |  SELECT lang, ln(count(*)::double / (SELECT count(*) FROM lab)) AS lp
+        |  FROM lab GROUP BY 1),
+        |pair AS (
+        |  SELECT f.doc_id, tt.lang,
+        |    sum(ln((coalesce(h.c, 0) + 1) / (tt.t + 1024))) AS s
+        |  FROM feats f CROSS JOIN tot tt
+        |  LEFT JOIN hist h ON h.lang = tt.lang AND h.bucket = f.bucket
+        |  GROUP BY 1, 2),
+        |scorefinal AS (
+        |  SELECT lb.doc_id, pr.lang, pr.lp + coalesce(p.s, 0.0) AS score
+        |  FROM lab lb CROSS JOIN pri pr
+        |  LEFT JOIN pair p ON p.doc_id = lb.doc_id AND p.lang = pr.lang),
+        |best AS (SELECT doc_id, max(score) AS ms FROM scorefinal GROUP BY 1),
+        |pick AS (
+        |  SELECT f.doc_id, min(f.lang) AS pred_lang, max(b.ms) AS ms
+        |  FROM scorefinal f
+        |  JOIN best b ON b.doc_id = f.doc_id AND f.score = b.ms
+        |  GROUP BY 1)
+        |SELECT d.doc_id, d.lang AS actual_lang, p.pred_lang,
+        |  (d.lang = p.pred_lang) AS correct, round(p.ms, 6) AS log_post
+        |FROM lab d JOIN pick p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

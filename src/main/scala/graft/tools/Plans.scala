@@ -25,7 +25,8 @@ object Plans {
     "x59_theta_overlap", "x60_heavy_hitters", "x61_ann_pq",
     "x62_ann_ivfpq", "x63_cut_spans", "x64_hybrid_rrf",
     "x65_mixture_sample", "x66_domain_cap", "x67_dsir_resample",
-    "x68_dsir_score")
+    "x68_dsir_score", "x69_corpus_merge", "x70_random_projection",
+    "x71_nb_langid")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

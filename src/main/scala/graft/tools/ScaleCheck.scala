@@ -57,6 +57,14 @@ object ScaleCheck {
       graft.ext.TrainSet.dsirRatioMap(
         docs0, docs0.filter(col("lang") === "en"), "text", "doc_id", 1024)
 
+    // x69's merge witness anchor: replicas keep text identical, so the
+    // survivor count at every scale must equal the 1x distinct contents
+    val distinctTexts0: Long = docs0.select(col("text")).distinct().count()
+
+    // x71's fixed train-once model (1x corpus, outside any timed region)
+    val nbModel1x: graft.ext.TextStats.NbModel =
+      graft.ext.TextStats.nbTrain(docs0, "text", "lang", "doc_id", 1024)
+
     val scales = Seq(1, 4, 16)
     // (name, per-scale runnable built on the scaled frame)
     val cases: Seq[(String, Int => Unit)] = Seq(
@@ -237,6 +245,51 @@ object ScaleCheck {
             col("text"), dsirRatio1x._1, dsirRatio1x._2, 1024).as("w"))
         assert(scored.filter(col("w") =!= 0.0).count() >= docsN.count() * 9 / 10,
           "scorer degenerated to zeros")
+      },
+      "x69 corpus merge (3 sources over replicated documents)" -> { n =>
+        // replicas retag ids but keep TEXT identical, so every content
+        // collapses across replicas: survivors stay at the 1x distinct
+        // count while n_copies absorbs the growth — the shuffle carries
+        // (32-byte hash, 4-field struct) rows, never text, and the hot
+        // content reduces map-side via the greatest_row partial
+        val docsN = replicate(docs0, "doc_id", n)
+        val union = docsN.select(col("doc_id"), col("text"), lit("curated").as("src"))
+          .unionByName(docsN.select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), lit("web").as("src")))
+          .unionByName(docsN.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+              lit("mirror").as("src")))
+        val m = graft.ext.Dedup.mergeByPrecedence(
+            union, "text", "doc_id", "src", Map("curated" -> 2, "web" -> 1))
+          .agg(count(lit(1)).as("rows"), sum(col("n_copies")).as("copies"))
+          .head
+        val inRows = union.count()
+        assert(m.getLong(0) == distinctTexts0,
+          s"survivors ${m.getLong(0)} != 1x distinct contents $distinctTexts0")
+        assert(m.getLong(1) == inRows,
+          s"copies ${m.getLong(1)} != merge input rows $inRows")
+      },
+      "x71 NB classifier (documents, fixed 1x-trained model)" -> { n =>
+        // train once on the 1x corpus; inference over the replicated
+        // corpus is the bucket_lookup expression — scan-linear, and
+        // replicas must predict exactly what their 1x originals did
+        val preds = graft.ext.TextStats.nbPredict(
+          graft.ext.TextStats.nbGramBuckets(col("text"), 1024), nbModel1x)
+        val docsN = replicate(docs0, "doc_id", n)
+        val perReplica = docsN.select((col("doc_id") % 100000000L).as("orig"),
+            preds.getField("lang").as("pl"))
+          .groupBy("orig").agg(countDistinct(col("pl")).as("nd"))
+          .agg(max(col("nd"))).head.getLong(0)
+        assert(perReplica == 1L, s"replica predictions diverged: $perReplica")
+      },
+      "x70 random projection (embeddings 64->16, map-only)" -> { n =>
+        // one array literal (codegen reference object) + per-row fold:
+        // no shuffle at any size, time must stay scan-linear
+        val embN = replicate(emb0, "vec_id", n)
+        val cnt = embN.select(graft.ext.Similarity.randomProjection(
+            col("embedding"), 16, 64).as("p"))
+          .filter(element_at(col("p"), 16).isNotNull).count()
+        assert(cnt == embN.count(), s"projection dropped rows: $cnt")
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum

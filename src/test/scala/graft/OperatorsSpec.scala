@@ -580,6 +580,35 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("mergeByPrecedence: priority wins, in-level min id, unlisted source merges at -1, null ids excluded") {
+    val docs = Seq(
+      (Some(2L), "shared", "curated"),   // prio 2 wins despite larger id
+      (Some(1L), "shared", "web"),
+      (Some(3L), "shared", "mirror"),    // unlisted -> -1
+      (None: Option[Long], "shared", "curated"), // null id: excluded from the merge
+      (Some(11L), "webonly", "web"),
+      (Some(10L), "webonly", "web"),     // same level: min id survives
+      (Some(20L), "mirroronly", "mirror"), // unlisted source still merges
+      (Some(30L), "solo", "curated")
+    ).toDF("doc_id", "text", "src")
+    val out = graft.ext.Dedup.mergeByPrecedence(
+        docs, "text", "doc_id", "src", Map("curated" -> 2, "web" -> 1))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      ("curated", 2L, 3L, 3L),   // "shared": 3 non-null copies, 3 sources
+      ("web", 10L, 2L, 1L),
+      ("mirror", 20L, 1L, 1L),
+      ("curated", 30L, 1L, 1L)), out)
+    // negative priorities are reserved for the unlisted tier
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.mergeByPrecedence(docs, "text", "doc_id", "src",
+        Map("curated" -> -2))
+    }
+    assert(err.getMessage.contains("priorities"))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged; null text hashes as empty") {
     val old = Seq(
       (1L, Option("same")), (2L, Option("was")), (3L, Option("gone")),

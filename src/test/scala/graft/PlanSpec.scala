@@ -26,7 +26,8 @@ class PlanSpec extends SparkSuite {
   // broadcast appearing here means the pipeline stopped being map-only
   private val mapOnly = Seq("x06_quality_score", "x07_fingerprint",
     "x18_pii_redact", "x19_repetition", "x21_hash_sample", "x26_url_strip",
-    "x34_media_probe", "x35_chunk_overlap", "x37_split_assign")
+    "x34_media_probe", "x35_chunk_overlap", "x37_split_assign",
+    "x70_random_projection")
 
   test("map-only queries shuffle only for the presentation sort") {
     for (q <- mapOnly) {
@@ -450,6 +451,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"join in the map-only scorer:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation operator in the map-only scorer:\n$p")
     assert(p.contains("bucket_lookup"), s"ratio lookup not in-plan:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy's allowed):\n$p")
+  }
+
+  // x69: the merge survivor must be the bounded greatest_row aggregate,
+  // never a window over the unioned corpora — the hot key (a boilerplate
+  // page every source carries) reduces map-side to one struct per task
+  test("corpus merge plans a partial greatest_row hash agg, no window") {
+    val p = planOf("x69_corpus_merge")
+    assert(p.contains("partial_greatest_row"), s"no map-side partial survivor:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"not hash-aggregated:\n$p")
+    assert(!p.contains("SortAggregate"), s"degraded to sort agg:\n$p")
+    assert(!p.contains("Window"), s"survivor via window sort:\n$p")
+  }
+
+  // x71: like the DSIR scorer, NB inference must be pure map — the
+  // model rides as bucket_lookup reference arrays, so the scoring plan
+  // has no join/aggregate; only the presentation sort shuffles
+  test("NB classifier inference plans zero joins, zero aggregates") {
+    val p = planOf("x71_nb_langid")
+    assert(!p.contains("Join"), s"join in NB inference:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregation in NB inference:\n$p")
+    assert(p.contains("bucket_lookup"), s"model lookup not in-plan:\n$p")
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy's allowed):\n$p")
   }
