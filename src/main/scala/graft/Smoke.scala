@@ -22,6 +22,22 @@ object Smoke {
     println(s"ENTRY_ROWS=${e.count()}")
     e.show(6, truncate = false)
 
+    // Loader-break tripwire (r8 regression: fixture re-encode → analysis
+    // exceptions in 11 queries that only the driver run surfaced). Force
+    // analysis+optimization of EVERY declared query at EVERY SF — no job
+    // runs, so this is minutes even at sf0.1 — and fail loudly on any throw.
+    val analysisFailures = for {
+      d <- Seq("sf0.001", "sf0.01", "sf0.1")
+      name <- SparkEntry.queries.keys.toSeq.sorted
+      err <- util.Try {
+        SparkEntry.queries(name)(spark, s"/root/testdata/$d").queryExecution.optimizedPlan
+      }.failed.toOption.map(t => s"$d/$name: ${t.getMessage.linesIterator.next()}")
+    } yield err
+    analysisFailures.foreach(f => println(s"ANALYSIS_FAIL $f"))
+    require(analysisFailures.isEmpty,
+      s"${analysisFailures.size} declared queries fail analysis (see ANALYSIS_FAIL lines)")
+    println(s"ANALYSIS_OK ${SparkEntry.queries.size} queries x 3 SFs")
+
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
       df.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
