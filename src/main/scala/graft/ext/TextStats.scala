@@ -127,8 +127,21 @@ object TextStats {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val labels = perLabel.keys.toArray.sorted
     val nTotal = perLabel.values.sum.toDouble
-    val hist = TrainSet.hashedNgramBuckets(lab, textCol, idCol, numBuckets)
-      .join(lab.select(col(idCol).as("_id"), col(labelCol).as("_lab")), "_id")
+    // label rides the gram explode (a short string per slim row), so the
+    // (label, bucket) histogram needs NO join back to the doc frame —
+    // one scan, one partial-agg'd shuffle of <= labels x numBuckets keys
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
+    val base = lab.select(col(labelCol).as("_lab"), toks.as("toks"))
+    val uni = base.select(col("_lab"), explode(col("toks")).as("gram"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("_lab"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("gram"))
+    val hist = uni.unionByName(bi)
+      .select(col("_lab"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"))
       .groupBy("_lab", "bucket").agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -145,23 +158,44 @@ object TextStats {
       numBuckets)
   }
 
-  /** Map-only NB inference over a [[nbGramBuckets]] array: per-label
-    * log-posterior = prior + Σ bucket log-likelihoods (binary-search
-    * `bucket_lookup` probes — no join, no aggregation, no shuffle;
-    * streams unchanged). Returns struct(lang, score); ties take the
-    * FIRST label in ascending order (array_position semantics). A
+  /** All L per-label log-posteriors of one document in ONE fold over the
+    * gram array: the accumulator is the length-L score array (seeded with
+    * the log priors), each gram `zip_with`-adds the dense
+    * `bucket_lookup_vec` likelihood vector — ONE O(1) table probe per
+    * gram occurrence instead of L binary searches, and one array walk
+    * instead of L independent folds.
+    *
+    * Callers that consume the scores more than once (argmax = 3
+    * references) should land this in its OWN projection — `aggregate` is
+    * not collapse-cheap, so Catalyst keeps the projection boundary and
+    * the fold runs once per row instead of once per reference.
+    */
+  def nbScores(buckets: Column, model: NbModel): Column =
+    aggregate(buckets,
+      array(model.logPriors.map(lit(_)): _*),
+      (acc, b) => zip_with(acc,
+        graft.functions.BucketLookupVec.bucket_lookup_vec(
+          b, model.tables, model.defaults, model.numBuckets),
+        (a, v) => a + v))
+
+  /** Argmax over a MATERIALIZED [[nbScores]] array (an attribute, not the
+    * fold itself — see nbScores). Returns struct(lang, score); ties take
+    * the FIRST label in ascending order (array_position semantics). A
     * gramless document scores priors only → the largest-prior label.
     */
-  def nbPredict(buckets: Column, model: NbModel): Column = {
-    val scores = array(model.labels.indices.map { l =>
-      (lit(model.logPriors(l)) + aggregate(buckets, lit(0.0),
-        (acc, b) => acc + graft.functions.BucketLookup.bucket_lookup(
-          b, model.tables(l), model.defaults(l)))).as(model.labels(l))
-    }: _*)
+  def nbBest(scores: Column, model: NbModel): Column = {
     val idx = array_position(scores, array_max(scores)).cast("int")
     struct(element_at(typedLit(model.labels.toSeq), idx).as("lang"),
       array_max(scores).as("score"))
   }
+
+  /** Map-only NB inference over a [[nbGramBuckets]] array: no join, no
+    * aggregation, no shuffle; streams unchanged. Convenience composition
+    * of [[nbScores]] + [[nbBest]] — hot paths should materialize the
+    * scores in their own projection and call the two halves directly.
+    */
+  def nbPredict(buckets: Column, model: NbModel): Column =
+    nbBest(nbScores(buckets, model), model)
 
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
