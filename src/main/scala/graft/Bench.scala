@@ -153,6 +153,13 @@ object Bench {
       .mkString("{", ",", "}")
     val qsCpu = all.map { case (k, (_, c)) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
+    // wall+cpu PAIRS for every query over 1 s (or errored), compact enough
+    // to survive inside the driver's kept 2000-char tail alongside the
+    // sentinels — so an expensive query's wall-vs-cpu adjudication (the r8
+    // x24 misread) never depends on the truncated full cpu map up front
+    val hot = all.filter { case (_, (w, _)) => w >= 1.0 || w < 0 }
+      .map { case (k, (w, c)) => "\"" + k + "\":[" + f"$w%.3f,$c%.3f]" }
+      .mkString("{", ",", "}")
     val total = all.map(_._2._1).filter(_ >= 0).sum
     val heapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
     val storageMb = spark.sparkContext.getExecutorMemoryStatus.values
@@ -168,7 +175,7 @@ object Bench {
     // and metadata ride up front where truncation can only cost
     // diagnostics, never invert a wall-vs-cpu reading (the r7
     // phantom-regression misread).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qs,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"total_sec":$total%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qs,"hot_wall_cpu":$hot,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

@@ -211,14 +211,53 @@ object Similarity {
               iters: Int = 3, idCol: String = "vec_id",
               vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m $m subspaces")
+    import graft.functions.NearestCells.nearest_cells
     val sub = dim / m
-    (0 until m).map { s =>
-      kmeansCentroids(
-        corpus.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
-            .as(vecCol)),
-        codebookSize, iters, idCol, vecCol)
-    }.toArray
+    val v = col(vecCol).cast("array<double>")
+    // ONE hash-sample pass seeds every subspace: the sample order is
+    // xxhash64(id) — independent of the slice — so slicing the same
+    // sampled rows per subspace yields exactly the per-subspace sample
+    // the sequential form drew (1 job instead of m)
+    val seeds = corpus.select(col(idCol), v.as("v"))
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(codebookSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val kEff = seeds.length
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+    // all m subspaces train in the SAME distributed pass per iteration:
+    // explode each vector to its m (subspace, subvector) rows — m× rows
+    // but 1/m bytes each, so the pass carries the same volume as one
+    // full-vector scan — and aggregate means per (subspace, cell, pos).
+    // m * iters + 1 jobs become iters + 1 (32 → 4 at m=8/iters=3).
+    val subs = corpus
+      .select(posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(v, s * sub + 1, lit(sub)))).as(Seq("s", "sv")))
+      .persist()
+    try {
+      for (_ <- 0 until iters) {
+        // per-subspace spherical assignment: an m-branch CASE over the
+        // subspace tag (each NearestCells instance holds one codebook
+        // as a codegen reference object, and evaluates only on its rows)
+        val cell = (1 until m).foldLeft(
+          when(col("s") === 0, element_at(nearest_cells(col("sv"), cbs(0), 1), 1))) {
+          (w, s2) =>
+            w.when(col("s") === s2, element_at(nearest_cells(col("sv"), cbs(s2), 1), 1))
+        }
+        val meanRows = subs.withColumn("cell", cell)
+          .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("s", "cell", "pos").agg(avg(col("x")).as("mn"))
+          .collect() // <= m * codebookSize * sub rows — kilobytes
+        val bySub = meanRows.groupBy(_.getInt(0))
+        cbs = Array.tabulate(m) { s =>
+          val byCell = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+            .groupBy(_.getInt(1))
+          Array.tabulate(kEff)(c => byCell.get(c) // empty cells keep centroids
+            .map(_.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+            .getOrElse(cbs(s)(c)))
+        }
+      }
+    } finally subs.unpersist()
+    cbs
   }
 
   /** PQ encode: (id, codes array<int> of length m) — each code is the

@@ -239,6 +239,41 @@ object TrainSet {
     (m, math.log((tr + numBuckets) / (tt + numBuckets)))
   }
 
+  /** [[dsirRatioMap]] for the common case where the target corpus is a
+    * PREDICATE SLICE of the raw corpus (e.g. lang = 'en'): ONE featurize
+    * scan builds both histograms — the target flag rides the gram explode
+    * as a boolean and the per-bucket aggregate counts (all, flagged) in
+    * the same partial-agg'd pass. Halves the training scans; identical
+    * arithmetic, bit-identical output to the two-frame form.
+    */
+  def dsirRatioMapTagged(raw: DataFrame, targetPred: Column, textCol: String,
+                         idCol: String, numBuckets: Int = 1024): (Map[Long, Double], Double) = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    val toks = graft.ext.Dedup.tokens(coalesce(col(textCol), lit("")))
+    val base = raw.filter(col(idCol).isNotNull)
+      .select(targetPred.as("tgt"), toks.as("toks"))
+    val uni = base.select(col("tgt"), explode(col("toks")).as("gram"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("tgt"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("gram"))
+    val hist = uni.unionByName(bi)
+      .select(col("tgt"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cr"),
+        count(when(col("tgt"), lit(1))).as("ct"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tr = hist.valuesIterator.map(_._1).sum.toDouble
+    val tt = hist.valuesIterator.map(_._2).sum.toDouble
+    val m = hist.map { case (b, (cr, ct)) =>
+      b -> (math.log((ct + 1) / (tt + numBuckets))
+        - math.log((cr + 1) / (tr + numBuckets)))
+    }
+    (m, math.log((tr + numBuckets) / (tt + numBuckets)))
+  }
+
   /** Map-only per-row DSIR log importance weight: the sum of
     * [[dsirRatioMap]] log-ratios over the row's unigram+bigram
     * occurrences, evaluated entirely inside the row via higher-order

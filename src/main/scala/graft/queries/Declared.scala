@@ -2357,8 +2357,11 @@ object Declared {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
+        val cbs = artifact("pq_cb_m8_d64_cb32", dir) {
+          Similarity.pqTrain(e, m = 8, dim = 64, codebookSize = 32)
+        }
         val pq = Similarity.pqTopK(q, e, k = 5, m = 8, dim = 64,
-          codebookSize = 32, refine = 100)
+          codebookSize = 32, refine = 100, codebooks = Some(cbs))
         val bf = Similarity.bruteForceTopK(q, e, k = 5)
         val hits = bf.select("query_id", "neighbor_id")
           .join(pq.select("query_id", "neighbor_id"),
@@ -2392,7 +2395,14 @@ object Declared {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val pq = Similarity.ivfPqTopK(q, e, k = 5)
+        val cbs = artifact("pq_cb_m8_d64_cb32", dir) {
+          Similarity.pqTrain(e, m = 8, dim = 64, codebookSize = 32)
+        }
+        val cents = artifact("ivf_cents_32", dir) {
+          Similarity.sampledCentroids(e, 32)
+        }
+        val pq = Similarity.ivfPqTopK(q, e, k = 5,
+          centroids = Some(cents), codebooks = Some(cbs))
         val bf = Similarity.bruteForceTopK(q, e, k = 5)
         val hits = bf.select("query_id", "neighbor_id")
           .join(pq.select("query_id", "neighbor_id"),
@@ -2675,10 +2685,15 @@ object Declared {
     "x68_dsir_score" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val (ratio, dflt) = graft.ext.TrainSet.dsirRatioMap(
-          docs, docs.filter(col("lang") === "en"), "text", "doc_id",
-          numBuckets = 1024)
+        // target is a predicate slice of raw → ONE tagged featurize scan
+        // builds both histograms (identical arithmetic to the two-frame
+        // form); kilobyte artifact memoized per corpus refresh
+        val (ratio, dflt) = artifact("dsir_en_1024", dir) {
+          graft.ext.TrainSet.dsirRatioMapTagged(
+            docs, col("lang") === "en", "text", "doc_id", numBuckets = 1024)
+        }
         docs.filter(col("doc_id").isNotNull)
+          .repartition(s.sparkContext.defaultParallelism) // one-row-group fixture spread
           .select(col("doc_id"),
             graft.ext.TrainSet.dsirGramCount(col("text")).as("n_grams"),
             round(graft.ext.TrainSet.dsirLogWeight(

@@ -451,8 +451,13 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"join in the map-only scorer:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation operator in the map-only scorer:\n$p")
     assert(p.contains("bucket_lookup"), s"ratio lookup not in-plan:\n$p")
+    // allowed: the orderBy's range exchange + the ROUND-ROBIN spread of
+    // the single-row-group fixture input (production inputs arrive
+    // pre-split; the spread must never be a keyed/hash exchange)
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy's allowed):\n$p")
+    val spreads = "RoundRobinPartitioning".r.findAllIn(p).size
+    assert(exchanges - spreads <= 1 && spreads <= 1,
+      s"$exchanges exchanges / $spreads spreads (only orderBy + one input spread allowed):\n$p")
   }
 
   // x69: the merge survivor must be the bounded greatest_row aggregate,
@@ -474,8 +479,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"join in NB inference:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation in NB inference:\n$p")
     assert(p.contains("bucket_lookup"), s"model lookup not in-plan:\n$p")
+    // one-pass multi-label scoring: the dense vector probe must appear,
+    // and the fold must materialize in its own projection (three argmax
+    // references over an attribute, not three re-folds — r8 verdict)
+    assert(p.contains("bucket_lookup_vec"), s"dense vector probe not in-plan:\n$p")
+    // allowed: orderBy range exchange + one round-robin input spread
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy's allowed):\n$p")
+    val spreads = "RoundRobinPartitioning".r.findAllIn(p).size
+    assert(exchanges - spreads <= 1 && spreads <= 1,
+      s"$exchanges exchanges / $spreads spreads (only orderBy + one input spread allowed):\n$p")
   }
 
   // no declared query may plan a window with an EMPTY partition spec —
