@@ -620,6 +620,58 @@ object Curation {
         size(col("col")).as("n_tok"))
   }
 
+  /** X9b: content-defined chunking (the storage-dedup/CDC formulation,
+    * token-level): a chunk boundary falls AFTER token position i
+    * wherever the rolling `window`-gram ending at i hashes to
+    * `0 mod modulus` — so boundaries are CONTENT-anchored: inserting or
+    * deleting tokens reshapes only the neighboring chunks, never the
+    * rest of the stream (the LBFS/restic gear-hash property that makes
+    * chunk-hash dedup robust to edits, which fixed windows like
+    * [[chunkWithOverlap]] provably are not). Expected chunk length ≈
+    * `modulus` tokens.
+    *
+    * Output: (doc_id, chunk_id, start_pos 0-based, n_tokens,
+    * chunk_hash) — the chunk-hash set IS the shareable dedup state two
+    * corpus versions compare. Entirely per-row array arithmetic
+    * (sequence/filter/slice + md5): map-only, zero shuffles at any
+    * corpus size, streams unchanged. A doc with < window tokens is one
+    * unbroken chunk; a tokenless doc yields no rows.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                window: Int = 4, modulus: Int = 64): DataFrame = {
+    require(window > 0, s"window must be positive (got $window)")
+    require(modulus > 0, s"modulus must be positive (got $modulus)")
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("w"))
+      // boundary positions (1-based, ascending): md5 bucket of the
+      // trailing window-gram == 0; the sequence guard keeps short docs
+      // out of sequence()'s descending-range trap
+      .withColumn("bnds", when(size(col("w")) >= window,
+        filter(sequence(lit(window), size(col("w"))), i =>
+          conv(substring(md5(concat_ws(" ",
+            slice(col("w"), i - window + 1, lit(window)))), 1, 8), 16, 10)
+            .cast("long") % modulus === 0))
+        .otherwise(array().cast("array<int>")))
+      // chunk k spans starts(k)..ends(k); only the TAIL pair can be
+      // empty (boundary exactly at the last token), dropped by s <= e
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bnds"), b => b + 1)))
+      .withColumn("ends", concat(col("bnds"), array(size(col("w")))))
+      .select(col("doc_id"), col("w"),
+        posexplode(filter(
+          zip_with(col("starts"), col("ends"),
+            (s, e) => struct(s.as("s"), e.as("e"))),
+          p => p("s") <= p("e"))).as(Seq("ci", "p")))
+      .select(col("doc_id"),
+        (col("ci") + 1).cast("long").as("chunk_id"),
+        (col("p.s") - 1).cast("long").as("start_pos"),
+        (col("p.e") - col("p.s") + 1).cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("p.s"), col("p.e") - col("p.s") + 1)))
+          .as("chunk_hash"))
+  }
+
   /** Semantic decontamination (the embedding sibling of
     * [[contaminationOverlap]]): flag corpus vectors whose max cosine
     * against ANY benchmark vector reaches `threshold` — catches

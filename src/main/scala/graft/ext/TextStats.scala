@@ -197,6 +197,35 @@ object TextStats {
   def nbPredict(buckets: Column, model: NbModel): Column =
     nbBest(nbScores(buckets, model), model)
 
+  /** X5d: corpus vocabulary artifact — the top `v` terms by total
+    * occurrence count, ties lexicographically ascending. One gram
+    * explode with map-side partial counts, then a
+    * TakeOrderedAndProject of slim (count, term) pairs; ≤ v short
+    * strings reach the driver and ride into scoring as a static
+    * `isin` set (hash probe, codegen'd). Real tokenizer vocabularies
+    * are 30k-100k entries — still kilobytes, still broadcast-shaped.
+    */
+  def topVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               v: Int): Array[String] = {
+    require(v > 0, s"v must be positive (got $v)")
+    docs.select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(v)
+      .collect().map(_.getString(0))
+  }
+
+  /** Map-only vocab-coverage counts of one document against a fixed
+    * vocabulary: struct(n_tokens, n_oov), OOV counted per token
+    * OCCURRENCE (the tokenizer-coverage convention — a frequent unknown
+    * term should hurt more than a rare one). One filter pass over the
+    * token array; no join, no shuffle; streams unchanged.
+    */
+  def oovCounts(text: Column, vocab: Seq[String]): Column = {
+    val toks = Dedup.tokens(coalesce(text, lit("")))
+    struct(size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => !t.isin(vocab: _*))).cast("long").as("n_oov"))
+  }
+
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 

@@ -308,6 +308,66 @@ object TrainSet {
     greatest(len * 2 - 1, lit(0)).cast("long")
   }
 
+  /** X19: token-budget corpus selection — the assembly step "fill the
+    * training mix with the best documents until the token budget is
+    * spent": greedy fill in (rank desc, id asc) order; a document is
+    * kept iff any budget remains when its turn comes (`cum_before <
+    * budget`, exclusive running sum — so the LAST kept document may
+    * cross the budget, the standard greedy-fill convention).
+    *
+    * Scale shape (100 TB): the corpus never passes a global sort and
+    * text never shuffles. A slim (id, rank, tokens) projection
+    * RANGE-partitions on the greedy order (global order ACROSS
+    * partitions, slim longs on the wire), each partition windows its own
+    * exclusive running sum, and the cross-partition offsets come from a
+    * driver prefix over the ≤ numPartitions per-partition totals (the
+    * [[corpusSlotIndex]] pattern — cluster-metadata-sized, never data),
+    * riding back in through the codegen'd
+    * [[graft.functions.BucketLookup]] (token sums < 2^53 stay exact in
+    * its double). Output is the slim selection index (id, rank,
+    * n_tokens, cum_before) — at 100 TB you'd write it out and join
+    * payloads back by id.
+    */
+  def budgetFill(df: DataFrame, idCol: String, rankCol: Column,
+                 tokenCol: Column, budget: Long,
+                 materialize: Boolean = true): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    val slim = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), rankCol.cast("double").as("_rank"),
+        tokenCol.cast("long").as("_tok"))
+      .filter(col("_rank").isNotNull && col("_tok").isNotNull)
+    val parted0 = slim.repartitionByRange(col("_rank").desc, col("_id").asc)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+    val parted = if (materialize)
+      parted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else parted0
+    try {
+      // driver prefix over per-partition token totals: result size =
+      // shuffle partition count, and an empty partition simply
+      // contributes nothing to the running offsets
+      val totals = parted.groupBy("_pid").agg(sum(col("_tok")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val offsets = totals.map { case (p, t) =>
+        val o = acc; acc += t; p -> o.toDouble
+      }.toMap
+      val w = Window.partitionBy("_pid")
+        .orderBy(col("_rank").desc, col("_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val res = parted
+        .withColumn("cum_before",
+          coalesce(sum(col("_tok")).over(w), lit(0L)) +
+            graft.functions.BucketLookup.bucket_lookup(
+              col("_pid"), offsets, 0.0).cast("long"))
+        .filter(col("cum_before") < budget)
+        .select(col("_id").as(idCol), col("_rank").as("rank"),
+          col("_tok").as("n_tokens"), col("cum_before"))
+      // checkpoint eagerly so the selection materializes while `parted`
+      // is cached (the dsirResample discipline); the index is slim
+      if (materialize) res.localCheckpoint(true) else res
+    } finally if (materialize) parted.unpersist()
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * each anchor draws `k` pseudorandom corpus documents (the classic
     * in-batch-negatives replacement when batches must be reproducible).

@@ -2888,6 +2888,144 @@ object Declared {
         |FROM lab d JOIN pick p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin)),
 
+    // X19: token-budget corpus selection (r9 — the assembly step "fill
+    // the training mix with the best documents until the budget is
+    // spent"): greedy fill in (quality desc, doc_id asc) order, keep
+    // while any budget remains (exclusive running sum < budget, so the
+    // last kept doc may cross). DuckDB replays the same greedy race
+    // with one global window; the Spark plan range-partitions a slim
+    // (id, quality, tokens) frame and prefix-sums per partition with
+    // driver offsets — no global window, text never shuffles. The
+    // quality expression is x06's composite; token counts are x05's
+    // whitespace tokenization; integer token sums are exact on both
+    // engines.
+    "x72_budget_fill" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        graft.ext.TrainSet.budgetFill(
+            docs, "doc_id",
+            rankCol = TextStats.qualityScore(col("text")),
+            tokenCol = TextStats.tokenCount(col("text")),
+            budget = 15000L)
+          .select(col("doc_id"), col("rank").as("quality"),
+            col("n_tokens"), col("cum_before"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |    length(text) AS nchars
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |f AS (
+        |  SELECT doc_id, nchars, len(toks)::bigint AS n_tokens,
+        |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+        |    round(len(list_filter(toks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+        |      / greatest(len(toks), 1), 6) AS stopword_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        |      + 0.2
+        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cum_before
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens, cum_before
+        |FROM c WHERE cum_before < 15000 ORDER BY doc_id""".stripMargin)),
+
+    // X5d: vocabulary coverage / OOV-rate report (r9 — the tokenizer-
+    // fit metric of a pretraining corpus: what fraction of token
+    // occurrences fall outside a fixed top-v vocabulary, plus the
+    // BPE-ish fertility ratio). The vocab artifact is the corpus's own
+    // top-16 terms (ties lexicographic — the fixture vocabulary is 31
+    // distinct terms, so 16 leaves a real OOV tail; production
+    // vocabularies are 30k-100k and still broadcast-shaped). DuckDB
+    // independently rebuilds the vocab and recounts per-doc OOV
+    // occurrences through a LEFT JOIN; occurrence-weighted on both
+    // sides.
+    "x73_vocab_oov" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = artifact("vocab_top16", dir) {
+          TextStats.topVocab(docs, "text", 16).toSeq
+        }
+        docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextStats.oovCounts(col("text"), vocab).as("c"),
+            TextStats.subwordCount(col("text")).cast("long").as("sw"))
+          .select(col("doc_id"),
+            col("c.n_tokens").as("n_tokens"), col("c.n_oov").as("n_oov"),
+            round(col("c.n_oov") / greatest(col("c.n_tokens"), lit(1L)), 6)
+              .as("oov_rate"),
+            round(col("sw") / greatest(col("c.n_tokens"), lit(1L)), 6)
+              .as("fertility"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9.,;:!?'']+'), x -> x <> ''))
+        |      + length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS sw
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |vocab AS (
+        |  SELECT g FROM (
+        |    SELECT u.g AS g, count(*) AS c FROM t, unnest(toks) AS u(g)
+        |    GROUP BY 1 ORDER BY c DESC, g ASC LIMIT 16)),
+        |occ AS (SELECT doc_id, u.g AS g FROM t, unnest(toks) AS u(g)),
+        |sc AS (
+        |  SELECT o.doc_id, count(*) AS n_tok,
+        |    count(CASE WHEN v.g IS NULL THEN 1 END) AS n_oov
+        |  FROM occ o LEFT JOIN vocab v USING (g) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  coalesce(sc.n_tok, 0)::bigint AS n_tokens,
+        |  coalesce(sc.n_oov, 0)::bigint AS n_oov,
+        |  round(coalesce(sc.n_oov, 0)::double / greatest(coalesce(sc.n_tok, 0), 1), 6) AS oov_rate,
+        |  round(t.sw::double / greatest(coalesce(sc.n_tok, 0), 1), 6) AS fertility
+        |FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""".stripMargin)),
+
+    // X9b: content-defined chunking (r9 — CDC/gear-hash boundaries at
+    // token level: a boundary falls after any position whose trailing
+    // 4-gram md5-buckets to 0 mod 64, so chunk edges are content-
+    // anchored and edit-stable, unlike x35's fixed windows). DuckDB
+    // independently recomputes every rolling 4-gram bucket, rebuilds
+    // the boundary list, and re-slices the chunks with the same md5
+    // chunk hash. Exact hash-match, including the one-chunk short-doc
+    // and boundary-at-last-token tail cases.
+    "x74_cdc_chunks" -> Q(
+      (s, dir) => Curation.cdcChunks(
+          t(s, dir, "documents"), "text", "doc_id", window = 4, modulus = 64)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |b AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 4 THEN
+        |      [CAST(i AS INT) FOR i IN range(4, len(w) + 1)
+        |       IF ('0x' || substr(md5(array_to_string(w[i-3:i], ' ')), 1, 8))::bigint % 64 = 0]
+        |    ELSE [] END AS bnds
+        |  FROM t),
+        |pairs AS (
+        |  SELECT doc_id, w,
+        |    [1] || [x + 1 FOR x IN bnds] AS starts,
+        |    bnds || [len(w)] AS ends
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_i, starts[i] AS s, ends[i] AS e, w
+        |  FROM pairs, unnest(range(1, len(starts) + 1)) AS u(i)
+        |  WHERE starts[i] <= ends[i])
+        |SELECT doc_id, chunk_i::bigint AS chunk_id,
+        |  (s - 1)::bigint AS start_pos, (e - s + 1)::bigint AS n_tokens,
+        |  md5(array_to_string(w[s:e], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

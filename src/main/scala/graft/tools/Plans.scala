@@ -62,6 +62,11 @@ object Plans {
       "x67_dsir_resample (lazy form)" -> graft.ext.TrainSet.dsirResample(
         docs, docs.filter(col("lang") === "en"), "text", "doc_id",
         k = 60, numBuckets = 1024, materialize = false),
+      "x72_budget_fill (lazy form)" -> graft.ext.TrainSet.budgetFill(
+        docs.filter(col("text").isNotNull), "doc_id",
+        graft.ext.TextStats.qualityScore(col("text")),
+        graft.ext.TextStats.tokenCount(col("text")),
+        budget = 15000L, materialize = false),
       "x41_cross_dedup (lazy form)" -> graft.ext.Dedup.crossDupPairs(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),

@@ -562,6 +562,62 @@ class CurationSpec extends SparkSuite {
       (2L, 1L, 0L, 5L)), got.toSeq)
   }
 
+  test("X9b CDC chunks: plain-JVM replay on the fixture, short/empty/tail cases") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def replay(id: Long, text: String, window: Int, modulus: Int) = {
+      val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val bnds = (window to w.length).filter { i =>
+        java.lang.Long.parseLong(
+          md5hex(w.slice(i - window, i).mkString(" ")).take(8), 16) % modulus == 0
+      }
+      val starts = 1 +: bnds.map(_ + 1)
+      val ends = bnds :+ w.length
+      starts.zip(ends).filter { case (s, e) => s <= e }.zipWithIndex.map {
+        case ((s, e), k) => (id, (k + 1).toLong, (s - 1).toLong,
+          (e - s + 1).toLong, md5hex(w.slice(s - 1, e).mkString(" ")))
+      }
+    }
+    // fixture corpus, small modulus so every doc has real boundaries
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val got = Curation.cdcChunks(docs, "text", "doc_id", window = 4, modulus = 8)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val exp = docs.select("doc_id", "text").collect()
+      .flatMap(r => replay(r.getLong(0), r.getString(1), 4, 8))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length > docs.count(), "modulus 8 should split at least some docs")
+    assert(got.toSeq == exp.toSeq, s"CDC replay mismatch: ${got.take(3).toSeq}")
+    // short doc = one unbroken chunk; tokenless doc = no rows
+    val tiny = Seq((1L, "one two"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val t = Curation.cdcChunks(tiny, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(t.toSeq == Seq((1L, 1L, 0L, 2L)), t.toSeq)
+  }
+
+  test("X9b CDC chunks: boundaries are content-anchored (edit-stable)") {
+    import spark.implicits._
+    // one long fixture doc, then the SAME doc with one token prepended:
+    // every chunk after the first boundary must survive the edit (the
+    // property fixed windows provably lack)
+    val base = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .orderBy(desc("n_chars")).select("text").head.getString(0)
+    val pair = Seq((1L, base), (2L, "zzz " + base)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunks(pair, "text", "doc_id", window = 4, modulus = 8)
+      .collect().map(r => (r.getLong(0), r.getString(4)))
+    val a = chunks.filter(_._1 == 1L).map(_._2)
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.length >= 3, s"need boundaries for the property (got ${a.length} chunks)")
+    // all of A's chunks except the first (which absorbs the edit) recur in B
+    assert(a.drop(1).forall(b.contains),
+      s"edit moved non-neighboring chunk boundaries: ${a.toSeq} vs $b")
+  }
+
   test("cut dup spans: rebuilds text minus spans, clean docs pass through") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),

@@ -966,6 +966,38 @@ class ExtSpec extends SparkSuite {
     assert(kmax <= 3L, s"k leaked: $kmax")
   }
 
+  test("X5d vocab/OOV: top-v ties lexicographic, occurrence-weighted OOV, fixture replay") {
+    import spark.implicits._
+    val crafted = Seq((1L, "a a a b b c"), (2L, "a b c c d"), (3L, ""))
+      .toDF("doc_id", "text")
+    // counts: a=4 b=3 c=3 d=1 -> top-2 = [a, b] (c loses the b/c tie on count? no:
+    // b=3 c=3 tie -> lexicographic keeps b); top-3 adds c
+    assert(TextStats.topVocab(crafted, "text", 2).toSeq == Seq("a", "b"))
+    assert(TextStats.topVocab(crafted, "text", 3).toSeq == Seq("a", "b", "c"))
+    val got = crafted.select(col("doc_id"),
+        TextStats.oovCounts(col("text"), Seq("a", "b")).as("c"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))
+    // doc2: 5 occurrences, c,c,d OOV = 3; doc3 tokenless: (0, 0)
+    assert(got.toSeq == Seq((1L, 6L, 1L), (2L, 5L, 3L), (3L, 0L, 0L)))
+    // fixture: vocab equals a plain-JVM recount; whole-corpus OOV mass
+    // equals total occurrences minus vocab-term occurrences
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull)
+    val counts = docs.select("text").collect().map(_.getString(0))
+      .flatMap(t => Option(t).getOrElse("").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expVocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(16).map(_._1)
+    val gotVocab = TextStats.topVocab(docs, "text", 16).toSeq
+    assert(gotVocab == expVocab, s"vocab mismatch: $gotVocab vs $expVocab")
+    val oovSum = docs.select(TextStats.oovCounts(col("text"), gotVocab).as("c"))
+      .agg(sum("c.n_oov")).head.getLong(0)
+    val expOov = counts.filterNot(kv => gotVocab.contains(kv._1)).values.sum
+    assert(oovSum == expOov, s"OOV mass $oovSum != $expOov")
+  }
+
   test("X6 x34 media probe: encode->parse round-trip recovers the arithmetic dims") {
     // Spark-side mirror of the x34 DuckDB oracle: the declared query
     // synthesizes headers with doc_id-derived dims and parses them back;

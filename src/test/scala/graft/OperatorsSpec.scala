@@ -443,6 +443,48 @@ class OperatorsSpec extends SparkSuite {
       s"got ${got.toSeq}")
   }
 
+  test("budgetFill: greedy order, exclusive cum, crossing doc kept, budget exhausts") {
+    import spark.implicits._
+    // ranks: b(3.0,40) a(2.0,50) c(2.0,30) d(1.0,100); greedy order is
+    // (rank desc, id asc) -> b,a,c,d with cum_before 0,40,90,120
+    val df = Seq(("a", 2.0, 50L), ("b", 3.0, 40L), ("c", 2.0, 30L),
+      ("d", 1.0, 100L), ("e", 0.5, 10L)).toDF("id", "r", "tok")
+    def fill(budget: Long) =
+      graft.ext.TrainSet.budgetFill(df, "id", col("r"), col("tok"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    // budget 100: b(cum 0) a(cum 40) kept; c would start at 90 < 100 ->
+    // kept and CROSSES; d starts at 120 >= 100 -> dropped
+    assert(fill(100L) == Seq(("a", 50L, 40L), ("b", 40L, 0L), ("c", 30L, 90L)))
+    // budget 1: only the top-ranked doc fits (any remaining budget keeps)
+    assert(fill(1L) == Seq(("b", 40L, 0L)))
+    // budget beyond the corpus: everything kept, cum_before exact
+    assert(fill(1000000L).map(_._1) == Seq("a", "b", "c", "d", "e"))
+    // null rank/token/id rows are excluded, result deterministic
+    val withNulls = df.unionByName(Seq((null.asInstanceOf[String], 9.0, 5L))
+      .toDF("id", "r", "tok"))
+    assert(graft.ext.TrainSet.budgetFill(withNulls, "id", col("r"),
+      col("tok"), 100L).count() == 3)
+    // matches the single-partition window replay on the fixture corpus
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("text").isNotNull)
+    val got = graft.ext.TrainSet.budgetFill(docs, "doc_id",
+        graft.ext.TextStats.qualityScore(col("text")),
+        graft.ext.TextStats.tokenCount(col("text")), 1500L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    val replay = docs.select(col("doc_id"),
+        graft.ext.TextStats.qualityScore(col("text")).as("q"),
+        graft.ext.TextStats.tokenCount(col("text")).cast("long").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var acc = 0L
+    val exp = replay.flatMap { case (id, _, tok) =>
+      val before = acc; acc += tok
+      if (before < 1500L) Some(id -> before) else None
+    }.sortBy(_._1).toSeq
+    assert(got == exp, s"fixture greedy fill mismatch: got ${got.take(5)}")
+  }
+
   test("epochShuffle is a balanced deterministic permutation, redrawn by seed") {
     val docs = Tables.load(spark, sf(), "documents").select("doc_id")
     val n = docs.count()

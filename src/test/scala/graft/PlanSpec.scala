@@ -96,7 +96,8 @@ class PlanSpec extends SparkSuite {
     "x23_dup_clusters", "x24_bm25", "x27_unigram_logprob",
     "x33_simhash_pairs", "x38_bigram_logprob", "x41_cross_dedup",
     "x42_boilerplate", "x43_containment", "x46_dup_ngram_coverage",
-    "x63_dup_spans", "x63_cut_spans", "x67_dsir_resample")
+    "x63_dup_spans", "x63_cut_spans", "x67_dsir_resample",
+    "x72_budget_fill")
 
   test("no cartesian product outside the declared n-squared oracles") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted
@@ -441,6 +442,21 @@ class PlanSpec extends SparkSuite {
     val ratioBroadcast = p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("bucket#"))
     assert(ratioBroadcast, s"log-ratio join not broadcast on bucket:\n$p")
+  }
+
+  // x72: the budget fill must realize the greedy order as RANGE
+  // partitioning of the slim projection with PER-PARTITION running-sum
+  // windows + the driver-offset bucket_lookup — never a single-partition
+  // global window (the r7 empty-partition-spec funnel) and never a join
+  test("budget fill plans range partition + per-partition window + offset lookup") {
+    val p = graft.tools.Plans.lazyForms(spark, sf()).toMap
+      .apply("x72_budget_fill (lazy form)")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"greedy order not range-partitioned:\n$p")
+    assert(p.contains("bucket_lookup"), s"driver offset lookup missing:\n$p")
+    assert(p.contains("_pid"), s"per-partition window key missing:\n$p")
+    assert(!p.contains("Join"), s"join in the fill plan:\n$p")
   }
 
   // x68: the map-only scorer must BE map-only — the ratio table rides
