@@ -71,6 +71,34 @@ object StreamCurate {
       col(textCol), ratio, defaultLr, numBuckets) >= minLogWeight)
   }
 
+  /** Batch-train / stream-apply vocabulary-coverage gate: the top-v
+    * vocab is a batch artifact ([[graft.ext.TextStats.topVocab]], built
+    * per corpus refresh) and the OOV-rate filter is the identical
+    * map-only [[graft.ext.TextStats.oovCounts]] expression — stateless
+    * per micro-batch, so ingest can drop documents the tokenizer would
+    * shred (high OOV mass) before they ever reach the corpus. A
+    * tokenless document has rate 0 (nothing to shred) and is KEPT.
+    */
+  def applyOovGate(docs: DataFrame, vocab: Seq[String], maxOovRate: Double,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, lit}
+    val c = graft.ext.TextStats.oovCounts(col(textCol), vocab)
+    docs.filter(
+      c.getField("n_oov") / greatest(c.getField("n_tokens"), lit(1L))
+        <= maxOovRate)
+  }
+
+  /** Streaming content-defined chunking: [[graft.ext.Curation.cdcChunks]]
+    * is pure per-row array arithmetic, so the SAME expression chunks a
+    * micro-batch — each arriving document explodes into its
+    * content-anchored chunks with the same hashes the batch pass would
+    * produce (chunk state is per-document, never cross-row; stateless).
+    */
+  def chunkCdc(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", window: Int = 4,
+               modulus: Int = 64): DataFrame =
+    graft.ext.Curation.cdcChunks(docs, textCol, idCol, window, modulus)
+
   /** Batch-train / stream-apply decontamination: `flagged` is a
     * benchmark-contaminated id set from a batch pass —
     * [[Curation.contaminationOverlap]] (shingle) or

@@ -237,6 +237,35 @@ class FunctionsSpec extends SparkSuite {
       42L, Array(3L, 17L, 900L), Array(0.25, -1.5, 2.0), -9.0) == -9.0)
   }
 
+  test("bucket_lookup_vec: densified tables == L sparse lookups; null; interpreted == codegen") {
+    import graft.functions.BucketLookup.bucket_lookup
+    import graft.functions.BucketLookupVec.bucket_lookup_vec
+    val tables = Array(Map(0L -> 0.5, 3L -> -1.0), Map(1L -> 2.0, 3L -> 7.0))
+    val defaults = Array(-9.0, -8.0)
+    val df = Seq(Option(0L), Option(1L), Option(3L), Option.empty[Long]).toDF("b")
+      .select(col("b"),
+        bucket_lookup_vec(col("b"), tables, defaults, numBuckets = 4).as("v"),
+        bucket_lookup(col("b"), tables(0), defaults(0)).as("s0"),
+        bucket_lookup(col("b"), tables(1), defaults(1)).as("s1"))
+    val got = df.collect()
+    got.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else {
+        val v = r.getSeq[Double](1)
+        assert(v == Seq(r.getDouble(2), r.getDouble(3)),
+          s"dense ${v} != sparse pair for bucket ${r.getLong(0)}")
+      }
+    }
+    // interpreted path agrees with the dense layout
+    val dense = Array(0.5, -8.0, -9.0, 2.0, -9.0, -8.0, -1.0, 7.0)
+    val arr = graft.functions.BucketLookupVec.compute(3L, dense, 2)
+    assert(arr.toDoubleArray.toSeq == Seq(-1.0, 7.0))
+    // out-of-range bucket fails loudly rather than reading garbage
+    intercept[IllegalArgumentException] {
+      graft.functions.BucketLookupVec.compute(4L, dense, 2)
+    }
+  }
+
   test("SQL registration: custom functions usable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

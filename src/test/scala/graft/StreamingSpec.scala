@@ -327,6 +327,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming OOV gate + CDC chunks: stream output equals the batch plane") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsB = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val vocab = graft.ext.TextStats.topVocab(docsB, "text", 16).toSeq
+    // median-ish threshold so both outcomes are populated on the fixture
+    // (sf0.001 OOV-rate quartiles with the top-16 vocab: 0.41/0.45/0.50)
+    val thr = 0.45
+    val batchKept = StreamCurate.applyOovGate(docsB, vocab, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < docsB.count(),
+      s"degenerate OOV threshold: ${batchKept.size} kept")
+    val batchChunks = StreamCurate.chunkCdc(docsB, modulus = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+    val fixture = docsB.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val docsS = input.toDF().toDF("doc_id", "text")
+    val qa = StreamCurate.applyOovGate(docsS, vocab, thr)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("soov").start()
+    val qb = StreamCurate.chunkCdc(docsS, modulus = 8)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scdc").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); qa.processAllAvailable(); qb.processAllAvailable()
+      input.addData(b2.toSeq); qa.processAllAvailable(); qb.processAllAvailable()
+      val streamKept = spark.table("soov").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept,
+        s"OOV stream/batch divergence: ${streamKept.diff(batchKept)} / ${batchKept.diff(streamKept)}")
+      val streamChunks = spark.table("scdc")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      assert(streamChunks == batchChunks, "CDC stream/batch chunk divergence")
+    } finally { qa.stop(); qb.stop() }
+  }
+
   test("streaming curation e2e: replayed fixture batches match the batch gates") {
     implicit val sqlCtx = spark.sqlContext
     // replay the real documents fixture in 3 micro-batches, plus an
