@@ -525,6 +525,33 @@ object Dedup {
     * iterations. (The large-star/small-star algorithm halves round count
     * for pathological chain graphs; not needed for dedup graphs.)
     */
+  /** X2e: quality-aware survivor election over duplicate clusters — the
+    * removal POLICY step after [[dupClusters]]: instead of the implicit
+    * "min-id survives", each cluster keeps its best member by
+    * (score desc, id asc). `clusters` is the (id, cluster_id) frame;
+    * `docs` supplies the score. Output: one row per cluster
+    * (cluster_id, survivor_id, survivor_score, n_members).
+    *
+    * Scale: both inputs reduce to slim (id, cluster, score) rows before
+    * the hash equi-join on id, and the election is the bounded
+    * `greatest_row` ObjectHashAggregate — map-side partials reduce every
+    * task to ONE struct per cluster before the shuffle, never a window
+    * over the cluster's membership (the x69 survivor discipline).
+    */
+  def clusterSurvivors(clusters: DataFrame, docs: DataFrame, idCol: String,
+                       scoreCol: Column): DataFrame = {
+    import graft.functions.GreatestRow.greatest_row
+    val slim = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), scoreCol.cast("double").as("_score"))
+    clusters.join(slim, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(greatest_row(struct(col("_score"), (-col("doc_id")).as("_negid"),
+        col("doc_id").as("id"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("w.id").as("survivor_id"),
+        round(col("w._score"), 6).as("survivor_score"), col("n_members"))
+  }
+
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))

@@ -368,6 +368,33 @@ object TrainSet {
     } finally if (materialize) parted.unpersist()
   }
 
+  /** X21: sharded-export manifest — the delivery bookkeeping of a
+    * training-data export: for each md5 shard of the [[epochShuffle]]
+    * assignment (same `md5(seed:id)` arithmetic, so the manifest
+    * describes exactly the shards a shuffled export writes), the doc
+    * count, token mass, and an ORDER-INSENSITIVE 60-bit id checksum
+    * (bit_xor of md5-derived id words) — enough for a consumer to
+    * verify a delivered shard's membership without re-reading it in
+    * order, on any engine (md5 + xor are universal).
+    *
+    * One map-only projection of slim longs + one numShards-row partial
+    * aggregate: scan-linear at any corpus size, output cluster-metadata
+    * sized.
+    */
+  def exportManifest(df: DataFrame, idCol: String, tokenCol: Column,
+                     seed: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    df.filter(col(idCol).isNotNull)
+      .select(
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % numShards).as("shard"),
+        tokenCol.cast("long").as("_tok"),
+        conv(substring(h, 9, 15), 16, 10).cast("long").as("_w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("token_mass"),
+        bit_xor(col("_w")).as("id_xor"))
+  }
+
   /** Deterministic uniform negative sampling for contrastive training:
     * each anchor draws `k` pseudorandom corpus documents (the classic
     * in-batch-negatives replacement when batches must be reproducible).

@@ -3026,6 +3026,101 @@ object Declared {
         |  md5(array_to_string(w[s:e], ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // X2e: quality-aware dedup survivor election (r9 — the removal
+    // POLICY after x23's clustering: each duplicate cluster keeps its
+    // best member by (quality desc, id asc) instead of the implicit
+    // min-id). DuckDB replays the full chain independently: recursive
+    // connected components, the x06 quality composite, and the same
+    // (quality desc, id) election via QUALIFY row_number.
+    "x75_cluster_survivors" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.dupClusters(Dedup.jaccardPairs(
+          docs, "text", "doc_id", k = 3, threshold = 0.2,
+          maxDocFreq = Some(100)))
+        Dedup.clusterSurvivors(clusters, docs, "doc_id",
+            TextStats.qualityScore(col("text")))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+        |    FROM common
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+        |cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        |qt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS qtoks,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |    length(text) AS nchars
+        |  FROM documents),
+        |qf AS (
+        |  SELECT doc_id, nchars,
+        |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+        |    round(len(list_filter(qtoks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+        |      / greatest(len(qtoks), 1), 6) AS stopword_ratio
+        |  FROM qt),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        |      + 0.2
+        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+        |  FROM qf),
+        |m AS (SELECT cl.cluster_id, cl.doc_id, q.quality FROM cl JOIN q USING (doc_id)),
+        |n AS (SELECT cluster_id, count(*) AS n_members FROM m GROUP BY 1),
+        |sv AS (
+        |  SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_score
+        |  FROM m
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id ASC) = 1)
+        |SELECT sv.cluster_id, sv.survivor_id,
+        |  round(sv.survivor_score, 6) AS survivor_score, n.n_members
+        |FROM sv JOIN n USING (cluster_id) ORDER BY sv.cluster_id""".stripMargin)),
+
+    // X21: sharded-export manifest (r9 — delivery bookkeeping: per md5
+    // shard of the epoch-shuffle assignment, the doc count, token mass,
+    // and an order-insensitive 60-bit id checksum so a consumer can
+    // verify a delivered shard's membership on any engine). DuckDB
+    // replays the identical md5 arithmetic and xor fold.
+    "x76_export_manifest" -> Q(
+      (s, dir) => graft.ext.TrainSet.exportManifest(
+          t(s, dir, "documents"), "doc_id",
+          TextStats.tokenCount(coalesce(col("text"), lit(""))),
+          seed = "graft-export", numShards = 8)
+        .orderBy("shard"),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> ''))::bigint AS tok,
+        |    md5('graft-export:' || doc_id::varchar) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT ('0x' || substr(h, 1, 8))::bigint % 8 AS shard,
+        |  count(*) AS n_docs, sum(tok)::bigint AS token_mass,
+        |  bit_xor(('0x' || substr(h, 9, 15))::bigint) AS id_xor
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -966,6 +966,38 @@ class ExtSpec extends SparkSuite {
     assert(kmax <= 3L, s"k leaked: $kmax")
   }
 
+  test("X2e cluster survivors: best-score election, tie to min id, member counts") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.1), (8L, 0.1),
+      (99L, 1.0)) // 99 is not in any cluster — must not appear
+      .toDF("doc_id", "score")
+    val got = Dedup.clusterSurvivors(clusters, docs, "doc_id", col("score"))
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // cluster 1: 2 and 3 tie at 0.9 -> min id 2 survives; cluster 7:
+    // 7/8 tie at 0.1 -> 7
+    assert(got.toSeq == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 2L)), got.toSeq)
+    // fixture: every survivor is its cluster's (quality desc, id asc) max
+    val fixDocs = Tables.load(spark, sf(), "documents")
+    val cl = Dedup.dupClusters(Dedup.jaccardPairs(
+      fixDocs, "text", "doc_id", k = 3, threshold = 0.2, maxDocFreq = Some(100)))
+    val sv = Dedup.clusterSurvivors(cl, fixDocs, "doc_id",
+      graft.ext.TextStats.qualityScore(col("text")))
+    val members = cl.join(fixDocs.select(col("doc_id"),
+        graft.ext.TextStats.qualityScore(col("text")).as("q")), "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+      .groupBy(_._1)
+    sv.collect().foreach { r =>
+      val (cid, sid, n) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val mem = members(cid)
+      assert(mem.length.toLong == n, s"cluster $cid member count")
+      val best = mem.minBy { case (_, id, q) => (-q, id) }
+      assert(sid == best._2, s"cluster $cid elected $sid, expected ${best._2}")
+    }
+  }
+
   test("X5d vocab/OOV: top-v ties lexicographic, occurrence-weighted OOV, fixture replay") {
     import spark.implicits._
     val crafted = Seq((1L, "a a a b b c"), (2L, "a b c c d"), (3L, ""))

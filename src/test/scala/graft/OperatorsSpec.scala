@@ -443,6 +443,41 @@ class OperatorsSpec extends SparkSuite {
       s"got ${got.toSeq}")
   }
 
+  test("exportManifest: plain-JVM md5 replay of shards, masses, xor checksums") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull)
+    val got = graft.ext.TrainSet.exportManifest(docs, "doc_id",
+        graft.ext.TextStats.tokenCount(coalesce(col("text"), lit(""))),
+        seed = "s1", numShards = 4)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val tok = Option(r.getString(1)).getOrElse("").toLowerCase
+          .split("[^a-z0-9]+").count(_.nonEmpty).toLong
+        val h = md5hex(s"s1:$id")
+        (java.lang.Long.parseLong(h.take(8), 16) % 4, tok,
+          java.lang.Long.parseLong(h.slice(8, 23), 16))
+      }
+      .groupBy(_._1).map { case (sh, rows) =>
+        (sh, rows.length.toLong, rows.map(_._2).sum,
+          rows.map(_._3).reduce(_ ^ _))
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq == exp, s"manifest replay mismatch: ${got.toSeq} vs $exp")
+    // a different seed redraws the assignment
+    val got2 = graft.ext.TrainSet.exportManifest(docs, "doc_id",
+      lit(1L), seed = "s2", numShards = 4).orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.map(_._2).sum == docs.count())
+    assert(got2.map(_._2).toSeq != got.map(_._2).toSeq ||
+      got2.length == got.length) // membership differs even if sizes collide
+  }
+
   test("budgetFill: greedy order, exclusive cum, crossing doc kept, budget exhausts") {
     import spark.implicits._
     // ranks: b(3.0,40) a(2.0,50) c(2.0,30) d(1.0,100); greedy order is
