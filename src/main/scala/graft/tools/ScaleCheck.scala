@@ -65,6 +65,16 @@ object ScaleCheck {
     val nbModel1x: graft.ext.TextStats.NbModel =
       graft.ext.TextStats.nbTrain(docs0, "text", "lang", "doc_id", 1024)
 
+    // x73's fixed train-once vocab; x74's 1x chunk anchors (replicas
+    // carry identical text, so the chunk-hash SET must not grow)
+    val vocab1x: Seq[String] =
+      graft.ext.TextStats.topVocab(docs0, "text", 16).toSeq
+    val (cdcRows1x, cdcHashes1x) = {
+      val c = graft.ext.Curation.cdcChunks(docs0, "text", "doc_id")
+        .agg(count(lit(1)), countDistinct(col("chunk_hash"))).head
+      (c.getLong(0), c.getLong(1))
+    }
+
     val scales = Seq(1, 4, 16)
     // (name, per-scale runnable built on the scaled frame)
     val cases: Seq[(String, Int => Unit)] = Seq(
@@ -290,6 +300,44 @@ object ScaleCheck {
             col("embedding"), 16, 64).as("p"))
           .filter(element_at(col("p"), 16).isNotNull).count()
         assert(cnt == embN.count(), s"projection dropped rows: $cnt")
+      },
+      "x72 budget fill (documents, fixed 15k-token budget)" -> { n =>
+        // the selection is BUDGET-bound, not corpus-bound: however large
+        // the corpus grows, the kept index stops at the budget crossing
+        // (slim rows on the range exchange, text never shuffles)
+        val sel = graft.ext.TrainSet.budgetFill(
+          replicate(docs0, "doc_id", n), "doc_id",
+          graft.ext.TextStats.qualityScore(col("text")),
+          graft.ext.TextStats.tokenCount(col("text")), budget = 15000L)
+        val r = sel.agg(max(col("cum_before")).as("mx"),
+          sum(col("n_tokens")).as("mass")).head
+        assert(r.getLong(0) < 15000L, s"kept a doc past the budget: ${r.getLong(0)}")
+        assert(r.getLong(1) >= 15000L,
+          s"budget not filled on an ample corpus: ${r.getLong(1)}")
+      },
+      "x73 vocab OOV (documents, fixed 1x vocab)" -> { n =>
+        // vocab trained once on the 1x corpus; scoring the replicated
+        // corpus is a map-only isin filter pass — and a replica must
+        // report exactly its original's counts
+        val docsN = replicate(docs0, "doc_id", n)
+        val diverged = docsN.select((col("doc_id") % 100000000L).as("orig"),
+            graft.ext.TextStats.oovCounts(col("text"), vocab1x).as("c"))
+          .groupBy("orig").agg(countDistinct(col("c.n_oov")).as("nd"))
+          .agg(max(col("nd"))).head.getLong(0)
+        assert(diverged == 1L, s"replica OOV counts diverged: $diverged")
+      },
+      "x74 CDC chunks (documents, map-only)" -> { n =>
+        // content-anchored boundaries: replicas carry identical text, so
+        // chunk rows grow n-fold while the chunk-hash SET stays exactly
+        // the 1x set (the shareable dedup state is corpus-content-sized)
+        val docsN = replicate(docs0, "doc_id", n)
+        val ch = graft.ext.Curation.cdcChunks(docsN, "text", "doc_id")
+        val stats = ch.agg(count(lit(1)).as("rows"),
+          countDistinct(col("chunk_hash")).as("hashes")).head
+        assert(stats.getLong(0) == cdcRows1x * n,
+          s"chunk rows ${stats.getLong(0)} != ${cdcRows1x * n}")
+        assert(stats.getLong(1) == cdcHashes1x,
+          s"chunk-hash set grew with replication: ${stats.getLong(1)} vs $cdcHashes1x")
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum
