@@ -26,7 +26,8 @@ object Plans {
     "x62_ann_ivfpq", "x63_cut_spans", "x64_hybrid_rrf",
     "x65_mixture_sample", "x66_domain_cap", "x67_dsir_resample",
     "x68_dsir_score", "x69_corpus_merge", "x70_random_projection",
-    "x71_nb_langid")
+    "x71_nb_langid", "x73_vocab_oov", "x74_cdc_chunks",
+    "x76_export_manifest")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -67,6 +68,13 @@ object Plans {
         graft.ext.TextStats.qualityScore(col("text")),
         graft.ext.TextStats.tokenCount(col("text")),
         budget = 15000L, materialize = false),
+      // x75's clustering input is the eager iterative x23 pipeline; the
+      // plan worth gating is the ELECTION itself — greatest_row hash agg
+      // over the slim join, no membership window
+      "x75_cluster_survivors (lazy election portion)" ->
+        graft.ext.Dedup.clusterSurvivors(
+          docs.select(col("doc_id"), (col("doc_id") % 10).as("cluster_id")),
+          docs, "doc_id", graft.ext.TextStats.qualityScore(col("text"))),
       "x41_cross_dedup (lazy form)" -> graft.ext.Dedup.crossDupPairs(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),

@@ -459,6 +459,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"join in the fill plan:\n$p")
   }
 
+  // x75: the survivor election must be the bounded greatest_row hash
+  // agg over the slim join — map-side partials, never a window over the
+  // cluster membership (the x69 survivor discipline)
+  test("cluster survivor election plans a partial greatest_row hash agg, no window") {
+    val p = graft.tools.Plans.lazyForms(spark, sf()).toMap
+      .apply("x75_cluster_survivors (lazy election portion)")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("partial_greatest_row"), s"no map-side partial survivor:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"not hash-aggregated:\n$p")
+    assert(!p.contains("SortAggregate"), s"degraded to sort agg:\n$p")
+    assert(!p.contains("Window"), s"survivor via window sort:\n$p")
+  }
+
   // x68: the map-only scorer must BE map-only — the ratio table rides
   // as an expression reference object, so the scoring plan has no join,
   // no aggregation, and no shuffle beyond the declared output ordering
