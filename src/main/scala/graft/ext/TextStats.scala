@@ -226,6 +226,57 @@ object TextStats {
       size(filter(toks, t => !t.isin(vocab: _*))).cast("long").as("n_oov"))
   }
 
+  /** X5e: per-group distribution drift vs the whole corpus — KL(P_g ‖ Q)
+    * over Laplace-smoothed hashed-unigram bucket distributions (the
+    * DSIR feature space turned into a MONITORING metric: DSIR scores
+    * documents against a target, this reports how far each
+    * source/day/snapshot has drifted from the corpus mixture — the
+    * standard ingest-health dashboard number).
+    *
+    * Scale: ONE corpus scan feeds a slim (group, bucket) partial-agg'd
+    * shuffle (≤ groups × numBuckets rows survive); everything after —
+    * the full bucket domain (groups × numBuckets rows via one array
+    * explode), both smoothed distributions, the per-group KL sum — is
+    * group-metadata-sized relational arithmetic. Laplace smoothing
+    * keeps every bucket positive, so KL is finite and the sum runs over
+    * the ENTIRE domain including buckets a group never saw.
+    */
+  def sourceDrift(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  groupCol: String,
+                  numBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
+    val base = docs.filter(col(groupCol).isNotNull)
+    val occ = base
+      .select(col(groupCol).as("grp"), explode(toks).as("gram"))
+      .select(col("grp"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % numBuckets).as("bucket"))
+    val gh = occ.groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+    val gt = gh.groupBy("grp").agg(sum(col("c")).as("tg"))
+    val ch = gh.groupBy("bucket").agg(sum(col("c")).as("cc"))
+    val ct = ch.agg(sum(col("cc")).as("tc"))
+    val nd = base.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    // full (group x bucket) domain so zero-count buckets still carry
+    // their Laplace term — groups x numBuckets rows, metadata-sized
+    val domain = gt.select(col("grp"), col("tg"),
+      explode(sequence(lit(0L), lit(numBuckets - 1L))).as("bucket"))
+    val terms = domain
+      .join(gh, Seq("grp", "bucket"), "left")
+      .join(broadcast(ch), Seq("bucket"), "left")
+      .crossJoin(broadcast(ct))
+      .select(col("grp"), col("tg"),
+        ((coalesce(col("c"), lit(0L)) + 1) / (col("tg") + numBuckets)).as("p"),
+        ((coalesce(col("cc"), lit(0L)) + 1) / (col("tc") + numBuckets)).as("q"))
+    terms.groupBy("grp")
+      .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"),
+        max(col("tg")).as("n_grams"))
+      .join(nd, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_grams"),
+        round(col("kl"), 6).as("kl_vs_corpus"))
+  }
+
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 

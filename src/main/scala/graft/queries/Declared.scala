@@ -3121,6 +3121,48 @@ object Declared {
         |  bit_xor(('0x' || substr(h, 9, 15))::bigint) AS id_xor
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // X5e: per-source distribution drift vs the corpus mixture (r9 —
+    // the monitoring complement of DSIR: KL(P_source || Q_corpus) over
+    // Laplace-smoothed hashed-unigram bucket distributions; the
+    // ingest-health number a 100 TB pipeline dashboards per
+    // source/day/snapshot). DuckDB independently rebuilds both smoothed
+    // distributions over the FULL 1024-bucket domain and re-sums the
+    // KL terms; a group whose docs yield zero grams has no
+    // distribution and is absent on both sides.
+    "x77_source_drift" -> Q(
+      (s, dir) => TextStats.sourceDrift(
+          t(s, dir, "documents"), "text", "source", numBuckets = 1024)
+        .orderBy("source"),
+      Some("""WITH base AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE source IS NOT NULL),
+        |occ AS (
+        |  SELECT source, ('0x' || substr(md5(u.g), 1, 8))::bigint % 1024 AS bucket
+        |  FROM base, unnest(w) AS u(g)),
+        |gh AS (SELECT source, bucket, count(*) AS c FROM occ GROUP BY 1, 2),
+        |gt AS (SELECT source, sum(c)::bigint AS tg FROM gh GROUP BY 1),
+        |ch AS (SELECT bucket, sum(c)::bigint AS cc FROM gh GROUP BY 1),
+        |ct AS (SELECT sum(cc)::bigint AS tc FROM ch),
+        |nd AS (SELECT source, count(*) AS n_docs FROM base GROUP BY 1),
+        |dom AS (
+        |  SELECT gt.source, gt.tg, r.range AS bucket
+        |  FROM gt, range(0, 1024) r),
+        |terms AS (
+        |  SELECT d.source, d.tg,
+        |    (coalesce(gh.c, 0) + 1)::double / (d.tg + 1024) AS p,
+        |    (coalesce(ch.cc, 0) + 1)::double / (ct.tc + 1024) AS q
+        |  FROM dom d
+        |  LEFT JOIN gh ON gh.source = d.source AND gh.bucket = d.bucket
+        |  LEFT JOIN ch ON ch.bucket = d.bucket
+        |  CROSS JOIN ct),
+        |k AS (
+        |  SELECT source, sum(p * ln(p / q)) AS kl, max(tg) AS tg
+        |  FROM terms GROUP BY 1)
+        |SELECT k.source, nd.n_docs, k.tg AS n_grams,
+        |  round(k.kl, 6) AS kl_vs_corpus
+        |FROM k JOIN nd USING (source) ORDER BY k.source""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -966,6 +966,57 @@ class ExtSpec extends SparkSuite {
     assert(kmax <= 3L, s"k leaked: $kmax")
   }
 
+  test("X5e source drift: KL >= 0, corpus-like group near zero, alien group large") {
+    import spark.implicits._
+    // g1/g2 share the corpus distribution (same text mix); g3 is alien
+    val docs = (
+      (1 to 40).map(i => (i.toLong, "alpha beta gamma delta", "g1")) ++
+      (41 to 80).map(i => (i.toLong, "alpha beta gamma delta", "g2")) ++
+      (81 to 90).map(i => (i.toLong, "zeta eta theta iota kappa", "g3"))
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.sourceDrift(docs, "text", "source", numBuckets = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("g1", "g2", "g3"))
+    assert(got("g1")._1 == 40 && got("g1")._2 == 160)
+    got.values.foreach { case (_, _, kl) => assert(kl >= 0.0, s"negative KL $kl") }
+    // the two corpus-dominant identical groups drift identically and far
+    // less than the alien minority group
+    assert(got("g1")._3 == got("g2")._3)
+    assert(got("g3")._3 > 10 * got("g1")._3,
+      s"alien group not separated: ${got("g3")._3} vs ${got("g1")._3}")
+    // plain-JVM replay on the fixture (64 buckets keeps the replay fast)
+    def bucket(g: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(h, 16) % 64).toInt
+    }
+    val fix = Tables.load(spark, sf(), "documents")
+      .filter(col("source").isNotNull)
+    val rows = fix.select("source", "text").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse("")
+        .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(bucket))
+    val byG = rows.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val corpus = byG.values.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tc = corpus.values.sum.toDouble
+    val exp = byG.map { case (g, h) =>
+      val tg = h.values.sum.toDouble
+      g -> (0 until 64).map { b =>
+        val p = (h.getOrElse(b, 0L) + 1) / (tg + 64)
+        val q = (corpus.getOrElse(b, 0L) + 1) / (tc + 64)
+        p * math.log(p / q)
+      }.sum
+    }
+    val gotFix = TextStats.sourceDrift(fix, "text", "source", numBuckets = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    exp.foreach { case (g, kl) =>
+      assert(math.abs(gotFix(g) - kl) < 1e-6, s"$g: ${gotFix(g)} vs $kl")
+    }
+  }
+
   test("X2e cluster survivors: best-score election, tie to min id, member counts") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
