@@ -599,6 +599,35 @@ class CurationSpec extends SparkSuite {
     assert(t.toSeq == Seq((1L, 1L, 0L, 2L)), t.toSeq)
   }
 
+  test("X9b CDC chunks: chunks tile every document exactly (no gap, no overlap)") {
+    // strong partition invariant, fixture-wide at two modulus settings:
+    // per doc, chunks start at 0, each begins where the previous ended,
+    // and token counts sum to the doc's token count
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val tokCounts = docs.select(col("doc_id"),
+        graft.ext.TextStats.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (m <- Seq(8, 64)) {
+      val byDoc = Curation.cdcChunks(docs, "text", "doc_id", modulus = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      byDoc.foreach { case (id, rows) =>
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.head._3 == 0L, s"doc $id (mod $m): first chunk not at 0")
+        sorted.sliding(2).foreach {
+          case Array((_, _, s1, n1), (_, _, s2, _)) =>
+            assert(s2 == s1 + n1, s"doc $id (mod $m): gap/overlap at $s2")
+          case _ =>
+        }
+        assert(sorted.map(_._4).sum == tokCounts(id),
+          s"doc $id (mod $m): chunk tokens don't sum to doc tokens")
+      }
+      // every tokenful doc is covered
+      assert(byDoc.keySet == tokCounts.filter(_._2 > 0).keySet)
+    }
+  }
+
   test("X9b CDC chunks: boundaries are content-anchored (edit-stable)") {
     import spark.implicits._
     // one long fixture doc, then the SAME doc with one token prepended:

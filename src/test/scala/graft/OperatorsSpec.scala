@@ -520,6 +520,23 @@ class OperatorsSpec extends SparkSuite {
     assert(got == exp, s"fixture greedy fill mismatch: got ${got.take(5)}")
   }
 
+  test("budgetFill: kept set grows monotonically with the budget") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("text").isNotNull)
+    def kept(b: Long): Set[Long] = graft.ext.TrainSet.budgetFill(
+        docs, "doc_id",
+        graft.ext.TextStats.qualityScore(col("text")),
+        graft.ext.TextStats.tokenCount(col("text")), b)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val budgets = Seq(300L, 900L, 1800L, 2700L)
+    val sets = budgets.map(kept)
+    sets.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), s"budget growth shrank the kept set: ${a.diff(b)}")
+    }
+    assert(sets.head.nonEmpty && sets.head.size < sets.last.size,
+      s"budget ladder degenerate: ${sets.map(_.size)}")
+  }
+
   test("epochShuffle is a balanced deterministic permutation, redrawn by seed") {
     val docs = Tables.load(spark, sf(), "documents").select("doc_id")
     val n = docs.count()
