@@ -38,6 +38,19 @@ object Declared {
   private def artifact[T <: AnyRef](name: String, dir: String)(train: => T): T =
     artifactMemo.computeIfAbsent((name, dir), _ => train).asInstanceOf[T]
 
+  /** The (doc_id, cluster_id) duplicate-cluster frame shared by x23
+    * (the clustering row) and x75 (the survivor election): one
+    * per-refresh artifact, computed once per fixture dir — a pipeline
+    * clusters once and both reports read the result. The frame is
+    * checkpoint-backed (dupClusters materializes eagerly), so caching
+    * the reference is a driver-side handle, not a replayed lineage.
+    */
+  private def dupClustersArtifact(s: SparkSession, dir: String): DataFrame =
+    artifact("dup_clusters_k3_t02_df100", dir) {
+      Dedup.dupClusters(Dedup.jaccardPairs(t(s, dir, "documents"),
+        "text", "doc_id", k = 3, threshold = 0.2, maxDocFreq = Some(100)))
+    }
+
   // Shared oracle for the curation e2e pipelines: x25 (exact-Jaccard
   // pair path) and x30 (MinHash LSH scale path) must produce
   // IDENTICAL output — LSH candidates are exact-verified (precision 1)
@@ -1005,10 +1018,7 @@ object Declared {
     // actually dropped and the oracle hash still matches — the capping
     // semantics themselves are proven in ExtSpec's degenerate-corpus test
     "x23_dup_clusters" -> Q(
-      (s, dir) => Dedup.dupClusters(
-        Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-          k = 3, threshold = 0.2, maxDocFreq = Some(100)))
-        .orderBy("doc_id"),
+      (s, dir) => dupClustersArtifact(s, dir).orderBy("doc_id"),
       Some("""WITH RECURSIVE toks AS (
              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
              |  FROM documents),
@@ -3033,15 +3043,10 @@ object Declared {
     // connected components, the x06 quality composite, and the same
     // (quality desc, id) election via QUALIFY row_number.
     "x75_cluster_survivors" -> Q(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val clusters = Dedup.dupClusters(Dedup.jaccardPairs(
-          docs, "text", "doc_id", k = 3, threshold = 0.2,
-          maxDocFreq = Some(100)))
-        Dedup.clusterSurvivors(clusters, docs, "doc_id",
-            TextStats.qualityScore(col("text")))
-          .orderBy("cluster_id")
-      },
+      (s, dir) => Dedup.clusterSurvivors(
+          dupClustersArtifact(s, dir), t(s, dir, "documents"), "doc_id",
+          TextStats.qualityScore(col("text")))
+        .orderBy("cluster_id"),
       Some(s"""WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
         |  FROM documents),
