@@ -1079,10 +1079,10 @@ object Declared {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         // maxDocFreq: skew cap exercised in-plan; above fixture max df
-        // (25 at sf0.1) so results are unchanged — see x23 note
-        val dropDups = Dedup.dupClusters(
-          Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2,
-            maxDocFreq = Some(100)))
+        // (25 at sf0.1) so results are unchanged — see x23 note. The
+        // cluster frame is the shared per-refresh artifact (x23/x75):
+        // a pipeline clusters once, every consumer reads the result.
+        val dropDups = dupClustersArtifact(s, dir)
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
         curationGates(docs, dropDups)
       },
