@@ -245,19 +245,43 @@ object TextStats {
                   groupCol: String,
                   numBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
-    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
     val base = docs.filter(col(groupCol).isNotNull)
-    val occ = base
+    val gh = groupBucketHistogram(base, textCol, groupCol, numBuckets)
+    val nd = base.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    driftFromHistogram(gh, nd, numBuckets)
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** The slim (grp, bucket, c) hashed-unigram histogram behind
+    * [[sourceDrift]] — additive integer state, so per-batch deltas fold
+    * EXACTLY by summation in any order (the streaming journal's merge;
+    * contrast the sketch blobs, whose merge is approximate-but-bounded).
+    */
+  def groupBucketHistogram(docs: org.apache.spark.sql.DataFrame,
+                           textCol: String, groupCol: String,
+                           numBuckets: Int): org.apache.spark.sql.DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
+    docs.filter(col(groupCol).isNotNull)
       .select(col(groupCol).as("grp"), explode(toks).as("gram"))
       .select(col("grp"),
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
           % numBuckets).as("bucket"))
-    val gh = occ.groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** The KL arithmetic of [[sourceDrift]] over an already-folded
+    * (grp, bucket, c) histogram + (grp, n_docs) frame — shared by the
+    * batch report and the journal's fold-on-read so the two planes
+    * cannot drift. Output: (grp, n_docs, n_grams, kl_vs_corpus).
+    */
+  def driftFromHistogram(gh: org.apache.spark.sql.DataFrame,
+                         nd: org.apache.spark.sql.DataFrame,
+                         numBuckets: Int): org.apache.spark.sql.DataFrame = {
     val gt = gh.groupBy("grp").agg(sum(col("c")).as("tg"))
     val ch = gh.groupBy("bucket").agg(sum(col("c")).as("cc"))
     val ct = ch.agg(sum(col("cc")).as("tc"))
-    val nd = base.groupBy(col(groupCol).as("grp"))
-      .agg(count(lit(1)).as("n_docs"))
     // full (group x bucket) domain so zero-count buckets still carry
     // their Laplace term — groups x numBuckets rows, metadata-sized
     val domain = gt.select(col("grp"), col("tg"),
@@ -273,7 +297,7 @@ object TextStats {
       .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"),
         max(col("tg")).as("n_grams"))
       .join(nd, Seq("grp"))
-      .select(col("grp").as(groupCol), col("n_docs"), col("n_grams"),
+      .select(col("grp"), col("n_docs"), col("n_grams"),
         round(col("kl"), 6).as("kl_vs_corpus"))
   }
 

@@ -842,6 +842,39 @@ class StreamingSpec extends SparkSuite {
     } finally { server.stop(); q.stop() }
   }
 
+  test("X5e streaming drift journal: multi-batch fold equals the batch report exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift_journal").toString
+    val docsB = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull && col("source").isNotNull)
+    val batchReport = graft.ext.TextStats
+      .sourceDrift(docsB, "text", "source", numBuckets = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // replay the fixture in 2 micro-batches; integer histograms fold
+    // exactly, so the journal report must equal the batch report —
+    // including n_docs and n_grams, not just the rounded KL
+    val fixture = docsB.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "text", "source")
+    val q = StreamDrift.journal(stream, dir, "text", "source", numBuckets = 256)
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // two batches of deltas landed (doc-count rows present in both)
+    val nBatches = spark.read.parquet(dir)
+      .select("batch_id").distinct().count()
+    assert(nBatches == 2, s"expected 2 journal batches, got $nBatches")
+    val journalReport = StreamDrift.driftFromJournal(spark, dir, numBuckets = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(journalReport == batchReport,
+      s"journal/batch drift divergence: ${journalReport.diff(batchReport)}")
+  }
+
   test("X17 streaming sketch journal: multi-batch fold equals the one-shot delta") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.FreqSketch._
