@@ -394,6 +394,74 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("cdcChunks fuzz: random token docs tile exactly and match a Scala replay") {
+    import graft.ext.Curation
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // random docs over a small vocab (forces boundary collisions) with
+    // lengths straddling the window edge cases 0..3 tokens
+    val docGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val got = Curation.cdcChunks(df, "text", "doc_id", window = 4, modulus = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val w = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val bnds = (4 to w.length).filter(i => java.lang.Long.parseLong(
+        md5hex(w.slice(i - 4, i).mkString(" ")).take(8), 16) % 4 == 0)
+      val starts = 1 +: bnds.map(_ + 1)
+      val ends = bnds :+ w.length
+      val exp = starts.zip(ends).filter { case (s, e) => s <= e }
+        .zipWithIndex.map { case ((s, e), k) =>
+          (id, (k + 1).toLong, (s - 1).toLong, (e - s + 1).toLong,
+            md5hex(w.slice(s - 1, e).mkString(" ")))
+        }
+      assert(got.getOrElse(id, Seq.empty) == exp, s"doc $id: '$text'")
+      // tiling: chunk lengths partition the token range
+      assert(exp.map(_._4).sum == w.length, s"doc $id tiling")
+    }
+  }
+
+  test("budgetFill fuzz: any random frame matches the sequential greedy replay") {
+    import graft.ext.TrainSet
+    val rowGen = Gen.zip(Gen.choose(0.0, 5.0), Gen.choose(0L, 50L))
+    samples(Gen.zip(Gen.choose(1, 30), Gen.choose(1L, 400L)), 5)
+      .foreach { case (n, budget) =>
+        val rows = samples(rowGen, n).zipWithIndex
+          .map { case ((r, tok), i) => (i.toLong, math.rint(r * 10) / 10, tok) }
+        val df = rows.toDF("id", "r", "tok")
+        val got = TrainSet.budgetFill(df, "id", col("r"), col("tok"), budget)
+          .collect().map(x => (x.getLong(0), x.getLong(3))).sortBy(_._1).toSeq
+        var acc = 0L
+        val exp = rows.sortBy { case (id, r, _) => (-r, id) }
+          .flatMap { case (id, _, tok) =>
+            val before = acc; acc += tok
+            if (before < budget) Some(id -> before) else None
+          }.sortBy(_._1)
+        assert(got == exp, s"n=$n budget=$budget: $got vs $exp")
+      }
+  }
+
+  test("exportManifest fuzz: shard masses partition the corpus for any seed/shards") {
+    import graft.ext.TrainSet
+    samples(Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.choose(1, 16)), 5)
+      .foreach { case (seed, shards) =>
+        val df = (0L until 200L).map(i => (i, i % 7)).toDF("id", "tok")
+        val m = TrainSet.exportManifest(df, "id", col("tok"), seed, shards)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(m.map(_._2).sum == 200L, s"doc partition broken ($seed, $shards)")
+        assert(m.map(_._3).sum == (0L until 200L).map(_ % 7).sum,
+          s"token mass broken ($seed, $shards)")
+        assert(m.map(_._1).distinct.length == m.length &&
+          m.forall(x => x._1 >= 0 && x._1 < shards), "shard domain broken")
+      }
+  }
+
   test("deterministic_base64 fuzz: any (seed, id, n) round-trips to exactly n bytes, deterministically") {
     val cases = samples(for {
       seed <- Gen.choose(Long.MinValue, Long.MaxValue)
