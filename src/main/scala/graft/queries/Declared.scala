@@ -2286,7 +2286,12 @@ object Declared {
     // EXACT and the oracle pins them to DuckDB's own set arithmetic
     // as plain integers (the sampling regime's error bound is
     // witnessed in ExtSpec at 100k distinct and in ScaleCheck's 16x
-    // 80k-id witness).
+    // 80k-id witness). The union gadget must CARRY lgK=14: the scalar
+    // theta_union defaults to lgK=12 (4096 nominal), which silently
+    // pushed the 5,385-id sf0.1 union into estimation mode (5423) while
+    // both inputs stayed exact — found by the r9 full sf0.1 sweep;
+    // intersection/difference take no lgK and stay exact on exact
+    // inputs.
     "x59_theta_overlap" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
@@ -2304,7 +2309,12 @@ object Declared {
           theta_sketch_estimate(
             theta_difference(col("skb"), col("ska"))).as("n_added"),
           theta_sketch_estimate(
-            theta_union(col("ska"), col("skb"))).as("n_union"))
+            // the union gadget must carry the INPUT sketches' lgK: the
+            // scalar's default is lgK=12 (4096 nominal), which silently
+            // downsamples a 5k-id union into estimation mode at sf0.1
+            // while both inputs are still exact at lgK=14 (caught by
+            // the r9 full sf0.1 oracle sweep)
+            theta_union(col("ska"), col("skb"), lit(14))).as("n_union"))
       },
       Some("""WITH a AS (SELECT DISTINCT doc_id FROM documents
              |  WHERE doc_id IS NOT NULL),
