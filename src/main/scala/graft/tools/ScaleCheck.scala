@@ -69,6 +69,12 @@ object ScaleCheck {
     // carry identical text, so the chunk-hash SET must not grow)
     val vocab1x: Seq[String] =
       graft.ext.TextStats.topVocab(docs0, "text", 16).toSeq
+    // x77's 1x anchor: per-source (n_docs, n_grams, KL) of the
+    // unreplicated corpus
+    val drift1x: Map[String, (Long, Long, Double)] =
+      graft.ext.TextStats.sourceDrift(docs0, "text", "source", 256)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     val (cdcRows1x, cdcHashes1x) = {
       val c = graft.ext.Curation.cdcChunks(docs0, "text", "doc_id")
         .agg(count(lit(1)), countDistinct(col("chunk_hash"))).head
@@ -338,6 +344,38 @@ object ScaleCheck {
           s"chunk rows ${stats.getLong(0)} != ${cdcRows1x * n}")
         assert(stats.getLong(1) == cdcHashes1x,
           s"chunk-hash set grew with replication: ${stats.getLong(1)} vs $cdcHashes1x")
+      },
+      "x76 export manifest (documents, 8 md5 shards)" -> { n =>
+        // shard doc counts partition the corpus at any scale and the
+        // output stays numShards rows — pure metadata
+        val docsN = replicate(docs0, "doc_id", n)
+        val m = graft.ext.TrainSet.exportManifest(docsN, "doc_id",
+          graft.ext.TextStats.tokenCount(coalesce(col("text"), lit(""))),
+          seed = "graft-export", numShards = 8)
+        val r = m.agg(count(lit(1)).as("shards"), sum(col("n_docs")).as("docs")).head
+        assert(r.getLong(0) <= 8L, s"shard domain grew: ${r.getLong(0)}")
+        assert(r.getLong(1) == docsN.count(), s"doc partition broken: ${r.getLong(1)}")
+      },
+      "x77 source drift (documents, per-source KL)" -> { n =>
+        // replicas carry identical text under the same sources, so the
+        // empirical per-source distributions are frozen; what moves is
+        // ONLY the Laplace bias (~B/T per group), which decays ~1/n as
+        // counts scale. Witness: doc/gram masses scale EXACTLY n-fold,
+        // the group domain is unchanged, and every KL stays in
+        // [0, 1x-value + 1e-6] — the smoothed KL can only decay toward
+        // the unsmoothed divergence of the frozen distributions
+        val got = graft.ext.TextStats.sourceDrift(
+            replicate(docs0, "doc_id", n), "text", "source", 256)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        assert(got.keySet == drift1x.keySet, "group domain changed")
+        got.foreach { case (g, (docs, grams, kl)) =>
+          val (d1, g1, k1) = drift1x(g)
+          assert(docs == n * d1 && grams == n * g1,
+            s"group $g masses not n-fold: ($docs, $grams) vs n*($d1, $g1)")
+          assert(kl >= 0.0 && kl <= k1 + 1e-6,
+            s"group $g drift left [0, 1x] under replication: $kl vs $k1")
+        }
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum
