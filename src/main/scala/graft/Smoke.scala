@@ -24,8 +24,12 @@ object Smoke {
 
     // Loader-break tripwire (r8 regression: fixture re-encode → analysis
     // exceptions in 11 queries that only the driver run surfaced). Force
-    // analysis+optimization of EVERY declared query at EVERY SF — no job
-    // runs, so this is minutes even at sf0.1 — and fail loudly on any throw.
+    // analysis+optimization of EVERY declared query at EVERY SF and fail
+    // loudly on any throw. NOTE: this is NOT job-free — constructing the
+    // trained-artifact queries (x23/x25/x68/x70/x71/x75, …) runs their
+    // real driver-side training jobs (dupClusters iterations, nbTrain /
+    // dsirRatioMapTagged / pqTrain collects), memoized per (session,
+    // dir); at sf0.1 that is the full training cost, paid once here.
     val analysisFailures = for {
       d <- Seq("sf0.001", "sf0.01", "sf0.1")
       name <- SparkEntry.queries.keys.toSeq.sorted

@@ -329,18 +329,20 @@ object TrainSet {
     * payloads back by id.
     */
   def budgetFill(df: DataFrame, idCol: String, rankCol: Column,
-                 tokenCol: Column, budget: Long,
-                 materialize: Boolean = true): DataFrame = {
+                 tokenCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive (got $budget)")
-    val slim = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("_id"), rankCol.cast("double").as("_rank"),
-        tokenCol.cast("long").as("_tok"))
-      .filter(col("_rank").isNotNull && col("_tok").isNotNull)
-    val parted0 = slim.repartitionByRange(col("_rank").desc, col("_id").asc)
-      .withColumn("_pid", spark_partition_id().cast("long"))
-    val parted = if (materialize)
-      parted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else parted0
+    // ALWAYS persist the range-partitioned frame before reading it
+    // twice (per-partition totals collect + window query):
+    // RangePartitioner boundaries come from seeded sampling tied to RDD
+    // identity, so two independent evaluations can legally assign rows
+    // to DIFFERENT _pid partitions — the driver offsets would then
+    // apply to the wrong partitions and cum_before would be silently
+    // wrong. Pinning one evaluation is a correctness requirement here,
+    // not a performance knob (there is deliberately no materialize
+    // escape hatch; [[budgetFillPlanShape]] is the lazy inspection
+    // form).
+    val parted = budgetFillParted(df, idCol, rankCol, tokenCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // driver prefix over per-partition token totals: result size =
       // shuffle partition count, and an empty partition simply
@@ -351,21 +353,49 @@ object TrainSet {
       val offsets = totals.map { case (p, t) =>
         val o = acc; acc += t; p -> o.toDouble
       }.toMap
-      val w = Window.partitionBy("_pid")
-        .orderBy(col("_rank").desc, col("_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val res = parted
-        .withColumn("cum_before",
-          coalesce(sum(col("_tok")).over(w), lit(0L)) +
-            graft.functions.BucketLookup.bucket_lookup(
-              col("_pid"), offsets, 0.0).cast("long"))
-        .filter(col("cum_before") < budget)
-        .select(col("_id").as(idCol), col("_rank").as("rank"),
-          col("_tok").as("n_tokens"), col("cum_before"))
       // checkpoint eagerly so the selection materializes while `parted`
       // is cached (the dsirResample discipline); the index is slim
-      if (materialize) res.localCheckpoint(true) else res
-    } finally if (materialize) parted.unpersist()
+      budgetFillSelect(parted, idCol, budget, offsets).localCheckpoint(true)
+    } finally parted.unpersist()
+  }
+
+  private def budgetFillParted(df: DataFrame, idCol: String,
+                               rankCol: Column, tokenCol: Column): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"), rankCol.cast("double").as("_rank"),
+        tokenCol.cast("long").as("_tok"))
+      .filter(col("_rank").isNotNull && col("_tok").isNotNull)
+      .repartitionByRange(col("_rank").desc, col("_id").asc)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+
+  private def budgetFillSelect(parted: DataFrame, idCol: String,
+                               budget: Long,
+                               offsets: Map[Long, Double]): DataFrame = {
+    val w = Window.partitionBy("_pid")
+      .orderBy(col("_rank").desc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("cum_before",
+        coalesce(sum(col("_tok")).over(w), lit(0L)) +
+          graft.functions.BucketLookup.bucket_lookup(
+            col("_pid"), offsets, 0.0).cast("long"))
+      .filter(col("cum_before") < budget)
+      .select(col("_id").as(idCol), col("_rank").as("rank"),
+        col("_tok").as("n_tokens"), col("cum_before"))
+  }
+
+  /** PLAN-INSPECTION form of [[budgetFill]]: the identical lazy plan
+    * (range exchange → per-partition window → bucket_lookup offset →
+    * filter) built with placeholder zero offsets and NO jobs run.
+    * Exists so plan gates (PlanSpec) can assert the shuffle shape
+    * without executing; its RESULT is not the greedy fill (the
+    * cross-partition offsets are zeros) — never execute it for data.
+    */
+  def budgetFillPlanShape(df: DataFrame, idCol: String, rankCol: Column,
+                          tokenCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive (got $budget)")
+    budgetFillSelect(budgetFillParted(df, idCol, rankCol, tokenCol),
+      idCol, budget, Map.empty)
   }
 
   /** X21: sharded-export manifest — the delivery bookkeeping of a

@@ -28,15 +28,26 @@ object Declared {
     * driver-side model (NB tables, DSIR ratio map, PQ codebooks): at
     * deployment these kilobyte artifacts are built once per corpus refresh
     * and reused by every scoring pass (batch or stream), so the query fns
-    * mirror that — keyed by (artifact, fixture dir). Every trainer is
-    * deterministic in (dir, hyperparams), so reuse cannot change results;
-    * it only stops repeated invocations (bench warm-up + timed pass) from
-    * re-running the training jobs inside the scoring measurement.
+    * mirror that — keyed by (session, artifact, fixture dir). Every
+    * trainer is deterministic in (dir, hyperparams), so reuse cannot
+    * change results; it only stops repeated invocations (bench warm-up +
+    * timed pass) from re-running the training jobs inside the scoring
+    * measurement.
+    *
+    * The session component matters for the DataFrame-valued artifacts
+    * (dupClusters is localCheckpoint-backed and bound to the
+    * SparkContext that built it): a JVM that restarts its session or
+    * runs several would otherwise get a stale handle over freed blocks.
     */
   private val artifactMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
-  private def artifact[T <: AnyRef](name: String, dir: String)(train: => T): T =
-    artifactMemo.computeIfAbsent((name, dir), _ => train).asInstanceOf[T]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), AnyRef]()
+  private def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.GraftColumns.sessionUUID(s)
+      .getOrElse(String.valueOf(System.identityHashCode(s)))
+  private def artifact[T <: AnyRef](s: SparkSession, name: String,
+                                    dir: String)(train: => T): T =
+    artifactMemo.computeIfAbsent((sessionKey(s), name, dir),
+      _ => train).asInstanceOf[T]
 
   /** The (doc_id, cluster_id) duplicate-cluster frame shared by x23
     * (the clustering row) and x75 (the survivor election): one
@@ -46,7 +57,7 @@ object Declared {
     * the reference is a driver-side handle, not a replayed lineage.
     */
   private def dupClustersArtifact(s: SparkSession, dir: String): DataFrame =
-    artifact("dup_clusters_k3_t02_df100", dir) {
+    artifact(s, "dup_clusters_k3_t02_df100", dir) {
       Dedup.dupClusters(Dedup.jaccardPairs(t(s, dir, "documents"),
         "text", "doc_id", k = 3, threshold = 0.2, maxDocFreq = Some(100)))
     }
@@ -2377,7 +2388,7 @@ object Declared {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val cbs = artifact("pq_cb_m8_d64_cb32", dir) {
+        val cbs = artifact(s, "pq_cb_m8_d64_cb32", dir) {
           Similarity.pqTrain(e, m = 8, dim = 64, codebookSize = 32)
         }
         val pq = Similarity.pqTopK(q, e, k = 5, m = 8, dim = 64,
@@ -2415,10 +2426,10 @@ object Declared {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val cbs = artifact("pq_cb_m8_d64_cb32", dir) {
+        val cbs = artifact(s, "pq_cb_m8_d64_cb32", dir) {
           Similarity.pqTrain(e, m = 8, dim = 64, codebookSize = 32)
         }
-        val cents = artifact("ivf_cents_32", dir) {
+        val cents = artifact(s, "ivf_cents_32", dir) {
           Similarity.sampledCentroids(e, 32)
         }
         val pq = Similarity.ivfPqTopK(q, e, k = 5,
@@ -2708,7 +2719,7 @@ object Declared {
         // target is a predicate slice of raw → ONE tagged featurize scan
         // builds both histograms (identical arithmetic to the two-frame
         // form); kilobyte artifact memoized per corpus refresh
-        val (ratio, dflt) = artifact("dsir_en_1024", dir) {
+        val (ratio, dflt) = artifact(s, "dsir_en_1024", dir) {
           graft.ext.TrainSet.dsirRatioMapTagged(
             docs, col("lang") === "en", "text", "doc_id", numBuckets = 1024)
         }
@@ -2837,7 +2848,7 @@ object Declared {
     "x71_nb_langid" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val model = artifact("nb_langid_1024", dir) {
+        val model = artifact(s, "nb_langid_1024", dir) {
           graft.ext.TextStats.nbTrain(
             docs, "text", "lang", "doc_id", numBuckets = 1024)
         }
@@ -2972,7 +2983,7 @@ object Declared {
     "x73_vocab_oov" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val vocab = artifact("vocab_top16", dir) {
+        val vocab = artifact(s, "vocab_top16", dir) {
           TextStats.topVocab(docs, "text", 16).toSeq
         }
         docs.filter(col("doc_id").isNotNull)

@@ -62,10 +62,19 @@ object StreamDrift {
   /** Fold-on-read: the drift report from a journal — sum the deltas per
     * (grp, bucket), split out the doc-count rows, and run the SAME KL
     * arithmetic as the batch [[graft.ext.TextStats.sourceDrift]].
+    *
+    * foreachBatch is at-least-once: a failed-then-retried micro-batch
+    * appends its delta rows a second time. (batch_id, grp, bucket) is
+    * unique WITHIN a batch and the delta is deterministic in the batch's
+    * rows, so the fold first collapses retry copies via first-per-key
+    * before summing across batches — the journal read stays exact under
+    * any number of replays. Two slim aggregations over metadata-sized
+    * rows (≤ batches × groups × buckets), never documents.
     */
   def driftFromJournal(spark: SparkSession, journalDir: String,
                        numBuckets: Int = 1024): DataFrame = {
     val folded = spark.read.parquet(journalDir)
+      .groupBy("batch_id", "grp", "bucket").agg(max(col("c")).as("c"))
       .groupBy("grp", "bucket").agg(sum(col("c")).as("c"))
     val nd = folded.filter(col("bucket") === DocCountBucket)
       .select(col("grp"), col("c").as("n_docs"))

@@ -63,11 +63,15 @@ object Plans {
       "x67_dsir_resample (lazy form)" -> graft.ext.TrainSet.dsirResample(
         docs, docs.filter(col("lang") === "en"), "text", "doc_id",
         k = 60, numBuckets = 1024, materialize = false),
-      "x72_budget_fill (lazy form)" -> graft.ext.TrainSet.budgetFill(
+      // budgetFillPlanShape, not budgetFill(materialize=false): the
+      // executable form ALWAYS pins one evaluation of the range
+      // partition (offsets correctness); this is the jobs-free twin
+      // with the identical plan shape and placeholder offsets
+      "x72_budget_fill (lazy form)" -> graft.ext.TrainSet.budgetFillPlanShape(
         docs.filter(col("text").isNotNull), "doc_id",
         graft.ext.TextStats.qualityScore(col("text")),
         graft.ext.TextStats.tokenCount(col("text")),
-        budget = 15000L, materialize = false),
+        budget = 15000L),
       // x75's clustering input is the eager iterative x23 pipeline; the
       // plan worth gating is the ELECTION itself — greatest_row hash agg
       // over the slim join, no membership window

@@ -447,7 +447,10 @@ object ScaleCheck {
           .agg(theta_sketch_agg(col("doc_id"), 14).as("ska"))
         val skOrig = docs0.agg(theta_sketch_agg(col("doc_id"), 14).as("skb"))
         val r = skAll.crossJoin(skOrig).select(
-          theta_sketch_estimate(theta_union(col("ska"), col("skb"))),
+          // lgK=14 explicitly — the two-arg default (lgK=12) silently
+          // downsamples a union of lgK=14 inputs into estimation mode,
+          // the exact x59 pitfall this witness exists to pin
+          theta_sketch_estimate(theta_union(col("ska"), col("skb"), lit(14))),
           theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))))
           .collect()(0)
         assert(math.abs(r.getLong(0) - n * nDocs0) <= 0.05 * n * nDocs0,

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumns {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Stable identity of a live session (private[sql] in Spark 4): used to
+    * scope per-session driver-side caches so a restarted session can never
+    * see another session's checkpoint-backed handles.
+    */
+  def sessionUUID(s: SparkSession): Option[String] = s match {
+    case c: classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }

@@ -873,6 +873,19 @@ class StreamingSpec extends SparkSuite {
         r.getDouble(3))).toSet
     assert(journalReport == batchReport,
       s"journal/batch drift divergence: ${journalReport.diff(batchReport)}")
+
+    // at-least-once retry: foreachBatch may replay a micro-batch, landing
+    // its delta rows a second time with the SAME batch_id. Simulate by
+    // re-appending one batch's rows verbatim — the fold collapses retry
+    // copies per (batch_id, grp, bucket) before summing, so the report
+    // must be unchanged
+    val replayed = spark.read.parquet(dir).filter(col("batch_id") === 0L)
+    replayed.write.mode("append").parquet(dir)
+    val afterRetry = StreamDrift.driftFromJournal(spark, dir, numBuckets = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(afterRetry == batchReport,
+      s"retry-duplicated journal broke the fold: ${afterRetry.diff(batchReport)}")
   }
 
   test("X17 streaming sketch journal: multi-batch fold equals the one-shot delta") {
