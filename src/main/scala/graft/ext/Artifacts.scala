@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Persist/restore for the kilobyte-scale TRAINED artifacts (r10 — the
+  * deployment gap the r9 verdict named: NB model, DSIR log-ratio table,
+  * PQ codebooks, IVF centroids, top-v vocabulary previously lived only
+  * in the in-process query memo; a real pipeline trains them once per
+  * corpus refresh and ships them ACROSS jobs).
+  *
+  * Format: plain parquet, one small file per artifact — engine-portable
+  * (any parquet reader recovers the tables), schema-explicit, and
+  * EXACT: parquet stores IEEE-754 doubles bit-for-bit, so a reloaded
+  * model scores bit-identically to the freshly-trained one (round-trip
+  * specs in ExtSpec assert `load(save(m)) == m` on every artifact type,
+  * and the declared x68/x71 queries score through a reloaded artifact —
+  * the driver's hash gate then proves persistence end-to-end).
+  *
+  * Scale note: these artifacts are kilobytes (≤ labels × buckets
+  * doubles, ≤ m × codebookSize × sub-dim means, ≤ v terms) — the save
+  * is a driver-side single-partition write, the load a driver-side
+  * collect; neither touches corpus-scale data.
+  */
+object Artifacts {
+
+  // ---- NB classifier model ([[TextStats.NbModel]]) ----
+
+  /** One row per label, ascending idx: (idx, label, log_prior, dflt,
+    * table map<bigint,double>, num_buckets). Sparse tables stay sparse —
+    * unseen buckets re-densify from `dflt` at load, exactly as trained.
+    */
+  def saveNbModel(spark: SparkSession, m: TextStats.NbModel,
+                  path: String): Unit = {
+    val rows = m.labels.indices.map { i =>
+      Row(i, m.labels(i), m.logPriors(i), m.defaults(i), m.tables(i),
+        m.numBuckets)
+    }
+    val schema = StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("label", StringType, nullable = false),
+      StructField("log_prior", DoubleType, nullable = false),
+      StructField("dflt", DoubleType, nullable = false),
+      StructField("table", MapType(LongType, DoubleType, valueContainsNull = false),
+        nullable = false),
+      StructField("num_buckets", IntegerType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadNbModel(spark: SparkSession, path: String): TextStats.NbModel = {
+    val rows = spark.read.parquet(path).collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"empty NB model at $path")
+    TextStats.NbModel(
+      rows.map(_.getString(1)),
+      rows.map(_.getDouble(2)),
+      rows.map(_.getMap[Long, Double](4).toMap),
+      rows.map(_.getDouble(3)),
+      rows.head.getInt(5))
+  }
+
+  // ---- DSIR per-bucket log-ratio table ((Map[bucket → lr], default)) ----
+
+  /** One row per trained bucket (bucket ≥ 0, lr) plus the sentinel row
+    * (bucket = −1, lr = default) — the both-sides-unseen Laplace floor,
+    * which is data (not schema) and must travel with the table.
+    */
+  def saveDsirRatio(spark: SparkSession, ratio: Map[Long, Double],
+                    default: Double, path: String): Unit = {
+    require(ratio.keysIterator.forall(_ >= 0),
+      "bucket -1 is reserved for the default sentinel")
+    val rows = (ratio.toSeq.sortBy(_._1) :+ (-1L -> default))
+      .map { case (b, lr) => Row(b, lr) }
+    val schema = StructType(Seq(
+      StructField("bucket", LongType, nullable = false),
+      StructField("lr", DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadDsirRatio(spark: SparkSession, path: String): (Map[Long, Double], Double) = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val (dflt, table) = rows.partition(_._1 == -1L)
+    require(dflt.length == 1, s"expected one default sentinel at $path")
+    (table.toMap, dflt.head._2)
+  }
+
+  // ---- dense vector tables (IVF centroids, JL sign matrix rows) ----
+
+  /** One row per vector, ascending idx: (idx, vec array<double>). */
+  def saveMatrix(spark: SparkSession, m: Array[Array[Double]],
+                 path: String): Unit = {
+    val rows = m.indices.map(i => Row(i, m(i).toSeq))
+    val schema = StructType(Seq(
+      StructField("idx", IntegerType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadMatrix(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  // ---- PQ codebooks (per-subspace × per-code mean vectors) ----
+
+  /** One row per (subspace, code): (sub, code, vec array<double>). */
+  def saveCodebooks(spark: SparkSession, cbs: Array[Array[Array[Double]]],
+                    path: String): Unit = {
+    val rows = for {
+      s <- cbs.indices; c <- cbs(s).indices
+    } yield Row(s, c, cbs(s)(c).toSeq)
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path).collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+
+  // ---- top-v vocabulary (rank-ordered term list) ----
+
+  /** One row per term, ascending rank (the top-v order is part of the
+    * artifact: rank ties were resolved at train time).
+    */
+  def saveVocab(spark: SparkSession, vocab: Seq[String], path: String): Unit = {
+    val rows = vocab.indices.map(i => Row(i, vocab(i)))
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("term", StringType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadVocab(spark: SparkSession, path: String): Array[String] =
+    spark.read.parquet(path).collect().sortBy(_.getInt(0)).map(_.getString(1))
+}

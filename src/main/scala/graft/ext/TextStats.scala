@@ -158,19 +158,31 @@ object TextStats {
       numBuckets)
   }
 
-  /** All L per-label log-posteriors of one document in ONE fold over the
-    * gram array: the accumulator is the length-L score array (seeded with
-    * the log priors), each gram `zip_with`-adds the dense
-    * `bucket_lookup_vec` likelihood vector — ONE O(1) table probe per
-    * gram occurrence instead of L binary searches, and one array walk
-    * instead of L independent folds.
+  /** All L per-label log-posteriors of one document in ONE codegen'd
+    * loop over the gram array ([[graft.functions.NbScoreVec]]): the
+    * accumulator is the length-L score array seeded with the log priors,
+    * each gram occurrence adds its dense likelihood row in place — one
+    * O(1) table probe per gram, ONE array allocation per row, no
+    * interpreted higher-order lambdas (the r9 built-ins fold spent ~70
+    * cpu-sec at sf0.1 on `aggregate`/`zip_with` dispatch + per-gram
+    * array churn; see [[nbScoresBuiltins]], kept as the spec oracle).
     *
     * Callers that consume the scores more than once (argmax = 3
-    * references) should land this in its OWN projection — `aggregate` is
-    * not collapse-cheap, so Catalyst keeps the projection boundary and
-    * the fold runs once per row instead of once per reference.
+    * references) should still land this in its OWN projection so the
+    * fold runs once per row instead of once per reference.
     */
   def nbScores(buckets: Column, model: NbModel): Column =
+    graft.functions.NbScoreVec.nb_score_vec(buckets, model.tables,
+      model.defaults, model.logPriors, model.numBuckets)
+
+  /** The built-ins-only formulation of [[nbScores]] (zero custom
+    * expression surface): `aggregate` over the gram array `zip_with`-
+    * adding `bucket_lookup_vec` probe slices. Interpreted (higher-order
+    * lambdas bypass codegen) and allocation-heavy — kept as the
+    * independent equality oracle for the codegen'd fold (FunctionsSpec),
+    * not for hot paths.
+    */
+  def nbScoresBuiltins(buckets: Column, model: NbModel): Column =
     aggregate(buckets,
       array(model.logPriors.map(lit(_)): _*),
       (acc, b) => zip_with(acc,

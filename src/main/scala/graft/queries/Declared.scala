@@ -49,6 +49,23 @@ object Declared {
     artifactMemo.computeIfAbsent((sessionKey(s), name, dir),
       _ => train).asInstanceOf[T]
 
+  /** Train → SAVE to parquet → RELOAD → score (r10): the declared
+    * trained-artifact queries that use this helper exercise the
+    * [[graft.ext.Artifacts]] persistence path end-to-end — the driver's
+    * hash gate then proves a RELOADED artifact scores identically to a
+    * fresh one, which is the deployment contract (train once per corpus
+    * refresh, ship the kilobyte artifact across jobs). Runs once per
+    * (session, artifact, dir) under the memo; the store is a per-call
+    * temp dir (kilobyte files, JVM-lifetime).
+    */
+  private def viaStore[T](s: SparkSession, name: String)(train: => T)(
+      save: (SparkSession, T, String) => Unit,
+      load: (SparkSession, String) => T): T = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+    save(s, train, p)
+    load(s, p)
+  }
+
   /** The (doc_id, cluster_id) duplicate-cluster frame shared by x23
     * (the clustering row) and x75 (the survivor election): one
     * per-refresh artifact, computed once per fixture dir — a pipeline
@@ -2719,9 +2736,13 @@ object Declared {
         // target is a predicate slice of raw → ONE tagged featurize scan
         // builds both histograms (identical arithmetic to the two-frame
         // form); kilobyte artifact memoized per corpus refresh
+        // train → persist → reload (Artifacts round-trip; see x71)
         val (ratio, dflt) = artifact(s, "dsir_en_1024", dir) {
-          graft.ext.TrainSet.dsirRatioMapTagged(
-            docs, col("lang") === "en", "text", "doc_id", numBuckets = 1024)
+          viaStore(s, "dsir_en_1024") {
+            graft.ext.TrainSet.dsirRatioMapTagged(
+              docs, col("lang") === "en", "text", "doc_id", numBuckets = 1024)
+          }((ss, t, p) => graft.ext.Artifacts.saveDsirRatio(ss, t._1, t._2, p),
+            graft.ext.Artifacts.loadDsirRatio)
         }
         docs.filter(col("doc_id").isNotNull)
           .repartition(s.sparkContext.defaultParallelism) // one-row-group fixture spread
@@ -2848,9 +2869,14 @@ object Declared {
     "x71_nb_langid" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // train → persist → reload (Artifacts round-trip): the scoring
+        // below runs through the RELOADED model, so the driver's hash
+        // gate proves persisted-artifact scoring bit-exact every round
         val model = artifact(s, "nb_langid_1024", dir) {
-          graft.ext.TextStats.nbTrain(
-            docs, "text", "lang", "doc_id", numBuckets = 1024)
+          viaStore(s, "nb_langid_1024") {
+            graft.ext.TextStats.nbTrain(
+              docs, "text", "lang", "doc_id", numBuckets = 1024)
+          }(graft.ext.Artifacts.saveNbModel, graft.ext.Artifacts.loadNbModel)
         }
         docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
           // the fixture is ONE unsplittable row group, so without this the
@@ -3188,6 +3214,237 @@ object Declared {
         |SELECT k.source, nd.n_docs, k.tg AS n_grams,
         |  round(k.kl, 6) AS kl_vs_corpus
         |FROM k JOIN nd USING (source) ORDER BY k.source""".stripMargin)),
+
+    // X22: END-TO-END training-set assembly (r10 — the composition row:
+    // every assembly operator is individually green, this row proves the
+    // stages COMPOSE — column contracts, id-type drift, artifact hand-off
+    // — as ONE pipeline over the fixtures):
+    //   multi-source precedence merge (x69) -> near-dup clustering +
+    //   quality survivor election (x23/x75) -> curation gates (x25's
+    //   chain) -> benchmark decontamination (x20) -> mixture recipe
+    //   (x65, source-share targets) -> token-budget fill (x72) ->
+    //   epoch shuffle (x53) -> sharded export manifest (x76).
+    // Output: one row per non-empty export shard — (n_docs, token_mass,
+    // order-insensitive id_xor checksum, and the shard's FIRST document
+    // under the epoch-shuffle order). The xor checksum makes the final
+    // hash sensitive to ANY membership change in ANY stage; lead_doc
+    // pins the shuffle's ordering arithmetic. DuckDB replays the entire
+    // chain independently from the raw documents table (recursive
+    // connected components included).
+    // Scale: every stage keeps its proven plan — the merge shuffles
+    // 32-byte hashes, the drop/contam lists broadcast, the gates are
+    // map-only, mixture rates are a group-sized broadcast, budget fill
+    // range-partitions slim longs, the manifest is one map-only
+    // projection + numShards-row aggregate. The cluster frame is the
+    // one memoized per-refresh artifact (the x23/x75 discipline).
+    "x78_assembly_e2e" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // -- stage 1: three overlapping sources; curated > web > mirror
+        // (unlisted). Same construction as x69: the fixture's 500
+        // distinct texts gain real multi-source copies.
+        val union = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), lit("curated").as("src"))
+          .unionByName(docs.filter(col("doc_id") % 7 =!= 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+              lit("web").as("src")))
+          .unionByName(docs.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+              lit("mirror").as("src")))
+        val merged = Dedup.mergeByPrecedence(
+            union, "text", "doc_id", "src", Map("curated" -> 2, "web" -> 1))
+          .select("doc_id")
+          .join(union, Seq("doc_id")) // payload joins back by id
+        // -- stage 2: near-dup clusters over the MERGED corpus (dedup
+        // runs after merge — the merge only collapses byte-identical
+        // copies), quality-elected survivors, non-survivors dropped.
+        // One memoized per-refresh artifact (slim id list).
+        val dropDups = artifact(s, "asm_dedup_drop_k3_t02", dir) {
+          val clusters = Dedup.dupClusters(Dedup.jaccardPairs(
+            merged, "text", "doc_id", k = 3, threshold = 0.2,
+            maxDocFreq = Some(100)))
+          clusters.join(
+            Dedup.clusterSurvivors(clusters, merged, "doc_id",
+                TextStats.qualityScore(col("text")))
+              .select(col("survivor_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+            .select("doc_id").localCheckpoint(true)
+        }
+        val deduped = merged.join(broadcast(dropDups), Seq("doc_id"), "left_anti")
+        // -- stage 3: curation gates (hash sample -> lang -> quality +
+        // repetition); keeps src/text, adds quality for the fill rank
+        val gated = Curation.standardGates(deduped)
+        // -- stage 4: decontamination vs the external benchmark slice
+        val contam = Curation.contaminationOverlap(
+          gated, docs.filter(col("doc_id") % 37 === 0),
+          "text", "doc_id", k = 3, minOverlap = 5).select("doc_id")
+        val clean = gated.join(broadcast(contam), Seq("doc_id"), "left_anti")
+        // -- stage 5: mixture recipe over source shares (token mass)
+        val mixed = Curation.mixtureSample(clean, "src", "text", "doc_id",
+          Seq("curated" -> 0.5, "web" -> 0.3, "mirror" -> 0.2), 8000L)
+        // -- stage 6: greedy token-budget fill by (quality desc, id)
+        val sel = graft.ext.TrainSet.budgetFill(mixed, "doc_id",
+            rankCol = col("quality"),
+            tokenCol = TextStats.tokenCount(col("text")), budget = 5000L)
+          .select("doc_id", "n_tokens")
+        // -- stages 7+8: epoch shuffle + export manifest over the
+        // selection, same seed so the manifest describes the shuffled
+        // export's shards; lead_doc = pos 1 under the shuffle order
+        val shuf = graft.ext.TrainSet.epochShuffle(
+          sel, "doc_id", seed = "asm-e1", numShards = 4)
+        graft.ext.TrainSet.exportManifest(sel, "doc_id", col("n_tokens"),
+            seed = "asm-e1", numShards = 4)
+          .join(shuf.filter(col("pos") === 1)
+            .select(col("shard"), col("doc_id").as("lead_doc")), Seq("shard"))
+          .select(col("shard"), col("n_docs"), col("token_mass"),
+            col("id_xor"), col("lead_doc"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH RECURSIVE u AS (
+        |  SELECT doc_id, text, 'curated' AS src, 2 AS prio
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'web', 1
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, 'mirror', -1
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |msv AS (
+        |  SELECT (max({'prio': prio, 'negid': -doc_id, 'id': doc_id})).id AS doc_id
+        |  FROM u GROUP BY sha256(text)),
+        |m AS (SELECT u.doc_id, u.text, u.src FROM u JOIN msv USING (doc_id)),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM m),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+        |    FROM common
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+        |cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        |qf AS (
+        |  SELECT doc_id, nchars,
+        |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+        |    round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+        |      / greatest(len(w), 1), 6) AS stopword_ratio,
+        |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
+        |  FROM (
+        |    SELECT m.doc_id, t.w,
+        |      length(regexp_replace(m.text, '[^.,;:!?]', '', 'g')) AS punct,
+        |      length(m.text) AS nchars
+        |    FROM m JOIN toks t USING (doc_id))),
+        |q AS (
+        |  SELECT doc_id, rep_ratio,
+        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        |      + 0.2
+        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+        |  FROM qf),
+        |sv AS (
+        |  SELECT doc_id FROM (
+        |    SELECT cl.doc_id, cl.cluster_id, q.quality FROM cl JOIN q USING (doc_id))
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id ASC) = 1),
+        |dedup AS (
+        |  SELECT m.* FROM m
+        |  WHERE m.doc_id NOT IN (SELECT doc_id FROM cl)
+        |     OR m.doc_id IN (SELECT doc_id FROM sv)),
+        |lid AS (
+        |  SELECT doc_id,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (
+        |    SELECT d.doc_id, regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+        |      len(list_filter(t.w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(t.w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(t.w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(t.w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM dedup d JOIN toks t USING (doc_id))),
+        |gated AS (
+        |  SELECT d.doc_id, d.src, q.quality
+        |  FROM dedup d
+        |  JOIN lid USING (doc_id) JOIN q USING (doc_id)
+        |  WHERE substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
+        |    AND lid.lang_pred = 'en'
+        |    AND q.quality >= 0.8 AND q.rep_ratio <= 0.6),
+        |btoks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM btoks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |contam AS (
+        |  SELECT sh.doc_id FROM sh
+        |  JOIN gated USING (doc_id) JOIN bsh USING (s)
+        |  GROUP BY sh.doc_id HAVING count(*) >= 5),
+        |clean AS (
+        |  SELECT g.doc_id, g.src, g.quality, len(t.w)::bigint AS nt
+        |  FROM gated g JOIN toks t USING (doc_id)
+        |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |cnt AS (
+        |  SELECT src, count(*) AS n_docs, sum(nt)::bigint AS n_tokens
+        |  FROM clean GROUP BY src),
+        |tw AS (SELECT * FROM (VALUES
+        |  ('curated', 0.5::double), ('web', 0.3::double),
+        |  ('mirror', 0.2::double)) t(src, tgt)),
+        |thr AS (
+        |  SELECT src,
+        |    CASE WHEN rate >= 1.0 THEN NULL
+        |      ELSE printf('%04x', floor(rate * 65536)::int) END AS thr
+        |  FROM (
+        |    SELECT c.src,
+        |      least(1.0::double, coalesce(tgt, 0) * 8000 / greatest(n_tokens::double, 1.0)) AS rate
+        |    FROM cnt c LEFT JOIN tw USING (src))),
+        |mixed AS (
+        |  SELECT c.doc_id, c.quality, c.nt
+        |  FROM clean c JOIN thr USING (src)
+        |  WHERE thr.thr IS NULL
+        |     OR substr(md5('graft-mix' || c.doc_id::varchar), 1, 4) < thr.thr),
+        |bf AS (
+        |  SELECT doc_id, nt,
+        |    coalesce(sum(nt) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cum_before
+        |  FROM mixed),
+        |selres AS (
+        |  SELECT doc_id, nt, md5('asm-e1:' || doc_id::varchar) AS hx
+        |  FROM bf WHERE cum_before < 5000),
+        |sh4 AS (
+        |  SELECT doc_id, nt, hx,
+        |    ('0x' || substr(hx, 1, 8))::bigint % 4 AS shard
+        |  FROM selres),
+        |man AS (
+        |  SELECT shard, count(*) AS n_docs, sum(nt)::bigint AS token_mass,
+        |    bit_xor(('0x' || substr(hx, 9, 15))::bigint) AS id_xor
+        |  FROM sh4 GROUP BY 1),
+        |lead AS (
+        |  SELECT shard, doc_id AS lead_doc FROM sh4
+        |  QUALIFY row_number() OVER (PARTITION BY shard
+        |    ORDER BY hx, doc_id) = 1)
+        |SELECT man.shard, man.n_docs, man.token_mass, man.id_xor, lead.lead_doc
+        |FROM man JOIN lead USING (shard) ORDER BY man.shard""".stripMargin)),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

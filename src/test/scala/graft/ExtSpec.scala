@@ -1099,4 +1099,80 @@ class ExtSpec extends SparkSuite {
       assert(r.getInt(5) == (if (audio) (id % 2 + 1).toInt else 0), s"doc $id channels")
     }
   }
+
+  test("Artifacts: parquet round-trip exact for every trained-artifact type") {
+    import graft.ext.{Artifacts, TrainSet}
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-artifacts-spec").toString
+    val docs = Tables.load(spark, sf(), "documents")
+
+    // NB model: structure AND scoring bit-exact through the reload
+    val m = TextStats.nbTrain(docs, "text", "lang", "doc_id", numBuckets = 128)
+    Artifacts.saveNbModel(spark, m, s"$tmp/nb")
+    val m2 = Artifacts.loadNbModel(spark, s"$tmp/nb")
+    assert(m2.labels.toSeq == m.labels.toSeq)
+    assert(m2.numBuckets == m.numBuckets)
+    assert(m2.logPriors.map(bits).toSeq == m.logPriors.map(bits).toSeq)
+    assert(m2.defaults.map(bits).toSeq == m.defaults.map(bits).toSeq)
+    m.tables.indices.foreach { i =>
+      assert(m2.tables(i).keySet == m.tables(i).keySet, s"table $i keys")
+      m.tables(i).foreach { case (b, v) =>
+        assert(bits(m2.tables(i)(b)) == bits(v), s"table $i bucket $b") }
+    }
+    val scored = docs.limit(50)
+      .select(TextStats.nbScores(TextStats.nbGramBuckets(col("text"), 128), m).as("a"),
+        TextStats.nbScores(TextStats.nbGramBuckets(col("text"), 128), m2).as("b"))
+      .collect()
+    scored.foreach(r => assert(
+      r.getSeq[Double](0).map(bits) == r.getSeq[Double](1).map(bits),
+      "reloaded NB model scores differ"))
+
+    // DSIR ratio table (+ the default sentinel) and scoring equality
+    val (ratio, dflt) = TrainSet.dsirRatioMapTagged(
+      docs, col("lang") === "en", "text", "doc_id", numBuckets = 256)
+    Artifacts.saveDsirRatio(spark, ratio, dflt, s"$tmp/dsir")
+    val (ratio2, dflt2) = Artifacts.loadDsirRatio(spark, s"$tmp/dsir")
+    assert(bits(dflt2) == bits(dflt))
+    assert(ratio2.keySet == ratio.keySet)
+    ratio.foreach { case (b, v) => assert(bits(ratio2(b)) == bits(v), s"bucket $b") }
+    val dscored = docs.limit(50)
+      .select(TrainSet.dsirLogWeight(col("text"), ratio, dflt, 256).as("a"),
+        TrainSet.dsirLogWeight(col("text"), ratio2, dflt2, 256).as("b"))
+      .collect()
+    dscored.foreach(r => assert(bits(r.getDouble(0)) == bits(r.getDouble(1)),
+      "reloaded DSIR table scores differ"))
+
+    // dense matrix (IVF centroids shape) incl. -0.0 and subnormals
+    val mat = Array(Array(1.5, -0.0, Double.MinPositiveValue),
+      Array(-2.25, 1e308, 0.0))
+    Artifacts.saveMatrix(spark, mat, s"$tmp/mat")
+    val mat2 = Artifacts.loadMatrix(spark, s"$tmp/mat")
+    assert(mat2.length == mat.length)
+    mat.indices.foreach(i => assert(
+      mat2(i).map(bits).toSeq == mat(i).map(bits).toSeq, s"row $i"))
+    val cents = Similarity.kmeansCentroids(
+      Tables.load(spark, sf(), "embeddings"), k = 8, iters = 2)
+    Artifacts.saveMatrix(spark, cents, s"$tmp/cents")
+    val cents2 = Artifacts.loadMatrix(spark, s"$tmp/cents")
+    cents.indices.foreach(i => assert(
+      cents2(i).map(bits).toSeq == cents(i).map(bits).toSeq, s"centroid $i"))
+
+    // PQ codebooks (jagged 3-level nesting preserved in (sub, code) order)
+    val cbs = Similarity.pqTrain(Tables.load(spark, sf(), "embeddings"),
+      m = 4, dim = 64, codebookSize = 8, iters = 2)
+    Artifacts.saveCodebooks(spark, cbs, s"$tmp/cbs")
+    val cbs2 = Artifacts.loadCodebooks(spark, s"$tmp/cbs")
+    assert(cbs2.length == cbs.length)
+    cbs.indices.foreach { s0 =>
+      assert(cbs2(s0).length == cbs(s0).length, s"sub $s0 size")
+      cbs(s0).indices.foreach(c => assert(
+        cbs2(s0)(c).map(bits).toSeq == cbs(s0)(c).map(bits).toSeq,
+        s"sub $s0 code $c"))
+    }
+
+    // vocabulary: rank order is part of the artifact
+    val vocab = TextStats.topVocab(docs, "text", 16).toSeq
+    Artifacts.saveVocab(spark, vocab, s"$tmp/vocab")
+    assert(Artifacts.loadVocab(spark, s"$tmp/vocab").toSeq == vocab)
+  }
 }

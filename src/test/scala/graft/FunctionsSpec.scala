@@ -266,6 +266,44 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("nb_score_vec: codegen fold bit-identical to built-ins fold; null; bad bucket") {
+    import graft.ext.TextStats
+    // real fixture model: the codegen'd one-loop fold must equal the
+    // interpreted aggregate+zip_with formulation BIT-identically (same
+    // gram order, same per-label IEEE addition sequence, same priors
+    // seed) — including tokenless docs (priors only) and null text
+    val docs = Tables.load(spark, sf(), "documents")
+    val m = TextStats.nbTrain(docs, "text", "lang", "doc_id", numBuckets = 256)
+    val both = docs.limit(200)
+      .select(
+        TextStats.nbScores(TextStats.nbGramBuckets(col("text"), 256), m).as("cg"),
+        TextStats.nbScoresBuiltins(
+          TextStats.nbGramBuckets(col("text"), 256), m).as("bi"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Double](0).map(java.lang.Double.doubleToLongBits) ==
+        r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits),
+        s"codegen ${r.getSeq[Double](0)} != builtins ${r.getSeq[Double](1)}")
+    }
+    // null gram array -> null scores (nullIntolerant), both paths
+    val nul = Seq(Tuple1(Option.empty[Array[Long]])).toDF("b")
+      .select(graft.functions.NbScoreVec.nb_score_vec(col("b"), m.tables,
+        m.defaults, m.logPriors, 256).as("v")).collect()(0)
+    assert(nul.isNullAt(0))
+    // interpreted entry point agrees with a hand computation
+    val dense = Array(1.0, 10.0, 2.0, 20.0) // 2 buckets x 2 labels
+    val arr = graft.functions.NbScoreVec.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0L, 1L, 1L)),
+      dense, Array(0.5, -0.5))
+    assert(arr.toDoubleArray.toSeq == Seq(0.5 + 1.0 + 2.0 + 2.0, -0.5 + 10.0 + 20.0 + 20.0))
+    // out-of-range bucket fails loudly rather than reading garbage
+    intercept[IllegalArgumentException] {
+      graft.functions.NbScoreVec.compute(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(2L)),
+        dense, Array(0.0, 0.0))
+    }
+  }
+
   test("SQL registration: custom functions usable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
