@@ -168,14 +168,31 @@ object Bench {
     // the LAST 2000 chars of this line, so the adjudication-critical
     // fields come last — the per-query WALL map, then the sentinels,
     // then `total_sec` (duplicating `value`). The full wall map has
-    // outgrown 2000 chars (78 queries), so the kept tail is: sentinels
-    // + total + the TAIL of the wall map — the name-sorted x-queries,
-    // which are the expensive ones a regression read cares about; the
-    // first-truncated entries are the sub-second q0x rows. The CPU map
-    // and metadata ride up front where truncation can only cost
-    // diagnostics, never invert a wall-vs-cpu reading (the r7
-    // phantom-regression misread).
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qs,"hot_wall_cpu":$hot,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"total_sec":$total%.3f}""")
+    // outgrown 2000 chars (109 queries ≈ 2.9k chars even at 2dp), so no
+    // ordering fits ALL walls in the tail; two measures (r10, per the r9
+    // brief item 6):
+    //  1. the COMPLETE per-query wall+cpu table is WRITTEN UNTRUNCATED
+    //     to BENCH_FULL.json next to the repo (path below) — a driver
+    //     bench run leaves it in the worktree, the end-of-round commit
+    //     picks it up, and the judge reads every entry from the repo;
+    //  2. the printed wall map is sorted by DESCENDING wall, so what
+    //     truncation drops is the cheapest (least adjudicable) rows, and
+    //     the kept tail is the sub-second tail + sentinels + total —
+    //     while every >=1 s query already rides in hot_wall_cpu with its
+    //     cpu pair. The CPU map and metadata ride up front where
+    //     truncation can only cost diagnostics, never invert a
+    //     wall-vs-cpu reading (the r7 phantom-regression misread).
+    val byCost = all.sortBy { case (_, (w, _)) => -w }
+    val qsByCost = byCost.map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_FULL.json")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+      fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-map write failed: ${e.getMessage}") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","full_map":"$fullPath","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qsByCost,"hot_wall_cpu":$hot,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

@@ -246,6 +246,97 @@ object Declared {
               |  AND substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
               |ORDER BY d.doc_id""".stripMargin
 
+  // ---- x78 composed assembly pipeline, staged (r10) ----------------
+  // The stages are separate defs so PlanSpec can gate the composed
+  // LAZY prefix's plan shape and ScaleCheck can run the chain over
+  // replicated corpora — the declared query itself is exactly their
+  // composition, so the gated plan IS the measured plan.
+
+  /** Stage 1 input: three overlapping sources from one fixture table
+    * (x69's construction — curated keeps ids, web/mirror retag by
+    * +10000/+20000, all three overlap on the shared grids).
+    */
+  private[graft] def assemblyUnion(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"), lit("curated").as("src"))
+      .unionByName(docs.filter(col("doc_id") % 7 =!= 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          lit("web").as("src")))
+      .unionByName(docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"),
+          lit("mirror").as("src")))
+
+  /** Stage 1: precedence merge (curated > web > mirror-unlisted), then
+    * the payload joins back by id — the sanctioned x69 deployment shape
+    * (the merge shuffles 32-byte hashes + slim structs; the id join is
+    * the once-per-refresh payload shuffle).
+    */
+  private[graft] def assemblyMerged(union: DataFrame): DataFrame =
+    Dedup.mergeByPrecedence(
+        union, "text", "doc_id", "src", Map("curated" -> 2, "web" -> 1))
+      .select("doc_id")
+      .join(union, Seq("doc_id"))
+
+  /** Stage 2 (the trained artifact): near-dup clusters over the MERGED
+    * corpus (dedup runs after merge — the merge only collapses
+    * byte-identical copies), quality-elected survivors (x75's policy),
+    * output = the slim NON-survivor id list to drop. Checkpoint-backed.
+    */
+  private[graft] def assemblyDropDups(merged: DataFrame): DataFrame = {
+    val clusters = Dedup.dupClusters(Dedup.jaccardPairs(
+      merged, "text", "doc_id", k = 3, threshold = 0.2,
+      maxDocFreq = Some(100)))
+    clusters.join(
+      Dedup.clusterSurvivors(clusters, merged, "doc_id",
+          TextStats.qualityScore(col("text")))
+        .select(col("survivor_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id").localCheckpoint(true)
+  }
+
+  /** Stages 3-5, one LAZY frame: survivor drop (broadcast anti-join) →
+    * curation gates (map-only; adds `quality` for the fill rank) →
+    * benchmark decontamination (broadcast shingle set → broadcast
+    * anti-join of the flagged ids) → mixture recipe over source shares
+    * (group-sized broadcast rates + md5 gate). PlanSpec gates this
+    * frame's shape: broadcasts for every small side, no window, no
+    * global sort.
+    */
+  private[graft] def assemblyMixed(docs: DataFrame, merged: DataFrame,
+                                   dropDups: DataFrame): DataFrame = {
+    val gated = Curation.standardGates(
+      merged.join(broadcast(dropDups), Seq("doc_id"), "left_anti"))
+    val contam = Curation.contaminationOverlap(
+      gated, docs.filter(col("doc_id") % 37 === 0),
+      "text", "doc_id", k = 3, minOverlap = 5).select("doc_id")
+    Curation.mixtureSample(
+      gated.join(broadcast(contam), Seq("doc_id"), "left_anti"),
+      "src", "text", "doc_id",
+      Seq("curated" -> 0.5, "web" -> 0.3, "mirror" -> 0.2), 8000L)
+  }
+
+  /** Stages 6-8: greedy token-budget fill by (quality desc, id) —
+    * range-partitioned slim longs, never a global sort — then epoch
+    * shuffle + export manifest over the selection under ONE seed, so
+    * the manifest describes exactly the shards the shuffled export
+    * writes; lead_doc = the pos-1 document pins the shuffle order.
+    */
+  private[graft] def assemblyResult(mixed: DataFrame): DataFrame = {
+    val sel = graft.ext.TrainSet.budgetFill(mixed, "doc_id",
+        rankCol = col("quality"),
+        tokenCol = TextStats.tokenCount(col("text")), budget = 5000L)
+      .select("doc_id", "n_tokens")
+    val shuf = graft.ext.TrainSet.epochShuffle(
+      sel, "doc_id", seed = "asm-e1", numShards = 4)
+    graft.ext.TrainSet.exportManifest(sel, "doc_id", col("n_tokens"),
+        seed = "asm-e1", numShards = 4)
+      .join(shuf.filter(col("pos") === 1)
+        .select(col("shard"), col("doc_id").as("lead_doc")), Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("token_mass"),
+        col("id_xor"), col("lead_doc"))
+      .orderBy("shard")
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- core relational (SURVEY §2.5-2.6) ----
@@ -3240,67 +3331,17 @@ object Declared {
     "x78_assembly_e2e" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // -- stage 1: three overlapping sources; curated > web > mirror
-        // (unlisted). Same construction as x69: the fixture's 500
-        // distinct texts gain real multi-source copies.
-        val union = docs.filter(col("doc_id") % 3 === 0)
-          .select(col("doc_id"), col("text"), lit("curated").as("src"))
-          .unionByName(docs.filter(col("doc_id") % 7 =!= 0)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text"),
-              lit("web").as("src")))
-          .unionByName(docs.filter(col("doc_id") % 2 === 0)
-            .select((col("doc_id") + 20000).as("doc_id"), col("text"),
-              lit("mirror").as("src")))
-        val merged = Dedup.mergeByPrecedence(
-            union, "text", "doc_id", "src", Map("curated" -> 2, "web" -> 1))
-          .select("doc_id")
-          .join(union, Seq("doc_id")) // payload joins back by id
-        // -- stage 2: near-dup clusters over the MERGED corpus (dedup
-        // runs after merge — the merge only collapses byte-identical
-        // copies), quality-elected survivors, non-survivors dropped.
-        // One memoized per-refresh artifact (slim id list).
+        val union = assemblyUnion(docs)
+        val merged = assemblyMerged(union)
+        // near-dup clustering + survivor election is the one memoized
+        // per-refresh artifact (slim non-survivor id list; the x23/x75
+        // sharing discipline)
         val dropDups = artifact(s, "asm_dedup_drop_k3_t02", dir) {
-          val clusters = Dedup.dupClusters(Dedup.jaccardPairs(
-            merged, "text", "doc_id", k = 3, threshold = 0.2,
-            maxDocFreq = Some(100)))
-          clusters.join(
-            Dedup.clusterSurvivors(clusters, merged, "doc_id",
-                TextStats.qualityScore(col("text")))
-              .select(col("survivor_id").as("doc_id")),
-            Seq("doc_id"), "left_anti")
-            .select("doc_id").localCheckpoint(true)
+          assemblyDropDups(merged)
         }
-        val deduped = merged.join(broadcast(dropDups), Seq("doc_id"), "left_anti")
-        // -- stage 3: curation gates (hash sample -> lang -> quality +
-        // repetition); keeps src/text, adds quality for the fill rank
-        val gated = Curation.standardGates(deduped)
-        // -- stage 4: decontamination vs the external benchmark slice
-        val contam = Curation.contaminationOverlap(
-          gated, docs.filter(col("doc_id") % 37 === 0),
-          "text", "doc_id", k = 3, minOverlap = 5).select("doc_id")
-        val clean = gated.join(broadcast(contam), Seq("doc_id"), "left_anti")
-        // -- stage 5: mixture recipe over source shares (token mass)
-        val mixed = Curation.mixtureSample(clean, "src", "text", "doc_id",
-          Seq("curated" -> 0.5, "web" -> 0.3, "mirror" -> 0.2), 8000L)
-        // -- stage 6: greedy token-budget fill by (quality desc, id)
-        val sel = graft.ext.TrainSet.budgetFill(mixed, "doc_id",
-            rankCol = col("quality"),
-            tokenCol = TextStats.tokenCount(col("text")), budget = 5000L)
-          .select("doc_id", "n_tokens")
-        // -- stages 7+8: epoch shuffle + export manifest over the
-        // selection, same seed so the manifest describes the shuffled
-        // export's shards; lead_doc = pos 1 under the shuffle order
-        val shuf = graft.ext.TrainSet.epochShuffle(
-          sel, "doc_id", seed = "asm-e1", numShards = 4)
-        graft.ext.TrainSet.exportManifest(sel, "doc_id", col("n_tokens"),
-            seed = "asm-e1", numShards = 4)
-          .join(shuf.filter(col("pos") === 1)
-            .select(col("shard"), col("doc_id").as("lead_doc")), Seq("shard"))
-          .select(col("shard"), col("n_docs"), col("token_mass"),
-            col("id_xor"), col("lead_doc"))
-          .orderBy("shard")
+        assemblyResult(assemblyMixed(docs, merged, dropDups))
       },
-      Some(s"""WITH RECURSIVE u AS (
+      Some(s"""WITH RECURSIVE u AS MATERIALIZED (
         |  SELECT doc_id, text, 'curated' AS src, 2 AS prio
         |  FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
@@ -3309,22 +3350,22 @@ object Declared {
         |  UNION ALL
         |  SELECT doc_id + 20000, text, 'mirror', -1
         |  FROM documents WHERE doc_id % 2 = 0),
-        |msv AS (
+        |msv AS MATERIALIZED (
         |  SELECT (max({'prio': prio, 'negid': -doc_id, 'id': doc_id})).id AS doc_id
         |  FROM u GROUP BY sha256(text)),
-        |m AS (SELECT u.doc_id, u.text, u.src FROM u JOIN msv USING (doc_id)),
-        |toks AS (
+        |m AS MATERIALIZED (SELECT u.doc_id, u.text, u.src FROM u JOIN msv USING (doc_id)),
+        |toks AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
         |  FROM m),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS (
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |prs AS (
+        |prs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT id_a, id_b,
         |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
@@ -3332,15 +3373,15 @@ object Declared {
         |    JOIN sizes sa ON sa.doc_id = id_a
         |    JOIN sizes sb ON sb.doc_id = id_b)
         |  WHERE jaccard >= 0.2),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM prs
         |  UNION ALL SELECT id_b, id_a FROM prs),
         |reach(node, root) AS (
         |  SELECT DISTINCT src, src FROM edges
         |  UNION
         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
-        |cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
-        |qf AS (
+        |cl AS MATERIALIZED (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        |qf AS MATERIALIZED (
         |  SELECT doc_id, nchars,
         |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
         |    round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
@@ -3351,7 +3392,7 @@ object Declared {
         |      length(regexp_replace(m.text, '[^.,;:!?]', '', 'g')) AS punct,
         |      length(m.text) AS nchars
         |    FROM m JOIN toks t USING (doc_id))),
-        |q AS (
+        |q AS MATERIALIZED (
         |  SELECT doc_id, rep_ratio,
         |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
         |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
@@ -3359,16 +3400,16 @@ object Declared {
         |      + 0.2
         |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
         |  FROM qf),
-        |sv AS (
+        |sv AS MATERIALIZED (
         |  SELECT doc_id FROM (
         |    SELECT cl.doc_id, cl.cluster_id, q.quality FROM cl JOIN q USING (doc_id))
         |  QUALIFY row_number() OVER (PARTITION BY cluster_id
         |    ORDER BY quality DESC, doc_id ASC) = 1),
-        |dedup AS (
+        |dedup AS MATERIALIZED (
         |  SELECT m.* FROM m
         |  WHERE m.doc_id NOT IN (SELECT doc_id FROM cl)
         |     OR m.doc_id IN (SELECT doc_id FROM sv)),
-        |lid AS (
+        |lid AS MATERIALIZED (
         |  SELECT doc_id,
         |    CASE WHEN has_cjk THEN 'zh'
         |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
@@ -3383,34 +3424,34 @@ object Declared {
         |      len(list_filter(t.w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
         |      len(list_filter(t.w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
         |    FROM dedup d JOIN toks t USING (doc_id))),
-        |gated AS (
+        |gated AS MATERIALIZED (
         |  SELECT d.doc_id, d.src, q.quality
         |  FROM dedup d
         |  JOIN lid USING (doc_id) JOIN q USING (doc_id)
         |  WHERE substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
         |    AND lid.lang_pred = 'en'
         |    AND q.quality >= 0.8 AND q.rep_ratio <= 0.6),
-        |btoks AS (
+        |btoks AS MATERIALIZED (
         |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
         |  FROM documents WHERE doc_id % 37 = 0),
-        |bsh AS (
+        |bsh AS MATERIALIZED (
         |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |  FROM btoks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        |contam AS (
+        |contam AS MATERIALIZED (
         |  SELECT sh.doc_id FROM sh
         |  JOIN gated USING (doc_id) JOIN bsh USING (s)
         |  GROUP BY sh.doc_id HAVING count(*) >= 5),
-        |clean AS (
+        |clean AS MATERIALIZED (
         |  SELECT g.doc_id, g.src, g.quality, len(t.w)::bigint AS nt
         |  FROM gated g JOIN toks t USING (doc_id)
         |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contam)),
-        |cnt AS (
+        |cnt AS MATERIALIZED (
         |  SELECT src, count(*) AS n_docs, sum(nt)::bigint AS n_tokens
         |  FROM clean GROUP BY src),
-        |tw AS (SELECT * FROM (VALUES
+        |tw AS MATERIALIZED (SELECT * FROM (VALUES
         |  ('curated', 0.5::double), ('web', 0.3::double),
         |  ('mirror', 0.2::double)) t(src, tgt)),
-        |thr AS (
+        |thr AS MATERIALIZED (
         |  SELECT src,
         |    CASE WHEN rate >= 1.0 THEN NULL
         |      ELSE printf('%04x', floor(rate * 65536)::int) END AS thr
@@ -3418,28 +3459,28 @@ object Declared {
         |    SELECT c.src,
         |      least(1.0::double, coalesce(tgt, 0) * 8000 / greatest(n_tokens::double, 1.0)) AS rate
         |    FROM cnt c LEFT JOIN tw USING (src))),
-        |mixed AS (
+        |mixed AS MATERIALIZED (
         |  SELECT c.doc_id, c.quality, c.nt
         |  FROM clean c JOIN thr USING (src)
         |  WHERE thr.thr IS NULL
         |     OR substr(md5('graft-mix' || c.doc_id::varchar), 1, 4) < thr.thr),
-        |bf AS (
+        |bf AS MATERIALIZED (
         |  SELECT doc_id, nt,
         |    coalesce(sum(nt) OVER (ORDER BY quality DESC, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cum_before
         |  FROM mixed),
-        |selres AS (
+        |selres AS MATERIALIZED (
         |  SELECT doc_id, nt, md5('asm-e1:' || doc_id::varchar) AS hx
         |  FROM bf WHERE cum_before < 5000),
-        |sh4 AS (
+        |sh4 AS MATERIALIZED (
         |  SELECT doc_id, nt, hx,
         |    ('0x' || substr(hx, 1, 8))::bigint % 4 AS shard
         |  FROM selres),
-        |man AS (
+        |man AS MATERIALIZED (
         |  SELECT shard, count(*) AS n_docs, sum(nt)::bigint AS token_mass,
         |    bit_xor(('0x' || substr(hx, 9, 15))::bigint) AS id_xor
         |  FROM sh4 GROUP BY 1),
-        |lead AS (
+        |lead AS MATERIALIZED (
         |  SELECT shard, doc_id AS lead_doc FROM sh4
         |  QUALIFY row_number() OVER (PARTITION BY shard
         |    ORDER BY hx, doc_id) = 1)

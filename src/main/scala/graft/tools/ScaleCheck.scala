@@ -733,6 +733,56 @@ object ScaleCheck {
       }
     }
 
+    // --- x78 composed assembly pipeline at scale ----------------------
+    // The FULL chain (merge -> cluster+survivor drop -> gates ->
+    // decontam -> mixture -> budget fill -> shuffle+manifest) over the
+    // same perturbed replication. Replica >= 1 rows carry retagged
+    // tokens, so they add full merge/cluster/pair volume (the expensive
+    // stages) but die at the content-sensitive language gate — the
+    // post-gate corpus, the mixture rates computed FROM it, the greedy
+    // fill and the export manifest are therefore provably
+    // scale-invariant. Witness: the final manifest (counts, token
+    // masses, xor membership checksums, shuffle lead docs) is
+    // BIT-IDENTICAL at every scale — one drifted row at any stage of
+    // the composition changes a checksum — and wall growth stays
+    // sub-quadratic while the corpus grows 16x.
+    locally {
+      import graft.queries.Declared
+      def manifest(n: Int): Seq[(Long, Long, Long, Long, Long)] = {
+        val docs = replicateDocsKeep0(n)
+        val union = Declared.assemblyUnion(docs)
+        val merged = Declared.assemblyMerged(union)
+        val drop = Declared.assemblyDropDups(merged)
+        Declared.assemblyResult(Declared.assemblyMixed(docs, merged, drop))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+      }
+      manifest(1) // warm-up
+      val timed = scales.map { n =>
+        val t0 = System.nanoTime()
+        val m = manifest(n)
+        ((System.nanoTime() - t0) / 1e9, m)
+      }
+      val base = timed(0)._2
+      assert(base.nonEmpty, "x78 scale: 1x produced an empty manifest")
+      timed.zip(scales).foreach { case ((_, m), n) =>
+        assert(m == base,
+          s"x78 scale: manifest drifted at ${n}x\n  1x: $base\n  ${n}x: $m")
+      }
+      val exp = math.log(timed(2)._1 / timed(0)._1) / math.log(16.0)
+      assert(exp < 1.5, f"x78 assembly e2e: growth exponent $exp%.2f not sub-quadratic")
+      sb.append("\n## Assembly e2e at scale (x78 composition)\n\n")
+      sb.append("Perturbed replication; the final export manifest asserted\n")
+      sb.append("bit-identical at every scale (xor membership checksums + shuffle\n")
+      sb.append("lead docs), wall growth exp asserted < 1.5.\n\n")
+      sb.append("| case | 1x (s / shards) | 4x | 16x | exp |\n|---|---|---|---|---|\n")
+      sb.append(f"| x78 assembly e2e | ${timed(0)._1}%.2f / ${base.size} " +
+        f"| ${timed(1)._1}%.2f | ${timed(2)._1}%.2f | $exp%.2f |\n")
+      println(f"SCALE x78 e2e exp=$exp%.2f " +
+        timed.map { case (t, _) => f"$t%.2f" }.mkString(" "))
+    }
+
     // --- as-of join under hot-key skew: salted vs plain ---------------
     // Fixture: the sf events with ~half of all rows remapped onto ONE
     // key — the regime AsofJoin.asofJoin's docstring warns about (its

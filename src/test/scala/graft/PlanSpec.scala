@@ -489,6 +489,41 @@ class PlanSpec extends SparkSuite {
       s"$exchanges exchanges / $spreads spreads (only orderBy + one input spread allowed):\n$p")
   }
 
+  // x78: the composed assembly prefix (merge -> survivor drop -> gates
+  // -> decontam -> mixture) must keep every stage's proven shape IN
+  // COMPOSITION: the merge is the partial greatest_row hash agg, every
+  // small side (drop list, contaminated list, mixture rates) joins
+  // broadcast, and nothing introduces a window or a global sort — the
+  // lazy prefix is exactly what the declared query executes before the
+  // budget fill (whose own range+window+lookup shape x72's gate holds)
+  test("assembly e2e composed prefix: broadcasts for small sides, no window, no global sort") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Tables.load(spark, sf(), "documents")
+    val union = graft.queries.Declared.assemblyUnion(docs)
+    val merged = graft.queries.Declared.assemblyMerged(union)
+    // crafted slim drop list: the gate asserts plan SHAPE, so training
+    // the real cluster artifact here would only add runtime
+    val drop = Seq(20002L).toDF("doc_id")
+    val p = graft.queries.Declared.assemblyMixed(docs, merged, drop)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("partial_greatest_row"), s"merge lost its partial agg:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"merge not hash-aggregated:\n$p")
+    assert(!p.contains("SortAggregate"), s"merge degraded to sort agg:\n$p")
+    assert(!p.contains("Window"), s"window in the composed prefix:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"global sort in the composed prefix:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the prefix:\n$p")
+    // broadcast anti-joins for the drop + contaminated lists, broadcast
+    // rates join for the mixture gate — at least three broadcast joins,
+    // and the only SortMergeJoin allowed is the once-per-refresh payload
+    // join back by id (both sides corpus-sized by design)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n$p")
+    assert(smj <= 1, s"only the payload id join may sort-merge, got $smj:\n$p")
+  }
+
   // x69: the merge survivor must be the bounded greatest_row aggregate,
   // never a window over the unioned corpora — the hot key (a boilerplate
   // page every source carries) reduces map-side to one struct per task
@@ -507,11 +542,12 @@ class PlanSpec extends SparkSuite {
     val p = planOf("x71_nb_langid")
     assert(!p.contains("Join"), s"join in NB inference:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation in NB inference:\n$p")
-    assert(p.contains("bucket_lookup"), s"model lookup not in-plan:\n$p")
-    // one-pass multi-label scoring: the dense vector probe must appear,
-    // and the fold must materialize in its own projection (three argmax
-    // references over an attribute, not three re-folds — r8 verdict)
-    assert(p.contains("bucket_lookup_vec"), s"dense vector probe not in-plan:\n$p")
+    // one-pass multi-label scoring: the whole fold is the single
+    // codegen'd nb_score_vec expression (r10 — one loop, one allocation
+    // per row; the interpreted aggregate+zip_with formulation is the
+    // spec-only oracle), materialized in its own projection (three
+    // argmax references over an attribute, not three re-folds)
+    assert(p.contains("nb_score_vec"), s"codegen'd NB fold not in-plan:\n$p")
     // allowed: orderBy range exchange + one round-robin input spread
     val exchanges = "Exchange".r.findAllIn(p).size
     val spreads = "RoundRobinPartitioning".r.findAllIn(p).size

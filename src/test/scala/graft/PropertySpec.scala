@@ -447,6 +447,41 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("budgetFill adversarial: total rank tie (order rests on id alone)") {
+    import graft.ext.TrainSet
+    // every document identical rank — the greedy order is then ENTIRELY
+    // the id tiebreak, so any instability in the range partition /
+    // per-partition window / offset stitch would misorder the fill.
+    // Many partitions (40 rows, parallelism-sized exchange) on purpose.
+    val rows = (0L until 40L).map(i => (i, 1.0, 7L))
+    val df = rows.toDF("id", "r", "tok").repartition(16)
+    val got = TrainSet.budgetFill(df, "id", col("r"), col("tok"), 100L)
+      .collect().map(x => (x.getLong(0), x.getLong(3))).sortBy(_._1).toSeq
+    // 100/7 = 14.28: ids 0..14 kept (id 14 starts at 98 < 100, crosses)
+    val exp = (0L until 15L).map(i => (i, i * 7L))
+    assert(got == exp, s"total-tie fill: $got")
+  }
+
+  test("budgetFill adversarial: one document alone exceeds the budget") {
+    import graft.ext.TrainSet
+    // the best-ranked doc is bigger than the whole budget: greedy keeps
+    // exactly it (cum_before = 0 < budget) and nothing else — the
+    // "last kept doc may cross" convention at its extreme; everything
+    // after it must see cum_before >= budget even across partitions.
+    val rows = Seq((1L, 9.0, 1000L), (2L, 8.0, 5L), (3L, 7.0, 5L))
+    val df = rows.toDF("id", "r", "tok").repartition(8)
+    val got = TrainSet.budgetFill(df, "id", col("r"), col("tok"), 50L)
+      .collect().map(x => (x.getLong(0), x.getLong(3))).toSeq
+    assert(got == Seq((1L, 0L)), s"oversized-first fill: $got")
+    // and when the giant is NOT first-ranked, docs before it still fill
+    val rows2 = Seq((1L, 9.0, 10L), (2L, 8.0, 1000L), (3L, 7.0, 5L))
+    val got2 = TrainSet.budgetFill(rows2.toDF("id", "r", "tok").repartition(8),
+        "id", col("r"), col("tok"), 50L)
+      .collect().map(x => (x.getLong(0), x.getLong(3))).sortBy(_._1).toSeq
+    // id 1 (0 < 50), id 2 (10 < 50, crosses hugely), id 3 at 1010 >= 50
+    assert(got2 == Seq((1L, 0L), (2L, 10L)), s"mid-giant fill: $got2")
+  }
+
   test("exportManifest fuzz: shard masses partition the corpus for any seed/shards") {
     import graft.ext.TrainSet
     samples(Gen.zip(Gen.alphaStr.suchThat(_.nonEmpty), Gen.choose(1, 16)), 5)
