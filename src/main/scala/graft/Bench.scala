@@ -153,11 +153,13 @@ object Bench {
       .mkString("{", ",", "}")
     val qsCpu = all.map { case (k, (_, c)) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
-    // wall+cpu PAIRS for every query over 1 s (or errored), compact enough
-    // to survive inside the driver's kept 2000-char tail alongside the
-    // sentinels — so an expensive query's wall-vs-cpu adjudication (the r8
-    // x24 misread) never depends on the truncated full cpu map up front
-    val hot = all.filter { case (_, (w, _)) => w >= 1.0 || w < 0 }
+    // wall+cpu PAIRS for every query over 0.5 s (or errored), compact
+    // enough to survive inside the driver's kept 2000-char tail alongside
+    // the sentinels — so an expensive query's wall-vs-cpu adjudication
+    // (the r8 x24 misread) never depends on the truncated full cpu map up
+    // front (threshold lowered 1.0 -> 0.5 in r10 to widen adjudicable
+    // coverage; the complete table is in BENCH_FULL.json regardless)
+    val hot = all.filter { case (_, (w, _)) => w >= 0.5 || w < 0 }
       .map { case (k, (w, c)) => "\"" + k + "\":[" + f"$w%.3f,$c%.3f]" }
       .mkString("{", ",", "}")
     val total = all.map(_._2._1).filter(_ >= 0).sum

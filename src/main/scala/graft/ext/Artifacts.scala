@@ -144,4 +144,56 @@ object Artifacts {
 
   def loadVocab(spark: SparkSession, path: String): Array[String] =
     spark.read.parquet(path).collect().sortBy(_.getInt(0)).map(_.getString(1))
+
+  // ---- BPE merge list (ordered (left, right, pair_count) rules) ----
+
+  /** One row per merge, ascending step — ORDER IS THE MODEL: applying
+    * merges out of order segments differently.
+    */
+  def saveBpeMerges(spark: SparkSession, merges: Array[(String, String, Long)],
+                    path: String): Unit = {
+    val rows = merges.indices.map(i =>
+      Row(i + 1, merges(i)._1, merges(i)._2, merges(i)._3))
+    val schema = StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadBpeMerges(spark: SparkSession, path: String): Array[(String, String, Long)] =
+    spark.read.parquet(path).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+
+  // ---- corpus-scale indexes (slim frames, parquet-backed) ----
+
+  /** Persist a corpus-scale INDEX frame (banded LSH index, corpus slot
+    * index, PQ code frame): unlike the kilobyte artifacts above these
+    * are corpus-sized, and their deployment shape is a one-off parquet
+    * write reused across refreshes / query batches / streams — the
+    * "build once per corpus version, probe many times" half of the
+    * train/apply split.
+    *
+    * `layoutCols` partitions the files by the probe key (e.g. `band`
+    * for the LSH index) so a probe reads only its partitions —
+    * partition pruning is the read-side pushdown at 100 TB. Empty =
+    * plain layout (fine for equi-join indexes like the slot index,
+    * where the join shuffles both sides by the key anyway).
+    */
+  def saveIndex(df: org.apache.spark.sql.DataFrame, path: String,
+                layoutCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (layoutCols.nonEmpty) w.partitionBy(layoutCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Read an index back. Column order may differ from the writer's
+    * (partition columns append last) — consumers join/select by NAME,
+    * and the round-trip specs assert behavioral identity (a reloaded
+    * index serves byte-identical results), not layout identity.
+    */
+  def loadIndex(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
 }

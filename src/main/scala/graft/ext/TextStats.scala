@@ -313,6 +313,104 @@ object TextStats {
         round(col("kl"), 6).as("kl_vs_corpus"))
   }
 
+  /** X5f: BPE tokenizer training (r10 — the Sennrich et al. 2015
+    * byte-pair-encoding formulation, the canonical "train a subword
+    * vocabulary on the corpus" pipeline step): iteratively merge the
+    * most frequent adjacent symbol pair, starting from characters.
+    *
+    * Semantics (declared exactly; engine-portable):
+    *  - the unit is the DISTINCT WORD weighted by corpus frequency
+    *    ([[Dedup.tokens]] tokenization), symbols start as its ASCII
+    *    characters — no end-of-word marker (a documented variant:
+    *    merges never cross word boundaries here, so the marker would
+    *    only distinguish suffix merges);
+    *  - pair counts sum `freq(word) × adjacent occurrences` (every
+    *    adjacent position counts — "aaa" contributes 2 to (a,a), the
+    *    reference get_stats convention);
+    *  - the winning pair is (count desc, left asc, right asc) — a
+    *    total order, so training is deterministic on any engine;
+    *  - each merge applies GREEDY LEFT-TO-RIGHT, non-overlapping
+    *    ("aaaa" + (a,a) → [aa, aa]) — [[bpeMergeStep]]'s fold; training
+    *    stops early when no pair occurs at least `minCount` times.
+    *
+    * Scale (100 TB): ONE corpus scan builds the (word, freq) table —
+    * everything after runs on DISTINCT WORDS (millions of rows at web
+    * scale — a metadata-sized frame next to the corpus). Each of the
+    * `numMerges` iterations is one partial-agg'd pair count over that
+    * frame + a 1-row argmax collect + one map-only rebuild; the corpus
+    * itself is never touched again. The result is a kilobyte merge
+    * list — persist with [[Artifacts]], apply with [[bpeSegmentCount]]
+    * (map-only, streams unchanged) or via a segmentation-table join.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               numMerges: Int, minCount: Long = 2L): Array[(String, String, Long)] = {
+    require(numMerges > 0, s"numMerges must be positive (got $numMerges)")
+    import org.apache.spark.sql.DataFrame
+    val wordFreq = docs
+      .select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // distinct words: slim, reused every iteration
+    var words: DataFrame = wordFreq
+      .select(col("freq"), regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    var step = 0
+    while (!done && step < numMerges) {
+      val pairs = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (pairs.isEmpty || pairs(0).getLong(2) < minCount) done = true
+      else {
+        val (a, b, c) = (pairs(0).getString(0), pairs(0).getString(1),
+          pairs(0).getLong(2))
+        merges += ((a, b, c))
+        // flat plans across iterations (the dupClusters discipline)
+        words = words.select(col("freq"),
+          bpeMergeStep(col("syms"), a, b).as("syms")).localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toArray
+  }
+
+  /** One BPE merge applied to a symbol array: greedy left-to-right,
+    * non-overlapping — the fold appends each symbol unless the
+    * accumulator's LAST element is `a` and the incoming is `b`, in
+    * which case the pair collapses to `a+b`. A just-merged `a+b` can
+    * never re-match as `a` (b is non-empty), so overlap is impossible
+    * by construction: "aaaa" + (a,a) → [aa, aa], "aaa" → [aa, a].
+    */
+  def bpeMergeStep(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Map-only BPE application: per-document (n_words, n_subwords) under
+    * an ordered merge list — the merges ride as literals and the k
+    * folds run inside the row, so the identical expression gates
+    * streams per micro-batch (no join, no shuffle; the batch
+    * alternative is a join against the distinct-word segmentation
+    * table, which is what the DuckDB oracle replays — two independent
+    * formulations of the same function).
+    */
+  def bpeSegmentCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val toks = Dedup.tokens(coalesce(text, lit("")))
+    val segmented = transform(toks, w => merges.foldLeft(
+      regexp_extract_all(w, lit("."), lit(0))) {
+      case (syms, (a, b)) => bpeMergeStep(syms, a, b)
+    })
+    struct(size(toks).cast("long").as("n_words"),
+      aggregate(segmented, lit(0L), (acc, s) => acc + size(s)).as("n_subwords"))
+  }
+
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 

@@ -337,6 +337,85 @@ object Declared {
       .orderBy("shard")
   }
 
+  // ---- x79/x80 BPE oracle: the k merge stages generated as a CTE
+  // chain (one pair-count + argmax + greedy-merge rebuild per stage).
+  // The greedy left-to-right merge is replayed RELATIONALLY: match
+  // positions, runs of consecutive matches (possible only when
+  // left == right), even-offset selection within each run — provably
+  // the fold's non-overlapping L2R semantics (see TextStats
+  // .bpeMergeStep; PropertySpec fuzzes the equivalence against a
+  // plain-JVM reference). MATERIALIZED throughout (the x78 lesson:
+  // DuckDB 1.0 re-inlines chained CTEs).
+  private def bpeStagesCte(k: Int): String = {
+    val base = """WITH a0 AS MATERIALIZED (
+      |  SELECT w, count(*)::bigint AS freq, regexp_extract_all(w, '.') AS syms
+      |  FROM (
+      |    SELECT u.x AS w FROM (
+      |      SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |      FROM documents), unnest(ws) AS u(x))
+      |  GROUP BY w)""".stripMargin
+    val stages = (1 to k).map { s =>
+      s"""|p$s AS MATERIALIZED (
+      |  SELECT l, r, sum(freq)::bigint AS c FROM (
+      |    SELECT freq, syms[i] AS l, syms[i+1] AS r
+      |    FROM a${s - 1}, unnest(range(1, len(syms))) AS t(i))
+      |  GROUP BY 1, 2),
+      |b$s AS MATERIALIZED (SELECT l, r, c FROM p$s ORDER BY c DESC, l, r LIMIT 1),
+      |x$s AS MATERIALIZED (
+      |  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+      |  FROM (
+      |    SELECT a.w, t.i FROM a${s - 1} a, b$s b, unnest(range(1, len(a.syms))) AS t(i)
+      |    WHERE a.syms[i] = b.l AND a.syms[i+1] = b.r)),
+      |sel$s AS MATERIALIZED (
+      |  SELECT w, i FROM (
+      |    SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS m0 FROM x$s)
+      |  WHERE (i - m0) % 2 = 0),
+      |a$s AS MATERIALIZED (
+      |  SELECT p.w, p.freq,
+      |    list(CASE WHEN sm.i IS NOT NULL THEN b.l || b.r ELSE p.sym END
+      |      ORDER BY p.i) AS syms
+      |  FROM (
+      |    SELECT w, freq, syms[i] AS sym, i
+      |    FROM a${s - 1}, unnest(range(1, len(syms) + 1)) AS t(i)) p
+      |  CROSS JOIN b$s b
+      |  LEFT JOIN sel$s sm ON sm.w = p.w AND sm.i = p.i
+      |  LEFT JOIN sel$s sp ON sp.w = p.w AND sp.i = p.i - 1
+      |  WHERE sp.i IS NULL
+      |  GROUP BY p.w, p.freq)""".stripMargin
+    }
+    (base +: stages).mkString(",\n")
+  }
+
+  private def bpeMergesOracle(k: Int): String =
+    bpeStagesCte(k) + "\n" + (1 to k).map(s =>
+      s"SELECT $s::bigint AS step, l AS left_sym, r AS right_sym, c AS pair_count FROM b$s")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  private def bpeSegmentOracle(k: Int): String =
+    bpeStagesCte(k) + s""",
+      |seg AS MATERIALIZED (SELECT w, len(syms)::bigint AS nseg FROM a$k),
+      |dt AS MATERIALIZED (
+      |  SELECT doc_id, u.x AS w FROM (
+      |    SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |    FROM documents WHERE doc_id IS NOT NULL), unnest(ws) AS u(x)),
+      |per AS (
+      |  SELECT doc_id, count(*)::bigint AS n_words, sum(nseg)::bigint AS n_subwords
+      |  FROM dt JOIN seg USING (w) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(per.n_words, 0) AS n_words,
+      |  coalesce(per.n_subwords, 0) AS n_subwords,
+      |  round(coalesce(per.n_subwords, 0)::double / greatest(coalesce(per.n_words, 0), 1), 6) AS fertility
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |WHERE d.doc_id IS NOT NULL
+      |ORDER BY d.doc_id""".stripMargin
+
+  private def bpeMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long)] =
+    artifact(s, "bpe_merges_8", dir) {
+      viaStore(s, "bpe_merges_8") {
+        TextStats.bpeTrain(t(s, dir, "documents"), "text", numMerges = 8)
+      }(graft.ext.Artifacts.saveBpeMerges, graft.ext.Artifacts.loadBpeMerges)
+    }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- core relational (SURVEY §2.5-2.6) ----
@@ -3486,6 +3565,44 @@ object Declared {
         |    ORDER BY hx, doc_id) = 1)
         |SELECT man.shard, man.n_docs, man.token_mass, man.id_xor, lead.lead_doc
         |FROM man JOIN lead USING (shard) ORDER BY man.shard""".stripMargin)),
+
+    // X5f: BPE tokenizer training (r10 — Sennrich-style subword merge
+    // learning over the distinct-word table; the canonical "train a
+    // vocabulary on the corpus" step). The 8-merge table IS the model
+    // (trained once, persisted + reloaded via Artifacts, reused by
+    // x80); DuckDB replays all 8 stages independently — pair counts,
+    // (count desc, left, right) argmax, and the greedy L2R merge in
+    // its relational run-parity form.
+    "x79_bpe_merges" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        bpeMergesArtifact(s, dir).toSeq.zipWithIndex
+          .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+          .toDF("step", "left_sym", "right_sym", "pair_count")
+          .orderBy("step")
+      },
+      Some(bpeMergesOracle(8))),
+
+    // X5f apply: per-document subword segmentation stats under the
+    // trained merge list. The Spark side is the MAP-ONLY fold (merges
+    // as literals — no join, no shuffle, streams unchanged); the
+    // oracle replays via the distinct-word segmentation TABLE (the
+    // batch join formulation) — two independent constructions of the
+    // same function, hash-compared.
+    "x80_bpe_segment" -> Q(
+      (s, dir) => {
+        val merges = bpeMergesArtifact(s, dir).map(m => (m._1, m._2)).toSeq
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextStats.bpeSegmentCount(col("text"), merges).as("c"))
+          .select(col("doc_id"),
+            col("c.n_words").as("n_words"),
+            col("c.n_subwords").as("n_subwords"),
+            round(col("c.n_subwords") /
+              greatest(col("c.n_words"), lit(1L)), 6).as("fertility"))
+          .orderBy("doc_id")
+      },
+      Some(bpeSegmentOracle(8))),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

@@ -92,6 +92,16 @@ object Plans {
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
         graft.queries.Declared.curationGates(docs, dropDups)
       },
+      // x78's composed lazy prefix (merge -> survivor drop -> gates ->
+      // decontam -> mixture): the declared query executes exactly this
+      // before the eager budget fill; drop list crafted slim (plan
+      // shape only — the real one is the memoized cluster artifact)
+      "x78_assembly_e2e (composed lazy prefix)" -> {
+        val union = graft.queries.Declared.assemblyUnion(docs)
+        val merged = graft.queries.Declared.assemblyMerged(union)
+        val drop = docs.select((col("doc_id") + 20000).as("doc_id")).limit(1)
+        graft.queries.Declared.assemblyMixed(docs, merged, drop)
+      },
       // the r7 declared x29/x36_blocked rows are verification
       // compositions (blocked vs exact full-outer) — the SCALE-path
       // internals worth gating are the raw operators' plans: equi-join

@@ -783,6 +783,31 @@ object ScaleCheck {
         timed.map { case (t, _) => f"$t%.2f" }.mkString(" "))
     }
 
+    // --- x79 BPE training at scale ------------------------------------
+    // Plain replication (same texts, shifted ids) multiplies every word
+    // frequency by n, so every pair count scales by exactly n and the
+    // argmax SEQUENCE is invariant — the witness asserts merges(n) ==
+    // merges(1) with counts scaled by n, which exercises the whole
+    // train loop (corpus scan → distinct-word table → per-iteration
+    // counts/argmax/rebuild) at 1x/4x and pins its determinism. Wall
+    // cost after the first scan is distinct-word-sized by design.
+    locally {
+      def train(n: Int): Seq[(String, String, Long)] =
+        graft.ext.TextStats.bpeTrain(
+          replicate(docs0, "doc_id", n), "text", numMerges = 8).toSeq
+      val t1 = train(1)
+      val t4 = train(4)
+      assert(t1.size == 8, s"x79 scale: expected 8 merges at 1x, got ${t1.size}")
+      assert(t4.map(m => (m._1, m._2)) == t1.map(m => (m._1, m._2)),
+        s"x79 scale: merge sequence changed under replication\n 1x: $t1\n 4x: $t4")
+      assert(t4.map(_._3) == t1.map(_._3 * 4),
+        s"x79 scale: pair counts not exactly 4x\n 1x: $t1\n 4x: $t4")
+      sb.append("\n## BPE training replication invariance (x79)\n\n")
+      sb.append("Plain 4x replication: merge sequence identical, every pair count\n")
+      sb.append(s"exactly 4x (asserted). 1x merges: ${t1.map(m => m._1 + "+" + m._2).mkString(", ")}.\n")
+      println(s"SCALE x79 bpe merges invariant under 4x replication")
+    }
+
     // --- as-of join under hot-key skew: salted vs plain ---------------
     // Fixture: the sf events with ~half of all rows remapped onto ONE
     // key — the regime AsofJoin.asofJoin's docstring warns about (its

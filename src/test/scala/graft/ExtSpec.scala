@@ -1174,5 +1174,75 @@ class ExtSpec extends SparkSuite {
     val vocab = TextStats.topVocab(docs, "text", 16).toSeq
     Artifacts.saveVocab(spark, vocab, s"$tmp/vocab")
     assert(Artifacts.loadVocab(spark, s"$tmp/vocab").toSeq == vocab)
+
+    // BPE merge list: step ORDER is the model; counts ride along
+    val bpe = Array(("a", "a", 6L), ("a", "b", 4L), ("aa", "ab", 3L))
+    Artifacts.saveBpeMerges(spark, bpe, s"$tmp/bpe")
+    assert(Artifacts.loadBpeMerges(spark, s"$tmp/bpe").toSeq == bpe.toSeq)
+  }
+
+  test("X5f BPE trainer: crafted corpus yields the hand-derived merge sequence") {
+    // word freqs: aaab x3, ab x1. Step 1: (a,a) = 2 adjacencies x3 = 6
+    // beats (a,b) = 3+1 = 4 -> merge (a,a); greedy L2R: aaab -> [aa,a,b].
+    // Step 2: (a,b) = 3+1 = 4 beats (aa,a) = 3 -> merge (a,b).
+    // Step 3: only (aa,ab) = 3 remains. Then no pairs -> early stop.
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab aaab")).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(docs, "text", numMerges = 8)
+    assert(merges.toSeq == Seq(("a", "a", 6L), ("a", "b", 4L), ("aa", "ab", 3L)),
+      merges.toSeq.toString)
+    // segmentation through the learned merges: every word collapses to
+    // one symbol -> fertility 1.0; greedy L2R on a fresh word "aaa"
+    // gives [aa, a] = 2 subwords under merge 1 only
+    val seg = docs.select(TextStats.bpeSegmentCount(col("text"),
+        merges.map(m => (m._1, m._2)).toSeq).as("c"))
+      .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
+    assert(seg.toSeq == Seq((2L, 2L), (2L, 2L)), seg.toSeq.toString)
+    val tricky = Seq((3L, "aaa aaaa")).toDF("doc_id", "text")
+      .select(TextStats.bpeSegmentCount(col("text"),
+        Seq(("a", "a"))).as("c")).collect()(0).getStruct(0)
+    // aaa -> [aa, a]; aaaa -> [aa, aa]: non-overlapping greedy L2R
+    assert((tricky.getLong(0), tricky.getLong(1)) == (2L, 4L))
+    // tie-break determinism: equal counts resolve (left, right) ascending
+    val tie = Seq((1L, "xy zw")).toDF("doc_id", "text")
+    val m1 = TextStats.bpeTrain(tie, "text", numMerges = 1, minCount = 1L)
+    assert(m1.toSeq == Seq(("x", "y", 1L)), m1.toSeq.toString)
+  }
+
+  test("Artifacts: reloaded corpus-scale indexes serve identical results") {
+    import graft.ext.{Artifacts, TrainSet}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-index-spec").toString
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val docs = Tables.load(spark, sf(), "documents")
+
+    // corpus slot index: negatives drawn through the RELOADED index must
+    // equal negatives drawn through the fresh one (same slots, same ids)
+    val slots = TrainSet.corpusSlotIndex(docs, "doc_id")
+    Artifacts.saveIndex(slots, s"$tmp/slots")
+    val anchors = docs.filter(col("doc_id") % 50 === 0).select("doc_id")
+    def draw(idx: org.apache.spark.sql.DataFrame) =
+      TrainSet.negativeSampleIndexed(anchors, "doc_id", idx, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(identity).toSeq
+    assert(draw(Artifacts.loadIndex(spark, s"$tmp/slots")) == draw(slots),
+      "reloaded slot index drew different negatives")
+
+    // banded LSH index (partitioned by band — the probe-side pruning
+    // layout): probe + top-k through the RELOADED index must equal the
+    // fresh index's answer exactly
+    val index = graft.streaming.StreamSimilarity.bandedIndex(
+      emb, bands = 16, bitsPerBand = 4, dim = 64)
+    Artifacts.saveIndex(index, s"$tmp/lsh", layoutCols = Seq("band"))
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def topk(idx: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamSimilarity.topKPerBatch(
+        graft.streaming.StreamSimilarity.probeCandidates(
+          queries, idx, bands = 16, bitsPerBand = 4, dim = 64), k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(identity).toSeq
+    val fresh = topk(index)
+    assert(fresh.nonEmpty, "banded probe returned nothing")
+    assert(topk(Artifacts.loadIndex(spark, s"$tmp/lsh")) == fresh,
+      "reloaded banded index served different top-k")
   }
 }

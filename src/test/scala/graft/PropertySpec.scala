@@ -447,6 +447,38 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("bpeMergeStep fuzz: Spark fold equals plain-JVM greedy L2R merge") {
+    import graft.ext.TextStats
+    def jvmMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      // reference two-pointer greedy: consume pairs left-to-right,
+      // non-overlapping (the Sennrich merge semantics)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val alpha = Seq("a", "b", "c")
+    val symsGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha)))
+    val pairGen = Gen.zip(Gen.oneOf(alpha), Gen.oneOf(alpha))
+    val cases = samples(Gen.zip(symsGen, pairGen), 60)
+    val df = cases.zipWithIndex
+      .map { case ((syms, _), i) => (i, syms) }.toDF("i", "syms")
+    val merged = cases.zipWithIndex.map { case ((_, (a, b)), i) =>
+      df.filter(col("i") === i)
+        .select(TextStats.bpeMergeStep(col("syms"), a, b))
+        .collect()(0).getSeq[String](0).toSeq
+    }
+    cases.zip(merged).foreach { case (((syms, (a, b))), got) =>
+      assert(got == jvmMerge(syms, a, b),
+        s"syms=$syms pair=($a,$b): spark=$got jvm=${jvmMerge(syms, a, b)}")
+    }
+  }
+
   test("budgetFill adversarial: total rank tie (order rests on id alone)") {
     import graft.ext.TrainSet
     // every document identical rank — the greedy order is then ENTIRELY
