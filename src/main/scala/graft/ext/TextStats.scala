@@ -394,14 +394,28 @@ object TextStats {
         .otherwise(concat(acc, array(x))))
 
   /** Map-only BPE application: per-document (n_words, n_subwords) under
-    * an ordered merge list — the merges ride as literals and the k
-    * folds run inside the row, so the identical expression gates
-    * streams per micro-batch (no join, no shuffle; the batch
-    * alternative is a join against the distinct-word segmentation
-    * table, which is what the DuckDB oracle replays — two independent
-    * formulations of the same function).
+    * an ordered merge list — the merge rules ride as codegen reference
+    * objects and the whole per-word segmentation runs as ONE codegen'd
+    * expression ([[graft.functions.BpeSegment]] — plain JVM loops; the
+    * k-nested interpreted `aggregate` formulation cost 10.7 s at sf0.1,
+    * see [[bpeSegmentCountBuiltins]], kept as the spec oracle). No
+    * join, no shuffle — the identical expression gates streams per
+    * micro-batch; the batch alternative is a join against the
+    * distinct-word segmentation table, which is what the DuckDB oracle
+    * replays — independent formulations, hash-compared.
     */
   def bpeSegmentCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val toks = Dedup.tokens(coalesce(text, lit("")))
+    struct(size(toks).cast("long").as("n_words"),
+      graft.functions.BpeSegment.bpe_subwords(toks, merges).as("n_subwords"))
+  }
+
+  /** The built-ins-only formulation of [[bpeSegmentCount]] (zero custom
+    * expression surface): k nested interpreted `aggregate` folds per
+    * word. Kept as the independent equality oracle for the codegen'd
+    * segmenter (ExtSpec), not for hot paths.
+    */
+  def bpeSegmentCountBuiltins(text: Column, merges: Seq[(String, String)]): Column = {
     val toks = Dedup.tokens(coalesce(text, lit("")))
     val segmented = transform(toks, w => merges.foldLeft(
       regexp_extract_all(w, lit("."), lit(0))) {

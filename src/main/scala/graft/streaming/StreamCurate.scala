@@ -88,6 +88,23 @@ object StreamCurate {
         <= maxOovRate)
   }
 
+  /** Batch-train / stream-apply BPE segmentation (r10): the ordered
+    * merge list is a batch artifact ([[graft.ext.TextStats.bpeTrain]],
+    * persisted via `Artifacts.saveBpeMerges`) and the per-document
+    * (n_words, n_subwords) segmentation is the identical map-only
+    * [[graft.ext.TextStats.bpeSegmentCount]] fold — merges ride as
+    * literals, no join, no shuffle, stateless per micro-batch. The
+    * ingest-time use is fertility monitoring / gating: a document whose
+    * subwords-per-word blows past the corpus norm is byte noise the
+    * tokenizer would shred.
+    */
+  def segmentBpe(docs: DataFrame, merges: Seq[(String, String)],
+                 textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.withColumn("seg",
+      graft.ext.TextStats.bpeSegmentCount(col(textCol), merges))
+  }
+
   /** Streaming content-defined chunking: [[graft.ext.Curation.cdcChunks]]
     * is pure per-row array arithmetic, so the SAME expression chunks a
     * micro-batch — each arriving document explodes into its

@@ -1206,6 +1206,19 @@ class ExtSpec extends SparkSuite {
     val tie = Seq((1L, "xy zw")).toDF("doc_id", "text")
     val m1 = TextStats.bpeTrain(tie, "text", numMerges = 1, minCount = 1L)
     assert(m1.toSeq == Seq(("x", "y", 1L)), m1.toSeq.toString)
+    // codegen'd segmenter == built-ins k-nested fold on the real fixture
+    val real = Tables.load(spark, sf(), "documents")
+    val rm = TextStats.bpeTrain(real, "text", numMerges = 6)
+      .map(m => (m._1, m._2)).toSeq
+    val cmp = real.limit(200)
+      .select(TextStats.bpeSegmentCount(col("text"), rm).as("cg"),
+        TextStats.bpeSegmentCountBuiltins(col("text"), rm).as("bi"))
+      .collect()
+    cmp.foreach { r =>
+      val (a, b) = (r.getStruct(0), r.getStruct(1))
+      assert((a.getLong(0), a.getLong(1)) == (b.getLong(0), b.getLong(1)),
+        s"codegen ${(a.getLong(0), a.getLong(1))} != builtins ${(b.getLong(0), b.getLong(1))}")
+    }
   }
 
   test("Artifacts: reloaded corpus-scale indexes serve identical results") {

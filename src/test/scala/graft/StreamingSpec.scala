@@ -366,6 +366,37 @@ class StreamingSpec extends SparkSuite {
     } finally { qa.stop(); qb.stop() }
   }
 
+  test("streaming BPE segmentation: stream output equals the batch plane") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsB = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    // batch-trained merge list (the x79 artifact shape)
+    val merges = graft.ext.TextStats.bpeTrain(docsB, "text", numMerges = 6)
+      .map(m => (m._1, m._2)).toSeq
+    assert(merges.size == 6, s"fixture yielded ${merges.size} merges")
+    val batchSeg = StreamCurate.segmentBpe(docsB, merges)
+      .select(col("doc_id"), col("seg.n_words"), col("seg.n_subwords"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fixture = docsB.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.segmentBpe(input.toDF().toDF("doc_id", "text"), merges)
+      .select(col("doc_id"), col("seg.n_words"), col("seg.n_subwords"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sbpe").start()
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamSeg = spark.table("sbpe")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamSeg == batchSeg,
+        s"BPE stream/batch divergence: ${streamSeg.diff(batchSeg).take(3)} / " +
+          s"${batchSeg.diff(streamSeg).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming curation e2e: replayed fixture batches match the batch gates") {
     implicit val sqlCtx = spark.sqlContext
     // replay the real documents fixture in 3 micro-batches, plus an
