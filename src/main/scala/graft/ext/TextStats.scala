@@ -425,6 +425,64 @@ object TextStats {
       aggregate(segmented, lit(0L), (acc, s) => acc + size(s)).as("n_subwords"))
   }
 
+  /** X5g: PMI collocation mining (r10 — the standard corpus-analysis
+    * step "which word pairs co-occur far above chance" — multiword
+    * expressions, named entities, domain jargon; the association-score
+    * complement to x38's conditional bigram probability and x60's raw
+    * heavy hitters, which both rank by FREQUENCY, not association):
+    * pointwise mutual information of each sequential bigram,
+    * pmi(a,b) = ln(p(a,b)) − ln(p(a)) − ln(p(b)) with p from the
+    * corpus's own bigram/unigram streams, reported for pairs seen at
+    * least `minCount` times (the classic low-frequency-PMI-explosion
+    * guard), top `k` by (rounded pmi desc, pair asc).
+    *
+    * Arithmetic is the literal three-ln form in a declared operand
+    * order, so any engine reproduces the doubles bit-for-bit before
+    * the shared 6dp round; ordering is by the ROUNDED score (the
+    * x24/x64 engine-portability discipline).
+    *
+    * Scale: the corpus tokenizes ONCE (persisted, released in
+    * finally — the bigramLogProb policy); unigram and bigram counts
+    * are partial-agg'd slim (term, count) shuffles; the totals are two
+    * broadcast scalars; the count join is vocabulary-sized on both
+    * sides; top-k plans as TakeOrderedAndProject. The corpus itself
+    * never shuffles.
+    */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      minCount: Long = 3L, k: Int = 30,
+                      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    require(k > 0, s"k must be positive (got $k)")
+    val base0 = docs.select(
+      Dedup.tokens(coalesce(col(textCol), lit(""))).as("w"))
+    val base = if (materialize)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    try {
+      val uni = base.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cu"))
+      val bi = base.filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("a"),
+            element_at(col("w"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cb"))
+      val nTot = uni.agg(sum(col("cu")).cast("double").as("n"))
+      val bTot = bi.agg(sum(col("cb")).cast("double").as("nb"))
+      val res = bi.filter(col("cb") >= minCount)
+        .join(uni.select(col("t").as("a"), col("cu").as("ca")), Seq("a"))
+        .join(uni.select(col("t").as("b"), col("cu").as("cb_u")), Seq("b"))
+        .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+        .select(col("a").as("term_a"), col("b").as("term_b"),
+          col("cb").as("pair_count"),
+          round(log(col("cb") / col("nb")) - log(col("ca") / col("n"))
+            - log(col("cb_u") / col("n")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+        .limit(k)
+      if (materialize) res.localCheckpoint(true) else res
+    } finally if (materialize) base.unpersist()
+  }
+
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 

@@ -3604,6 +3604,36 @@ object Declared {
       },
       Some(bpeSegmentOracle(8))),
 
+    // X5g: PMI collocation mining — top-30 sequential bigrams by
+    // pointwise mutual information (pairs seen >= 3 times; the classic
+    // rare-pair guard). DuckDB independently rebuilds both count
+    // streams and replays the identical three-ln arithmetic; ordering
+    // is by the ROUNDED score + pair, so both engines agree on the
+    // boundary and tie order.
+    "x81_pmi_collocations" -> Q(
+      (s, dir) => TextStats.pmiCollocations(
+        t(s, dir, "documents"), "text", minCount = 3L, k = 30),
+      Some("""WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.x AS t, count(*)::bigint AS cu
+        |  FROM t, unnest(w) AS u(x) GROUP BY 1),
+        |bi AS (
+        |  SELECT w[i] AS a, w[i+1] AS b, count(*)::bigint AS cb
+        |  FROM t, unnest(range(1, len(w))) AS r(i)
+        |  WHERE len(w) >= 2 GROUP BY 1, 2),
+        |nt AS (SELECT sum(cu)::double AS n FROM uni),
+        |bt AS (SELECT sum(cb)::double AS nb FROM bi)
+        |SELECT bi.a AS term_a, bi.b AS term_b, bi.cb AS pair_count,
+        |  round(ln(bi.cb / bt.nb) - ln(ua.cu / nt.n) - ln(ub.cu / nt.n), 6) AS pmi
+        |FROM bi
+        |JOIN uni ua ON ua.t = bi.a
+        |JOIN uni ub ON ub.t = bi.b
+        |CROSS JOIN nt CROSS JOIN bt
+        |WHERE bi.cb >= 3
+        |ORDER BY pmi DESC, term_a, term_b LIMIT 30""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -1221,6 +1221,24 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X5g PMI collocations: crafted counts match the hand formula; guard and ties") {
+    // unigrams: x:3 y:3 z:1 (N=7); bigrams: (x,y):3 (y,x):1 (y,z):1 (B=5)
+    val docs = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextStats.pmiCollocations(docs, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // minCount = 2 keeps only (x, y)
+    val exp = BigDecimal(math.log(3.0 / 5) - math.log(3.0 / 7) - math.log(3.0 / 7))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("x", "y", 3L, exp)), got.toSeq.toString)
+    // minCount = 1: all three pairs. (x,y) and (y,z) have EXACTLY equal
+    // pmi — (3/5)/((3/7)(3/7)) = 147/45 = 49/15 = (1/5)/((3/7)(1/7)) —
+    // so the rounded-score tie resolves (term_a, term_b) ascending;
+    // (y,x) at 49/45 ranks last
+    val all = TextStats.pmiCollocations(docs, "text", minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(all.toSeq == Seq(("x", "y"), ("y", "z"), ("y", "x")), all.toSeq.toString)
+  }
+
   test("Artifacts: reloaded corpus-scale indexes serve identical results") {
     import graft.ext.{Artifacts, TrainSet}
     val tmp = java.nio.file.Files.createTempDirectory("graft-index-spec").toString
