@@ -3414,9 +3414,15 @@ object Declared {
         val merged = assemblyMerged(union)
         // near-dup clustering + survivor election is the one memoized
         // per-refresh artifact (slim non-survivor id list; the x23/x75
-        // sharing discipline)
+        // sharing discipline) — persisted through the parquet index
+        // store and RELOADED (the cross-job hand-off a real refresh
+        // ships: the checkpoint-backed frame dies with the session, the
+        // parquet index doesn't), so the driver's hash gate also proves
+        // the persisted-index path every round
         val dropDups = artifact(s, "asm_dedup_drop_k3_t02", dir) {
-          assemblyDropDups(merged)
+          viaStore(s, "asm_dedup_drop")(assemblyDropDups(merged))(
+            (ss, d, p) => graft.ext.Artifacts.saveIndex(d, p),
+            graft.ext.Artifacts.loadIndex)
         }
         assemblyResult(assemblyMixed(docs, merged, dropDups))
       },
