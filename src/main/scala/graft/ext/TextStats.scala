@@ -483,6 +483,43 @@ object TextStats {
     } finally if (materialize) base.unpersist()
   }
 
+  /** X5h: vocabulary-growth (Heaps-curve) report (r10 — the standard
+    * corpus-analysis question "how fast does the vocabulary grow as the
+    * corpus grows": distinct terms, token mass and doc count at each
+    * id-ordered corpus-prefix checkpoint k/`steps`. The raw curve is
+    * reported rather than a fitted Heaps exponent — a cross-engine
+    * float regression is summation-order-unstable, the curve is exact
+    * integers).
+    *
+    * Scale: ONE token explode joined (broadcast) against the ≤ `steps`
+    * checkpoint rows — a ≤ steps-fold row multiplication of slim
+    * (checkpoint, doc_id, term) rows, then one partial-agg'd
+    * count-distinct shuffle keyed by (checkpoint, term). Exact distinct
+    * counts by design (the approximate refresh form is x57's HLL union
+    * journal).
+    */
+  def vocabGrowth(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String, steps: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(steps > 0, s"steps must be positive (got $steps)")
+    val mx = docs.filter(col(idCol).isNotNull)
+      .agg(max(col(idCol)).cast("long").as("mx"))
+    // checkpoint k covers ids < floor((mx + 1) * k / steps); step
+    // `steps` covers everything — exact integer arithmetic both engines
+    val cps = mx.select(explode(sequence(lit(1), lit(steps))).as("k"),
+      col("mx"))
+      .select(col("k").cast("long").as("k"),
+        floor((col("mx") + 1) * col("k") / steps).cast("long").as("cutoff"))
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("term"))
+    toks.join(broadcast(cps), col("_id") < col("cutoff"))
+      .groupBy("k", "cutoff")
+      .agg(countDistinct(col("term")).as("vocab"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("_id")).as("n_docs"))
+      .orderBy("k")
+  }
+
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 

@@ -3640,6 +3640,30 @@ object Declared {
         |WHERE bi.cb >= 3
         |ORDER BY pmi DESC, term_a, term_b LIMIT 30""".stripMargin)),
 
+    // X5h: vocabulary-growth curve — distinct terms / token mass / (
+    // token-contributing) doc count at 5 id-ordered corpus-prefix
+    // checkpoints. Exact integers on both engines; DuckDB rebuilds the
+    // checkpoints from the same max-id arithmetic and recounts
+    // independently.
+    "x82_vocab_growth" -> Q(
+      (s, dir) => TextStats.vocabGrowth(
+        t(s, dir, "documents"), "text", "doc_id", steps = 5),
+      Some("""WITH mx AS (SELECT max(doc_id)::bigint AS mx FROM documents
+        |  WHERE doc_id IS NOT NULL),
+        |cps AS (
+        |  SELECT k, ((mx + 1) * k) // 5 AS cutoff
+        |  FROM mx, unnest(range(1, 6)) AS t(k)),
+        |toks AS (
+        |  SELECT doc_id, u.x AS term FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |    FROM documents WHERE doc_id IS NOT NULL), unnest(ws) AS u(x))
+        |SELECT c.k::bigint AS k, c.cutoff,
+        |  count(DISTINCT t.term)::bigint AS vocab,
+        |  count(*)::bigint AS n_tokens,
+        |  count(DISTINCT t.doc_id)::bigint AS n_docs
+        |FROM cps c JOIN toks t ON t.doc_id < c.cutoff
+        |GROUP BY 1, 2 ORDER BY k""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it
