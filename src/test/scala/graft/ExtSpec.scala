@@ -1239,6 +1239,30 @@ class ExtSpec extends SparkSuite {
     assert(all.toSeq == Seq(("x", "y"), ("y", "z"), ("y", "x")), all.toSeq.toString)
   }
 
+  test("X5h vocab growth: crafted checkpoints, tokenless docs, monotone curve") {
+    // ids 0..9, each doc i has tokens "t0..ti" (vocab grows by one per
+    // doc); doc 7 tokenless (drops from n_docs — token-contributing
+    // docs only, the documented convention)
+    val docs = (0L to 9L).map(i =>
+      (i, if (i == 7) "" else (0L to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextStats.vocabGrowth(docs, "text", "doc_id", steps = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // k=1: cutoff 5 -> docs 0..4: vocab t0..t4 = 5, tokens 1+2+3+4+5 = 15
+    // k=2: cutoff 10 -> all: vocab 10, tokens 55-8 (doc 7 empty) = 47,
+    //      n_docs 9 (doc 7 contributes no tokens)
+    assert(got.toSeq == Seq((1L, 5L, 5L, 15L, 5L), (2L, 10L, 10L, 47L, 9L)),
+      got.toSeq.toString)
+    // fixture sanity: curve monotone non-decreasing in every metric
+    val real = TextStats.vocabGrowth(
+      Tables.load(spark, sf(), "documents"), "text", "doc_id", steps = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    real.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 <= b._1 && a._2 <= b._2 && a._3 <= b._3, real.toSeq.toString)
+    }
+  }
+
   test("Artifacts: reloaded corpus-scale indexes serve identical results") {
     import graft.ext.{Artifacts, TrainSet}
     val tmp = java.nio.file.Files.createTempDirectory("graft-index-spec").toString
