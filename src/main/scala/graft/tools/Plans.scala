@@ -27,7 +27,8 @@ object Plans {
     "x65_mixture_sample", "x66_domain_cap", "x67_dsir_resample",
     "x68_dsir_score", "x69_corpus_merge", "x70_random_projection",
     "x71_nb_langid", "x73_vocab_oov", "x74_cdc_chunks",
-    "x76_export_manifest", "x77_source_drift")
+    "x76_export_manifest", "x77_source_drift", "x80_bpe_segment",
+    "x81_pmi_collocations", "x82_vocab_growth")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
