@@ -93,6 +93,8 @@ object Plans {
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
         graft.queries.Declared.curationGates(docs, dropDups)
       },
+      "x81_pmi_collocations (lazy form)" -> graft.ext.TextStats.pmiCollocations(
+        docs, "text", minCount = 3L, k = 30, materialize = false),
       // x78's composed lazy prefix (merge -> survivor drop -> gates ->
       // decontam -> mixture): the declared query executes exactly this
       // before the eager budget fill; drop list crafted slim (plan

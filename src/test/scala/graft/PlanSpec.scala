@@ -524,6 +524,35 @@ class PlanSpec extends SparkSuite {
     assert(smj <= 1, s"only the payload id join may sort-merge, got $smj:\n$p")
   }
 
+  // x80: BPE application must be pure map — the merge rules ride as
+  // codegen reference objects inside the single bpe_subwords
+  // expression, so the scoring plan has no join/aggregate and the only
+  // exchange is the presentation sort
+  test("BPE segmentation plans map-only through the codegen'd expression") {
+    val p = planOf("x80_bpe_segment")
+    assert(p.contains("bpe_subwords"), s"codegen'd segmenter not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in BPE apply:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregation in BPE apply:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
+  }
+
+  // x81: the PMI top-k must be the bounded TakeOrderedAndProject over
+  // partial-agg'd counts with broadcast totals — no global sort, no
+  // window over the bigram table
+  test("PMI collocations plan: partial counts, broadcast totals, bounded top-k") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ext.TextStats.pmiCollocations(
+        Tables.load(spark, sf(), "documents"), "text",
+        minCount = 3L, k = 30, materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not bounded:\n$p")
+    assert(!p.contains("Window"), s"window in the PMI plan:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"global sort in the PMI plan:\n$p")
+    assert(p.contains("partial_count"), s"counts not partial-aggregated:\n$p")
+  }
+
   // x69: the merge survivor must be the bounded greatest_row aggregate,
   // never a window over the unioned corpora — the hot key (a boilerplate
   // page every source carries) reduces map-side to one struct per task
