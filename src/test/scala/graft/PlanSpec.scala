@@ -124,7 +124,9 @@ class PlanSpec extends SparkSuite {
       "x24_bm25 (lazy form)" -> 1,
       "x27_unigram_logprob (lazy form)" -> 1,
       // the two 1-row smoothing totals (target, raw) broadcast in
-      "x67_dsir_resample (lazy form)" -> 2).withDefaultValue(0)
+      "x67_dsir_resample (lazy form)" -> 2,
+      // the two 1-row totals (token count N, bigram count B) broadcast in
+      "x81_pmi_collocations (lazy form)" -> 2).withDefaultValue(0)
     for ((name, p) <- lazyPlans) {
       assert(!p.contains("CartesianProduct"), s"$name: cartesian:\n$p")
       val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
