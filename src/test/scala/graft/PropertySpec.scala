@@ -479,6 +479,58 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bpeTrain fuzz: whole training loop equals a plain-JVM reference") {
+    import graft.ext.TextStats
+    def jvmMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    // reference trainer: word-freq table, every-adjacent-position pair
+    // counts, (count desc, left, right) argmax, early stop below minCount
+    def jvmTrain(texts: Seq[String], numMerges: Int,
+                 minCount: Long): Seq[(String, String, Long)] = {
+      val freq = texts.flatMap(_.split("[^a-z0-9]+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var words: Seq[(Seq[String], Long)] =
+        freq.toSeq.map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (!done && out.size < numMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best match {
+          case Some(((a, b), c)) if c >= minCount =>
+            out += ((a, b, c))
+            words = words.map { case (s, f) => (jvmMerge(s, a, b), f) }
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val docGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    samples(Gen.listOfN(4, docGen), 8).zipWithIndex.foreach { case (texts, i) =>
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextStats.bpeTrain(df, "text", numMerges = 5, minCount = 2L).toSeq
+      val exp = jvmTrain(texts, 5, 2L)
+      assert(got == exp, s"case $i texts=$texts:\n got=$got\n exp=$exp")
+    }
+  }
+
   test("budgetFill adversarial: total rank tie (order rests on id alone)") {
     import graft.ext.TrainSet
     // every document identical rank — the greedy order is then ENTIRELY
