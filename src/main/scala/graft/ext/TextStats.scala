@@ -459,28 +459,46 @@ object TextStats {
       base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else base0
     try {
-      val uni = base.select(explode(col("w")).as("t"))
-        .groupBy("t").agg(count(lit(1)).as("cu"))
-      val bi = base.filter(size(col("w")) >= 2)
-        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
-          i => struct(element_at(col("w"), i).as("a"),
-            element_at(col("w"), i + 1).as("b")))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("cb"))
-      val nTot = uni.agg(sum(col("cu")).cast("double").as("n"))
-      val bTot = bi.agg(sum(col("cb")).cast("double").as("nb"))
-      val res = bi.filter(col("cb") >= minCount)
-        .join(uni.select(col("t").as("a"), col("cu").as("ca")), Seq("a"))
-        .join(uni.select(col("t").as("b"), col("cu").as("cb_u")), Seq("b"))
-        .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
-        .select(col("a").as("term_a"), col("b").as("term_b"),
-          col("cb").as("pair_count"),
-          round(log(col("cb") / col("nb")) - log(col("ca") / col("n"))
-            - log(col("cb_u") / col("n")), 6).as("pmi"))
-        .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
-        .limit(k)
+      val res = pmiFromCounts(unigramCounts(base), bigramCounts(base),
+        minCount, k)
       if (materialize) res.localCheckpoint(true) else res
     } finally if (materialize) base.unpersist()
+  }
+
+  /** The (t, cu) unigram count frame of a tokenized (w: array) frame. */
+  private[graft] def unigramCounts(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    base.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+
+  /** The (a, b, cb) sequential-bigram count frame. */
+  private[graft] def bigramCounts(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    base.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("a"),
+          element_at(col("w"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cb"))
+
+  /** The PMI arithmetic over already-folded count frames — ONE core
+    * shared by the batch report and the streaming count journal's
+    * fold-on-read ([[graft.streaming.StreamCollocations]]), so the two
+    * planes cannot drift: identical counts in, bit-identical report out.
+    */
+  def pmiFromCounts(uni: org.apache.spark.sql.DataFrame,
+                    bi: org.apache.spark.sql.DataFrame,
+                    minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val nTot = uni.agg(sum(col("cu")).cast("double").as("n"))
+    val bTot = bi.agg(sum(col("cb")).cast("double").as("nb"))
+    bi.filter(col("cb") >= minCount)
+      .join(uni.select(col("t").as("a"), col("cu").as("ca")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("cu").as("cb_u")), Seq("b"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(bTot))
+      .select(col("a").as("term_a"), col("b").as("term_b"),
+        col("cb").as("pair_count"),
+        round(log(col("cb") / col("nb")) - log(col("ca") / col("n"))
+          - log(col("cb_u") / col("n")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(k)
   }
 
   /** X5h: vocabulary-growth (Heaps-curve) report (r10 — the standard

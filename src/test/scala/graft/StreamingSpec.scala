@@ -366,6 +366,48 @@ class StreamingSpec extends SparkSuite {
     } finally { qa.stop(); qb.stop() }
   }
 
+  test("streaming PMI count journal: fold-on-read equals the batch report exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsB = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull)
+    val batchReport = graft.ext.TextStats.pmiCollocations(
+        docsB, "text", minCount = 3L, k = 30)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(batchReport.size == 30, s"degenerate batch report: $batchReport")
+    val dir = java.nio.file.Files.createTempDirectory("pmi_journal").toString
+    val fixture = docsB.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCollocations.journal(
+      input.toDF().toDF("doc_id", "text"), dir, "text")
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val journalReport = StreamCollocations.pmiFromJournal(
+          spark, dir, minCount = 3L, k = 30)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(journalReport == batchReport,
+        s"journal/batch PMI divergence: ${journalReport.diff(batchReport)}")
+      // at-least-once: re-append batch 0's delta verbatim (a retried
+      // micro-batch) — the first-per-key fold must leave the report
+      // unchanged
+      StreamCollocations.countsDelta(
+          b1.toSeq.toDF("doc_id", "text"), "text")
+        .withColumn("batch_id", lit(0L))
+        .write.mode("append").parquet(dir)
+      val afterRetry = StreamCollocations.pmiFromJournal(
+          spark, dir, minCount = 3L, k = 30)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(afterRetry == batchReport,
+        s"retry-duplicated journal broke the PMI fold")
+    } finally q.stop()
+  }
+
   test("streaming BPE segmentation: stream output equals the batch plane") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
