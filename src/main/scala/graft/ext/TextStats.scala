@@ -509,24 +509,73 @@ object TextStats {
     * float regression is summation-order-unstable, the curve is exact
     * integers).
     *
-    * Scale: ONE token explode joined (broadcast) against the ≤ `steps`
-    * checkpoint rows — a ≤ steps-fold row multiplication of slim
-    * (checkpoint, doc_id, term) rows, then one partial-agg'd
-    * count-distinct shuffle keyed by (checkpoint, term). Exact distinct
-    * counts by design (the approximate refresh form is x57's HLL union
-    * journal).
+    * FIRST-OCCURRENCE formulation (r11 — the r10 verdict's scale note:
+    * the original broadcast-`<`-join form multiplied the full token
+    * stream ×steps before a per-checkpoint countDistinct; it survives
+    * as the independent spec oracle, [[vocabGrowthMultiplied]]). A term
+    * is in checkpoint k's vocabulary iff its FIRST occurrence (min doc
+    * id) falls below the cutoff, and token/doc mass are prefix sums of
+    * per-doc counts — so the token stream reduces ONCE, at any `steps`:
+    *  - one slim (term, min_id) shuffle (partial min per map task —
+    *    vocabulary-sized, not corpus-sized);
+    *  - one slim (_id, n_toks) shuffle (partial count per map task —
+    *    doc-count-sized);
+    *  - each then joins the broadcast ≤`steps`-row checkpoint frame and
+    *    folds to ≤`steps` rows. Identical output to the multiplied form
+    *    (a row per checkpoint with ≥1 token below its cutoff — the two
+    *    legs' row sets coincide, so the equi-join is exact).
+    * Exact distinct counts by design (the approximate refresh form is
+    * x57's HLL union journal).
+    *
+    * Cutoff arithmetic is 64-bit integer `div` end-to-end (r10 advice:
+    * the double `floor(x / steps)` form silently loses exactness past
+    * 2^53); Spark's `div` and DuckDB's `//` both truncate toward zero,
+    * so the engines agree at every id sign.
     */
   def vocabGrowth(docs: org.apache.spark.sql.DataFrame, textCol: String,
                   idCol: String, steps: Int = 5): org.apache.spark.sql.DataFrame = {
     require(steps > 0, s"steps must be positive (got $steps)")
-    val mx = docs.filter(col(idCol).isNotNull)
+    val cps = growthCheckpoints(docs, idCol, steps)
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("_id"),
+        explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("term"))
+    val vocabAt = toks.groupBy("term").agg(min(col("_id")).as("first_id"))
+      .join(broadcast(cps), col("first_id") < col("cutoff"))
+      .groupBy("k", "cutoff").agg(count(lit(1)).as("vocab"))
+    val massAt = toks.groupBy("_id").agg(count(lit(1)).as("n_toks"))
+      .join(broadcast(cps), col("_id") < col("cutoff"))
+      .groupBy("k", "cutoff").agg(sum(col("n_toks")).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+    vocabAt.join(massAt, Seq("k", "cutoff"))
+      .select(col("k"), col("cutoff"), col("vocab"), col("n_tokens"),
+        col("n_docs"))
+      .orderBy("k")
+  }
+
+  /** The ≤`steps`-row checkpoint frame: k → cutoff, where checkpoint k
+    * covers ids < ((mx + 1) * k) div steps (step `steps` covers all).
+    */
+  private def growthCheckpoints(docs: org.apache.spark.sql.DataFrame,
+                                idCol: String, steps: Int): org.apache.spark.sql.DataFrame =
+    docs.filter(col(idCol).isNotNull)
       .agg(max(col(idCol)).cast("long").as("mx"))
-    // checkpoint k covers ids < floor((mx + 1) * k / steps); step
-    // `steps` covers everything — exact integer arithmetic both engines
-    val cps = mx.select(explode(sequence(lit(1), lit(steps))).as("k"),
-      col("mx"))
+      .select(explode(sequence(lit(1), lit(steps))).as("k"), col("mx"))
       .select(col("k").cast("long").as("k"),
-        floor((col("mx") + 1) * col("k") / steps).cast("long").as("cutoff"))
+        expr(s"((mx + 1) * k) div $steps").cast("long").as("cutoff"))
+
+  /** The original ×steps broadcast-join formulation of [[vocabGrowth]] —
+    * kept as the independent spec oracle (ExtSpec asserts equality on
+    * the fixtures): the token stream joins every checkpoint whose
+    * cutoff exceeds its doc id and recounts distinct terms per
+    * checkpoint. Correct, but the join multiplies corpus token rows by
+    * up to ×steps before the shuffle — the first-occurrence form above
+    * is the deployment shape.
+    */
+  private[graft] def vocabGrowthMultiplied(docs: org.apache.spark.sql.DataFrame,
+                                           textCol: String, idCol: String,
+                                           steps: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(steps > 0, s"steps must be positive (got $steps)")
+    val cps = growthCheckpoints(docs, idCol, steps)
     val toks = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("_id"),
         explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("term"))

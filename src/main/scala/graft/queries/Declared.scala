@@ -346,7 +346,15 @@ object Declared {
   // .bpeMergeStep; PropertySpec fuzzes the equivalence against a
   // plain-JVM reference). MATERIALIZED throughout (the x78 lesson:
   // DuckDB 1.0 re-inlines chained CTEs).
-  private def bpeStagesCte(k: Int): String = {
+  //
+  // Early stop is encoded EXACTLY as bpeTrain's (r11, the r10 advice
+  // item): each stage's argmax b$s is gated on c >= minCount, and when
+  // b$s comes up empty the word table a$s carries forward UNCHANGED —
+  // so on a fixture yielding fewer than k qualifying merges the oracle
+  // emits exactly the merges Spark trained (the merge SELECT from an
+  // empty b$s contributes no row) instead of diverging or, worse,
+  // CROSS JOIN-dropping every word from all later stages.
+  private def bpeStagesCte(k: Int, minCount: Long = 2L): String = {
     val base = """WITH a0 AS MATERIALIZED (
       |  SELECT w, count(*)::bigint AS freq, regexp_extract_all(w, '.') AS syms
       |  FROM (
@@ -360,7 +368,8 @@ object Declared {
       |    SELECT freq, syms[i] AS l, syms[i+1] AS r
       |    FROM a${s - 1}, unnest(range(1, len(syms))) AS t(i))
       |  GROUP BY 1, 2),
-      |b$s AS MATERIALIZED (SELECT l, r, c FROM p$s ORDER BY c DESC, l, r LIMIT 1),
+      |b$s AS MATERIALIZED (SELECT l, r, c FROM p$s
+      |  WHERE c >= $minCount ORDER BY c DESC, l, r LIMIT 1),
       |x$s AS MATERIALIZED (
       |  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
       |  FROM (
@@ -381,7 +390,10 @@ object Declared {
       |  LEFT JOIN sel$s sm ON sm.w = p.w AND sm.i = p.i
       |  LEFT JOIN sel$s sp ON sp.w = p.w AND sp.i = p.i - 1
       |  WHERE sp.i IS NULL
-      |  GROUP BY p.w, p.freq)""".stripMargin
+      |  GROUP BY p.w, p.freq
+      |  UNION ALL
+      |  SELECT w, freq, syms FROM a${s - 1}
+      |  WHERE (SELECT count(*) FROM b$s) = 0)""".stripMargin
     }
     (base +: stages).mkString(",\n")
   }

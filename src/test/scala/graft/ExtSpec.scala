@@ -1263,6 +1263,29 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X5h vocab growth: first-occurrence form == multiplied spec oracle") {
+    // r11: vocabGrowth reduces the token stream ONCE (term min-id +
+    // per-doc counts, then ≤steps-row joins); the original ×steps
+    // broadcast-join form is the independent oracle — identical rows at
+    // a steps value that doesn't divide the id range evenly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val fixture = Tables.load(spark, sf(), "documents")
+    assert(rows(TextStats.vocabGrowth(fixture, "text", "doc_id", steps = 7)) ==
+      rows(TextStats.vocabGrowthMultiplied(fixture, "text", "doc_id", steps = 7)))
+    // sparse + negative ids, a tokenless doc, and an id-less row: the
+    // `div` cutoff truncation and the two formulations' row sets must
+    // still coincide exactly
+    val crafted = Seq((java.lang.Long.valueOf(-5L), "a b"),
+        (java.lang.Long.valueOf(0L), "b c"),
+        (java.lang.Long.valueOf(9L), "c d e a"),
+        (java.lang.Long.valueOf(10L), ""),
+        (null.asInstanceOf[java.lang.Long], "ghost"))
+      .toDF("doc_id", "text")
+    assert(rows(TextStats.vocabGrowth(crafted, "text", "doc_id", steps = 3)) ==
+      rows(TextStats.vocabGrowthMultiplied(crafted, "text", "doc_id", steps = 3)))
+  }
+
   test("Artifacts: reloaded corpus-scale indexes serve identical results") {
     import graft.ext.{Artifacts, TrainSet}
     val tmp = java.nio.file.Files.createTempDirectory("graft-index-spec").toString

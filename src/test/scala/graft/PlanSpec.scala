@@ -555,6 +555,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), s"counts not partial-aggregated:\n$p")
   }
 
+  // x82 (r11 rework): the token stream must REDUCE before it ever meets
+  // the checkpoint frame — two slim partial-agg'd legs (term min-id,
+  // per-doc counts) each joined broadcast against ≤steps rows. The old
+  // ×steps form multiplied corpus tokens through the broadcast `<` join
+  // first and needed a two-distinct Expand; neither may reappear.
+  test("vocab growth reduces the token stream before the checkpoint join") {
+    val p = planOf("x82_vocab_growth")
+    assert(p.contains("partial_min"), s"term first-id not partial-agg'd:\n$p")
+    assert(p.contains("partial_count"), s"doc counts not partial-agg'd:\n$p")
+    assert(!p.contains("Expand"), s"multi-distinct Expand (the ×steps form):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"checkpoint join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   // x69: the merge survivor must be the bounded greatest_row aggregate,
   // never a window over the unioned corpora — the hot key (a boilerplate
   // page every source carries) reduces map-side to one struct per task

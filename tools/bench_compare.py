@@ -48,6 +48,16 @@ for q, w in sorted(cw.items()):
         continue  # sub-noise rows
     ratio = w / max(b, 1e-9)
     if ratio > 2.0:
+        # a missing current-cpu entry is UNADJUDICABLE, not evidence of
+        # contention: defaulting it to 0 would classify every >2x wall
+        # regression from a cpu-less run as "contended" and exit 0 — the
+        # silent-pass failure mode. Count it as a regression and say why.
+        if q not in cc:
+            print(f"REGRESSION {q}: wall {b:.2f} -> {w:.2f} s ({ratio:.1f}x), "
+                  f"no cpu sample in current run — unadjudicable, re-run "
+                  f"with queries_cpu_sec populated")
+            regressions.append(q)
+            continue
         cpu_ratio = cc.get(q, 0) / max(bc.get(q, 1e-9), 1e-9)
         if cpu_ratio > 1.5:
             print(f"REGRESSION {q}: wall {b:.2f} -> {w:.2f} s ({ratio:.1f}x), "
