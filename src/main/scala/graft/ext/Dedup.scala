@@ -635,6 +635,131 @@ object Dedup {
     *    where dedup needs it (verified in ExtSpec + Smoke vs the exact
     *    form; full-probe nprobe = nlist is exhaustive by construction).
     */
+  /** X2f (r11): SemDeDup-family semantic self-dedup cells — every vector
+    * assigned to its `nprobe` nearest of `nlist` seeded cells, ranked by
+    * ROUNDED cosine against the seed vectors (multi-probe hedges pairs
+    * straddling a cell boundary, the [[embeddingNearDupPairsBlocked]]
+    * recall lever — measured 0.92-0.94 pair recall at nlist=8/nprobe=3
+    * on the fixtures vs 0.24-0.31 single-probe).
+    *
+    * The cells are ENGINE-PORTABLE by construction (unlike
+    * [[Similarity.kmeansCentroids]], whose Lloyd means are Spark-side
+    * float folds no other engine replays bit-for-bit):
+    *  - seeds are the `nlist` corpus vectors with the smallest
+    *    (md5(id-as-string), id) — the [[Curation.splitAssign]] hashing
+    *    discipline, deterministic and identical in any engine;
+    *  - ranking uses cosine ROUNDED to 6dp (HALF_UP — the shared
+    *    cross-engine float contract), ties to the lowest seed index —
+    *    so an independent SQL replay (`ORDER BY round(sim,6) DESC, idx`)
+    *    lands every vector in the same cells.
+    *
+    * Scale: the seed sample is one orderBy-limit job (nlist rows to the
+    * driver — a kilobyte artifact, persistable via
+    * [[Artifacts.saveMatrix]]); assignment is MAP-ONLY — the seeds ride
+    * as a codegen reference object inside
+    * [[graft.functions.NearestCells]]'s rounded variant, no join, no
+    * shuffle, ×nprobe explode of slim (id, cell) alongside the vector.
+    * Size nlist ~ sqrt(n) as the corpus grows to bound within-cell pair
+    * volume.
+    */
+  def semanticCells(embeddings: DataFrame, nlist: Int, nprobe: Int = 3,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    seeds: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells_rounded
+    require(nlist > 0, s"nlist must be positive (got $nlist)")
+    require(nprobe > 0 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist] (got $nprobe of $nlist)")
+    val e = embeddings.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(vecCol).cast("array<double>").as("v"))
+    val sd = seeds.getOrElse(portableSeeds(embeddings, nlist, idCol, vecCol))
+    e.withColumn("cell",
+      explode(nearest_cells_rounded(col("v"), sd, nprobe)))
+  }
+
+  /** The deterministic engine-portable seed sample of [[semanticCells]]:
+    * the `nlist` vectors with the smallest (md5(id-as-string), id).
+    */
+  def portableSeeds(embeddings: DataFrame, nlist: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Array[Array[Double]] =
+    embeddings.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nlist).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** X2f: the full SemDeDup report — cluster the corpus's own
+    * embeddings into [[semanticCells]], find within-cell cosine
+    * near-dup pairs, connect them into duplicate clusters and elect ONE
+    * survivor per cluster by the declared quality policy (score desc,
+    * id asc — [[clusterSurvivors]], the x75 election). This is the
+    * embedding sibling of the lexical x23+x75 chain: it prunes
+    * SEMANTIC redundancy (paraphrases, re-renders, translations-of-
+    * boilerplate) that shingle overlap can't see.
+    *
+    * Output: one row per document that belongs to a near-dup cluster —
+    * (doc_id, cluster_id, survivor_id, kept); documents outside any
+    * cluster are implicitly kept and not reported (the drop list is
+    * `kept = false`).
+    *
+    * Scale: within-cell pairing bounds candidate volume to
+    * Σ|cell|² ≈ n²/nlist (never the all-pairs n²); the pair predicate
+    * (id order + threshold) lives INSIDE the join condition so only
+    * matching pairs materialize (see [[embeddingNearDupPairs]]);
+    * clustering and election run over the slim pair/cluster frames
+    * ([[dupClusters]]' (node, label) shuffles, [[clusterSurvivors]]'
+    * bounded greatest_row). Approximation contract: a pair is found
+    * iff both members share a cell — near-dups rank cells
+    * near-identically, so recall concentrates where dedup needs it
+    * (ExtSpec measures it against the exact all-pairs form).
+    */
+  def semanticDedup(embeddings: DataFrame, docs: DataFrame,
+                    threshold: Double, nlist: Int = 8, nprobe: Int = 3,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    docIdCol: String = "doc_id",
+                    scoreCol: Column = null): DataFrame = {
+    val pairs = semanticDedupPairs(
+      semanticCells(embeddings, nlist, nprobe, idCol, vecCol), threshold)
+    semanticDedupReport(dupClusters(pairs), docs, docIdCol, scoreCol)
+  }
+
+  /** The election + report tail of [[semanticDedup]], split out so a
+    * pipeline that memoizes the cluster frame as a per-refresh artifact
+    * (the x23/x75 sharing discipline) feeds it directly.
+    */
+  def semanticDedupReport(clusters: DataFrame, docs: DataFrame,
+                          docIdCol: String = "doc_id",
+                          scoreCol: Column = null): DataFrame = {
+    val score = Option(scoreCol).getOrElse(TextStats.qualityScore(col("text")))
+    val survivors = clusterSurvivors(clusters, docs, docIdCol, score)
+    clusters.join(survivors.select(col("cluster_id"), col("survivor_id")),
+        Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-cell near-dup pairs over a [[semanticCells]] frame: an
+    * equi-join on cell with (id_a < id_b, rounded cosine >= threshold)
+    * inside the join condition — zero-copy evaluation, only matching
+    * pairs materialize; multi-probe duplicates (a pair sharing two
+    * probed cells) collapse via distinct over (id_a, id_b, sim) — sim
+    * is deterministic per pair, so distinct carries no float risk.
+    */
+  private[graft] def semanticDedupPairs(cells: DataFrame,
+                                        threshold: Double): DataFrame = {
+    val a = cells.select(col("cell"), col("doc_id").as("id_a"), col("v").as("va"))
+    val b = cells.select(col("cell").as("cell_b"), col("doc_id").as("id_b"),
+      col("v").as("vb"))
+    val sim = round(Similarity.cosine(col("va"), col("vb")), 6)
+    a.join(b, col("cell") === col("cell_b") &&
+        col("id_a") < col("id_b") && sim >= threshold)
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .distinct()
+  }
+
   def embeddingNearDupPairsBlocked(embeddings: DataFrame, threshold: Double,
                                    nlist: Int = 32, nprobe: Int = 2,
                                    idCol: String = "vec_id",

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * class per query instantiation (measured ~8s cold per IVF plan build).
   * Here the generated code is one static call regardless of nlist/dim.
   */
-case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
+case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int,
+                        rounded: Boolean = false)
   extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -23,12 +24,12 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   override protected def nullSafeEval(input: Any): Any =
-    NearestCells.compute(input.asInstanceOf[ArrayData], cents, n)
+    NearestCells.compute(input.asInstanceOf[ArrayData], cents, n, rounded)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cents", cents, "double[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NearestCells.compute($c, $ref, $n)")
+      s"graft.functions.NearestCells.compute($c, $ref, $n, $rounded)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
@@ -42,8 +43,18 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
 
 object NearestCells {
 
-  /** Called from generated code — must stay public+static. */
-  def compute(vec: ArrayData, cents: Array[Array[Double]], n: Int): ArrayData = {
+  /** Called from generated code — must stay public+static.
+    *
+    * `rounded = true` ranks by the cosine ROUNDED to 6dp (HALF_UP away
+    * from zero — the exact `round(x, 6)` semantics Spark and DuckDB
+    * share), ties to the lowest cell index: the ENGINE-PORTABLE
+    * assignment an independent SQL replay reproduces exactly (see
+    * [[graft.ext.Dedup.semanticCells]]). Unrounded (the default) keeps
+    * the raw-double argmax for the IVF family, where assignment is an
+    * internal detail verified by recall bounds, not replay.
+    */
+  def compute(vec: ArrayData, cents: Array[Array[Double]], n: Int,
+              rounded: Boolean = false): ArrayData = {
     val dim = vec.numElements()
     val sims = new Array[Double](cents.length)
     var c = 0
@@ -57,7 +68,8 @@ object NearestCells {
         dot += x * y; nv += x * x; nw += y * y
         i += 1
       }
-      sims(c) = dot / (math.sqrt(nv) * math.sqrt(nw))
+      val s = dot / (math.sqrt(nv) * math.sqrt(nw))
+      sims(c) = if (rounded) round6(s) else s
       c += 1
     }
     // top-n by sim desc, cell id asc (selection over nlist entries)
@@ -79,7 +91,25 @@ object NearestCells {
     new GenericArrayData(picked)
   }
 
+  /** `round(x, 6)` as Spark/DuckDB compute it: HALF_UP away from zero
+    * via BigDecimal — bit-agreement with the SQL `round` both engines
+    * apply, which `math.rint`-style half-to-even would break at exact
+    * .5-ulp boundaries.
+    */
+  private def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Column API: `vec` must be array<double>. */
   def nearest_cells(vec: Column, cents: Array[Array[Double]], n: Int): Column =
     GraftColumns.column(NearestCells(GraftColumns.expression(vec), cents, n))
+
+  /** The engine-portable variant: rank by 6dp-rounded cosine, ties to
+    * the lowest cell index (replayable as
+    * `ORDER BY round(sim, 6) DESC, idx ASC` in any SQL engine).
+    */
+  def nearest_cells_rounded(vec: Column, cents: Array[Array[Double]],
+                            n: Int): Column =
+    GraftColumns.column(NearestCells(GraftColumns.expression(vec), cents, n,
+      rounded = true))
 }

@@ -79,6 +79,17 @@ object Declared {
         "text", "doc_id", k = 3, threshold = 0.2, maxDocFreq = Some(100)))
     }
 
+  /** The semantic (embedding-space) duplicate-cluster frame for x83 —
+    * like [[dupClustersArtifact]], one per-refresh artifact per fixture
+    * dir (a pipeline clusters its embeddings once per corpus version).
+    */
+  private def semanticClustersArtifact(s: SparkSession, dir: String): DataFrame =
+    artifact(s, "semantic_clusters_n8_p3_t04", dir) {
+      Dedup.dupClusters(Dedup.semanticDedupPairs(
+        Dedup.semanticCells(t(s, dir, "embeddings"), nlist = 8, nprobe = 3),
+        threshold = 0.4))
+    }
+
   // Shared oracle for the curation e2e pipelines: x25 (exact-Jaccard
   // pair path) and x30 (MinHash LSH scale path) must produce
   // IDENTICAL output — LSH candidates are exact-verified (precision 1)
@@ -3675,6 +3686,83 @@ object Declared {
         |  count(DISTINCT t.doc_id)::bigint AS n_docs
         |FROM cps c JOIN toks t ON t.doc_id < c.cutoff
         |GROUP BY 1, 2 ORDER BY k""".stripMargin)),
+
+    // X2f: SemDeDup-family semantic self-dedup (r11 — the embedding
+    // sibling of the lexical x23+x75 chain: cluster the corpus's OWN
+    // embeddings into engine-portable seeded cells, prune within-cell
+    // cosine near-dups, elect one survivor per duplicate cluster by
+    // quality). DuckDB replays the ENTIRE chain independently — the
+    // md5-sampled seeds, the rounded-cosine top-nprobe cell ranking,
+    // the within-cell pair scan, recursive connected components, and
+    // the quality election — so the hash gate covers every stage.
+    // Scale: seeds are a kilobyte driver artifact; assignment is
+    // MAP-ONLY (seeds ride as a codegen reference object); pairing is
+    // an equi-join on cell (candidates ~ n²·nprobe²/nlist with
+    // nlist ~ sqrt(n) at deployment, never all-pairs); clustering and
+    // election run on slim frames. The cluster frame is a memoized
+    // per-refresh artifact (the x23/x75 sharing discipline). Pair
+    // recall vs the exact all-pairs form: 0.92-0.94 on the fixtures
+    // (ExtSpec floor 0.85; nprobe = nlist is exhaustive).
+    "x83_semantic_dedup" -> Q(
+      (s, dir) => Dedup.semanticDedupReport(
+        semanticClustersArtifact(s, dir), t(s, dir, "documents"),
+        "doc_id", TextStats.qualityScore(col("text"))),
+      Some(s"""WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id IS NOT NULL),
+        |seeds AS MATERIALIZED (
+        |  SELECT v AS sv,
+        |    row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1 AS sidx
+        |  FROM e ORDER BY md5(vec_id::varchar), vec_id LIMIT 8),
+        |cells AS MATERIALIZED (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, s.sidx AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+        |          s.sidx ASC) AS rn
+        |    FROM e CROSS JOIN seeds s) WHERE rn <= 3),
+        |prs AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |cl AS MATERIALIZED (
+        |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        |t0 AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |q AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        |      + 0.2
+        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, nchars,
+        |      round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+        |      round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+        |        / greatest(len(w), 1), 6) AS stopword_ratio
+        |    FROM (
+        |      SELECT doc_id, w,
+        |        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |        length(text) AS nchars
+        |      FROM t0))),
+        |sv AS MATERIALIZED (
+        |  SELECT cluster_id, doc_id AS survivor_id FROM (
+        |    SELECT cl.cluster_id, cl.doc_id, q.quality FROM cl JOIN q USING (doc_id))
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id ASC) = 1)
+        |SELECT cl.doc_id, cl.cluster_id, sv.survivor_id,
+        |  cl.doc_id = sv.survivor_id AS kept
+        |FROM cl JOIN sv USING (cluster_id) ORDER BY cl.doc_id""".stripMargin)),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

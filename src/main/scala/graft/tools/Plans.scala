@@ -120,6 +120,17 @@ object Plans {
           emb.filter(col("vec_id") % 37 =!= 0),
           emb.filter(col("vec_id") % 37 === 0),
           threshold = 0.35, nlist = 16, nprobe = 8)
+      },
+      // x83's pair-finding prefix (the declared query's eager artifact
+      // input): portable seeded cells — map-only nearest_cells_rounded
+      // assignment, seeds as a codegen reference object — then the
+      // within-cell equi-join; clustering/election are gated via
+      // x75's election form above
+      "x83_semantic_dedup (lazy pair prefix)" -> {
+        val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        graft.ext.Dedup.semanticDedupPairs(
+          graft.ext.Dedup.semanticCells(emb, nlist = 8, nprobe = 3),
+          threshold = 0.4)
       })
   }
 

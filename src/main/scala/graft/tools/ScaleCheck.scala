@@ -528,6 +528,18 @@ object ScaleCheck {
         graft.ext.Dedup.embeddingNearDupPairsBlocked(replicateEmbPerturbed(n),
           threshold = 0.45, nlist = 16 * n, nprobe = 2)
       }, col("id_b") - col("id_a") === 50000000L),
+      // x83's portable seeded cells under the same twin witness: nlist
+      // scales with the corpus (constant target cell size, the
+      // semanticCells docstring's sqrt(n) policy); the designed sim~1
+      // twins rank cells near-identically at any nlist, so their pair
+      // count must track the replication factor exactly while weak
+      // cross-replica sims stay scrambled
+      ("x83 semantic-dedup within-cell pairs", { n: Int =>
+        graft.ext.Dedup.semanticDedupPairs(
+          graft.ext.Dedup.semanticCells(replicateEmbPerturbed(n),
+            nlist = 8 * n, nprobe = 3),
+          threshold = 0.45)
+      }, col("id_b") - col("id_a") === 50000000L),
       // witness = hamming-0 pairs: identical texts retag to identical
       // texts (fingerprints equal under the bijection), so their count
       // tracks the replication factor exactly; hamming 1-3 pairs can

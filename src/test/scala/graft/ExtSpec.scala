@@ -213,6 +213,63 @@ class ExtSpec extends SparkSuite {
     assert(recall(deep) >= 0.9, s"deep-probe recall ${recall(deep)} < 0.9")
   }
 
+  test("X2f semantic dedup: exhaustive probe == exact pairs; declared budget recall") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    def pairMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairMap(Dedup.embeddingNearDupPairs(e, threshold = 0.4))
+    // nprobe == nlist probes every cell — exhaustive by construction,
+    // sims bit-identical (same rounded-cosine expression)
+    val full = pairMap(Dedup.semanticDedupPairs(
+      Dedup.semanticCells(e, nlist = 8, nprobe = 8), threshold = 0.4))
+    assert(full == exact, s"exhaustive probe diverged: ${full.size} vs ${exact.size}")
+    // the declared x83 budget (nlist=8, nprobe=3): prunes only, never
+    // invents, and holds the measured 0.92-0.94 fixture recall floor
+    val declared = pairMap(Dedup.semanticDedupPairs(
+      Dedup.semanticCells(e, nlist = 8, nprobe = 3), threshold = 0.4))
+    assert(declared.keySet.subsetOf(exact.keySet))
+    val recall =
+      if (exact.isEmpty) 1.0
+      else exact.keySet.intersect(declared.keySet).size.toDouble / exact.size
+    assert(recall >= 0.85, s"declared-budget recall $recall < 0.85 (exact=${exact.size})")
+  }
+
+  test("X2f semantic dedup: clustering + quality election on crafted near-dups") {
+    // nlist = 1 puts everything in one cell -> pairing is exact; unit
+    // vectors crafted so (1,2) and (3,4) are the only pairs >= 0.9
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.96, 0.28)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.28, 0.96))).toDF("vec_id", "embedding")
+    val docs = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5), (4L, 0.5))
+      .toDF("doc_id", "score")
+    val got = Dedup.semanticDedup(emb, docs, threshold = 0.9,
+        nlist = 1, nprobe = 1, scoreCol = col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // cluster ids are component minima; survivor by (score desc, id asc):
+    // {1,2} -> 2 (higher score), {3,4} -> 3 (tie, lower id)
+    assert(got == Seq((1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 3L, 3L, true), (4L, 3L, 3L, false)), got.toString)
+  }
+
+  test("X2f semantic dedup: seeds persist through the matrix artifact") {
+    import graft.ext.Artifacts
+    val e = Tables.load(spark, sf(), "embeddings")
+    val seeds = Dedup.portableSeeds(e, nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seeds").toString
+    Artifacts.saveMatrix(spark, seeds, tmp)
+    val reloaded = Artifacts.loadMatrix(spark, tmp)
+    assert(reloaded.length == seeds.length &&
+      reloaded.zip(seeds).forall { case (a, b) => a.sameElements(b) },
+      "seed matrix did not round-trip bit-identically")
+    // cells served through the reloaded seeds are identical
+    def cellSet(sd: Array[Array[Double]]) =
+      Dedup.semanticCells(e, nlist = 8, nprobe = 3, seeds = Some(sd))
+        .select("doc_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cellSet(reloaded) == cellSet(seeds))
+  }
+
   test("X2 blocked embedding near-dup: trained centroids do not lose recall") {
     // the declared x29 threads kmeans-trained centroids; training is
     // recall-neutral-or-better on these fixtures (measured) — this guard

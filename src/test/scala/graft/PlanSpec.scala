@@ -151,6 +151,14 @@ class PlanSpec extends SparkSuite {
     // the cell-blocked scale paths: IVF cell is the equi key
     hashJoinOn("x29 blocked pairs (operator raw form)", "cell")
     hashJoinOn("x36 blocked decontam (operator raw form)", "cell")
+    hashJoinOn("x83_semantic_dedup (lazy pair prefix)", "cell")
+    // x83's cell assignment must be the map-only rounded expression —
+    // no seed join, no aggregate, no window before the pair join
+    locally {
+      val p = lazyPlans("x83_semantic_dedup (lazy pair prefix)")
+      assert(p.contains("nearest_cells"), s"x83: assignment not map-only:\n$p")
+      assert(!p.contains("Window"), s"x83: window in the pair prefix:\n$p")
+    }
     hashJoinOn("x38_bigram_logprob (lazy form)", "w1", "w2")
     hashJoinOn("x41_cross_dedup (lazy form)", "band", "bucket")
     hashJoinOn("x67_dsir_resample (lazy form)", "bucket") // broadcast log-ratio table
