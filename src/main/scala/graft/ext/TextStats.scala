@@ -410,6 +410,46 @@ object TextStats {
       graft.functions.BpeSegment.bpe_subwords(toks, merges).as("n_subwords"))
   }
 
+  /** X5f (r11): the BPE VOCABULARY as a rank-ordered token list — ids
+    * are positions. Declared construction (engine-portable, so the
+    * oracle rebuilds it exactly):
+    *  1. the distinct single characters of the tokenized corpus,
+    *     lexicographically ascending (binary order — tokens are
+    *     [a-z0-9], so every engine agrees);
+    *  2. then each merge's output string (left||right) in merge order;
+    *  3. first-occurrence dedup (two merges CAN produce the same
+    *     string — e.g. (a,bc) and (ab,c) — and a merge output could
+    *     collide with nothing else; the earlier id wins).
+    * The char scan is one distinct-aggregate over the corpus's
+    * character set (≤ tens of rows); the result is a kilobyte artifact
+    * ([[Artifacts.saveVocab]]).
+    */
+  def bpeVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               merges: Seq[(String, String, Long)]): Seq[String] = {
+    val chars = docs
+      .select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .select(explode(regexp_extract_all(col("w"), lit("."), lit(0))).as("c"))
+      .distinct().orderBy("c").collect().map(_.getString(0))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    chars.foreach(seen += _)
+    merges.foreach(m => seen += (m._1 + m._2))
+    seen.toSeq
+  }
+
+  /** X5f apply (r11): per-document BPE token-id sequence under a
+    * trained merge list + vocabulary — the map-only rank-based
+    * [[graft.functions.BpeEncode]] expression (merge ranks and vocab
+    * ids ride as one codegen reference object; no join, no shuffle,
+    * streams unchanged). The k-pass segmentation ([[bpeSegmentCount]])
+    * stays as the independent equality oracle; the batch alternative
+    * is the distinct-word segmentation-table join the DuckDB oracle
+    * replays.
+    */
+  def bpeEncodeIds(text: Column, merges: Seq[(String, String)],
+                   vocab: Seq[String]): Column =
+    graft.functions.BpeEncode.bpe_encode(
+      Dedup.tokens(coalesce(text, lit(""))), merges, vocab)
+
   /** The built-ins-only formulation of [[bpeSegmentCount]] (zero custom
     * expression surface): k nested interpreted `aggregate` folds per
     * word. Kept as the independent equality oracle for the codegen'd

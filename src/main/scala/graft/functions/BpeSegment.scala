@@ -74,7 +74,19 @@ object BpeSegment {
     * non-overlapping in place.
     */
   def segmentOne(w: String, lefts: Array[String],
-                 rights: Array[String]): Int = {
+                 rights: Array[String]): Int =
+    segmentSyms(w, lefts, rights).length
+
+  /** The k-pass segmentation ITSELF (one pass per merge, in merge
+    * order) — [[segmentOne]]'s symbols, exposed so the rank-based
+    * segmenter ([[BpeEncode]]) can be equality-fuzzed against this
+    * form (the two are provably equal under rank-topologically-
+    * consistent merge lists, i.e. any list [[graft.ext.TextStats.bpeTrain]]
+    * produces — a merge consuming a composite symbol always ranks
+    * after the merges that build it).
+    */
+  def segmentSyms(w: String, lefts: Array[String],
+                  rights: Array[String]): Array[String] = {
     var syms = new Array[String](w.length)
     var i = 0
     while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
@@ -92,7 +104,7 @@ object BpeSegment {
       }
       syms = out; len = o; m += 1
     }
-    len
+    if (len == syms.length) syms else java.util.Arrays.copyOf(syms, len)
   }
 
   /** Column API: total subword count of `tokens` under `merges`

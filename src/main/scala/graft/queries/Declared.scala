@@ -439,6 +439,71 @@ object Declared {
       }(graft.ext.Artifacts.saveBpeMerges, graft.ext.Artifacts.loadBpeMerges)
     }
 
+  /** x84's deeper merge list (64 — large enough that the rank-based
+    * encoder's argmin loop does real work; the fixture corpus supports
+    * all 64 at minCount 2) + its derived vocabulary, both persisted and
+    * RELOADED through the artifact store (the x79/x71 discipline: the
+    * driver's hash gate re-proves persistence every round).
+    */
+  private def bpeMerges64Artifact(s: SparkSession, dir: String): Array[(String, String, Long)] =
+    artifact(s, "bpe_merges_64", dir) {
+      viaStore(s, "bpe_merges_64") {
+        TextStats.bpeTrain(t(s, dir, "documents"), "text", numMerges = 64)
+      }(graft.ext.Artifacts.saveBpeMerges, graft.ext.Artifacts.loadBpeMerges)
+    }
+
+  private def bpeVocab64Artifact(s: SparkSession, dir: String): Seq[String] =
+    artifact(s, "bpe_vocab_64", dir) {
+      viaStore(s, "bpe_vocab_64") {
+        TextStats.bpeVocab(t(s, dir, "documents"), "text",
+          bpeMerges64Artifact(s, dir).toSeq)
+      }(graft.ext.Artifacts.saveVocab,
+        (ss, p) => graft.ext.Artifacts.loadVocab(ss, p).toSeq)
+    }
+
+  /** x84's DuckDB replay: the k merge stages (shared CTE chain), the
+    * vocabulary rebuilt by the declared construction (sorted corpus
+    * chars, then merge outputs in order, first-occurrence dedup by min
+    * position), and the encoding replayed RELATIONALLY — the
+    * segmentation-TABLE join formulation (distinct word → final symbol
+    * list from stage a_k, symbols → ids from the vocab table, per-doc
+    * flatten ordered by (word position, symbol position)) — fully
+    * independent of the Spark side's rank-based in-expression encoder.
+    */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeStagesCte(k) + s""",
+      |mrg AS MATERIALIZED (
+      |  ${(1 to k).map(s => s"SELECT $s AS step, l, r FROM b$s")
+           .mkString("\n      |  UNION ALL\n      |  ")}),
+      |chs AS MATERIALIZED (
+      |  SELECT DISTINCT u.x AS token FROM a0, unnest(syms) AS u(x)),
+      |rawv AS MATERIALIZED (
+      |  SELECT token, row_number() OVER (ORDER BY token) - 1 AS pos FROM chs
+      |  UNION ALL
+      |  SELECT l || r AS token, (SELECT count(*) FROM chs) + step - 1 AS pos
+      |  FROM mrg),
+      |vocab AS MATERIALIZED (
+      |  SELECT token, row_number() OVER (ORDER BY mp) - 1 AS id FROM (
+      |    SELECT token, min(pos) AS mp FROM rawv GROUP BY token)),
+      |seg AS MATERIALIZED (SELECT w, syms FROM a$k),
+      |dws AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |dt AS MATERIALIZED (
+      |  SELECT doc_id, t.i AS wi, ws[i] AS w
+      |  FROM dws, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |sy AS MATERIALIZED (
+      |  SELECT dt.doc_id, dt.wi, u.j, seg.syms[j] AS sym
+      |  FROM dt JOIN seg USING (w), unnest(range(1, len(seg.syms) + 1)) AS u(j)),
+      |enc AS MATERIALIZED (
+      |  SELECT sy.doc_id, list(v.id ORDER BY sy.wi, sy.j) AS ids
+      |  FROM sy JOIN vocab v ON v.token = sy.sym
+      |  GROUP BY sy.doc_id)
+      |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
+      |  coalesce(e.ids, []::bigint[]) AS ids
+      |FROM documents d LEFT JOIN enc e USING (doc_id)
+      |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- core relational (SURVEY §2.5-2.6) ----
@@ -3632,6 +3697,29 @@ object Declared {
           .orderBy("doc_id")
       },
       Some(bpeSegmentOracle(8))),
+
+    // X5f encode (r11): the full tokenizer surface — per-document BPE
+    // token-ID sequences under the 64-merge trained vocabulary. The
+    // Spark side is the MAP-ONLY rank-based encoder (merge ranks +
+    // vocab ids as one codegen reference object — O(len·applied)
+    // per word, independent of vocabulary size; the k-pass fold stays
+    // as the spec equality oracle); DuckDB replays via the
+    // segmentation-table join + vocab-id join — two independent
+    // constructions of the same tokenizer, hash-compared on the raw
+    // id arrays.
+    "x84_bpe_encode" -> Q(
+      (s, dir) => {
+        val merges = bpeMerges64Artifact(s, dir)
+        val vocab = bpeVocab64Artifact(s, dir)
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextStats.bpeEncodeIds(col("text"),
+              merges.map(m => (m._1, m._2)).toSeq, vocab).as("ids"))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+            col("ids"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracle(64))),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

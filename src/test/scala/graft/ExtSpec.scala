@@ -1320,6 +1320,38 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X5f encode: ids agree with the k-pass count; vocab ids decode back") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val trained = TextStats.bpeTrain(docs, "text", numMerges = 8)
+    val vocab = TextStats.bpeVocab(docs, "text", trained.toSeq)
+    val merges = trained.map(m => (m._1, m._2)).toSeq
+    // vocab: chars first (sorted), then merge outputs in order
+    assert(vocab.take(vocab.size - trained.length) == vocab.take(vocab.size - trained.length).sorted)
+    assert(trained.forall(m => vocab.contains(m._1 + m._2)))
+    val rows = docs.filter(col("doc_id").isNotNull).select(
+      TextStats.bpeEncodeIds(col("text"), merges, vocab).as("ids"),
+      TextStats.bpeSegmentCount(col("text"), merges).as("c")).collect()
+    rows.foreach { r =>
+      // id-sequence length == the k-pass fold's subword count (the two
+      // segmentations coincide on trained lists — PropertySpec fuzz)
+      assert(r.getSeq[Long](0).size.toLong == r.getStruct(1).getLong(1))
+      // every id resolves in the vocabulary (no -1 fallback on the
+      // corpus the vocab was built from)
+      assert(r.getSeq[Long](0).forall(id => id >= 0 && id < vocab.size))
+    }
+    // crafted determinism: "ab ab cd" trains merge (a,b); vocab =
+    // chars a,b,c,d then "ab"; encode "ab cd ab" -> [ab, c, d, ab]
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m2 = TextStats.bpeTrain(tiny, "text", numMerges = 8)
+    assert(m2.map(x => (x._1, x._2)).toSeq == Seq(("a", "b")))
+    val v2 = TextStats.bpeVocab(tiny, "text", m2.toSeq)
+    assert(v2 == Seq("a", "b", "c", "d", "ab"))
+    val enc = Seq((1L, "ab cd ab")).toDF("doc_id", "text")
+      .select(TextStats.bpeEncodeIds(col("text"), m2.map(x => (x._1, x._2)).toSeq, v2))
+      .collect()(0).getSeq[Long](0)
+    assert(enc == Seq(4L, 2L, 3L, 4L), enc.toString)
+  }
+
   test("X5h vocab growth: first-occurrence form == multiplied spec oracle") {
     // r11: vocabGrowth reduces the token stream ONCE (term min-id +
     // per-doc counts, then ≤steps-row joins); the original ×steps

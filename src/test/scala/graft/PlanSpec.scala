@@ -547,6 +547,18 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
+  // x84: the rank-based id encoder must likewise be pure map — merge
+  // ranks + vocab ids ride as one reference object, so the scoring
+  // plan has no join/aggregate; only the presentation sort shuffles
+  test("BPE id encoding plans map-only through the rank-based expression") {
+    val p = planOf("x84_bpe_encode")
+    assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in BPE encode:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregation in BPE encode:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
+  }
+
   // x81: the PMI top-k must be the bounded TakeOrderedAndProject over
   // partial-agg'd counts with broadcast totals — no global sort, no
   // window over the bigram table

@@ -531,6 +531,68 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("BpeEncode fuzz: rank-based segmentation == k-pass on trained merge lists") {
+    import graft.functions.{BpeEncode, BpeSegment}
+    // trained merge lists are rank-topologically consistent (a merge
+    // consuming a composite symbol is counted only after the merges
+    // that build it exist) — the precondition under which the rank
+    // loop and the sequential k-pass provably coincide; this fuzz
+    // pins the claim over many trained lists AND over probe words the
+    // trainer never saw (the property is about the list, not the
+    // corpus)
+    def jvmMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    def jvmTrain(texts: Seq[String], numMerges: Int,
+                 minCount: Long): Seq[(String, String)] = {
+      val freq = texts.flatMap(_.split("[^a-z0-9]+").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var words: Seq[(Seq[String], Long)] =
+        freq.toSeq.map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done && out.size < numMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        best match {
+          case Some(((a, b), c)) if c >= minCount =>
+            out += ((a, b))
+            words = words.map { case (s, f) => (jvmMerge(s, a, b), f) }
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val corpusGen = Gen.choose(4, 14).flatMap(n => Gen.listOfN(n, wordGen))
+    samples(corpusGen, 60).foreach { words =>
+      val merges = jvmTrain(Seq(words.mkString(" ")), numMerges = 12, minCount = 2L)
+      val lefts = merges.map(_._1).toArray
+      val rights = merges.map(_._2).toArray
+      val table = new BpeEncode.Table(lefts, rights, Array.empty[String])
+      (words ++ Seq("abcabc", "aaaaaaa", "cccbbbaaa", "bacbacbac")).distinct
+        .foreach { w =>
+          val rank = BpeEncode.segmentWord(w, table).toSeq
+          val kpass = BpeSegment.segmentSyms(w, lefts, rights).toSeq
+          assert(rank == kpass,
+            s"w=$w merges=$merges\n rank=$rank\n kpass=$kpass")
+        }
+    }
+  }
+
   test("budgetFill adversarial: total rank tie (order rests on id alone)") {
     import graft.ext.TrainSet
     // every document identical rank — the greedy order is then ENTIRELY

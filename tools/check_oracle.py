@@ -3,12 +3,15 @@
 parquet dumps + oracle_sql.json, run each oracle in DuckDB over the same
 fixture dir, canonicalize both sides, and diff.
 
-Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [only1,only2,...]
+       (the optional name filter matches SPARK_GRAFT_VERIFY_ONLY runs —
+       without it, every declared oracle must have a dump)
 """
 import json, sys, math
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -32,6 +35,8 @@ def canon(rows, cols):
 
 fails = ok = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     try:
         spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         scols, srows = spark_rel.columns, spark_rel.fetchall()
@@ -57,6 +62,8 @@ for name, sql in sorted(oracle.items()):
 import os
 for name in sorted(os.listdir(out_dir)):
     p = os.path.join(out_dir, name)
+    if only is not None and name not in only:
+        continue
     if os.path.isdir(p) and name not in oracle:
         try:
             n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
