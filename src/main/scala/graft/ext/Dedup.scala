@@ -573,7 +573,10 @@ object Dedup {
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       val sigRow = next.agg(count(lit(1)), sum(col("label"))).collect()(0)
-      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      // empty label frame (a corpus with NO near-dup pairs — real at
+      // small carves): sum() is NULL, the signature is just (0, 0)
+      val sig = (sigRow.getLong(0),
+        if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
       done = sig == prevSig
       prevSig = sig
       labels = next

@@ -504,6 +504,41 @@ object Declared {
       |FROM documents d LEFT JOIN enc e USING (doc_id)
       |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
 
+  // ---- x85 incremental assembly refresh (r11) ----------------------
+  // Two deterministic corpus versions carved from the fixture: v2
+  // ADDS the %17==5 docs v1 lacked, REMOVES %19==7, and CHANGES %13==4
+  // (an appended three-token marker — replayed verbatim by the oracle).
+
+  private[graft] def refreshV1(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 17 =!= 5)
+
+  private[graft] def refreshV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 19 =!= 7)
+      .withColumn("text", when(col("doc_id") % 13 === 4,
+        concat(col("text"), lit(" spark refresh delta")))
+        .otherwise(col("text")))
+
+  /** x85's standing v1 state — built once per fixture dir, all four
+    * frames persisted through the parquet index store and RELOADED
+    * (the cross-job hand-off a real refresh ships), so the driver's
+    * hash gate also proves the persisted-state path every round.
+    */
+  private def refreshStateArtifact(s: SparkSession, dir: String): graft.ext.Refresh.State =
+    artifact(s, "refresh_state_v1", dir) {
+      val st = graft.ext.Refresh.buildState(refreshV1(t(s, dir, "documents")))
+      val base = java.nio.file.Files.createTempDirectory("graft-refresh-state").toString
+      graft.ext.Artifacts.saveIndex(st.meta, s"$base/meta")
+      graft.ext.Artifacts.saveIndex(st.bandIdx, s"$base/band",
+        layoutCols = Seq("band"))
+      graft.ext.Artifacts.saveIndex(st.shingles, s"$base/shingles")
+      graft.ext.Artifacts.saveIndex(st.pairs, s"$base/pairs")
+      graft.ext.Refresh.State(
+        graft.ext.Artifacts.loadIndex(s, s"$base/meta"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/band"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/shingles"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/pairs"))
+    }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---- core relational (SURVEY §2.5-2.6) ----
@@ -3851,6 +3886,138 @@ object Declared {
         |SELECT cl.doc_id, cl.cluster_id, sv.survivor_id,
         |  cl.doc_id = sv.survivor_id AS kept
         |FROM cl JOIN sv USING (cluster_id) ORDER BY cl.doc_id""".stripMargin)),
+
+    // X23: INCREMENTAL assembly refresh (r11 — the deployment reality
+    // x78's batch composition doesn't prove: corpus v2 in → diff →
+    // only added+changed re-gated/re-hashed and cross-deduped against
+    // the RELOADED standing index → manifest out). The declared claim
+    // is the equality incremental == full-rebuild: the query runs BOTH
+    // paths in Spark and emits the full-rebuild manifest with a
+    // per-shard incr_match boolean; DuckDB independently replays the
+    // full rebuild (gates → exact-Jaccard pairs → recursive connected
+    // components → quality election → survivor drop → md5-sharded
+    // manifest), so a drift in EITHER path turns the row red — the
+    // booleans catch incremental-vs-rebuild drift, the hash catches
+    // rebuild-vs-oracle drift.
+    // Scale: only the delta pays corpus-scale work (gates, shingles,
+    // MinHash); retirements are broadcast anti-joins on the delta-
+    // sized touched list; clusters/election/manifest recompute over
+    // slim pair/meta frames (ScaleCheck witnesses refresh wall ~flat
+    // at constant delta while the rebuild grows with the corpus).
+    "x85_assembly_refresh" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v1 = refreshV1(docs)
+        val v2 = refreshV2(docs)
+        val (_, inc) = graft.ext.Refresh.refresh(
+          refreshStateArtifact(s, dir), v1, v2, seed = "ref-v2", numShards = 4)
+        val full = graft.ext.Refresh.fullRebuild(v2, seed = "ref-v2", numShards = 4)
+        full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
+          .select(col("shard"),
+            col("f.n_docs").as("n_docs"),
+            col("f.token_mass").as("token_mass"),
+            col("f.id_xor").as("id_xor"),
+            (col("f.n_docs") <=> col("i.n_docs") &&
+              col("f.token_mass") <=> col("i.token_mass") &&
+              col("f.id_xor") <=> col("i.id_xor")).as("incr_match"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH RECURSIVE v2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 19 <> 7),
+        |t0 AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM v2),
+        |lid AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id, regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+        |      len(list_filter(w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM t0)),
+        |qual AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        |      + 0.2
+        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, nchars,
+        |      round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+        |      round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+        |        / greatest(len(w), 1), 6) AS stopword_ratio
+        |    FROM (
+        |      SELECT doc_id, w,
+        |        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |        length(text) AS nchars
+        |      FROM t0))),
+        |rep AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
+        |  FROM t0),
+        |g AS MATERIALIZED (
+        |  SELECT t0.doc_id, q.quality, len(t0.w)::bigint AS n_toks
+        |  FROM t0
+        |  JOIN lid USING (doc_id) JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+        |  WHERE substr(md5('graft' || t0.doc_id::varchar), 1, 2) < 'c0'
+        |    AND lid.lang_pred = 'en' AND q.quality >= 0.8 AND r.rep_ratio <= 0.6),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT tg.doc_id, tg.w[i] || ' ' || tg.w[i+1] || ' ' || tg.w[i+2] AS s
+        |  FROM (SELECT t0.doc_id, t0.w FROM t0 JOIN g USING (doc_id)) tg,
+        |    unnest(range(1, greatest(len(tg.w) - 1, 1))) AS u(i)),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+        |    FROM common
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.2),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |cl AS MATERIALIZED (
+        |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        |sv AS MATERIALIZED (
+        |  SELECT cluster_id, doc_id AS survivor_id FROM (
+        |    SELECT cl.cluster_id, cl.doc_id, g.quality FROM cl JOIN g USING (doc_id))
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id ASC) = 1),
+        |standing AS MATERIALIZED (
+        |  SELECT g.doc_id, g.n_toks FROM g
+        |  WHERE g.doc_id NOT IN (SELECT doc_id FROM cl)
+        |     OR g.doc_id IN (SELECT survivor_id FROM sv)),
+        |hx AS MATERIALIZED (
+        |  SELECT doc_id, n_toks, md5('ref-v2:' || doc_id::varchar) AS h
+        |  FROM standing),
+        |man AS MATERIALIZED (
+        |  SELECT ('0x' || substr(h, 1, 8))::bigint % 4 AS shard,
+        |    count(*) AS n_docs, sum(n_toks)::bigint AS token_mass,
+        |    bit_xor(('0x' || substr(h, 9, 15))::bigint) AS id_xor
+        |  FROM hx GROUP BY 1)
+        |SELECT shard, n_docs, token_mass, id_xor, true AS incr_match
+        |FROM man ORDER BY shard""".stripMargin)),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

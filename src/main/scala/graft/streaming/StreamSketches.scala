@@ -76,4 +76,55 @@ object StreamSketches {
         kll_merge_agg_double(col("kll")), lit(q)).as("value_quantile"),
       theta_union_agg(col("theta"), 14).as("theta"),
       FreqSketch.freq_merge_agg(col("freq"), maxMapSize).as("freq"))
+
+  /** X5h streaming twin (r11): per-micro-batch VOCABULARY-GROWTH
+    * journal — the incremental form of [[graft.ext.TextStats.vocabGrowth]]'s
+    * Heaps curve that x82's docstring documents (exact distinct counts
+    * per checkpoint need the batch pass; a stream maintains the curve
+    * as mergeable HLL states instead, with exact token mass riding
+    * alongside). One row per batch: (batch_id, hll term state, exact
+    * token count, hll doc state).
+    */
+  def vocabJournal(stream: DataFrame, journalDir: String,
+                   textCol: String, idCol: String, lgK: Int = 12,
+                   configure: DataStreamWriter[org.apache.spark.sql.Row] =>
+                     DataStreamWriter[org.apache.spark.sql.Row] = identity)
+    : StreamingQuery = {
+    val writer = stream.writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.select(col(idCol).as("_id"),
+              explode(graft.ext.Dedup.tokens(
+                coalesce(col(textCol), lit("")))).as("term"))
+            .agg(hll_sketch_agg(col("term"), lit(lgK)).as("hll_terms"),
+              count(lit(1)).as("n_tokens"),
+              hll_sketch_agg(col("_id"), lit(lgK)).as("hll_docs"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(journalDir)
+        }
+      }
+    configure(writer).start()
+  }
+
+  /** The growth curve read off the journal: one row per batch prefix
+    * (k = batch_id), folding every row with batch_id <= k — a
+    * journal-sized self-join over kilobyte blobs, never a corpus
+    * re-scan. At-least-once retry copies (byte-identical rows re-
+    * appended for the same batch) collapse via the per-batch
+    * dropDuplicates before the fold (the StreamDrift discipline).
+    */
+  def vocabCurveFromJournal(spark: SparkSession, journalDir: String): DataFrame = {
+    val j = spark.read.parquet(journalDir).dropDuplicates("batch_id")
+    j.select(col("batch_id").as("k")).as("a")
+      .join(j.as("b"), col("b.batch_id") <= col("a.k"))
+      .groupBy(col("k"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("b.hll_terms"), lit(false)))
+          .as("vocab_est"),
+        sum(col("b.n_tokens")).as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("b.hll_docs"), lit(false)))
+          .as("docs_est"))
+      .orderBy("k")
+  }
 }

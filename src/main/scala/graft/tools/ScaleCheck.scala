@@ -231,8 +231,12 @@ object ScaleCheck {
           .groupBy("shard").agg(count(lit(1)).as("c"))
           .collect().map(_.getLong(1))
         val mean = sizes.sum.toDouble / sizes.length
-        assert(sizes.length == 32 && sizes.max < 1.2 * mean,
-          s"md5 shards unbalanced: max ${sizes.max} vs mean $mean")
+        // size-aware bound: 1.2x mean once shards are populated, but
+        // never tighter than a ~4-sigma binomial band — at sf0.001's
+        // 15 docs/shard the pure ratio bound is just sampling noise
+        val bound = math.max(1.2 * mean, mean + 4 * math.sqrt(mean))
+        assert(sizes.length == 32 && sizes.max < bound,
+          s"md5 shards unbalanced: max ${sizes.max} vs mean $mean (bound $bound)")
       },
       "x66 domain cap (documents, 15/source)" -> { n =>
         // bounded-heap: map-side partials keep <= cap rows per (task,
@@ -818,6 +822,104 @@ object ScaleCheck {
       sb.append("Plain 4x replication: merge sequence identical, every pair count\n")
       sb.append(s"exactly 4x (asserted). 1x merges: ${t1.map(m => m._1 + "+" + m._2).mkString(", ")}.\n")
       println(s"SCALE x79 bpe merges invariant under 4x replication")
+    }
+
+    // --- x85 incremental refresh at scale -----------------------------
+    // Gate-preserving, dup-scrambling replication: replica 0 keeps the
+    // original text (the fixture's genuine pair structure AND the whole
+    // delta live there); replicas >= 1 PERMUTE each doc's token
+    // sequence by a per-(replica, position, token) hash key — the token
+    // MULTISET is unchanged (langId stopword counts, stopword /
+    // repetition ratios, token count all invariant), so replicas flow
+    // through the gates like real corpus growth, while the 3-shingle
+    // sets scramble, so cross-replica identity clusters don't explode
+    // quadratically (the harness's standing concern with verbatim
+    // replication of a near-dup operator's input).
+    // Witnesses: (a) refresh manifest == full-rebuild manifest at EVERY
+    // scale — the x85 equality claim under a growing standing corpus;
+    // (b) with the delta held constant (replica-0-sized) the refresh
+    // wall must stay well under the rebuild wall at 16x — corpus-scale
+    // text work (gates, shingles, MinHash) is delta-bound, and the only
+    // corpus-proportional refresh costs are the slim diff scan and the
+    // pair/meta/index anti-joins.
+    locally {
+      import graft.ext.Refresh
+      val R0 = 100000000L // replica-0 ids are below the remap stride
+      def permuted(n: Int): DataFrame =
+        (0 until n).map { i =>
+          val base = docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * R0))
+          if (i == 0) base
+          else base.withColumn("text", concat_ws(" ",
+            transform(array_sort(transform(
+              filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+              (tok, pos) => struct(
+                md5(concat(tok, lit(s"#$i#"), pos.cast("string"))).as("k"),
+                tok.as("t")))),
+              s => s.getField("t"))))
+        }.reduce(_ union _)
+      def v1(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 17 === 5 && col("doc_id") < R0))
+      def v2(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 19 === 7 && col("doc_id") < R0))
+        .withColumn("text",
+          when(col("doc_id") % 13 === 4 && col("doc_id") < R0,
+            concat(col("text"), lit(" spark refresh delta")))
+            .otherwise(col("text")))
+      val timedR = scales.map { n =>
+        // deployment shape, all UNTIMED setup: the corpora are stored
+        // tables and the standing state is parquet-persisted (exactly
+        // what the declared x85 ships through Artifacts.saveIndex) —
+        // handing refresh() the raw lazy buildState frames instead
+        // re-runs full-corpus gating/shingling on every state use and
+        // measures that mistake, not the operator (first formulation
+        // of this witness did exactly that: 173 s refresh vs 76 s
+        // rebuild at 16x)
+        val base = java.nio.file.Files
+          .createTempDirectory(s"x85-scale-$n").toString
+        v1(n).write.mode("overwrite").parquet(s"$base/v1")
+        v2(n).write.mode("overwrite").parquet(s"$base/v2")
+        val v1p = spark.read.parquet(s"$base/v1")
+        val v2p = spark.read.parquet(s"$base/v2")
+        val st0 = Refresh.buildState(v1p)
+        graft.ext.Artifacts.saveIndex(st0.meta, s"$base/meta")
+        graft.ext.Artifacts.saveIndex(st0.bandIdx, s"$base/band")
+        graft.ext.Artifacts.saveIndex(st0.shingles, s"$base/shingles")
+        graft.ext.Artifacts.saveIndex(st0.pairs, s"$base/pairs")
+        val st = Refresh.State(
+          graft.ext.Artifacts.loadIndex(spark, s"$base/meta"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/band"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/shingles"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/pairs"))
+        val t0 = System.nanoTime()
+        val (_, inc) = Refresh.refresh(st, v1p, v2p, "scale-ref", 4)
+        val incRows = inc.collect().map(_.toSeq).toSet
+        val tRef = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val fullRows = Refresh.fullRebuild(v2p, "scale-ref", 4)
+          .collect().map(_.toSeq).toSet
+        val tReb = (System.nanoTime() - t1) / 1e9
+        assert(incRows == fullRows,
+          s"x85 scale: refresh != rebuild at ${n}x\n inc: $incRows\n reb: $fullRows")
+        (n, tRef, tReb)
+      }
+      val (_, ref16, reb16) = timedR.last
+      assert(ref16 < reb16,
+        f"x85 scale: constant-delta refresh ($ref16%.2f s) not cheaper than " +
+          f"the 16x rebuild ($reb16%.2f s)")
+      val expRef = math.log(timedR(2)._2 / timedR(0)._2) / math.log(16.0)
+      val expReb = math.log(timedR(2)._3 / timedR(0)._3) / math.log(16.0)
+      sb.append("\n## Incremental refresh at scale (x85, constant delta)\n\n")
+      sb.append("Gate-preserving permuted replication; refresh manifest asserted ==\n")
+      sb.append("full-rebuild manifest at every scale; 16x refresh wall asserted\n")
+      sb.append("below the 16x rebuild wall (the delta-bound work claim).\n\n")
+      sb.append("| case | 1x (s) | 4x | 16x | exp |\n|---|---|---|---|---|\n")
+      sb.append(f"| x85 refresh (delta fixed) | ${timedR(0)._2}%.2f | " +
+        f"${timedR(1)._2}%.2f | ${timedR(2)._2}%.2f | $expRef%.2f |\n")
+      sb.append(f"| x85 full rebuild | ${timedR(0)._3}%.2f | " +
+        f"${timedR(1)._3}%.2f | ${timedR(2)._3}%.2f | $expReb%.2f |\n")
+      println(f"SCALE x85 refresh exp=$expRef%.2f rebuild exp=$expReb%.2f " +
+        timedR.map { case (n, a, b) => f"${n}x:$a%.2f/$b%.2f" }.mkString(" "))
     }
 
     // --- as-of join under hot-key skew: salted vs plain ---------------

@@ -1320,6 +1320,33 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X23 refresh: incremental state + manifest == from-scratch rebuild") {
+    import graft.ext.Refresh
+    // a different carve than the declared x85 row (no artifact reuse):
+    // adds (%7==2 docs absent from v1), removes (%11==3), changes
+    // (%5==1, appended marker) — all against the real fixture corpus so
+    // gates and near-dup pairs do real work
+    val docs = Tables.load(spark, sf(), "documents")
+    val v1 = docs.filter(col("doc_id") % 7 =!= 2)
+    val v2 = docs.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text", when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" crafted spec marker"))).otherwise(col("text")))
+    val st1 = Refresh.buildState(v1)
+    val (st2, inc) = Refresh.refresh(st1, v1, v2, seed = "spec", numShards = 4)
+    val full = Refresh.fullRebuild(v2, seed = "spec", numShards = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(inc) == rows(full), "refresh manifest != rebuild manifest")
+    // the refreshed STATE is behaviorally identical to a from-scratch
+    // v2 state: same gated meta, same pair set — so the NEXT refresh
+    // starts from exactly what a rebuild would have left behind
+    val stFull = Refresh.buildState(v2)
+    assert(rows(st2.meta) == rows(stFull.meta), "refreshed meta drifted")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(st2.pairs) == pairSet(stFull.pairs), "refreshed pairs drifted")
+  }
+
   test("X5f encode: ids agree with the k-pass count; vocab ids decode back") {
     val docs = Tables.load(spark, sf(), "documents")
     val trained = TextStats.bpeTrain(docs, "text", numMerges = 8)

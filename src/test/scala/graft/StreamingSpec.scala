@@ -961,6 +961,48 @@ class StreamingSpec extends SparkSuite {
       s"retry-duplicated journal broke the fold: ${afterRetry.diff(batchReport)}")
   }
 
+  test("X5h streaming twin: HLL vocab journal tracks the exact growth curve") {
+    implicit val sqlCtx = spark.sqlContext
+    // micro-batches = x82's id-ordered checkpoint slices, so journal
+    // prefix k corresponds exactly to checkpoint k+1 of the batch
+    // curve; token mass is exact on both planes, vocab/doc counts are
+    // HLL estimates that must land within the lgK=12 bound (and are
+    // exact here — the fixture vocabulary is far below the sparse
+    // threshold)
+    val dir = java.nio.file.Files.createTempDirectory("vocab_journal").toString
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull).select("doc_id", "text")
+    val exact = graft.ext.TextStats.vocabGrowth(docs, "text", "doc_id", steps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val cutoffs = exact.map(_._2)
+    val slices = cutoffs.zip(Long.MinValue +: cutoffs.dropRight(1)).map {
+      case (hi, lo) => docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = StreamSketches.vocabJournal(
+      input.toDF().toDF("doc_id", "text"), dir, "text", "doc_id")
+    try {
+      slices.foreach { s => input.addData(s.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // at-least-once retry: re-append batch 0's row — the curve fold
+    // must collapse the copy
+    val replay = spark.read.parquet(dir).filter(col("batch_id") === 0L)
+    replay.write.mode("append").parquet(dir)
+    val curve = StreamSketches.vocabCurveFromJournal(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.length == exact.length, s"${curve.length} journal prefixes")
+    curve.zip(exact).foreach { case ((k, vEst, nTok, dEst), (ek, _, vocab, nTokens, nDocs)) =>
+      assert(k + 1 == ek)
+      assert(nTok == nTokens, s"checkpoint $ek: token mass $nTok != exact $nTokens")
+      assert(math.abs(vEst - vocab).toDouble / vocab <= 0.02,
+        s"checkpoint $ek: vocab estimate $vEst vs exact $vocab")
+      assert(math.abs(dEst - nDocs).toDouble / nDocs <= 0.02,
+        s"checkpoint $ek: doc estimate $dEst vs exact $nDocs")
+    }
+  }
+
   test("X17 streaming sketch journal: multi-batch fold equals the one-shot delta") {
     implicit val sqlCtx = spark.sqlContext
     import graft.functions.FreqSketch._
