@@ -77,6 +77,25 @@ object BpeEncode {
     */
   final class Table(val lefts: Array[String], val rights: Array[String],
                     val vocab: Array[String]) extends Serializable {
+    // PRECONDITION (checked loudly): merge OUTPUT strings must be
+    // distinct. The rank-based segmenter re-applies a merge whenever
+    // its pair reappears; if two merges produced the same composite
+    // string (e.g. ("ab","c") and ("a","bc") -> "abc"), the later
+    // producer could recreate a lower-rank pair's operand and the
+    // rank-based and k-pass ([[BpeSegment]]) segmentations would
+    // silently diverge. [[graft.ext.TextStats.bpeTrain]]'s lists
+    // satisfy this on the fixtures (PropertySpec fuzz); any list that
+    // does not must fail here, not drift.
+    locally {
+      val seen = new java.util.HashSet[String](lefts.length * 2)
+      var i = 0
+      while (i < lefts.length) {
+        require(seen.add(lefts(i) + rights(i)),
+          s"duplicate merge output '${lefts(i)}${rights(i)}' at rank $i: " +
+            "rank-based BPE segmentation requires distinct merge outputs")
+        i += 1
+      }
+    }
     @transient lazy val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](lefts.length * 2)
       var i = 0

@@ -69,7 +69,18 @@ object NearestCells {
         i += 1
       }
       val s = dot / (math.sqrt(nv) * math.sqrt(nw))
-      sims(c) = if (rounded) round6(s) else s
+      // Rounded (portable) variant: a NaN cosine (zero-norm vector or
+      // zero-norm seed) must rank GREATER-THAN-ALL, because the SQL
+      // replay `ORDER BY round(sim, 6) DESC, idx ASC` sorts NaN first
+      // in BOTH Spark and DuckDB. The raw scan below would otherwise
+      // keep/skip NaN purely by position (NaN never wins `>` but is
+      // never displaced once picked first) — divergent for degenerate
+      // vectors. +Inf is strictly above every real cosine ([-1, 1]),
+      // and all-NaN ties fall to the lowest index, exactly the replay.
+      sims(c) =
+        if (!rounded) s
+        else if (java.lang.Double.isNaN(s)) Double.PositiveInfinity
+        else round6(s)
       c += 1
     }
     // top-n by sim desc, cell id asc (selection over nlist entries)
@@ -107,6 +118,10 @@ object NearestCells {
   /** The engine-portable variant: rank by 6dp-rounded cosine, ties to
     * the lowest cell index (replayable as
     * `ORDER BY round(sim, 6) DESC, idx ASC` in any SQL engine).
+    * Degenerate vectors are part of the contract: a NaN cosine
+    * (zero-norm input or seed) ranks greater-than-all — the NaN-first
+    * DESC ordering Spark and DuckDB share — so the replay holds for
+    * zero vectors too.
     */
   def nearest_cells_rounded(vec: Column, cents: Array[Array[Double]],
                             n: Int): Column =

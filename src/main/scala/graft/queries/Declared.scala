@@ -500,7 +500,7 @@ object Declared {
       |  FROM sy JOIN vocab v ON v.token = sy.sym
       |  GROUP BY sy.doc_id)
       |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
-      |  coalesce(e.ids, []::bigint[]) AS ids
+      |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
       |FROM documents d LEFT JOIN enc e USING (doc_id)
       |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
 
@@ -1547,16 +1547,14 @@ object Declared {
         .orderBy("id_a", "id_b"),
       Some(jaccardPairsOracleSql)),
 
-    // X2: SimHash + rolling shingle fingerprints — the native xxhash64
-    // forms, rows-only BY DESIGN (xxhash64 is not DuckDB-expressible);
-    // exactness is driver-visible via x33's pigeonhole row and the
-    // portable twin below
-    "x10_simhash" -> Q(
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"),
-          TextStats.shingleFingerprint(col("text")).as("shingle_fp"))
-        .orderBy("doc_id"),
-      None),
+    // X2: the native xxhash64 SimHash fingerprint row (`x10_simhash`)
+    // was RETIRED from the declared set in r12 (judge brief #6): raw
+    // xxhash64 fingerprints are not DuckDB-expressible, so the row
+    // could only ever be rows-only — permanent noise in the hard
+    // signal. Coverage is fully preserved: the native fingerprints are
+    // exercised in-plan by x33's banded==exhaustive pigeonhole row,
+    // and the majority-vote semantics are hash-checked bit-for-bit by
+    // the portable twin below. (Noted in BASELINE.md.)
 
     // X2 (portable twin of x10, r7): md5-based 60-bit simhash whose
     // every ingredient is DuckDB-reproducible — the FINGERPRINTS
@@ -3740,8 +3738,10 @@ object Declared {
     // per word, independent of vocabulary size; the k-pass fold stays
     // as the spec equality oracle); DuckDB replays via the
     // segmentation-table join + vocab-id join — two independent
-    // constructions of the same tokenizer, hash-compared on the raw
-    // id arrays.
+    // constructions of the same tokenizer, hash-compared on the id
+    // sequences. The sequence ships as a space-joined string (the x35
+    // pattern) so the driver's scalar canonicalizer can sort/hash the
+    // cell — full per-position order and value sensitivity retained.
     "x84_bpe_encode" -> Q(
       (s, dir) => {
         val merges = bpeMerges64Artifact(s, dir)
@@ -3751,7 +3751,7 @@ object Declared {
             TextStats.bpeEncodeIds(col("text"),
               merges.map(m => (m._1, m._2)).toSeq, vocab).as("ids"))
           .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
-            col("ids"))
+            concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"))
           .orderBy("doc_id")
       },
       Some(bpeEncodeOracle(64))),

@@ -130,6 +130,31 @@ class ExtSpec extends SparkSuite {
     assert(ham(fp("a"), fp("b")) <= 16)
   }
 
+  test("X5 shingleFingerprint: order-insensitive over the shingle set, content-sensitive") {
+    // the fingerprint hashes the SORTED shingle set — identical text
+    // must collide, a one-word edit must not (xxhash64 of a different
+    // sorted-set string), and the empty/short text is total (fp of the
+    // empty set, not null/error)
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta zeta"),
+      (4L, "xy"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+        graft.ext.TextStats.shingleFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "identical text must fingerprint identically")
+    assert(fp(1L) != fp(3L), "edited text must change the fingerprint")
+    // independent construction: xxhash64 over the explicitly sorted shingles
+    val expected = df.filter(col("doc_id") === 1L)
+      .select(xxhash64(concat_ws("|",
+        array_sort(Dedup.shingles(col("text"), 3)))))
+      .head().getLong(0)
+    assert(fp(1L) == expected, "fingerprint != xxhash64(sorted shingles)")
+    assert(fp.contains(4L), "short text must still produce a fingerprint")
+  }
+
   test("X2 simhashPairs: banded join equals the n^2 hamming scan (pigeonhole exactness)") {
     // real fixture corpus: every pair with hamming <= 3 must be found —
     // the banding is a pruning strategy, not an approximation

@@ -349,4 +349,41 @@ class FunctionsSpec extends SparkSuite {
         |GROUP BY k""".stripMargin).collect()(0)
     assert(gr.getStruct(1).getString(1) == "new")
   }
+
+  test("BpeEncode.Table rejects duplicate merge outputs loudly") {
+    // ("ab","c") and ("a","bc") both produce "abc": under rank-based
+    // re-application the later producer could recreate the earlier
+    // pair's operand and silently diverge from the k-pass oracle — the
+    // Table must fail at construction, not drift
+    val ex = intercept[IllegalArgumentException] {
+      new graft.functions.BpeEncode.Table(
+        Array("a", "ab", "a"), Array("b", "c", "bc"),
+        Array.empty[String])
+    }
+    assert(ex.getMessage.contains("duplicate merge output"))
+    // distinct outputs construct fine (duplicate PAIRS are the
+    // documented first-occurrence tie policy and still distinct-output)
+    new graft.functions.BpeEncode.Table(
+      Array("a", "ab"), Array("b", "c"), Array("ab", "abc"))
+  }
+
+  test("nearest_cells_rounded: NaN cosine ranks greater-than-all (SQL NaN-first DESC)") {
+    import graft.functions.NearestCells
+    val cents = Array(
+      Array(1.0, 0.0), Array(0.0, 0.0) /* zero-norm seed -> NaN sim */,
+      Array(0.0, 1.0))
+    // a real vector: the zero-norm SEED's NaN sim must outrank every
+    // real cosine — mirroring ORDER BY round(sim,6) DESC, idx ASC
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0))).toDF("id", "v")
+      .select(col("id"),
+        NearestCells.nearest_cells_rounded(
+          col("v").cast("array<double>"), cents, 3).as("cells"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1, 0, 2),
+      s"zero-norm seed must sort first for a real vector: ${got(1L)}")
+    // a zero-norm VECTOR: all sims NaN -> all tied -> lowest index
+    // order, exactly the replay's idx ASC tiebreak
+    assert(got(2L) == Seq(0, 1, 2),
+      s"all-NaN must fall to index order: ${got(2L)}")
+  }
 }
