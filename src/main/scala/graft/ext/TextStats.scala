@@ -450,6 +450,18 @@ object TextStats {
     graft.functions.BpeEncode.bpe_encode(
       Dedup.tokens(coalesce(text, lit(""))), merges, vocab)
 
+  /** X5f unseen-text encode (r12): same encoder with the declared
+    * out-of-vocabulary policy — genuinely novel characters (the only
+    * possible unknown symbols; see [[graft.functions.BpeEncode]])
+    * encode as the RESERVED id `vocab.length`, the first id past the
+    * trained space. Self-corpus encodes keep the 3-arg form.
+    */
+  def bpeEncodeIdsUnk(text: Column, merges: Seq[(String, String)],
+                      vocab: Seq[String]): Column =
+    graft.functions.BpeEncode.bpe_encode(
+      Dedup.tokens(coalesce(text, lit(""))), merges, vocab,
+      unkId = vocab.length.toLong)
+
   /** The built-ins-only formulation of [[bpeSegmentCount]] (zero custom
     * expression surface): k nested interpreted `aggregate` folds per
     * word. Kept as the independent equality oracle for the codegen'd

@@ -28,19 +28,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * The merge-rank and vocab-id hash tables ride as ONE codegen
   * reference object ([[BpeEncode.Table]], rebuilt transiently per
-  * executor) — no join, no shuffle, streams unchanged. A symbol absent
-  * from the vocabulary encodes as -1 (cannot occur when the vocab was
-  * built from the same corpus the text comes from; a real deployment
-  * would byte-fallback).
+  * executor) — no join, no shuffle, streams unchanged.
+  *
+  * OUT-OF-VOCABULARY policy (r12): a segmented symbol absent from the
+  * vocabulary encodes as `unkId`. Segmentation only ever produces
+  * base characters or merge outputs, and every merge output is in the
+  * vocabulary by construction — so an unknown symbol is always a
+  * GENUINELY NOVEL CHARACTER the training corpus never contained (the
+  * character-level fallback is total for in-alphabet text, the
+  * byte-level-BPE guarantee restated over the [a-z0-9] token
+  * alphabet). The declared reservation is `unkId = vocab.length` (the
+  * first id past the trained space — what x86 passes); the legacy
+  * default -1 marks self-corpus encodes where unk cannot occur.
   */
 case class BpeEncode(child: Expression, lefts: Array[String],
-                     rights: Array[String], vocab: Array[String])
+                     rights: Array[String], vocab: Array[String],
+                     unkId: Long = -1L)
   extends UnaryExpression with ImplicitCastInputTypes {
 
   require(lefts.length == rights.length,
     s"merge list mismatch: ${lefts.length} lefts vs ${rights.length} rights")
 
-  @transient private lazy val table = new BpeEncode.Table(lefts, rights, vocab)
+  @transient private lazy val table =
+    new BpeEncode.Table(lefts, rights, vocab, unkId)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -76,7 +86,8 @@ object BpeEncode {
     * the oracle's min-position dedup.
     */
   final class Table(val lefts: Array[String], val rights: Array[String],
-                    val vocab: Array[String]) extends Serializable {
+                    val vocab: Array[String], val unkId: Long = -1L)
+      extends Serializable {
     // PRECONDITION (checked loudly): merge OUTPUT strings must be
     // distinct. The rank-based segmenter re-applies a merge whenever
     // its pair reappears; if two merges produced the same composite
@@ -117,7 +128,7 @@ object BpeEncode {
 
     // content-based equality so canonicalized plans dedupe correctly
     override def equals(o: Any): Boolean = o match {
-      case t: Table => java.util.Arrays.equals(
+      case t: Table => unkId == t.unkId && java.util.Arrays.equals(
           lefts.asInstanceOf[Array[AnyRef]], t.lefts.asInstanceOf[Array[AnyRef]]) &&
         java.util.Arrays.equals(
           rights.asInstanceOf[Array[AnyRef]], t.rights.asInstanceOf[Array[AnyRef]]) &&
@@ -126,9 +137,10 @@ object BpeEncode {
       case _ => false
     }
     override def hashCode(): Int =
-      31 * (31 * java.util.Arrays.hashCode(lefts.asInstanceOf[Array[AnyRef]]) +
+      31 * (31 * (31 * java.util.Arrays.hashCode(lefts.asInstanceOf[Array[AnyRef]]) +
         java.util.Arrays.hashCode(rights.asInstanceOf[Array[AnyRef]])) +
-        java.util.Arrays.hashCode(vocab.asInstanceOf[Array[AnyRef]])
+        java.util.Arrays.hashCode(vocab.asInstanceOf[Array[AnyRef]])) +
+        java.lang.Long.hashCode(unkId)
   }
 
   /** Called from generated code — must stay public+static. */
@@ -142,7 +154,7 @@ object BpeEncode {
         var j = 0
         while (j < syms.length) {
           val id = t.ids.get(syms(j))
-          out += (if (id == null) -1L else id.longValue())
+          out += (if (id == null) t.unkId else id.longValue())
           j += 1
         }
       }
@@ -194,7 +206,8 @@ object BpeEncode {
     * rank-ordered `vocab` (id = position).
     */
   def bpe_encode(tokens: Column, merges: Seq[(String, String)],
-                 vocab: Seq[String]): Column =
+                 vocab: Seq[String], unkId: Long = -1L): Column =
     GraftColumns.column(BpeEncode(GraftColumns.expression(tokens),
-      merges.map(_._1).toArray, merges.map(_._2).toArray, vocab.toArray))
+      merges.map(_._1).toArray, merges.map(_._2).toArray, vocab.toArray,
+      unkId))
 }

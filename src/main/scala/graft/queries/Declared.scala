@@ -365,13 +365,31 @@ object Declared {
   // emits exactly the merges Spark trained (the merge SELECT from an
   // empty b$s contributes no row) instead of diverging or, worse,
   // CROSS JOIN-dropping every word from all later stages.
-  private def bpeStagesCte(k: Int, minCount: Long = 2L): String = {
-    val base = """WITH a0 AS MATERIALIZED (
-      |  SELECT w, count(*)::bigint AS freq, regexp_extract_all(w, '.') AS syms
+  /** The unrolled k-stage BPE training/segmentation CTE chain.
+    *
+    * r12 generalization for the cross-corpus x86: `source` names the
+    * document CTE/table to tokenize and `trainPred` is the TRAINING
+    * membership predicate (over that source's `doc_id`). The word
+    * table a0 carries EVERY word of the source, but `freq` sums only
+    * training-side occurrences — so pair counts (and therefore the
+    * learned merges) see the training corpus alone, while the apply
+    * stages segment training AND held-out words identically under the
+    * trained list: stage a_k IS the segmentation table for unseen
+    * words too, with zero extra machinery. `prefix` lets callers
+    * prepend CTEs (e.g. a perturbed-documents view) before a0. The
+    * defaults reproduce the original self-corpus chain exactly.
+    */
+  private def bpeStagesCte(k: Int, minCount: Long = 2L,
+                           source: String = "documents",
+                           trainPred: String = "TRUE",
+                           prefix: String = ""): String = {
+    val head = if (prefix.isEmpty) "WITH " else s"WITH $prefix,\n"
+    val base = head + s"""a0 AS MATERIALIZED (
+      |  SELECT w, sum(istrain)::bigint AS freq, regexp_extract_all(w, '.') AS syms
       |  FROM (
-      |    SELECT u.x AS w FROM (
-      |      SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
-      |      FROM documents), unnest(ws) AS u(x))
+      |    SELECT u.x AS w, CASE WHEN $trainPred THEN 1 ELSE 0 END AS istrain FROM (
+      |      SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |      FROM $source), unnest(ws) AS u(x))
       |  GROUP BY w)""".stripMargin
     val stages = (1 to k).map { s =>
       s"""|p$s AS MATERIALIZED (
@@ -461,6 +479,32 @@ object Declared {
         (ss, p) => graft.ext.Artifacts.loadVocab(ss, p).toSeq)
     }
 
+  /** x86's cross-corpus model (r12): merges + vocabulary trained ONLY
+    * on the complement slice (doc_id % 7 <> 3) — the held-out slice is
+    * genuinely unseen text for this tokenizer — persisted and RELOADED
+    * through the artifact store like every trained model.
+    */
+  private def bpeDisjointTrainDocs(s: SparkSession, dir: String) =
+    t(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("doc_id") % 7 =!= 3)
+
+  private def bpeDisjointMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long)] =
+    artifact(s, "bpe_merges_dj64", dir) {
+      viaStore(s, "bpe_merges_dj64") {
+        TextStats.bpeTrain(bpeDisjointTrainDocs(s, dir), "text",
+          numMerges = 64)
+      }(graft.ext.Artifacts.saveBpeMerges, graft.ext.Artifacts.loadBpeMerges)
+    }
+
+  private def bpeDisjointVocabArtifact(s: SparkSession, dir: String): Seq[String] =
+    artifact(s, "bpe_vocab_dj64", dir) {
+      viaStore(s, "bpe_vocab_dj64") {
+        TextStats.bpeVocab(bpeDisjointTrainDocs(s, dir), "text",
+          bpeDisjointMergesArtifact(s, dir).toSeq)
+      }(graft.ext.Artifacts.saveVocab,
+        (ss, p) => graft.ext.Artifacts.loadVocab(ss, p).toSeq)
+    }
+
   /** x84's DuckDB replay: the k merge stages (shared CTE chain), the
     * vocabulary rebuilt by the declared construction (sorted corpus
     * chars, then merge outputs in order, first-occurrence dedup by min
@@ -503,6 +547,68 @@ object Declared {
       |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
       |FROM documents d LEFT JOIN enc e USING (doc_id)
       |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
+
+  /** x86's DuckDB replay (r12): the k merge stages trained ONLY on the
+    * complement (`trainPred` zeroes held-out word frequencies, so pair
+    * counts — and the learned merges — never see the encode slice),
+    * while the SAME apply stages segment every word including the
+    * held-out slice's unseen ones (stage a_k is the full segmentation
+    * table). The vocabulary rebuild draws characters from TRAINING
+    * words only (`freq > 0`); the encode replay LEFT-joins symbols to
+    * the vocab and coalesces misses to the reserved id
+    * `count(vocab)` — the declared unk policy — and counts them as
+    * `n_unk`. The perturbation (` zx9q jqw` on doc_id%3=0 slice docs)
+    * is replayed verbatim: z/x/9 are characters the corpus alphabet
+    * (a-w,y) never contains, forcing the unk path driver-visibly;
+    * `jqw` is a novel WORD of known characters, exercising unseen-word
+    * segmentation with real ids.
+    */
+  private def bpeEncodeUnseenOracle(k: Int): String =
+    bpeStagesCte(k,
+      source = "docs2",
+      trainPred = "doc_id % 7 <> 3",
+      prefix = """docs2 AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 3 AND doc_id % 3 = 0
+        |    THEN text || ' zx9q jqw' ELSE text END AS text
+        |  FROM documents)""".stripMargin) + s""",
+      |mrg AS MATERIALIZED (
+      |  ${(1 to k).map(s => s"SELECT $s AS step, l, r FROM b$s")
+           .mkString("\n      |  UNION ALL\n      |  ")}),
+      |chs AS MATERIALIZED (
+      |  SELECT DISTINCT u.x AS token FROM a0, unnest(syms) AS u(x)
+      |  WHERE freq > 0),
+      |rawv AS MATERIALIZED (
+      |  SELECT token, row_number() OVER (ORDER BY token) - 1 AS pos FROM chs
+      |  UNION ALL
+      |  SELECT l || r AS token, (SELECT count(*) FROM chs) + step - 1 AS pos
+      |  FROM mrg),
+      |vocab AS MATERIALIZED (
+      |  SELECT token, row_number() OVER (ORDER BY mp) - 1 AS id FROM (
+      |    SELECT token, min(pos) AS mp FROM rawv GROUP BY token)),
+      |unk AS MATERIALIZED (SELECT count(*)::bigint AS unk_id FROM vocab),
+      |seg AS MATERIALIZED (SELECT w, syms FROM a$k),
+      |dws AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |  FROM docs2 WHERE doc_id IS NOT NULL AND doc_id % 7 = 3),
+      |dt AS MATERIALIZED (
+      |  SELECT doc_id, t.i AS wi, ws[i] AS w
+      |  FROM dws, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |sy AS MATERIALIZED (
+      |  SELECT dt.doc_id, dt.wi, u.j, seg.syms[j] AS sym
+      |  FROM dt JOIN seg USING (w), unnest(range(1, len(seg.syms) + 1)) AS u(j)),
+      |enc AS MATERIALIZED (
+      |  SELECT sy.doc_id,
+      |    list(coalesce(v.id, u.unk_id) ORDER BY sy.wi, sy.j) AS ids,
+      |    sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::bigint AS n_unk
+      |  FROM sy LEFT JOIN vocab v ON v.token = sy.sym CROSS JOIN unk u
+      |  GROUP BY sy.doc_id)
+      |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
+      |  coalesce(e.n_unk, 0)::bigint AS n_unk,
+      |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
+      |FROM (SELECT doc_id FROM documents
+      |  WHERE doc_id IS NOT NULL AND doc_id % 7 = 3) d
+      |LEFT JOIN enc e USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   // ---- x85 incremental assembly refresh (r11) ----------------------
   // Two deterministic corpus versions carved from the fixture: v2
@@ -3755,6 +3861,44 @@ object Declared {
           .orderBy("doc_id")
       },
       Some(bpeEncodeOracle(64))),
+
+    // X5f unseen-text encode (r12): the deployment case x84 cannot
+    // exercise — encoding text the vocabulary never saw. Merges +
+    // vocab are trained ONLY on the complement (doc_id % 7 <> 3,
+    // persisted + reloaded); the held-out slice is encoded under the
+    // declared out-of-vocabulary policy (novel characters — the only
+    // possible unknown symbols — map to the RESERVED id vocab.length;
+    // unseen words of known characters segment normally). A
+    // deterministic marker (` zx9q jqw` on doc_id%3=0 slice docs,
+    // replayed verbatim by the oracle) forces both paths
+    // driver-visibly: z/x/9 are outside the corpus alphabet (a-w,y),
+    // `jqw` is a novel word of known characters. DuckDB independently
+    // re-trains the 64 stages on the complement, segments the unseen
+    // words through the SAME apply machinery (held-out words ride the
+    // stage chain with zero training frequency), rebuilds the vocab
+    // from training-side characters, and replays the unk coalesce —
+    // n_unk + the full id sequence hash-compared per document.
+    "x86_bpe_encode_unseen" -> Q(
+      (s, dir) => {
+        val merges = bpeDisjointMergesArtifact(s, dir)
+          .map(m => (m._1, m._2)).toSeq
+        val vocab = bpeDisjointVocabArtifact(s, dir)
+        val unk = vocab.length.toLong
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("doc_id") % 7 === 3)
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" zx9q jqw"))).otherwise(col("text")))
+          .select(col("doc_id"),
+            TextStats.bpeEncodeIdsUnk(col("text"), merges, vocab).as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).cast("long").as("n_ids"),
+            size(filter(col("ids"), x => x === lit(unk)))
+              .cast("long").as("n_unk"),
+            concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeUnseenOracle(64))),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

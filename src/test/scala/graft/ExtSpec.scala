@@ -1404,6 +1404,56 @@ class ExtSpec extends SparkSuite {
     assert(enc == Seq(4L, 2L, 3L, 4L), enc.toString)
   }
 
+  test("X5f unseen-text encode: novel chars hit the reserved unk id, known-char novel words do not") {
+    // train on a tiny corpus over chars {a,b,c,d}; encode text the
+    // vocab never saw: "db" is a novel WORD of known chars (segments
+    // to real char ids), "azb" contains the novel CHAR z (and only z
+    // may fall back to unk = vocab.length)
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(tiny, "text", numMerges = 8)
+      .map(x => (x._1, x._2)).toSeq
+    val v = TextStats.bpeVocab(tiny, "text",
+      m.map { case (a, b) => (a, b, 0L) })
+    assert(v == Seq("a", "b", "c", "d", "ab"))
+    val unk = v.size.toLong // reserved: 5
+    val enc = Seq((1L, "db azb ab")).toDF("doc_id", "text")
+      .select(TextStats.bpeEncodeIdsUnk(col("text"), m, v))
+      .collect()(0).getSeq[Long](0)
+    // db -> [d, b] real ids; azb -> a, unk(z), b (the pair (a,b) is
+    // not adjacent across z, and z can never participate in a trained
+    // merge); ab -> merged id
+    assert(enc == Seq(3L, 1L, 0L, unk, 1L, 4L), enc.toString)
+    // the 3-arg self-corpus form keeps the legacy -1 marker
+    val legacy = Seq((1L, "z")).toDF("doc_id", "text")
+      .select(TextStats.bpeEncodeIds(col("text"), m, v))
+      .collect()(0).getSeq[Long](0)
+    assert(legacy == Seq(-1L), legacy.toString)
+    // cross-corpus fixture claim: under the disjoint-trained model the
+    // held-out slice's ids are always < vocab.size OR == unk, and unk
+    // appears ONLY where the text contains out-of-alphabet chars
+    val docs = Tables.load(spark, sf(), "documents")
+    val trainDocs = docs.filter(col("doc_id").isNotNull && col("doc_id") % 7 =!= 3)
+    val mm = TextStats.bpeTrain(trainDocs, "text", numMerges = 16)
+    val vv = TextStats.bpeVocab(trainDocs, "text", mm.toSeq)
+    val held = docs.filter(col("doc_id").isNotNull && col("doc_id") % 7 === 3)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" zx9q"))).otherwise(col("text")))
+      .select(col("doc_id"), col("text"),
+        TextStats.bpeEncodeIdsUnk(col("text"),
+          mm.map(x => (x._1, x._2)).toSeq, vv).as("ids"))
+      .collect()
+    val unkF = vv.size.toLong
+    assert(held.nonEmpty)
+    held.foreach { r =>
+      val ids = r.getSeq[Long](2)
+      assert(ids.forall(id => id == unkF || (id >= 0 && id < unkF)),
+        s"id out of range for doc ${r.getLong(0)}")
+      val hasNovel = r.getString(1).exists(c => "zx9".contains(c))
+      assert(ids.contains(unkF) == hasNovel,
+        s"unk presence mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("X5h vocab growth: first-occurrence form == multiplied spec oracle") {
     // r11: vocabGrowth reduces the token stream ONCE (term min-id +
     // per-doc counts, then ≤steps-row joins); the original ×steps

@@ -559,6 +559,21 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
+  // x86: cross-corpus encode with unk fallback — the model rides as
+  // the same reference object (trained on the complement, loaded from
+  // the artifact store), so the scoring side stays pure map too: the
+  // held-out filter pushes to the scan, no join/aggregate appears
+  test("BPE unseen-text encoding plans map-only with the slice filter pushed down") {
+    val p = planOf("x86_bpe_encode_unseen")
+    assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in BPE unseen encode:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregation in BPE unseen encode:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)"),
+      s"doc_id filter not reaching the scan:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
+  }
+
   // x81: the PMI top-k must be the bounded TakeOrderedAndProject over
   // partial-agg'd counts with broadcast totals — no global sort, no
   // window over the bigram table
