@@ -121,6 +121,22 @@ object Refresh {
   def refresh(state: State, oldCorpus: DataFrame, newCorpus: DataFrame,
               seed: String, numShards: Int,
               p: Params = Params()): (State, DataFrame) = {
+    val d = delta(state, oldCorpus, newCorpus, p)
+    (d.state2, manifestOf(d.state2.meta, d.state2.pairs, seed, numShards))
+  }
+
+  /** The refresh's pair-level delta, exposed alongside the updated
+    * state: `touched` (removed/changed ids — the retired side) and
+    * `addedPairs` (new×old ∪ new×new — the added side). The cluster
+    * stage's incremental form ([[refreshClusters]]) is driven by
+    * exactly these two frames; sharing one construction with
+    * [[refresh]] keeps the two paths incapable of drifting.
+    */
+  final case class Delta(state2: State, touched: DataFrame,
+                         addedPairs: DataFrame)
+
+  def delta(state: State, oldCorpus: DataFrame, newCorpus: DataFrame,
+            p: Params = Params()): Delta = {
     val d = CorpusDiff.diff(oldCorpus, newCorpus, "doc_id", "text")
       .select("doc_id", "status")
     val touched = d.filter(col("status").isin("removed", "changed"))
@@ -152,11 +168,74 @@ object Refresh {
     val within = Dedup.minhashLshPairs(newGated, "text", "doc_id",
         p.k, p.threshold, p.bands, p.rowsPerBand)
       .select("id_a", "id_b")
+    val added = cross.unionByName(within)
     // old×old / new×old / new×new are disjoint by construction — no
     // dedup needed, and together they are exactly P(v2)'s pair set
-    val pairs2 = retire(state.pairs, "id_a", "id_b")
-      .unionByName(cross).unionByName(within)
-    val st2 = State(meta2, band2, sh2, pairs2)
-    (st2, manifestOf(meta2, pairs2, seed, numShards))
+    val pairs2 = retire(state.pairs, "id_a", "id_b").unionByName(added)
+    Delta(State(meta2, band2, sh2, pairs2), touched, added)
+  }
+
+  /** X23b (r12): DELTA-BOUND duplicate clusters — recompute label
+    * propagation ONLY over the components a refresh touched; every
+    * unchanged cluster carries its standing labels forward untouched.
+    *
+    * `standing` is v1's cluster map ([[Dedup.dupClusters]] over the
+    * standing pair list — itself refresh state, persisted like the
+    * other four frames); `pairs2` the refreshed pair set; `seeds` the
+    * doc ids whose incidence changed (endpoints of added pairs +
+    * removed/changed ids — every retired pair touches one by
+    * construction, which marks the neighbor's cluster through the
+    * shared cluster id).
+    *
+    * EXACTNESS (incremental == [[Dedup.dupClusters]](pairs2), the
+    * declared x87 claim): components are closed under the standing
+    * edges, every added edge has both endpoints in (touched clusters ∪
+    * fresh seed nodes), and every retired edge is already absent from
+    * `pairs2` — so the touched REGION (nodes of seeded clusters plus
+    * the seeds) is edge-closed in pairs2: a pairs2 edge with one
+    * endpoint inside has both inside. The pair graph therefore
+    * partitions into the untouched standing components (labels =
+    * component minima, unchanged) and the region sub-graph, and
+    * re-running min-label propagation on the region alone yields
+    * exactly the full recompute's labels.
+    *
+    * SCALE: the iterative (join-per-round) label propagation — the
+    * expensive stage — now runs over region edges only: work bounded
+    * by the volume of components the delta touches, not the corpus
+    * pair count. Extraction costs one broadcast semi-join pass over
+    * `standing` and `pairs2`. The seed/region lists are
+    * delta-component-sized broadcasts — the same bound the recompute
+    * itself pays.
+    */
+  def incrementalClusters(standing: DataFrame, pairs2: DataFrame,
+                          seeds: DataFrame): DataFrame = {
+    val seedIds = seeds.select("doc_id").distinct().localCheckpoint(true)
+    val touchedClusters = standing
+      .join(broadcast(seedIds), Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct().localCheckpoint(true)
+    val region = standing
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_semi")
+      .select("doc_id").unionByName(seedIds).distinct().localCheckpoint(true)
+    val sub = pairs2.join(
+      broadcast(region.withColumnRenamed("doc_id", "id_a")),
+      Seq("id_a"), "left_semi") // region is edge-closed: one endpoint test suffices
+    val carried = standing
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    carried.unionByName(
+      Dedup.dupClusters(sub).select("doc_id", "cluster_id"))
+  }
+
+  /** The cluster stage of a refresh, both state and result: derives the
+    * seed set from [[Delta]] and hands [[incrementalClusters]] the
+    * standing map. Returns v2's cluster frame — bit-identical to
+    * `Dedup.dupClusters(delta.state2.pairs)` (the x87 row asserts it
+    * in-query; DuckDB replays the full recompute independently).
+    */
+  def refreshClusters(standing: DataFrame, d: Delta): DataFrame = {
+    val seeds = d.addedPairs.select(col("id_a").as("doc_id"))
+      .unionByName(d.addedPairs.select(col("id_b").as("doc_id")))
+      .unionByName(d.touched)
+    incrementalClusters(standing, d.state2.pairs, seeds)
   }
 }

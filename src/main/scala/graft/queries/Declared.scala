@@ -615,6 +615,91 @@ object Declared {
   // ADDS the %17==5 docs v1 lacked, REMOVES %19==7, and CHANGES %13==4
   // (an appended three-token marker — replayed verbatim by the oracle).
 
+  /** Shared v2-replay CTE chain (x85/x87): the refreshed corpus
+    * rebuilt from scratch in DuckDB — carve + perturbation, gates,
+    * shingles, exact-Jaccard pairs, and the recursive
+    * connected-component cluster map `cl` — fully independent of every
+    * Spark path (incremental AND full).
+    */
+  private def refreshV2ClustersCte: String = s"""WITH RECURSIVE v2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 19 <> 7),
+        |t0 AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM v2),
+        |lid AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id, regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+        |      len(list_filter(w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM t0)),
+        |qual AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        |      + 0.2
+        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, nchars,
+        |      round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+        |      round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+        |        / greatest(len(w), 1), 6) AS stopword_ratio
+        |    FROM (
+        |      SELECT doc_id, w,
+        |        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+        |        length(text) AS nchars
+        |      FROM t0))),
+        |rep AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
+        |  FROM t0),
+        |g AS MATERIALIZED (
+        |  SELECT t0.doc_id, q.quality, len(t0.w)::bigint AS n_toks
+        |  FROM t0
+        |  JOIN lid USING (doc_id) JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
+        |  WHERE substr(md5('graft' || t0.doc_id::varchar), 1, 2) < 'c0'
+        |    AND lid.lang_pred = 'en' AND q.quality >= 0.8 AND r.rep_ratio <= 0.6),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT tg.doc_id, tg.w[i] || ' ' || tg.w[i+1] || ' ' || tg.w[i+2] AS s
+        |  FROM (SELECT t0.doc_id, t0.w FROM t0 JOIN g USING (doc_id)) tg,
+        |    unnest(range(1, greatest(len(tg.w) - 1, 1))) AS u(i)),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+        |    FROM common
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.2),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.node),
+        |cl AS MATERIALIZED (
+        |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)"""
+    .stripMargin
+
   private[graft] def refreshV1(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 17 =!= 5)
 
@@ -643,6 +728,20 @@ object Declared {
         graft.ext.Artifacts.loadIndex(s, s"$base/band"),
         graft.ext.Artifacts.loadIndex(s, s"$base/shingles"),
         graft.ext.Artifacts.loadIndex(s, s"$base/pairs"))
+    }
+
+  /** x87's standing cluster map — v1's duplicate clusters, the FIFTH
+    * slim state frame a deployment carries between refreshes, persisted
+    * and RELOADED like the other four (it seeds the delta-bound cluster
+    * recompute; a lazy frame here would re-run label propagation over
+    * the full v1 pair graph on every downstream use).
+    */
+  private def refreshClustersArtifact(s: SparkSession, dir: String): DataFrame =
+    artifact(s, "refresh_clusters_v1", dir) {
+      viaStore(s, "refresh_clusters_v1") {
+        graft.ext.Dedup.dupClusters(refreshStateArtifact(s, dir).pairs)
+      }((ss, df, p) => graft.ext.Artifacts.saveIndex(df, p),
+        (ss, p) => graft.ext.Artifacts.loadIndex(ss, p))
     }
 
   val all: Seq[(String, Q)] = Seq(
@@ -4066,83 +4165,7 @@ object Declared {
               col("f.id_xor") <=> col("i.id_xor")).as("incr_match"))
           .orderBy("shard")
       },
-      Some(s"""WITH RECURSIVE v2 AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
-        |      ELSE text END AS text
-        |  FROM documents WHERE doc_id % 19 <> 7),
-        |t0 AS MATERIALIZED (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM v2),
-        |lid AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN has_cjk THEN 'zh'
-        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-        |      WHEN s_de > 0 THEN 'de'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM (
-        |    SELECT doc_id, regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
-        |      len(list_filter(w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
-        |      len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
-        |      len(list_filter(w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
-        |      len(list_filter(w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
-        |    FROM t0)),
-        |qual AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
-        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
-        |      + 0.2
-        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
-        |  FROM (
-        |    SELECT doc_id, nchars,
-        |      round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
-        |      round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
-        |        / greatest(len(w), 1), 6) AS stopword_ratio
-        |    FROM (
-        |      SELECT doc_id, w,
-        |        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
-        |        length(text) AS nchars
-        |      FROM t0))),
-        |rep AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
-        |  FROM t0),
-        |g AS MATERIALIZED (
-        |  SELECT t0.doc_id, q.quality, len(t0.w)::bigint AS n_toks
-        |  FROM t0
-        |  JOIN lid USING (doc_id) JOIN qual q USING (doc_id) JOIN rep r USING (doc_id)
-        |  WHERE substr(md5('graft' || t0.doc_id::varchar), 1, 2) < 'c0'
-        |    AND lid.lang_pred = 'en' AND q.quality >= 0.8 AND r.rep_ratio <= 0.6),
-        |sh AS MATERIALIZED (
-        |  SELECT DISTINCT tg.doc_id, tg.w[i] || ' ' || tg.w[i+1] || ' ' || tg.w[i+2] AS s
-        |  FROM (SELECT t0.doc_id, t0.w FROM t0 JOIN g USING (doc_id)) tg,
-        |    unnest(range(1, greatest(len(tg.w) - 1, 1))) AS u(i)),
-        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |prs AS MATERIALIZED (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
-        |    FROM common
-        |    JOIN sizes sa ON sa.doc_id = id_a
-        |    JOIN sizes sb ON sb.doc_id = id_b)
-        |  WHERE jaccard >= 0.2),
-        |edges AS MATERIALIZED (
-        |  SELECT id_a AS src, id_b AS dst FROM prs
-        |  UNION ALL SELECT id_b, id_a FROM prs),
-        |reach(node, root) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e2.dst, r.root FROM reach r JOIN edges e2 ON e2.src = r.node),
-        |cl AS MATERIALIZED (
-        |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+      Some(refreshV2ClustersCte + s""",
         |sv AS MATERIALIZED (
         |  SELECT cluster_id, doc_id AS survivor_id FROM (
         |    SELECT cl.cluster_id, cl.doc_id, g.quality FROM cl JOIN g USING (doc_id))
@@ -4162,6 +4185,38 @@ object Declared {
         |  FROM hx GROUP BY 1)
         |SELECT shard, n_docs, token_mass, id_xor, true AS incr_match
         |FROM man ORDER BY shard""".stripMargin)),
+
+    // X23b (r12): DELTA-BOUND duplicate clusters — the refresh tail
+    // x85 left pair-graph-sized, made incremental: only components
+    // touched by an added or retired pair re-run label propagation
+    // (seeded from the standing v1 cluster map, the fifth persisted
+    // state frame); every unchanged cluster carries forward untouched.
+    // The Spark row runs BOTH paths — the incremental form and the
+    // full dupClusters(pairs2) recompute — and embeds the per-row
+    // equality as inc_match; DuckDB independently rebuilds v2 from
+    // scratch and replays the clusters via recursive connected
+    // components (the x85 chain through `cl`), so the hash gate covers
+    // the incremental path's labels bit-for-bit. Region extraction is
+    // one broadcast semi-join pass; the iterative stage's work is
+    // bounded by the touched components' volume, not the corpus pair
+    // count (ScaleCheck witnesses the edge-volume bound).
+    "x87_incremental_clusters" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val d = graft.ext.Refresh.delta(
+          refreshStateArtifact(s, dir), refreshV1(docs), refreshV2(docs))
+        val inc = graft.ext.Refresh.refreshClusters(
+          refreshClustersArtifact(s, dir), d)
+        val full = graft.ext.Dedup.dupClusters(d.state2.pairs)
+        inc.as("i").join(full.as("f"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            col("f.cluster_id").as("cluster_id"),
+            (col("i.cluster_id") <=> col("f.cluster_id")).as("inc_match"))
+          .orderBy("doc_id")
+      },
+      Some(refreshV2ClustersCte + """
+        |SELECT doc_id, cluster_id, true AS inc_match
+        |FROM cl ORDER BY doc_id""".stripMargin)),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

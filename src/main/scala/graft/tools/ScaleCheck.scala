@@ -901,9 +901,54 @@ object ScaleCheck {
         val tReb = (System.nanoTime() - t1) / 1e9
         assert(incRows == fullRows,
           s"x85 scale: refresh != rebuild at ${n}x\n inc: $incRows\n reb: $fullRows")
-        (n, tRef, tReb)
+
+        // x87: the cluster stage alone, delta-bound. Standing clusters
+        // persist as the fifth state frame; both paths then consume the
+        // SAME persisted refreshed pair list (a deployment persists
+        // pairs2 — timing the lazy frame would re-run the pair legs
+        // inside both measurements and swamp the stage under test).
+        val c1 = graft.ext.Dedup.dupClusters(st.pairs)
+        graft.ext.Artifacts.saveIndex(c1, s"$base/clusters")
+        val c1p = graft.ext.Artifacts.loadIndex(spark, s"$base/clusters")
+        val d = Refresh.delta(st, v1p, v2p)
+        graft.ext.Artifacts.saveIndex(d.state2.pairs, s"$base/pairs2")
+        val pairs2 = graft.ext.Artifacts.loadIndex(spark, s"$base/pairs2")
+        val seeds = d.addedPairs.select(col("id_a").as("doc_id"))
+          .unionByName(d.addedPairs.select(col("id_b").as("doc_id")))
+          .unionByName(d.touched).distinct().localCheckpoint(true)
+        val tc0 = System.nanoTime()
+        val incCl = Refresh.incrementalClusters(c1p, pairs2, seeds)
+          .collect().map(_.toSeq).toSet
+        val tIncCl = (System.nanoTime() - tc0) / 1e9
+        val tc1 = System.nanoTime()
+        val fullCl = graft.ext.Dedup.dupClusters(pairs2)
+          .collect().map(_.toSeq).toSet
+        val tFullCl = (System.nanoTime() - tc1) / 1e9
+        assert(incCl == fullCl,
+          s"x87 scale: incremental clusters != full recompute at ${n}x")
+        // edge-volume bound: the iterative stage's input (region
+        // edges) vs the full pair graph — the delta lives in replica
+        // 0, so the touched-component volume must NOT grow with the
+        // corpus while total pairs do
+        val tcl = c1p.join(broadcast(seeds), Seq("doc_id"), "left_semi")
+          .select("cluster_id").distinct()
+        val region = c1p.join(broadcast(tcl), Seq("cluster_id"), "left_semi")
+          .select("doc_id").unionByName(seeds).distinct()
+        val subEdges = pairs2.join(
+          broadcast(region.withColumnRenamed("doc_id", "id_a")),
+          Seq("id_a"), "left_semi").count()
+        val totEdges = pairs2.count()
+        (n, tRef, tReb, tIncCl, tFullCl, subEdges, totEdges)
       }
-      val (_, ref16, reb16) = timedR.last
+      val (_, ref16, reb16, incCl16, fullCl16, sub16, tot16) = timedR.last
+      assert(sub16 * 4 <= tot16,
+        s"x87 scale: region edges $sub16 not delta-bound vs total $tot16 at 16x")
+      assert(sub16 <= timedR.head._6 * 2 + 64,
+        s"x87 scale: region edge volume grew with corpus " +
+          s"(1x: ${timedR.head._6}, 16x: $sub16) — extraction not delta-bound")
+      assert(incCl16 < fullCl16,
+        f"x87 scale: incremental cluster stage ($incCl16%.2f s) not cheaper " +
+          f"than full recompute ($fullCl16%.2f s) over the 16x pair graph")
       assert(ref16 < reb16,
         f"x85 scale: constant-delta refresh ($ref16%.2f s) not cheaper than " +
           f"the 16x rebuild ($reb16%.2f s)")
@@ -918,8 +963,21 @@ object ScaleCheck {
         f"${timedR(1)._2}%.2f | ${timedR(2)._2}%.2f | $expRef%.2f |\n")
       sb.append(f"| x85 full rebuild | ${timedR(0)._3}%.2f | " +
         f"${timedR(1)._3}%.2f | ${timedR(2)._3}%.2f | $expReb%.2f |\n")
+      sb.append(f"| x87 incremental clusters | ${timedR(0)._4}%.2f | " +
+        f"${timedR(1)._4}%.2f | ${timedR(2)._4}%.2f | |\n")
+      sb.append(f"| x87 full cluster recompute | ${timedR(0)._5}%.2f | " +
+        f"${timedR(1)._5}%.2f | ${timedR(2)._5}%.2f | |\n")
+      sb.append(f"| x87 region / total edges | ${timedR(0)._6}/${timedR(0)._7} | " +
+        f"${timedR(1)._6}/${timedR(1)._7} | ${timedR(2)._6}/${timedR(2)._7} | |\n")
+      sb.append("\nx87 asserted at 16x: incremental == full recompute, region\n")
+      sb.append("edges <= total/4 AND <= 2x the 1x region volume (the work the\n")
+      sb.append("iterative stage sees is the delta's component volume, not the\n")
+      sb.append("corpus pair count), incremental stage wall < full recompute wall.\n")
       println(f"SCALE x85 refresh exp=$expRef%.2f rebuild exp=$expReb%.2f " +
-        timedR.map { case (n, a, b) => f"${n}x:$a%.2f/$b%.2f" }.mkString(" "))
+        timedR.map { case (n, a, b, _, _, _, _) => f"${n}x:$a%.2f/$b%.2f" }.mkString(" "))
+      println(f"SCALE x87 clusters inc/full 16x: $incCl16%.2f/$fullCl16%.2f s, " +
+        s"region/total edges " +
+        timedR.map { case (n, _, _, _, _, se, te) => s"${n}x:$se/$te" }.mkString(" "))
     }
 
     // --- as-of join under hot-key skew: salted vs plain ---------------

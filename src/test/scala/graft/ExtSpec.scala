@@ -1372,6 +1372,50 @@ class ExtSpec extends SparkSuite {
     assert(pairSet(st2.pairs) == pairSet(stFull.pairs), "refreshed pairs drifted")
   }
 
+  test("X23b incrementalClusters: merge-on-add, split-on-retire, carry untouched — equals full recompute") {
+    import graft.ext.{Dedup, Refresh}
+    // standing v1 graph: components {1,2,3} (chain), {10,11}, {20,21},
+    // {30,31,32} (star on 30)
+    val v1Pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L), (30L, 32L)).toDF("id_a", "id_b")
+    val standing = Dedup.dupClusters(v1Pairs)
+    // delta: ADD pair (3,10) — merges {1,2,3} with {10,11};
+    // RETIRE doc 30 — splits {30,31,32} into nothing (31,32 lose all
+    // edges); ADD pair (40,41) — a brand-new component of fresh nodes;
+    // {20,21} is untouched and must carry forward
+    val touched = Seq(30L).toDF("doc_id")
+    val added = Seq((3L, 10L), (40L, 41L)).toDF("id_a", "id_b")
+    val pairs2 = v1Pairs
+      .filter(!col("id_a").isin(30L) && !col("id_b").isin(30L))
+      .unionByName(added)
+    val seeds = added.select(col("id_a").as("doc_id"))
+      .unionByName(added.select(col("id_b").as("doc_id")))
+      .unionByName(touched)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Refresh.incrementalClusters(standing, pairs2, seeds)
+    val full = Dedup.dupClusters(pairs2)
+    assert(rows(inc) == rows(full),
+      s"inc=${rows(inc).toSeq.sorted} full=${rows(full).toSeq.sorted}")
+    // the expected structure, spelled out: merged component labeled by
+    // its min (1), fresh component by 40, untouched {20,21} intact,
+    // 30/31/32 gone (no surviving edges)
+    assert(rows(inc) == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L),
+      (11L, 1L), (20L, 20L), (21L, 20L), (40L, 40L), (41L, 40L)))
+    // empty delta: the standing map carries through bit-identically
+    val noSeeds = spark.emptyDataset[Long].toDF("doc_id")
+    assert(rows(Refresh.incrementalClusters(standing, v1Pairs, noSeeds)) ==
+      rows(standing))
+    // retire that SPLITS a surviving component: drop the bridge 2 —
+    // {1,3} end up in singleton-free separate... 1 and 3 lose their
+    // shared component; only pairs (30,31),(30,32) etc untouched
+    val pairs3 = v1Pairs.filter(col("id_a") =!= 2L && col("id_b") =!= 2L)
+    val inc3 = Refresh.incrementalClusters(standing, pairs3,
+      Seq(2L).toDF("doc_id"))
+    assert(rows(inc3) == rows(Dedup.dupClusters(pairs3)),
+      "split-on-retire diverged from full recompute")
+  }
+
   test("X5f encode: ids agree with the k-pass count; vocab ids decode back") {
     val docs = Tables.load(spark, sf(), "documents")
     val trained = TextStats.bpeTrain(docs, "text", numMerges = 8)
