@@ -501,4 +501,63 @@ object TrainSet {
       .filter(col("neg_id") =!= col("anchor_id"))
       .select(col("anchor_id"), col("j").cast("long").as("j"), col("neg_id"))
   }
+
+  /** X24 (r12): sharded training-set DELIVERY — the step
+    * [[exportManifest]]'s checksums exist for. Writes the standing
+    * corpus as hive-partitioned parquet (`shard=N/` directories, the
+    * same `md5(seed:id)` routing as the manifest), id-sorted within
+    * each shard for reproducible trainer iteration. One `repartition`
+    * on the shard column gives one file group per shard; at deployment
+    * scale each shard is a bounded independent file set and shard
+    * count scales with the corpus, so no partition outgrows an
+    * executor.
+    */
+  def exportShards(standing: DataFrame, idCol: String, textCol: String,
+                   seed: String, numShards: Int, path: String): Unit = {
+    require(numShards > 0, s"numShards must be positive (got $numShards)")
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val sharded = standing.filter(col(idCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        (conv(substring(h, 1, 8), 16, 10).cast("long") % numShards)
+          .as("shard"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+    graft.sources.FileSources.writeParquet(sharded, path,
+      layoutCols = Seq("shard"))
+  }
+
+  /** The delivery verification pass: re-derive every manifest checksum
+    * FROM THE DELIVERED FILES ALONE — token mass recounted from the
+    * delivered text (never trusted metadata), membership hashes
+    * recomputed from the delivered ids, shard placement rechecked
+    * against the routing hash — and join the results against the
+    * manifest. Any lost, duplicated, corrupted or misplaced row flips
+    * `delivered_match` (or `placed_ok`) to false; a shard present on
+    * only one side survives the full-outer join as a false row rather
+    * than vanishing. One scan of the delivered files, one slim
+    * numShards-row join.
+    */
+  def verifyDelivery(manifest: DataFrame, delivered: DataFrame,
+                     idCol: String, textCol: String, seed: String,
+                     numShards: Int): DataFrame = {
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val re = delivered.select(col("shard").cast("long").as("shard"),
+        TextStats.tokenCount(coalesce(col(textCol), lit("")))
+          .cast("long").as("_tok"),
+        conv(substring(h, 9, 15), 16, 10).cast("long").as("_w"),
+        ((conv(substring(h, 1, 8), 16, 10).cast("long") % numShards) ===
+          col("shard").cast("long")).as("_placed"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("d_n_docs"), sum(col("_tok")).as("d_token_mass"),
+        bit_xor(col("_w")).as("d_id_xor"), min(col("_placed")).as("placed_ok"))
+    manifest.as("m").join(re.as("d"), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        col("d.d_n_docs").as("n_docs"),
+        col("d.d_token_mass").as("token_mass"),
+        col("d.d_id_xor").as("id_xor"),
+        coalesce(col("d.placed_ok"), lit(false)).as("placed_ok"),
+        (col("m.n_docs") <=> col("d.d_n_docs") &&
+          col("m.token_mass") <=> col("d.d_token_mass") &&
+          col("m.id_xor") <=> col("d.d_id_xor")).as("delivered_match"))
+  }
 }

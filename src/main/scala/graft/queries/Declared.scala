@@ -4218,6 +4218,58 @@ object Declared {
         |SELECT doc_id, cluster_id, true AS inc_match
         |FROM cl ORDER BY doc_id""".stripMargin)),
 
+    // X24 (r12): sharded export delivery + verification — closes the
+    // manifest loop: x76/x78/x85 PROMISE per-shard checksums, this row
+    // WRITES the shard files (hive-partitioned parquet via
+    // FileSources, manifest routing, id-sorted) and re-derives every
+    // checksum from the DELIVERED FILES alone (token mass recounted
+    // from delivered text, membership hashes from delivered ids,
+    // placement rechecked), joining them against the manifest. The
+    // hashed output is the per-shard re-derived checksums + the
+    // delivered==manifest and placement booleans. DuckDB replays BOTH
+    // sides independently: the manifest arithmetic from the fixture
+    // table and the delivered stats from the very parquet files the
+    // Spark side wrote (read_parquet over the shard layout) — a lost,
+    // duplicated, corrupted or misplaced row flips a boolean on one
+    // side or mismatches the other.
+    "x88_export_delivery" -> Q(
+      (s, dir) => {
+        import graft.ext.TrainSet
+        val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val path = "/tmp/graft_x88_delivery"
+        TrainSet.exportShards(docs, "doc_id", "text", "x88", 4, path)
+        val manifest = TrainSet.exportManifest(docs, "doc_id",
+          TextStats.tokenCount(coalesce(col("text"), lit(""))), "x88", 4)
+        TrainSet.verifyDelivery(manifest,
+            graft.sources.FileSources.readParquet(s, path),
+            "doc_id", "text", "x88", 4)
+          .orderBy("shard")
+      },
+      Some("""WITH del AS MATERIALIZED (
+        |  SELECT shard::bigint AS shard, doc_id, text
+        |  FROM read_parquet('/tmp/graft_x88_delivery/shard=*/*.parquet', hive_partitioning = true)),
+        |re AS MATERIALIZED (
+        |  SELECT shard, count(*)::bigint AS n_docs,
+        |    sum(len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')))::bigint AS token_mass,
+        |    bit_xor(('0x' || substr(md5('x88:' || doc_id::varchar), 9, 15))::bigint) AS id_xor,
+        |    min(('0x' || substr(md5('x88:' || doc_id::varchar), 1, 8))::bigint % 4 = shard) AS placed_ok
+        |  FROM del GROUP BY shard),
+        |man AS MATERIALIZED (
+        |  SELECT ('0x' || substr(md5('x88:' || doc_id::varchar), 1, 8))::bigint % 4 AS shard,
+        |    count(*)::bigint AS n_docs,
+        |    sum(len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')))::bigint AS token_mass,
+        |    bit_xor(('0x' || substr(md5('x88:' || doc_id::varchar), 9, 15))::bigint) AS id_xor
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1)
+        |SELECT coalesce(re.shard, man.shard) AS shard,
+        |  re.n_docs, re.token_mass, re.id_xor,
+        |  coalesce(re.placed_ok, false) AS placed_ok,
+        |  (re.n_docs IS NOT DISTINCT FROM man.n_docs AND
+        |   re.token_mass IS NOT DISTINCT FROM man.token_mass AND
+        |   re.id_xor IS NOT DISTINCT FROM man.id_xor) AS delivered_match
+        |FROM re FULL OUTER JOIN man ON man.shard = re.shard
+        |ORDER BY shard""".stripMargin)),
+
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure
     // round-robin arithmetic over the row index — DuckDB reproduces it

@@ -60,6 +60,21 @@ object FileSources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Parquet with an optional hive-style directory layout
+    * (`layoutCols`) — the columnar interchange for sharded delivery
+    * ([[graft.ext.TrainSet.exportShards]]): consumers prune whole
+    * shard directories from the path alone, no footer reads.
+    */
+  def writeParquet(df: DataFrame, path: String,
+                   layoutCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (layoutCols.nonEmpty) w.partitionBy(layoutCols: _*) else w)
+      .parquet(path)
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** ORC files carry their schema; passing one pins the expected shape
     * so drift fails AT READ TIME instead of downstream. Spark's ORC
     * reader supports schema evolution — a pinned column absent from the

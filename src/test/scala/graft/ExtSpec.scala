@@ -1372,6 +1372,55 @@ class ExtSpec extends SparkSuite {
     assert(pairSet(st2.pairs) == pairSet(stFull.pairs), "refreshed pairs drifted")
   }
 
+  test("X24 export delivery: clean shards verify; loss, corruption and misplacement flip the booleans") {
+    import graft.ext.{TrainSet, TextStats}
+    import graft.sources.FileSources
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull).select("doc_id", "text")
+    val manifest = TrainSet.exportManifest(docs, "doc_id",
+      TextStats.tokenCount(coalesce(col("text"), lit(""))), "spec", 4)
+    val base = java.nio.file.Files.createTempDirectory("x88-spec").toString
+    TrainSet.exportShards(docs, "doc_id", "text", "spec", 4, s"$base/clean")
+    def report(path: String) =
+      TrainSet.verifyDelivery(manifest, FileSources.readParquet(spark, path),
+          "doc_id", "text", "spec", 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(4), r.getBoolean(5))).toMap
+    val clean = report(s"$base/clean")
+    assert(clean.size == 4 && clean.values.forall(v => v._1 && v._2),
+      s"clean delivery failed verification: $clean")
+    // within-shard order is the id order (reproducible iteration)
+    val s0 = spark.read.parquet(s"$base/clean/shard=0")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(s0.sameElements(s0.sorted), "shard 0 not id-sorted")
+    // tamper 1: LOSE one document from shard 0 (delivery dropped a row)
+    val delivered = FileSources.readParquet(spark, s"$base/clean")
+      .select("doc_id", "text", "shard").localCheckpoint(true)
+    val victim = delivered.filter(col("shard") === 0)
+      .agg(min("doc_id")).head().getLong(0)
+    FileSources.writeParquet(delivered.filter(col("doc_id") =!= victim),
+      s"$base/lost", layoutCols = Seq("shard"))
+    val lost = report(s"$base/lost")
+    assert(!lost(0L)._2 && lost(0L)._1, s"row loss not caught: $lost")
+    assert((1L to 3L).forall(i => lost(i)._1 && lost(i)._2),
+      s"loss bled into other shards: $lost")
+    // tamper 2: CORRUPT one document's text (token mass changes)
+    FileSources.writeParquet(delivered.withColumn("text",
+        when(col("doc_id") === victim, concat(col("text"), lit(" corrupted")))
+          .otherwise(col("text"))),
+      s"$base/corrupt", layoutCols = Seq("shard"))
+    val corrupt = report(s"$base/corrupt")
+    assert(!corrupt(0L)._2, s"text corruption not caught: $corrupt")
+    // tamper 3: MISPLACE a document into the wrong shard directory
+    FileSources.writeParquet(delivered.withColumn("shard",
+        when(col("doc_id") === victim, lit(1L)).otherwise(col("shard"))),
+      s"$base/misplaced", layoutCols = Seq("shard"))
+    val mis = report(s"$base/misplaced")
+    assert(!mis(1L)._1, s"misplaced row not caught by placed_ok: $mis")
+    assert(!mis(0L)._2 && !mis(1L)._2,
+      s"misplaced row not caught by checksums: $mis")
+  }
+
   test("X23b incrementalClusters: merge-on-add, split-on-retire, carry untouched — equals full recompute") {
     import graft.ext.{Dedup, Refresh}
     // standing v1 graph: components {1,2,3} (chain), {10,11}, {20,21},
