@@ -238,4 +238,30 @@ object Refresh {
       .unionByName(d.touched)
     incrementalClusters(standing, d.state2.pairs, seeds)
   }
+
+  /** X23c (r12): the manifest DELTA a refresh consumer polls for —
+    * per shard, old vs new checksums plus a status (`unchanged` /
+    * `changed` / `new` / `retired`), so a downstream trainer re-pulls
+    * ONLY the shards whose checksums moved instead of diffing (or
+    * re-reading) the full export. Both manifests must share the seed
+    * (same shard routing) for per-shard comparison to be meaningful —
+    * which [[refresh]]-produced manifests do by construction. One
+    * numShards-row full-outer join; shards absent on one side surface
+    * as `new` / `retired` rather than vanishing.
+    */
+  def manifestDelta(oldMan: DataFrame, newMan: DataFrame): DataFrame =
+    oldMan.as("o").join(newMan.as("n"), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("o.n_docs").isNull, lit("new"))
+          .when(col("n.n_docs").isNull, lit("retired"))
+          .when(col("o.n_docs") === col("n.n_docs") &&
+            col("o.token_mass") === col("n.token_mass") &&
+            col("o.id_xor") === col("n.id_xor"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("o.n_docs").as("old_n_docs"),
+        col("o.token_mass").as("old_token_mass"),
+        col("o.id_xor").as("old_id_xor"),
+        col("n.n_docs").as("n_docs"),
+        col("n.token_mass").as("token_mass"),
+        col("n.id_xor").as("id_xor"))
 }

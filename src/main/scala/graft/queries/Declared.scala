@@ -700,6 +700,57 @@ object Declared {
         |  SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)"""
     .stripMargin
 
+
+  /** The manifest tail of the replay chain (survivor election ->
+    * standing set -> shard hash -> manifest), CTE names suffixable so
+    * x89 instantiates it for BOTH corpus versions in one statement.
+    * The seed is fixed 'ref-v2' for both manifests — same shard
+    * routing, the property that makes per-shard old/new comparison
+    * meaningful.
+    */
+  private def refreshManifestTailCte(sfx: String): String = s""",
+        |sv$sfx AS MATERIALIZED (
+        |  SELECT cluster_id, doc_id AS survivor_id FROM (
+        |    SELECT cl$sfx.cluster_id, cl$sfx.doc_id, g$sfx.quality
+        |    FROM cl$sfx JOIN g$sfx USING (doc_id))
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id ASC) = 1),
+        |standing$sfx AS MATERIALIZED (
+        |  SELECT g$sfx.doc_id, g$sfx.n_toks FROM g$sfx
+        |  WHERE g$sfx.doc_id NOT IN (SELECT doc_id FROM cl$sfx)
+        |     OR g$sfx.doc_id IN (SELECT survivor_id FROM sv$sfx)),
+        |hx$sfx AS MATERIALIZED (
+        |  SELECT doc_id, n_toks, md5('ref-v2:' || doc_id::varchar) AS h
+        |  FROM standing$sfx),
+        |man$sfx AS MATERIALIZED (
+        |  SELECT ('0x' || substr(h, 1, 8))::bigint % 4 AS shard,
+        |    count(*) AS n_docs, sum(n_toks)::bigint AS token_mass,
+        |    bit_xor(('0x' || substr(h, 9, 15))::bigint) AS id_xor
+        |  FROM hx$sfx GROUP BY 1)""".stripMargin
+
+  /** Corpus v1's replay chain (x89): GENERATED from the canonical v2
+    * chain — the carve swapped (doc_id % 17 <> 5, no perturbation) and
+    * every CTE name whole-word-suffixed `_v1` (the one quoted regexp
+    * flag 'g' shielded) — so the two version replays share one source
+    * of truth and cannot drift. No leading WITH: it appends to the v2
+    * statement's CTE list.
+    */
+  private def refreshV1ClustersCte: String = {
+    val chain = refreshV2ClustersCte
+    val carve = """v2 AS MATERIALIZED (
+      |  SELECT doc_id, text
+      |  FROM documents WHERE doc_id % 17 <> 5),
+      |""".stripMargin
+    val canonical = carve +
+      chain.substring(chain.indexOf("t0 AS MATERIALIZED"))
+    val flagSafe = canonical.replace("'g')", "'\u0001')")
+    val renamed = Seq("v2", "t0", "lid", "qual", "rep", "g", "sh",
+        "sizes", "common", "prs", "edges", "reach", "cl")
+      .foldLeft(flagSafe)((acc, n) =>
+        acc.replaceAll("\\b" + n + "\\b", n + "_v1"))
+    renamed.replace("'\u0001')", "'g')")
+  }
+
   private[graft] def refreshV1(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id") % 17 =!= 5)
 
@@ -4165,24 +4216,7 @@ object Declared {
               col("f.id_xor") <=> col("i.id_xor")).as("incr_match"))
           .orderBy("shard")
       },
-      Some(refreshV2ClustersCte + s""",
-        |sv AS MATERIALIZED (
-        |  SELECT cluster_id, doc_id AS survivor_id FROM (
-        |    SELECT cl.cluster_id, cl.doc_id, g.quality FROM cl JOIN g USING (doc_id))
-        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
-        |    ORDER BY quality DESC, doc_id ASC) = 1),
-        |standing AS MATERIALIZED (
-        |  SELECT g.doc_id, g.n_toks FROM g
-        |  WHERE g.doc_id NOT IN (SELECT doc_id FROM cl)
-        |     OR g.doc_id IN (SELECT survivor_id FROM sv)),
-        |hx AS MATERIALIZED (
-        |  SELECT doc_id, n_toks, md5('ref-v2:' || doc_id::varchar) AS h
-        |  FROM standing),
-        |man AS MATERIALIZED (
-        |  SELECT ('0x' || substr(h, 1, 8))::bigint % 4 AS shard,
-        |    count(*) AS n_docs, sum(n_toks)::bigint AS token_mass,
-        |    bit_xor(('0x' || substr(h, 9, 15))::bigint) AS id_xor
-        |  FROM hx GROUP BY 1)
+      Some(refreshV2ClustersCte + refreshManifestTailCte("") + """
         |SELECT shard, n_docs, token_mass, id_xor, true AS incr_match
         |FROM man ORDER BY shard""".stripMargin)),
 
@@ -4217,6 +4251,40 @@ object Declared {
       Some(refreshV2ClustersCte + """
         |SELECT doc_id, cluster_id, true AS inc_match
         |FROM cl ORDER BY doc_id""".stripMargin)),
+
+    // X23c (r12): the manifest DELTA a refresh consumer polls for —
+    // per shard, v1 vs v2 checksums and a status (unchanged / changed
+    // / new / retired), so a trainer re-pulls only moved shards. Both
+    // manifests share the seed => same shard routing. DuckDB replays
+    // BOTH corpus versions' full chains independently (the v1 chain is
+    // GENERATED from the canonical v2 chain — carve swapped, CTE names
+    // suffixed — so the replays cannot drift) and re-derives the same
+    // per-shard statuses; old/new checksum columns ride in the hashed
+    // output, so a drifted byte on either side flips the row.
+    "x89_manifest_delta" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val st = refreshStateArtifact(s, dir)
+        val man1 = graft.ext.Refresh.manifestOf(
+          st.meta, st.pairs, "ref-v2", 4)
+        val (_, man2) = graft.ext.Refresh.refresh(
+          st, refreshV1(docs), refreshV2(docs), "ref-v2", 4)
+        graft.ext.Refresh.manifestDelta(man1, man2).orderBy("shard")
+      },
+      Some(refreshV2ClustersCte + refreshManifestTailCte("") + ",\n" +
+        refreshV1ClustersCte + refreshManifestTailCte("_v1") + """
+        |SELECT coalesce(n.shard, o.shard) AS shard,
+        |  CASE WHEN o.n_docs IS NULL THEN 'new'
+        |    WHEN n.n_docs IS NULL THEN 'retired'
+        |    WHEN o.n_docs = n.n_docs AND o.token_mass = n.token_mass
+        |      AND o.id_xor = n.id_xor THEN 'unchanged'
+        |    ELSE 'changed' END AS status,
+        |  o.n_docs AS old_n_docs, o.token_mass AS old_token_mass,
+        |  o.id_xor AS old_id_xor,
+        |  n.n_docs AS n_docs, n.token_mass AS token_mass,
+        |  n.id_xor AS id_xor
+        |FROM man n FULL OUTER JOIN man_v1 o ON o.shard = n.shard
+        |ORDER BY shard""".stripMargin)),
 
     // X24 (r12): sharded export delivery + verification — closes the
     // manifest loop: x76/x78/x85 PROMISE per-shard checksums, this row

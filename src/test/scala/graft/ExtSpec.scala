@@ -1372,6 +1372,41 @@ class ExtSpec extends SparkSuite {
     assert(pairSet(st2.pairs) == pairSet(stFull.pairs), "refreshed pairs drifted")
   }
 
+  test("X23c manifestDelta: unchanged/changed/new/retired statuses, checksum sensitivity") {
+    import graft.ext.Refresh
+    val oldM = Seq(
+      (0L, 10L, 100L, 7L), (1L, 5L, 50L, 3L), (2L, 4L, 40L, 9L))
+      .toDF("shard", "n_docs", "token_mass", "id_xor")
+    val newM = Seq(
+      (0L, 10L, 100L, 7L),  // identical -> unchanged
+      (1L, 5L, 50L, 4L),    // same counts, moved id_xor -> changed
+      (3L, 2L, 20L, 1L))    // shard 2 gone -> retired; shard 3 -> new
+      .toDF("shard", "n_docs", "token_mass", "id_xor")
+    val got = Refresh.manifestDelta(oldM, newM).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "unchanged", 1L -> "changed",
+      2L -> "retired", 3L -> "new"), got.toString)
+    // a refresh-produced pair on the real fixture: delta statuses must
+    // agree with a direct manifest comparison
+    val st = Refresh.buildState(
+      Tables.load(spark, sf(), "documents").filter(col("doc_id") % 7 =!= 2))
+    val man1 = Refresh.manifestOf(st.meta, st.pairs, "delta-spec", 4)
+    val v2 = Tables.load(spark, sf(), "documents")
+    val man2 = Refresh.fullRebuild(v2, "delta-spec", 4)
+    val delta = Refresh.manifestDelta(man1, man2).collect()
+    val m1 = man1.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val m2 = man2.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    delta.foreach { r =>
+      val sh = r.getLong(0)
+      val expect = (m1.get(sh), m2.get(sh)) match {
+        case (None, _) => "new"
+        case (_, None) => "retired"
+        case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+      }
+      assert(r.getString(1) == expect, s"shard $sh: ${r.getString(1)} != $expect")
+    }
+  }
+
   test("X24 export delivery: clean shards verify; loss, corruption and misplacement flip the booleans") {
     import graft.ext.{TrainSet, TextStats}
     import graft.sources.FileSources
