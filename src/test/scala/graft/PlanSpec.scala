@@ -781,6 +781,26 @@ class PlanSpec extends SparkSuite {
 
   // scans must prune columns: the documents scan of a two-column query
   // must not read the text body (ReadSchema check on the parquet scan)
+  // x88: delivery verification is one scan of the delivered files and
+  // one scan of the fixture — partial-agg'd numShards-row frames meet
+  // in a slim join; nothing may cartesian or window, and the delivered
+  // text never shuffles (only (shard, tok, w, placed) projections do)
+  test("export delivery verification plans as two partial-agg scans and a slim join") {
+    val p = planOf("x88_export_delivery")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x88:\n$p")
+    assert(!p.contains("Window"), s"window in x88:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"delivered-side aggregation not partial (map-side combine lost):\n$p")
+  }
+
+  // x89: two full replay legs end in 4-row manifests; the delta join
+  // itself must stay slim — no cartesian, no window in the join tail
+  test("manifest delta plans as a slim full-outer join of two manifests") {
+    val p = planOf("x89_manifest_delta")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x89:\n$p")
+    assert(p.contains("FullOuter"), s"full-outer join missing in x89:\n$p")
+  }
+
   test("column pruning reaches the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sparkPlan, not executedPlan: the AQE wrapper hides its input plan
