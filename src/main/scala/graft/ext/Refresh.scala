@@ -93,8 +93,19 @@ object Refresh {
     * a pure function of (meta, pairs) shared by both paths.
     */
   def manifestOf(metaDf: DataFrame, pairs: DataFrame, seed: String,
-                 numShards: Int): DataFrame = {
-    val clusters = Dedup.dupClusters(pairs)
+                 numShards: Int): DataFrame =
+    manifestFromClusters(Dedup.dupClusters(pairs), metaDf, seed, numShards)
+
+  /** The manifest tail from a PRECOMPUTED cluster frame — what the
+    * delta-bound refresh path feeds ([[refreshClusters]]' output, or
+    * the reloaded standing map): election → survivor drop → manifest
+    * run over cluster-volume frames, with the expensive iterative
+    * cluster stage priced where it was actually paid. `manifestOf` is
+    * this with a full from-scratch [[Dedup.dupClusters]] in front —
+    * identical output for equal cluster frames (ExtSpec asserts it).
+    */
+  def manifestFromClusters(clusters: DataFrame, metaDf: DataFrame,
+                           seed: String, numShards: Int): DataFrame = {
     val drop = clusters.join(
         Dedup.clusterSurvivors(clusters, metaDf, "doc_id", col("quality"))
           .select(col("survivor_id").as("doc_id")),

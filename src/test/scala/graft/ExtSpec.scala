@@ -1372,6 +1372,17 @@ class ExtSpec extends SparkSuite {
     assert(pairSet(st2.pairs) == pairSet(stFull.pairs), "refreshed pairs drifted")
   }
 
+  test("X23 manifestFromClusters == manifestOf for equal cluster frames") {
+    import graft.ext.{Dedup, Refresh}
+    val st = Refresh.buildState(Tables.load(spark, sf(), "documents"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Refresh.manifestOf(st.meta, st.pairs, "mfc-spec", 4)) ==
+      rows(Refresh.manifestFromClusters(Dedup.dupClusters(st.pairs),
+        st.meta, "mfc-spec", 4)),
+      "precomputed-cluster manifest tail drifted from manifestOf")
+  }
+
   test("X23c manifestDelta: unchanged/changed/new/retired statuses, checksum sensitivity") {
     import graft.ext.Refresh
     val oldM = Seq(
