@@ -514,7 +514,11 @@ object Declared {
     * flatten ordered by (word position, symbol position)) — fully
     * independent of the Spark side's rank-based in-expression encoder.
     */
-  private def bpeEncodeOracle(k: Int): String =
+  /** The x84 replay chain through the per-doc `enc` CTE (training
+    * stages, vocab rebuild, segmentation-table encode) — shared by the
+    * x84 oracle's final projection and x90's packing replay.
+    */
+  private def bpeEncodePrefix(k: Int): String =
     bpeStagesCte(k) + s""",
       |mrg AS MATERIALIZED (
       |  ${(1 to k).map(s => s"SELECT $s AS step, l, r FROM b$s")
@@ -542,7 +546,10 @@ object Declared {
       |enc AS MATERIALIZED (
       |  SELECT sy.doc_id, list(v.id ORDER BY sy.wi, sy.j) AS ids
       |  FROM sy JOIN vocab v ON v.token = sy.sym
-      |  GROUP BY sy.doc_id)
+      |  GROUP BY sy.doc_id)""".stripMargin
+
+  private def bpeEncodeOracle(k: Int): String =
+    bpeEncodePrefix(k) + """
       |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
       |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
       |FROM documents d LEFT JOIN enc e USING (doc_id)
@@ -4078,6 +4085,58 @@ object Declared {
           .orderBy("doc_id")
       },
       Some(bpeEncodeUnseenOracle(64))),
+
+    // X22b (r12): PACKED TOKEN SEQUENCES — the composition that yields
+    // the actual training batches: BPE-encode every document under the
+    // persisted 64-merge model (x84's encoder), pack the id sequences
+    // into capacity-512 chunks with packChunks' shard-parallel running
+    // sum (portable md5 sharding, nShards pinned so chunk ids are
+    // engine-reproducible), and checksum each chunk's FULL concatenated
+    // id sequence (md5 over the doc-ordered space-joined ids — any
+    // reordered, dropped, split or re-encoded token changes the hash).
+    // DuckDB independently re-trains the model, re-encodes, re-shards,
+    // replays the running-sum chunk assignment and re-hashes the
+    // concatenations. Zero-token docs carry no tokens and are excluded
+    // from packing on both sides.
+    "x90_packed_sequences" -> Q(
+      (s, dir) => {
+        val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
+        val vocab = bpeVocab64Artifact(s, dir)
+        val enc = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextStats.bpeEncodeIds(col("text"), merges, vocab).as("ids"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"),
+            size(col("ids")).cast("long").as("n_ids"))
+          .filter(col("n_ids") > 0)
+          .withColumn("grp", lit(0L))
+        graft.ext.Curation.packChunks(enc, "grp", "doc_id",
+            col("n_ids"), capacity = 512, nShards = 4)
+          .groupBy(col("shard").cast("long").as("shard"), col("chunk_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ids")).as("n_tokens"),
+            md5(concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("doc_id"), col("ids_str")))),
+              x => x.getField("ids_str")))).as("ids_md5"))
+          .orderBy("shard", "chunk_id")
+      },
+      Some(bpeEncodePrefix(64) + s""",
+        |pk AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(ids, ' ') AS ids_str,
+        |    len(ids)::bigint AS n
+        |  FROM enc WHERE len(ids) > 0),
+        |shd AS MATERIALIZED (
+        |  SELECT doc_id, ids_str, n,
+        |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 4 AS shard
+        |  FROM pk),
+        |cm AS MATERIALIZED (
+        |  SELECT doc_id, ids_str, n, shard,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM shd)
+        |SELECT shard, ((cum - n) // 512)::bigint AS chunk_id,
+        |  count(*)::bigint AS n_docs, sum(n)::bigint AS n_tokens,
+        |  md5(string_agg(ids_str, ' ' ORDER BY doc_id)) AS ids_md5
+        |FROM cm GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

@@ -1372,6 +1372,39 @@ class ExtSpec extends SparkSuite {
     assert(pairSet(st2.pairs) == pairSet(stFull.pairs), "refreshed pairs drifted")
   }
 
+  test("X22b packed sequences: conservation, capacity-boundary starts, no doc splits") {
+    import graft.ext.{Curation, TextStats}
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        TextStats.tokenCount(coalesce(col("text"), lit("")))
+          .cast("long").as("n"))
+      .filter(col("n") > 0).withColumn("grp", lit(0L))
+    val packed = Curation.packChunks(docs, "grp", "doc_id", col("n"),
+        capacity = 512, nShards = 4)
+      .select(col("shard").cast("long"), col("chunk_id"), col("n"),
+        (col("cum") - col("n")).as("start"))
+      .collect()
+    assert(packed.nonEmpty)
+    // conservation: every doc lands in exactly one chunk (no splits,
+    // no drops) — total token mass is preserved
+    val total = docs.agg(sum("n")).head().getLong(0)
+    assert(packed.map(_.getLong(2)).sum == total, "token mass not conserved")
+    // each doc's start offset lies inside its chunk's window — the
+    // chunk_id arithmetic IS floor(start/capacity)
+    packed.foreach { r =>
+      val (c, start) = (r.getLong(1), r.getLong(3))
+      assert(start / 512 == c, s"start $start not in chunk $c")
+    }
+    // per (shard, chunk): chunks are contiguous from 0 — no gaps (a
+    // dropped chunk id would leave a hole)
+    packed.groupBy(r => r.getLong(0)).foreach { case (sh, rows) =>
+      val ids = rows.map(_.getLong(1)).distinct.sorted
+      assert(ids.head == 0L && ids.zipWithIndex.forall { case (v, i) => v == i },
+        s"shard $sh chunk ids not contiguous: ${ids.toSeq}")
+    }
+  }
+
   test("X23 manifestFromClusters == manifestOf for equal cluster frames") {
     import graft.ext.{Dedup, Refresh}
     val st = Refresh.buildState(Tables.load(spark, sf(), "documents"))

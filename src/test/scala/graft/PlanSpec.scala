@@ -781,6 +781,19 @@ class PlanSpec extends SparkSuite {
 
   // scans must prune columns: the documents scan of a two-column query
   // must not read the text body (ReadSchema check on the parquet scan)
+  // x90: encode is the map-only codegen expression; packing is ONE
+  // window over the (grp, shard) hash partition; the chunk rollup is
+  // one partial-agg'd shuffle — no join anywhere in the pipeline
+  test("packed sequences plan: map-only encode, one window, no join") {
+    val p = planOf("x90_packed_sequences")
+    assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in x90:\n$p")
+    assert("Window".r.findAllIn(p).size == 1, s"window count != 1:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"$exchanges exchanges (shard hash + rollup + presentation sort):\n$p")
+  }
+
   // x88: delivery verification is one scan of the delivered files and
   // one scan of the fixture — partial-agg'd numShards-row frames meet
   // in a slim join; nothing may cartesian or window, and the delivered
