@@ -462,6 +462,32 @@ object TextStats {
       Dedup.tokens(coalesce(text, lit(""))), merges, vocab,
       unkId = vocab.length.toLong)
 
+  /** X5f decode (r12): token-id sequence → text, the inverse surface a
+    * trained tokenizer ships next to encode (detokenization for
+    * inspection, eval-sample rendering, decontamination of packed
+    * batches). The vocabulary rides as ONE array literal (a reference
+    * object — Catalyst never inlines it per-row) and the lookup is a
+    * codegen'd `transform` + `element_at`: map-only, no join, no
+    * shuffle, streams unchanged.
+    *
+    * Policy (declared): ids in `[0, vocab.length)` decode to their
+    * vocabulary string; anything else — the reserved unk id
+    * `vocab.length` from [[bpeEncodeIdsUnk]], or a corrupt id — decodes
+    * to `unkToken`. BPE merges never cross the tokenizer's word
+    * boundaries, so decode restores the NORMALIZED text exactly
+    * (lowercased tokens, separators collapsed): the round-trip claim is
+    * `decode(encode(text)) == concat(tokens(text))`, whitespace-modulo
+    * losslessness — exactly what the id sequence preserves. Unk ids are
+    * declared lossy (the novel character is gone; x86's contract).
+    */
+  def bpeDecode(ids: Column, vocab: Seq[String],
+                unkToken: String = "<unk>"): Column = {
+    val vlit = lit(vocab.toArray)
+    concat_ws("", transform(ids, i =>
+      when(i >= 0 && i < vocab.length,
+        element_at(vlit, (i + 1).cast("int"))).otherwise(lit(unkToken))))
+  }
+
   /** The built-ins-only formulation of [[bpeSegmentCount]] (zero custom
     * expression surface): k nested interpreted `aggregate` folds per
     * word. Kept as the independent equality oracle for the codegen'd

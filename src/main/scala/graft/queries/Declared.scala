@@ -4138,6 +4138,50 @@ object Declared {
         |  md5(string_agg(ids_str, ' ' ORDER BY doc_id)) AS ids_md5
         |FROM cm GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
 
+    // X5f decode (r12): the INVERSE tokenizer surface — id sequences
+    // back to text under the persisted 64-merge vocabulary, with the
+    // round-trip claim decode(encode(text)) == concat(tokens(text))
+    // asserted PER DOCUMENT inside the hashed output (BPE merges never
+    // cross word boundaries, so the id sequence preserves the
+    // normalized text exactly; whitespace is the declared loss). The
+    // Spark side decodes via the map-only vocabulary-array lookup
+    // (one reference-object literal, codegen'd transform/element_at —
+    // no join, no shuffle); DuckDB independently re-trains the model,
+    // re-encodes relationally, decodes through ITS OWN rebuilt
+    // vocabulary list, and re-derives the normalized text — a drift in
+    // either engine's vocab ids, segmentation, or decode turns
+    // decoded_md5 or roundtrip red.
+    "x91_bpe_decode" -> Q(
+      (s, dir) => {
+        val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
+        val vocab = bpeVocab64Artifact(s, dir)
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextStats.bpeEncodeIds(col("text"), merges, vocab).as("ids"),
+            concat_ws("",
+              Dedup.tokens(coalesce(col("text"), lit("")))).as("norm"))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+            TextStats.bpeDecode(col("ids"), vocab).as("decoded"),
+            col("norm"))
+          .select(col("doc_id"), col("n_ids"),
+            md5(col("decoded")).as("decoded_md5"),
+            (col("decoded") === col("norm")).as("roundtrip"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodePrefix(64) + """,
+        |varr AS MATERIALIZED (SELECT list(token ORDER BY id) AS v FROM vocab),
+        |dec AS MATERIALIZED (
+        |  SELECT e.doc_id, len(e.ids)::bigint AS n_ids,
+        |    array_to_string(list_transform(e.ids, i -> v[(i + 1)::int]), '') AS decoded
+        |  FROM enc e CROSS JOIN varr),
+        |nrm AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> ''), '') AS norm
+        |  FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT n.doc_id, coalesce(d.n_ids, 0)::bigint AS n_ids,
+        |  md5(coalesce(d.decoded, '')) AS decoded_md5,
+        |  coalesce(d.decoded, '') = n.norm AS roundtrip
+        |FROM nrm n LEFT JOIN dec d USING (doc_id) ORDER BY n.doc_id""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

@@ -1626,6 +1626,37 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X5f decode: round-trip on the corpus; unk/corrupt ids hit the declared token") {
+    // crafted: vocab over "ab ab cd" = [a,b,c,d,ab]; ids [4,2,3,4]
+    // decode to the concatenated words; the reserved unk id
+    // (vocab.length), a corrupt id past it, and -1 all decode to the
+    // declared <unk> token; the empty sequence decodes to ""
+    val v = Seq("a", "b", "c", "d", "ab")
+    def dec(ids: Seq[Long]): String =
+      Seq(Tuple1(ids)).toDF("ids")
+        .select(TextStats.bpeDecode(col("ids"), v)).collect()(0).getString(0)
+    assert(dec(Seq(4L, 2L, 3L, 4L)) == "abcdab")
+    assert(dec(Seq(0L, 5L, 1L)) == "a<unk>b")  // reserved unk = 5
+    assert(dec(Seq(99L)) == "<unk>" && dec(Seq(-1L)) == "<unk>")
+    assert(dec(Seq.empty) == "")
+    // corpus claim: decode(encode(text)) == concat(tokens(text)) for
+    // EVERY document (whitespace-modulo losslessness — BPE merges never
+    // cross word boundaries and vocab ids are invertible)
+    val docs = Tables.load(spark, sf(), "documents")
+    val trained = TextStats.bpeTrain(docs, "text", numMerges = 16)
+    val vocab = TextStats.bpeVocab(docs, "text", trained.toSeq)
+    val merges = trained.map(m => (m._1, m._2)).toSeq
+    val bad = docs.filter(col("doc_id").isNotNull)
+      .select(
+        TextStats.bpeDecode(
+          TextStats.bpeEncodeIds(col("text"), merges, vocab), vocab)
+          .as("decoded"),
+        concat_ws("", Dedup.tokens(coalesce(col("text"), lit(""))))
+          .as("norm"))
+      .filter(col("decoded") =!= col("norm")).count()
+    assert(bad == 0L, s"$bad documents failed the decode round-trip")
+  }
+
   test("X5h vocab growth: first-occurrence form == multiplied spec oracle") {
     // r11: vocabGrowth reduces the token stream ONCE (term min-id +
     // per-doc counts, then ≤steps-row joins); the original ×steps

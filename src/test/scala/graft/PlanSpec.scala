@@ -574,6 +574,19 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
+  // x91: encode + decode + round-trip compare must STILL be pure map —
+  // the vocabulary rides as one array-literal reference object, so the
+  // decode is a codegen'd transform/element_at with no join/aggregate;
+  // only the presentation sort shuffles
+  test("BPE decode round-trip plans map-only through the vocab-array lookup") {
+    val p = planOf("x91_bpe_decode")
+    assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in BPE decode:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregation in BPE decode:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
+  }
+
   // x81: the PMI top-k must be the bounded TakeOrderedAndProject over
   // partial-agg'd counts with broadcast totals — no global sort, no
   // window over the bigram table
