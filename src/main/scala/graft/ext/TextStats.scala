@@ -488,6 +488,38 @@ object TextStats {
         element_at(vlit, (i + 1).cast("int"))).otherwise(lit(unkToken))))
   }
 
+  /** X5f fertility (r12): per-group tokenizer fertility (ids per word)
+    * and compression (chars per id) under a trained model — the
+    * standard tokenizer-evaluation readout (a pipeline reads it per
+    * language to see who pays more context budget per word). Map-only
+    * encode + ONE partial-agg'd groupBy: the corpus never shuffles,
+    * only #groups slim rows do. Ratios are 6dp-rounded sums-of-longs
+    * quotients (the engine-portable discipline); an all-empty group
+    * reports NULL ratios rather than NaN/∞ on either engine.
+    */
+  def tokenFertility(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     groupCol: String, merges: Seq[(String, String)],
+                     vocab: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
+    docs.select(col(groupCol),
+        size(bpeEncodeIds(col(textCol), merges, vocab))
+          .cast("long").as("n_ids"),
+        size(toks).cast("long").as("n_words"),
+        length(concat_ws("", toks)).cast("long").as("n_chars"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_ids").as("n_ids"), sum("n_chars").as("n_chars"))
+      .select(col(groupCol), col("n_docs"), col("n_words"),
+        col("n_ids"), col("n_chars"),
+        when(col("n_words") > 0, round(
+          col("n_ids").cast("double") / col("n_words"), 6))
+          .as("fertility"),
+        when(col("n_ids") > 0, round(
+          col("n_chars").cast("double") / col("n_ids"), 6))
+          .as("chars_per_token"))
+      .orderBy(groupCol)
+  }
+
   /** The built-ins-only formulation of [[bpeSegmentCount]] (zero custom
     * expression surface): k nested interpreted `aggregate` folds per
     * word. Kept as the independent equality oracle for the codegen'd

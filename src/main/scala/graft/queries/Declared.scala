@@ -4182,6 +4182,37 @@ object Declared {
         |  coalesce(d.decoded, '') = n.norm AS roundtrip
         |FROM nrm n LEFT JOIN dec d USING (doc_id) ORDER BY n.doc_id""".stripMargin)),
 
+    // X5f fertility (r12): the standard tokenizer-evaluation readout —
+    // per-language token fertility (ids per word) and compression
+    // (chars per id) under the persisted 64-merge model. This is how a
+    // pipeline decides whether a trained vocabulary serves every
+    // language fairly (high-fertility languages pay more context
+    // budget per word). Map-only encode + ONE partial-agg'd
+    // groupBy(lang) — the corpus never shuffles, only 5 slim rows do.
+    // DuckDB re-trains and re-encodes relationally and replays the
+    // ratio arithmetic on its own counts.
+    "x92_token_fertility" -> Q(
+      (s, dir) => {
+        val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
+        val vocab = bpeVocab64Artifact(s, dir)
+        TextStats.tokenFertility(
+          t(s, dir, "documents").filter(col("doc_id").isNotNull),
+          "text", "lang", merges, vocab)
+      },
+      Some(bpeEncodePrefix(64) + """,
+        |st AS MATERIALIZED (
+        |  SELECT d.lang, coalesce(len(e.ids), 0)::bigint AS n_ids,
+        |    len(list_filter(string_split_regex(lower(coalesce(d.text, '')), '[^a-z0-9]+'), x -> x <> ''))::bigint AS n_words,
+        |    length(array_to_string(list_filter(string_split_regex(lower(coalesce(d.text, '')), '[^a-z0-9]+'), x -> x <> ''), ''))::bigint AS n_chars
+        |  FROM documents d LEFT JOIN enc e USING (doc_id)
+        |  WHERE d.doc_id IS NOT NULL)
+        |SELECT lang, count(*)::bigint AS n_docs,
+        |  sum(n_words)::bigint AS n_words, sum(n_ids)::bigint AS n_ids,
+        |  sum(n_chars)::bigint AS n_chars,
+        |  round(sum(n_ids)::double / nullif(sum(n_words), 0), 6) AS fertility,
+        |  round(sum(n_chars)::double / nullif(sum(n_ids), 0), 6) AS chars_per_token
+        |FROM st GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

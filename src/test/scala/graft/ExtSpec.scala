@@ -1657,6 +1657,29 @@ class ExtSpec extends SparkSuite {
     assert(bad == 0L, s"$bad documents failed the decode round-trip")
   }
 
+  test("X5f fertility: crafted per-group arithmetic; empty group reports NULL ratios") {
+    // model over "ab ab cd": merge (a,b), vocab [a,b,c,d,ab]
+    val tiny = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(tiny, "text", numMerges = 8)
+      .map(x => (x._1, x._2)).toSeq
+    val v = TextStats.bpeVocab(tiny, "text", m.map { case (a, b) => (a, b, 0L) })
+    // en: "ab ab" -> [ab, ab] (2 ids, 2 words, 4 chars) + "cd" ->
+    // [c, d] (2 ids, 1 word, 2 chars) => fertility 4/3, cpt 6/4;
+    // fr: "ab cd" -> [ab, c, d] (3 ids, 2 words, 4 chars) => 1.5, 4/3;
+    // xx: empty text => zero mass, NULL ratios (not NaN/Infinity)
+    val docs = Seq((1L, "en", "ab ab"), (2L, "en", "cd"),
+      (3L, "fr", "ab cd"), (4L, "xx", "")).toDF("doc_id", "lang", "text")
+    val rows = TextStats.tokenFertility(docs, "text", "lang", m, v)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6))).toSeq
+    assert(rows == Seq(
+      ("en", 2L, 3L, 4L, 6L, 1.333333, 1.5),
+      ("fr", 1L, 2L, 3L, 4L, 1.5, 1.333333),
+      ("xx", 1L, 0L, 0L, 0L, null, null)), rows.toString)
+  }
+
   test("X5h vocab growth: first-occurrence form == multiplied spec oracle") {
     // r11: vocabGrowth reduces the token stream ONCE (term min-id +
     // per-doc counts, then ≤steps-row joins); the original ×steps

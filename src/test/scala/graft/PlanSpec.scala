@@ -587,6 +587,19 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
+  // x92: fertility must be the map-only encode + ONE partial-agg'd
+  // groupBy(lang) — no join, and exactly the aggregate + presentation
+  // sort exchanges (slim #lang rows shuffle, never the corpus)
+  test("token fertility plans map encode + single partial aggregation") {
+    val p = planOf("x92_token_fertility")
+    assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in fertility plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no partial aggregation:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges (agg + orderBy allowed):\n$p")
+  }
+
   // x81: the PMI top-k must be the bounded TakeOrderedAndProject over
   // partial-agg'd counts with broadcast totals — no global sort, no
   // window over the bigram table
