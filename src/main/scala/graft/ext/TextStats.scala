@@ -520,6 +520,36 @@ object TextStats {
       .orderBy(groupCol)
   }
 
+  /** X5i (r12): term-frequency SPECTRUM — frequency-of-frequencies
+    * (for each corpus frequency f: how many distinct terms occur
+    * exactly f times, and how much token mass they carry). The
+    * Good-Turing input and the "how heavy is the tail" readout: the
+    * hapax row (f=1) vs the head drives vocabulary-size and min-count
+    * choices. Two partial-agg'd SLIM shuffles — (term, count) at
+    * vocabulary size, then (freq, n_terms) at spectrum size — the
+    * corpus token stream reduces once and never shuffles; the 1-row
+    * total rides a broadcast cross join (the x81 scalar allowance).
+    * `log2_bucket` is the INTEGER-exact log-scale bucket
+    * (`length(bin(freq)) - 1` — the binary-string trick; no
+    * floor(log(x)/log(2)) double-boundary hazard on either engine).
+    */
+  def freqSpectrum(docs: org.apache.spark.sql.DataFrame,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val uni = docs
+      .select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val spec = uni.groupBy(col("c").as("freq"))
+      .agg(count(lit(1)).as("n_terms"))
+      .select(col("freq"),
+        (length(bin(col("freq"))) - 1).cast("long").as("log2_bucket"),
+        col("n_terms"), (col("freq") * col("n_terms")).as("mass"))
+    val tot = spec.agg(sum("mass").cast("double").as("total"))
+    spec.crossJoin(broadcast(tot))
+      .select(col("freq"), col("log2_bucket"), col("n_terms"), col("mass"),
+        round(col("mass") / col("total"), 6).as("mass_share"))
+      .orderBy("freq")
+  }
+
   /** The built-ins-only formulation of [[bpeSegmentCount]] (zero custom
     * expression surface): k nested interpreted `aggregate` folds per
     * word. Kept as the independent equality oracle for the codegen'd

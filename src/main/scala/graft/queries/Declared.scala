@@ -4213,6 +4213,31 @@ object Declared {
         |  round(sum(n_chars)::double / nullif(sum(n_ids), 0), 6) AS chars_per_token
         |FROM st GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // X5i (r12): term-frequency SPECTRUM (frequency-of-frequencies) —
+    // the Good-Turing input: for each corpus frequency f, how many
+    // distinct terms occur exactly f times and the token mass they
+    // carry, with the INTEGER-exact log2 bucket (length(bin(f))-1 on
+    // both engines — no double log boundary hazard). Two slim
+    // partial-agg'd shuffles (vocabulary-sized, then spectrum-sized);
+    // the corpus token stream reduces once; the total is the x81-style
+    // 1-row broadcast scalar.
+    "x93_freq_spectrum" -> Q(
+      (s, dir) => TextStats.freqSpectrum(t(s, dir, "documents"), "text"),
+      Some("""WITH t AS MATERIALIZED (
+        |  SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |uni AS MATERIALIZED (
+        |  SELECT u.x AS term, count(*)::bigint AS c
+        |  FROM t, unnest(ws) AS u(x) GROUP BY 1),
+        |spec AS MATERIALIZED (
+        |  SELECT c AS freq, (length(bin(c)) - 1)::bigint AS log2_bucket,
+        |    count(*)::bigint AS n_terms, (c * count(*))::bigint AS mass
+        |  FROM uni GROUP BY c),
+        |tot AS (SELECT sum(mass)::double AS total FROM spec)
+        |SELECT freq, log2_bucket, n_terms, mass,
+        |  round(mass / total, 6) AS mass_share
+        |FROM spec CROSS JOIN tot ORDER BY freq""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

@@ -1680,6 +1680,26 @@ class ExtSpec extends SparkSuite {
       ("xx", 1L, 0L, 0L, 0L, null, null)), rows.toString)
   }
 
+  test("X5i freq spectrum: crafted rows + conservation invariants on the fixture") {
+    // "a a a b b c": a=3, b=2, c=1 -> three spectrum rows; log2
+    // buckets 1->0, 2->1, 3->1; mass shares over total mass 6
+    val docs = Seq((1L, "a a a b b"), (2L, "c")).toDF("doc_id", "text")
+    val rows = TextStats.freqSpectrum(docs, "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows == Seq((1L, 0L, 1L, 1L, 0.166667),
+      (2L, 1L, 1L, 2L, 0.333333), (3L, 1L, 1L, 3L, 0.5)), rows.toString)
+    // fixture invariants: spectrum mass folds back to the corpus token
+    // count and n_terms to the distinct vocabulary
+    val corpus = Tables.load(spark, sf(), "documents")
+    val spec = TextStats.freqSpectrum(corpus, "text")
+      .agg(sum("mass"), sum("n_terms")).collect()(0)
+    val toks = corpus.select(
+      explode(Dedup.tokens(coalesce(col("text"), lit("")))).as("t"))
+    assert(spec.getLong(0) == toks.count())
+    assert(spec.getLong(1) == toks.distinct().count())
+  }
+
   test("X5h vocab growth: first-occurrence form == multiplied spec oracle") {
     // r11: vocabGrowth reduces the token stream ONCE (term min-id +
     // per-doc counts, then ≤steps-row joins); the original ×steps
