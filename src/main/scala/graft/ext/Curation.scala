@@ -526,6 +526,49 @@ object Curation {
         col("t.id").as(idCol), round(-col("t.score"), 6).as("priority"))
   }
 
+  /** X7h (r12): cluster-balanced diversity sampling — assign every
+    * embedding to its single nearest engine-portable cell
+    * ([[Dedup.semanticCells]] at nprobe=1: md5-seeded, rounded-cosine
+    * ranked) and keep at most `cap` vectors per cell by the
+    * deterministic md5 priority ([[capPerGroup]]'s uniform). This is
+    * the embedding-space twin of the per-source domain cap: a corpus
+    * dominated by one dense region (boilerplate re-renders, template
+    * families) gets flattened toward uniform cluster coverage before
+    * training — the DiverseSample/cluster-capped curation step.
+    *
+    * Output is the per-cell coverage report with the kept membership
+    * sealed in `kept_md5` (doc ids space-joined in priority-rank
+    * order — any membership or order drift flips the hash).
+    *
+    * Scale: cell assignment is MAP-ONLY (seeds ride as a codegen
+    * reference object); the cap is the bounded-heap pre-shuffle
+    * aggregate (<= cap rows per cell per task cross the wire, so the
+    * dense cell that motivates the cap cannot hurt it); the report is
+    * nlist slim rows. Size nlist ~ sqrt(n) at deployment; the kept id
+    * LIST stays driver-free — it lives in the hash, and the sampled
+    * subset itself is the `capPerGroup` frame joined back by id.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, nlist: Int, cap: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            seeds: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cells = Dedup.semanticCells(embeddings, nlist, nprobe = 1,
+      idCol = idCol, vecCol = vecCol, seeds = seeds).select("doc_id", "cell")
+    val kept = capPerGroup(cells, "cell", "doc_id", cap)
+    val tot = cells.groupBy("cell").agg(count(lit(1)).as("n_total"))
+    val kp = kept.groupBy("cell").agg(count(lit(1)).as("n_kept"),
+      md5(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("rank"), col("doc_id")))),
+        x => x.getField("doc_id").cast("string")))).as("kept_md5"))
+    tot.join(kp, Seq("cell"))
+      .select(col("cell").cast("long").as("cell"), col("n_total"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_total"), 6)
+          .as("coverage"),
+        col("kept_md5"))
+      .orderBy("cell")
+  }
+
   /** Sequence packing (pretraining batch prep): concatenate documents in
     * a deterministic order within each shard and split at `capacity`
     * tokens — chunk_id = floor(preceding_tokens / capacity). Running sum

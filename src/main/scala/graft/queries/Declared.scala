@@ -4238,6 +4238,49 @@ object Declared {
         |  round(mass / total, 6) AS mass_share
         |FROM spec CROSS JOIN tot ORDER BY freq""".stripMargin)),
 
+    // X7h (r12): cluster-balanced diversity sampling — the
+    // embedding-space twin of the x66 domain cap: every vector lands in
+    // its single nearest engine-portable cell (x83's md5-seeded,
+    // rounded-cosine cells at nprobe=1), then at most 40 survive per
+    // cell by the deterministic md5 priority. The per-cell report
+    // seals the kept membership in kept_md5 (ids in priority-rank
+    // order — membership or order drift flips the hash). DuckDB
+    // replays the whole chain independently: seed sample, cell
+    // ranking, the uniform arithmetic, the rank race, the hash.
+    "x94_cluster_balanced" -> Q(
+      (s, dir) => Curation.clusterBalancedSample(
+        t(s, dir, "embeddings"), nlist = 8, cap = 40),
+      Some("""WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id IS NOT NULL),
+        |seeds AS MATERIALIZED (
+        |  SELECT v AS sv,
+        |    row_number() OVER (ORDER BY md5(vec_id::varchar), vec_id) - 1 AS sidx
+        |  FROM e ORDER BY md5(vec_id::varchar), vec_id LIMIT 8),
+        |cells AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, s.sidx AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC,
+        |          s.sidx ASC) AS rn
+        |    FROM e CROSS JOIN seeds s) WHERE rn <= 1),
+        |pri AS MATERIALIZED (
+        |  SELECT cell, vec_id,
+        |    (('0x' || substr(md5('graft-cap:' || vec_id::varchar), 1, 8))::bigint + 1)
+        |      / 4294967296.0 AS u
+        |  FROM cells),
+        |rk AS MATERIALIZED (
+        |  SELECT cell, vec_id,
+        |    row_number() OVER (PARTITION BY cell ORDER BY u, vec_id) AS rank
+        |  FROM pri),
+        |tot AS (SELECT cell, count(*)::bigint AS n_total FROM cells GROUP BY 1),
+        |kp AS (SELECT cell, count(*)::bigint AS n_kept,
+        |  md5(string_agg(vec_id::varchar, ' ' ORDER BY rank)) AS kept_md5
+        |  FROM rk WHERE rank <= 40 GROUP BY cell)
+        |SELECT t.cell::bigint AS cell, t.n_total, kp.n_kept,
+        |  round(kp.n_kept::double / t.n_total, 6) AS coverage, kp.kept_md5
+        |FROM tot t JOIN kp USING (cell) ORDER BY cell""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Curation, Dedup, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 class ExtSpec extends SparkSuite {
@@ -1698,6 +1698,44 @@ class ExtSpec extends SparkSuite {
       explode(Dedup.tokens(coalesce(col("text"), lit("")))).as("t"))
     assert(spec.getLong(0) == toks.count())
     assert(spec.getLong(1) == toks.distinct().count())
+  }
+
+  test("X7h cluster-balanced sample: crafted flattening; kept hash == plain-JVM md5 replay") {
+    // two crafted cells via explicit seeds: vectors 1,2,3 nearest seed
+    // 0 (capped 3 -> 2), vectors 4,5 nearest seed 1 (complete)
+    val seeds = Some(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val em = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.8, 0.05)), (4L, Seq(0.0, 1.0)), (5L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val rep = Curation.clusterBalancedSample(em, nlist = 2, cap = 2,
+      seeds = seeds).collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq ==
+      Seq((0L, 3L, 2L, 0.666667), (1L, 2L, 2L, 1.0)), rep.mkString(";"))
+    // independent plain-JVM replay of the kept membership hash: order
+    // each cell's ids by the 8-hex md5("graft-cap:"+id) prefix (id
+    // tiebreak), take cap, md5 the space-joined sequence
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def pri(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"graft-cap:$id").take(8), 16)
+    val cellsOf = Map(0L -> Seq(1L, 2L, 3L), 1L -> Seq(4L, 5L))
+    rep.foreach { r =>
+      val expect = md5hex(cellsOf(r.getLong(0))
+        .sortBy(id => (pri(id), id)).take(2).mkString(" "))
+      assert(r.getString(4) == expect, s"cell ${r.getLong(0)} hash drift")
+    }
+    // fixture invariants: n_kept == least(cap, n_total), coverage folds
+    val fx = Curation.clusterBalancedSample(
+      Tables.load(spark, sf(), "embeddings"), nlist = 8, cap = 40).collect()
+    assert(fx.length == 8)
+    fx.foreach { r =>
+      assert(r.getLong(2) == math.min(40L, r.getLong(1)))
+      assert(r.getDouble(3) ==
+        BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
   }
 
   test("X5h vocab growth: first-occurrence form == multiplied spec oracle") {

@@ -435,6 +435,19 @@ class PlanSpec extends SparkSuite {
       s"window plan leaked into the cap:\n$p")
   }
 
+  // x94: cluster-balanced sampling = map-only cell assignment (seeds as
+  // a reference object — no seed join, no window) + the same bounded
+  // heap as x66 (a dense cell never sorts through one partition)
+  test("cluster-balanced sample plans map-only cells + bounded-heap cap") {
+    val p = planOf("x94_cluster_balanced")
+    assert(p.contains("nearest_cells"), s"assignment not map-only:\n$p")
+    assert(p.contains("top_k_by_score"), s"bounded heap missing:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_top_k_by_score"),
+      s"no map-side partial heap:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"window plan leaked into the cap:\n$p")
+  }
+
   // x67: the global Gumbel-top-k must run through the bounded heap with
   // a map-side partial (never window+row_number — that funnels every
   // scored doc to one partition), and the log-ratio table must join the
