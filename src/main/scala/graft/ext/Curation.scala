@@ -526,6 +526,51 @@ object Curation {
         col("t.id").as(idCol), round(-col("t.score"), 6).as("priority"))
   }
 
+  /** X7i (r12): gate FUNNEL — per-document first-failing-gate
+    * attribution over [[standardGates]]' chain in its declared order
+    * (sample hash → language → quality → repetition), rolled up to one
+    * row per stage with doc and token mass. This is the "where did my
+    * data go" observability report every curation pipeline ships next
+    * to its output: the e2e rows (x25/x30) prove WHAT survives, the
+    * funnel proves WHY everything else left. Reconciliation
+    * (spec-pinned): the kept row equals [[standardGates]]' survivor
+    * count exactly; the e2e output is that minus the batch-global
+    * near-dup drop — corpus-relative, not a per-document gate, so
+    * deliberately not a funnel stage.
+    *
+    * The gates are independent per-document expressions, so ONE
+    * map-only pass evaluates all four and classifies (a CASE in
+    * declared gate order — no re-scan per stage, unlike the naive
+    * "run the pipeline N times" funnel); the rollup is one
+    * partial-agg'd shuffle of ≤ 5 slim rows per task, and the total
+    * rides the 1-row broadcast scalar. At 100 TB this costs exactly
+    * one corpus scan.
+    */
+  def gateFunnel(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 sampleThr: String = "c0"): DataFrame = {
+    val staged = docs.select(
+      when(!hashKeep(col(idCol), lit(sampleThr)), lit("sample"))
+        .when(TextStats.langId(col(textCol)) =!= "en", lit("langid"))
+        .when(TextStats.qualityScore(col(textCol)) < 0.8, lit("quality"))
+        .when(repetitionRatio(col(textCol)) > 0.6, lit("repetition"))
+        .otherwise(lit("kept")).as("stage"),
+      TextStats.tokenCount(col(textCol)).cast("long").as("nt"))
+    val agg = staged.groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = agg.agg(sum("n_docs").cast("double").as("n"))
+    agg.crossJoin(broadcast(tot))
+      .select(
+        when(col("stage") === "sample", 0L)
+          .when(col("stage") === "langid", 1L)
+          .when(col("stage") === "quality", 2L)
+          .when(col("stage") === "repetition", 3L)
+          .otherwise(4L).as("stage_ord"),
+        col("stage"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("n"), 6).as("doc_share"))
+      .orderBy("stage_ord")
+  }
+
   /** X7h (r12): cluster-balanced diversity sampling — assign every
     * embedding to its single nearest engine-portable cell
     * ([[Dedup.semanticCells]] at nprobe=1: md5-seeded, rounded-cosine

@@ -184,8 +184,14 @@ object Declared {
   private val jaccardPairsOracleSql: String =
     jaccardOracle("a.doc_id < b.doc_id", "id_a", "id_b", 0.2)
 
-  private val curationE2eOracle: String =
-    s"""WITH RECURSIVE t0 AS (
+  /** The shared gate CTE block (t0 tokens, langid, quality, repetition)
+    * — the independent SQL replay of [[graft.ext.Curation.standardGates]]'
+    * per-document gate inputs, reused verbatim by the x25/x30 e2e
+    * oracle and the x95 funnel oracle (one definition, two consumers —
+    * the funnel attributes what the e2e chain drops).
+    */
+  private val gateCtes: String =
+    s"""t0 AS (
               |  SELECT doc_id, text,
               |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
               |  FROM documents),
@@ -224,7 +230,10 @@ object Declared {
               |rep AS (
               |  SELECT doc_id,
               |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
-              |  FROM t0),
+              |  FROM t0)""".stripMargin
+
+  private val curationE2eOracle: String =
+    s"""WITH RECURSIVE $gateCtes,
               |sh AS (
               |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
               |  FROM t0, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
@@ -4280,6 +4289,36 @@ object Declared {
         |SELECT t.cell::bigint AS cell, t.n_total, kp.n_kept,
         |  round(kp.n_kept::double / t.n_total, 6) AS coverage, kp.kept_md5
         |FROM tot t JOIN kp USING (cell) ORDER BY cell""".stripMargin)),
+
+    // X7i (r12): gate FUNNEL — first-failing-gate attribution over the
+    // standard curation chain in declared order (sample hash → langid →
+    // quality → repetition), one row per stage with doc/token mass and
+    // doc share. The kept row reconciles with the x25/x30 e2e output
+    // by construction. One map-only corpus pass + a ≤5-row rollup;
+    // DuckDB replays every gate from the SAME shared CTE block the e2e
+    // oracle uses and re-derives the attribution independently.
+    "x95_gate_funnel" -> Q(
+      (s, dir) => Curation.gateFunnel(t(s, dir, "documents")),
+      Some(s"""WITH $gateCtes,
+        |cls AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    CASE WHEN NOT (substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0') THEN 'sample'
+        |      WHEN lid.lang_pred <> 'en' THEN 'langid'
+        |      WHEN q.quality < 0.8 THEN 'quality'
+        |      WHEN r.rep_ratio > 0.6 THEN 'repetition'
+        |      ELSE 'kept' END AS stage,
+        |    len(t.w)::bigint AS nt
+        |  FROM documents d
+        |  JOIN lid USING (doc_id) JOIN qual q USING (doc_id)
+        |  JOIN rep r USING (doc_id) JOIN t0 t USING (doc_id)),
+        |tot AS (SELECT count(*)::double AS n FROM cls)
+        |SELECT (CASE stage WHEN 'sample' THEN 0 WHEN 'langid' THEN 1
+        |    WHEN 'quality' THEN 2 WHEN 'repetition' THEN 3
+        |    ELSE 4 END)::bigint AS stage_ord,
+        |  stage, count(*)::bigint AS n_docs, sum(nt)::bigint AS n_tokens,
+        |  round(count(*) / n, 6) AS doc_share
+        |FROM cls CROSS JOIN tot
+        |GROUP BY stage, n ORDER BY stage_ord""".stripMargin)),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

@@ -24,6 +24,36 @@ class CurationSpec extends SparkSuite {
     assert(got(1).getInt(0) == 0 && got(1).getInt(1) == 0 && got(1).getInt(2) == 0)
   }
 
+  test("X7i gate funnel: crafted one-doc-per-stage attribution + fixture reconciliation") {
+    // md5('graft'||id) prefixes: 1->27, 2->61, 3->9f pass thr c0;
+    // 4->c8 fails the sample gate. 7->11 passes and survives all gates.
+    val docs = Seq(
+      (4L, "whatever text this is"), // sample (hash >= c0)
+      (1L, "der die das und ist nicht mit ein " * 4), // langid: de
+      (2L, "the and xyzq"), // en but 12 chars -> quality 0.5 < 0.8
+      (3L, "the " * 50), // quality 1.0 but rep 0.98 > 0.6
+      (7L, "the quick brown fox jumps over the lazy dog and it is " +
+        "that good for all of them to see what comes next in the story")
+    ).toDF("doc_id", "text")
+    val rows = Curation.gateFunnel(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(4)))
+    assert(rows.toSeq == Seq((0L, "sample", 1L, 0.2), (1L, "langid", 1L, 0.2),
+      (2L, "quality", 1L, 0.2), (3L, "repetition", 1L, 0.2),
+      (4L, "kept", 1L, 0.2)), rows.mkString(";"))
+    // fixture reconciliation: the funnel partitions the corpus exactly —
+    // docs and token mass fold back to corpus totals, and the kept row
+    // equals standardGates' survivor count (the e2e rows additionally
+    // drop near-dup non-survivors, which is corpus-relative, not a gate)
+    val corpus = Tables.load(spark, sf(), "documents")
+    val fx = Curation.gateFunnel(corpus).collect()
+    assert(fx.map(_.getLong(2)).sum == corpus.count())
+    val totToks = corpus.select(sum(graft.ext.TextStats.tokenCount(col("text"))
+      .cast("long"))).collect()(0).getLong(0)
+    assert(fx.map(_.getLong(3)).sum == totToks)
+    val kept = fx.find(_.getString(1) == "kept").get.getLong(2)
+    assert(kept == Curation.standardGates(corpus).count())
+  }
+
   test("repetition ratio: degenerate doc scores high, varied doc low") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),        // 5 tokens, 1 distinct -> 0.8
