@@ -645,6 +645,56 @@ object Curation {
       .withColumn("chunk_id", floor((col("cum") - col("tok")) / capacity))
   }
 
+  /** X22c (r12): packing-efficiency report — the capacity-selection
+    * readout next to [[packChunks]]: for each candidate context length,
+    * how many chunks the corpus packs into, the padding a trainer pays
+    * (capacity − chunk tokens on under-full chunks) and the overflow it
+    * must split (tokens past capacity when a single document straddles
+    * the boundary), with `fill` = tokens / (chunks × capacity). A
+    * pipeline reads this ONCE per corpus to pick the context length /
+    * packing budget; semantics per chunk are exactly [[packChunks]]'
+    * start-offset assignment.
+    *
+    * Scale: the expensive part — the per-shard running-sum window —
+    * runs ONCE; capacities are then an explode over the slim
+    * (shard, tok, cum) frame (|capacities|× row multiplication of
+    * three longs, not of documents), and the rollups are two
+    * partial-agg'd shuffles bounded by chunk counts. The naive form
+    * (one packChunks pass per capacity) pays the window sort
+    * |capacities| times.
+    */
+  def packEfficiency(docs: DataFrame, partitionCol: String, orderCol: String,
+                     tokens: Column, capacities: Seq[Int],
+                     nShards: Int = 1): DataFrame = {
+    require(capacities.nonEmpty && capacities.forall(_ > 0),
+      s"capacities must be positive (got $capacities)")
+    val pre = packChunks(docs, partitionCol, orderCol, tokens,
+        capacities.head, nShards)
+      .select(col(partitionCol), col("shard"), col("tok"), col("cum"))
+    val caps = array(capacities.map(c => lit(c.toLong)): _*)
+    pre
+      .select(col(partitionCol), col("shard"), col("tok"), col("cum"),
+        explode(caps).as("capacity"))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("tok")) / col("capacity")))
+      .groupBy(col("capacity"), col(partitionCol), col("shard"),
+        col("chunk_id"))
+      .agg(sum("tok").as("chunk_toks"))
+      .groupBy("capacity")
+      .agg(count(lit(1)).as("n_chunks"), sum("chunk_toks").as("n_tokens"),
+        sum(greatest(lit(0L), col("capacity") - col("chunk_toks")))
+          .as("padding"),
+        sum(greatest(lit(0L), col("chunk_toks") - col("capacity")))
+          .as("overflow"),
+        sum(when(col("chunk_toks") > col("capacity"), 1L).otherwise(0L))
+          .as("n_overflow_chunks"))
+      .select(col("capacity"), col("n_chunks"), col("n_tokens"),
+        col("padding"), col("overflow"), col("n_overflow_chunks"),
+        round(col("n_tokens").cast("double") /
+          (col("n_chunks") * col("capacity")), 6).as("fill"))
+      .orderBy("capacity")
+  }
+
   /** [[packChunks]] with `nShards` DERIVED instead of defaulted — the
     * `nShards = 1` default is a documented scale trap (5 distinct
     * partitionCol values = 5 window tasks at 100 TB). Two lower bounds,

@@ -4320,6 +4320,51 @@ object Declared {
         |FROM cls CROSS JOIN tot
         |GROUP BY stage, n ORDER BY stage_ord""".stripMargin)),
 
+    // X22c (r12): packing-efficiency report — the capacity-selection
+    // readout: pack the x84-encoded corpus at three candidate context
+    // lengths and report chunks / padding / overflow / fill per
+    // capacity. The per-shard running-sum window runs ONCE (x90's
+    // exact sharding arithmetic); capacities explode over the slim
+    // (shard, tok, cum) frame. DuckDB independently re-trains,
+    // re-encodes, re-shards, replays the running sum and re-derives
+    // every capacity's chunk assignment and waste arithmetic.
+    "x96_pack_efficiency" -> Q(
+      (s, dir) => {
+        val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
+        val vocab = bpeVocab64Artifact(s, dir)
+        val enc = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            size(TextStats.bpeEncodeIds(col("text"), merges, vocab))
+              .cast("long").as("n_ids"))
+          .filter(col("n_ids") > 0)
+          .withColumn("grp", lit(0L))
+        Curation.packEfficiency(enc, "grp", "doc_id", col("n_ids"),
+          capacities = Seq(128, 256, 512), nShards = 4)
+      },
+      Some(bpeEncodePrefix(64) + s""",
+        |pk AS MATERIALIZED (
+        |  SELECT doc_id, len(ids)::bigint AS n FROM enc WHERE len(ids) > 0),
+        |shd AS MATERIALIZED (
+        |  SELECT doc_id, n,
+        |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 4 AS shard
+        |  FROM pk),
+        |cm AS MATERIALIZED (
+        |  SELECT doc_id, n, shard,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM shd),
+        |caps AS (SELECT unnest([128, 256, 512])::bigint AS capacity),
+        |pc AS MATERIALIZED (
+        |  SELECT capacity, shard, ((cum - n) // capacity)::bigint AS chunk_id,
+        |    sum(n)::bigint AS chunk_toks
+        |  FROM cm CROSS JOIN caps GROUP BY 1, 2, 3)
+        |SELECT capacity, count(*)::bigint AS n_chunks,
+        |  sum(chunk_toks)::bigint AS n_tokens,
+        |  sum(greatest(0, capacity - chunk_toks))::bigint AS padding,
+        |  sum(greatest(0, chunk_toks - capacity))::bigint AS overflow,
+        |  sum(CASE WHEN chunk_toks > capacity THEN 1 ELSE 0 END)::bigint AS n_overflow_chunks,
+        |  round(sum(chunk_toks)::double / (count(*) * capacity), 6) AS fill
+        |FROM pc GROUP BY capacity ORDER BY capacity""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

@@ -192,6 +192,43 @@ class CurationSpec extends SparkSuite {
       ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L)))
   }
 
+  test("X22c pack efficiency: crafted waste arithmetic; one-window form == per-capacity packChunks") {
+    // one shard, docs n = 3,4,2,6 (cum 3,7,9,15; starts 0,3,7,9):
+    //  cap 5:  chunks {0: docs1+2 = 7 toks, 1: docs3+4 = 8} -> overflow 5
+    //  cap 10: one chunk of 15 -> overflow 5, fill 1.5
+    //  cap 20: one chunk of 15 -> padding 5, fill 0.75
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 6L))
+      .toDF("doc_id", "n").withColumn("grp", lit(0L))
+    val rows = Curation.packEfficiency(docs, "grp", "doc_id", col("n"),
+      capacities = Seq(5, 10, 20)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.toSeq == Seq(
+      (5L, 2L, 15L, 0L, 5L, 2L, 1.5),
+      (10L, 1L, 15L, 0L, 5L, 1L, 1.5),
+      (20L, 1L, 15L, 5L, 0L, 0L, 0.75)), rows.mkString(";"))
+    // fixture claim: the single-window multi-capacity form reports
+    // exactly what one packChunks pass per capacity would
+    val fx = Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"),
+        graft.ext.TextStats.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0).withColumn("grp", lit(0L))
+    val eff = Curation.packEfficiency(fx, "grp", "doc_id", col("n"),
+      capacities = Seq(128, 512), nShards = 4).collect()
+    for (cap <- Seq(128, 512)) {
+      val chunks = Curation.packChunks(fx, "grp", "doc_id", col("n"),
+          capacity = cap, nShards = 4)
+        .groupBy("shard", "chunk_id").agg(sum("tok").as("ct"))
+        .agg(count(lit(1)), sum("ct"),
+          sum(greatest(lit(0L), lit(cap.toLong) - col("ct"))),
+          sum(greatest(lit(0L), col("ct") - lit(cap.toLong)))).collect()(0)
+      val e = eff.find(_.getLong(0) == cap.toLong).get
+      assert((e.getLong(1), e.getLong(2), e.getLong(3), e.getLong(4)) ==
+        (chunks.getLong(0), chunks.getLong(1), chunks.getLong(2),
+          chunks.getLong(3)), s"capacity $cap drifted from packChunks")
+    }
+  }
+
   test("sub-sharded packing: every doc packed once, capacity held per shard") {
     val docs = Tables.load(spark, sf(), "documents")
       .select(col("lang"), col("doc_id"),
