@@ -548,16 +548,41 @@ object Curation {
     */
   def gateFunnel(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
-                 sampleThr: String = "c0"): DataFrame = {
-    val staged = docs.select(
-      when(!hashKeep(col(idCol), lit(sampleThr)), lit("sample"))
-        .when(TextStats.langId(col(textCol)) =!= "en", lit("langid"))
-        .when(TextStats.qualityScore(col(textCol)) < 0.8, lit("quality"))
-        .when(repetitionRatio(col(textCol)) > 0.6, lit("repetition"))
-        .otherwise(lit("kept")).as("stage"),
-      TextStats.tokenCount(col(textCol)).cast("long").as("nt"))
-    val agg = staged.groupBy("stage")
+                 sampleThr: String = "c0"): DataFrame =
+    funnelFromCounts(funnelCounts(docs, idCol, textCol, sampleThr))
+
+  /** The per-document first-failing-gate classification (declared gate
+    * order) — one pure column expression, shared by the batch funnel
+    * and the streaming journal delta so the two cannot drift.
+    */
+  private[graft] def gateStage(idCol: String, textCol: String,
+                               sampleThr: String): Column =
+    when(!hashKeep(col(idCol), lit(sampleThr)), lit("sample"))
+      .when(TextStats.langId(col(textCol)) =!= "en", lit("langid"))
+      .when(TextStats.qualityScore(col(textCol)) < 0.8, lit("quality"))
+      .when(repetitionRatio(col(textCol)) > 0.6, lit("repetition"))
+      .otherwise(lit("kept"))
+
+  /** One pass's slim (stage, n_docs, n_tokens) rollup — the batch
+    * funnel aggregates exactly this; a streaming micro-batch appends it
+    * as its journal delta (integer counts fold exactly by addition).
+    */
+  def funnelCounts(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   sampleThr: String = "c0"): DataFrame =
+    docs.select(gateStage(idCol, textCol, sampleThr).as("stage"),
+        TextStats.tokenCount(col(textCol)).cast("long").as("nt"))
+      .groupBy("stage")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+
+  /** The ONE shared report core: fold (stage, n_docs, n_tokens) count
+    * rows (one batch pass's, or a journal's many) into the ordered
+    * funnel with shares — so the batch report and the journal
+    * fold-on-read are bit-identical over the same counts.
+    */
+  def funnelFromCounts(counts: DataFrame): DataFrame = {
+    val agg = counts.groupBy("stage")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
     val tot = agg.agg(sum("n_docs").cast("double").as("n"))
     agg.crossJoin(broadcast(tot))
       .select(

@@ -161,4 +161,55 @@ object StreamCurate {
     docs.filter(
       round(common.cast("double") / greatest(size(sh), lit(1)), 6) < maxFrac)
   }
+
+  /** X7i streaming twin (r12): the gate-funnel JOURNAL — per
+    * micro-batch, append the slim (stage, n_docs, n_tokens) delta
+    * ([[Curation.funnelCounts]], the SAME classification expression as
+    * the batch funnel). Integer counts fold exactly by addition in any
+    * order, so [[funnelFromJournal]] reconstructs the funnel a batch
+    * pass would compute over the union of batches — bit-identical
+    * through the ONE shared [[Curation.funnelFromCounts]] core
+    * (StreamingSpec-pinned, at-least-once retries included). This is
+    * the live ingest-observability shape: the dashboard reads ≤
+    * batches × 5 journal rows, never documents.
+    */
+  def funnelJournal(stream: DataFrame, journalDir: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    sampleThr: String = "c0",
+                    configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+                      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val writer = stream.writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Curation.funnelCounts(batch, idCol, textCol, sampleThr)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(journalDir)
+        }
+      }
+    configure(writer).start()
+  }
+
+  /** Fold-on-read: the funnel report from a journal. foreachBatch is
+    * at-least-once, so retry copies collapse first per
+    * (batch_id, stage) — the delta is deterministic in the batch's
+    * rows, so max == the single true value — before summing across
+    * batches and running the shared report core.
+    */
+  def funnelFromJournal(spark: org.apache.spark.sql.SparkSession,
+                        journalDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Curation.funnelFromCounts(
+      spark.read.parquet(journalDir)
+        .groupBy("batch_id", "stage")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("n_tokens")).as("n_tokens"))
+        .groupBy("stage")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens")))
+  }
 }

@@ -1240,6 +1240,76 @@ object ScaleCheck {
     // partition count on 32 cores — the per-partition generators are
     // independent (no shuffle anywhere in the plan), so doubling
     // partitions up to the core count should near-halve the wall time.
+    // --- r12 report operators: balanced-cap bound, funnel partition,
+    // packing conservation -------------------------------------------
+    // Work-volume witnesses (the playbook rule: assert VOLUMES, report
+    // walls unasserted — at fixture scale extra jobs can outweigh
+    // per-row savings and a wall assert would test the scheduler).
+    sb.append("\n## r12 report operators (x94/x95/x96): volume witnesses\n\n")
+    locally {
+      // x94 cluster-balanced cap: however the corpus grows, the KEPT
+      // volume is bounded by nlist x cap — the flattening contract
+      // (totals must track replication; kept must not).
+      sb.append("### x94 cluster-balanced sample — kept bounded, totals grow\n\n")
+      sb.append("| scale | wall (s) | sum n_total | sum n_kept (bound 320) |\n|---|---|---|---|\n")
+      val x94rows = Seq(1, 4, 16).map { n =>
+        val em = replicate(emb0, "vec_id", n)
+        var rep: Array[org.apache.spark.sql.Row] = null
+        val t = time { rep = graft.ext.Curation
+          .clusterBalancedSample(em, nlist = 8, cap = 40).collect() }
+        val totalV = rep.map(_.getLong(1)).sum
+        val keptV = rep.map(_.getLong(2)).sum
+        assert(keptV <= 8L * 40L, s"x94 cap bound leaked at ${n}x: $keptV")
+        sb.append(f"| ${n}x | $t%.2f | $totalV | $keptV |\n")
+        println(f"SCALE x94 ${n}x: $t%.2f s total $totalV kept $keptV")
+        (n, totalV, keptV)
+      }
+      assert(x94rows.last._2 == 16L * x94rows.head._2,
+        s"x94 totals not tracking replication: ${x94rows.map(_._2)}")
+      sb.append("\nAsserted: sum(n_total) is exactly 16x at 16x; " +
+        "sum(n_kept) <= nlist*cap = 320 at every scale — the sampled " +
+        "volume a trainer ingests is bounded by the cell budget, not " +
+        "the corpus.\n")
+
+      // x95 funnel: partitions the corpus exactly at every scale (docs
+      // and token mass both fold back to corpus totals — no doc ever
+      // counted twice or dropped from the attribution).
+      sb.append("\n### x95 gate funnel — exact corpus partition\n\n")
+      Seq(1, 16).foreach { n =>
+        val docs = replicate(docs0, "doc_id", n)
+        val fx = graft.ext.Curation.gateFunnel(docs).collect()
+        val sumDocs = fx.map(_.getLong(2)).sum
+        assert(sumDocs == n * nDocs0,
+          s"x95 funnel lost docs at ${n}x: $sumDocs vs ${n * nDocs0}")
+        sb.append(s"- ${n}x: sum(n_docs) = $sumDocs == corpus (asserted); " +
+          s"stages: ${fx.map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(", ")}\n")
+        println(s"SCALE x95 ${n}x: partition exact ($sumDocs)")
+      }
+
+      // x96 pack efficiency: token mass is conserved EXACTLY under
+      // replication (16x) and chunk volume tracks it (~16x, per-shard
+      // rounding slack) — the report's inputs scale with the corpus,
+      // never with the capacity count.
+      sb.append("\n### x96 pack efficiency — conservation under 16x\n\n")
+      val effAt = Seq(1, 16).map { n =>
+        val fx = replicate(docs0, "doc_id", n)
+          .select(col("doc_id"), graft.ext.TextStats.tokenCount(col("text"))
+            .cast("long").as("n"))
+          .filter(col("n") > 0).withColumn("grp", lit(0L))
+        graft.ext.Curation.packEfficiency(fx, "grp", "doc_id", col("n"),
+          capacities = Seq(512), nShards = 8).collect()(0)
+      }
+      assert(effAt(1).getLong(2) == 16L * effAt(0).getLong(2),
+        s"x96 token mass not conserved: ${effAt.map(_.getLong(2))}")
+      val chunkGrowth = effAt(1).getLong(1).toDouble / effAt(0).getLong(1)
+      assert(chunkGrowth > 14.0 && chunkGrowth < 18.0,
+        f"x96 chunk growth $chunkGrowth%.2f not ~16x")
+      sb.append(f"- n_tokens ${effAt(0).getLong(2)} -> ${effAt(1).getLong(2)} " +
+        f"(exactly 16x, asserted); n_chunks ${effAt(0).getLong(1)} -> " +
+        f"${effAt(1).getLong(1)} (${chunkGrowth}%.2fx, asserted ~16x).\n")
+      println(f"SCALE x96: chunks ${effAt(0).getLong(1)} -> ${effAt(1).getLong(1)} ($chunkGrowth%.2fx)")
+    }
+
     sb.append("\n## Generator scaling with numPartitions (8M wire records)\n\n")
     sb.append("| partitions | time (s) | speedup vs 2 |\n|---|---|---|\n")
     locally {

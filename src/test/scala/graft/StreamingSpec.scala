@@ -408,6 +408,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming gate-funnel journal: fold-on-read equals the batch funnel exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsB = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull)
+    val batchFunnel = graft.ext.Curation.gateFunnel(docsB)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(batchFunnel.map(_._2).toSet.contains("kept"),
+      s"degenerate batch funnel: $batchFunnel")
+    val dir = java.nio.file.Files.createTempDirectory("funnel_journal").toString
+    val fixture = docsB.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.funnelJournal(
+      input.toDF().toDF("doc_id", "text"), dir)
+    try {
+      val (b1, b2) = fixture.splitAt(fixture.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val journalFunnel = StreamCurate.funnelFromJournal(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(journalFunnel == batchFunnel,
+        s"journal/batch funnel divergence: $journalFunnel vs $batchFunnel")
+      // at-least-once: a retried micro-batch's delta re-appends
+      // verbatim — the first-per-(batch_id, stage) fold must leave the
+      // report unchanged
+      graft.ext.Curation.funnelCounts(b1.toSeq.toDF("doc_id", "text"))
+        .withColumn("batch_id", lit(0L))
+        .write.mode("append").parquet(dir)
+      val afterRetry = StreamCurate.funnelFromJournal(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      assert(afterRetry == batchFunnel,
+        "retry-duplicated journal broke the funnel fold")
+    } finally q.stop()
+  }
+
   test("streaming BPE segmentation: stream output equals the batch plane") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
