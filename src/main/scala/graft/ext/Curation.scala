@@ -583,6 +583,12 @@ object Curation {
   def funnelFromCounts(counts: DataFrame): DataFrame = {
     val agg = counts.groupBy("stage")
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      // q18/x28 pattern: checkpoint the ≤5-row frame so the 1-row total
+      // folds from it instead of re-running the upstream pass (for the
+      // batch funnel that upstream is the full gate-expression corpus
+      // scan — evaluating langid/quality/repetition twice is the exact
+      // double-scan this kills; for a journal fold it is just a re-read)
+      .localCheckpoint(true)
     val tot = agg.agg(sum("n_docs").cast("double").as("n"))
     agg.crossJoin(broadcast(tot))
       .select(
@@ -622,20 +628,28 @@ object Curation {
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
                             seeds: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.functions.TopKByScore.top_k_by_score
     val cells = Dedup.semanticCells(embeddings, nlist, nprobe = 1,
       idCol = idCol, vecCol = vecCol, seeds = seeds).select("doc_id", "cell")
-    val kept = capPerGroup(cells, "cell", "doc_id", cap)
-    val tot = cells.groupBy("cell").agg(count(lit(1)).as("n_total"))
-    val kp = kept.groupBy("cell").agg(count(lit(1)).as("n_kept"),
-      md5(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("rank"), col("doc_id")))),
-        x => x.getField("doc_id").cast("string")))).as("kept_md5"))
-    tot.join(kp, Seq("cell"))
+    // ONE aggregation computes both the cell total and the capped
+    // survivor heap (same uniform + heap as [[capPerGroup]] — the
+    // bounded ObjectHashAggregate partial), so the corpus is scanned
+    // and cell-assigned exactly once and there is no join at all; the
+    // heap's position order IS the priority-rank order, so the
+    // membership hash folds straight off the struct array.
+    val u = (conv(substring(md5(concat(lit("graft-cap"), lit(":"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") + 1) /
+      lit(4294967296.0)
+    cells.select(col("cell"), col("doc_id"), (-u).as("_s"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_total"),
+        top_k_by_score(col("_s"), col("doc_id"), cap).as("topk"))
       .select(col("cell").cast("long").as("cell"), col("n_total"),
-        col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_total"), 6)
+        size(col("topk")).cast("long").as("n_kept"),
+        round(size(col("topk")).cast("double") / col("n_total"), 6)
           .as("coverage"),
-        col("kept_md5"))
+        md5(concat_ws(" ", transform(col("topk"),
+          x => x.getField("id").cast("string")))).as("kept_md5"))
       .orderBy("cell")
   }
 

@@ -543,6 +543,10 @@ object TextStats {
       .select(col("freq"),
         (length(bin(col("freq"))) - 1).cast("long").as("log2_bucket"),
         col("n_terms"), (col("freq") * col("n_terms")).as("mass"))
+      // q18/x28 pattern: checkpoint the tiny spectrum frame so the
+      // 1-row total derives from it rather than re-running the corpus
+      // tokenize+count chain a second time (one corpus scan, not two)
+      .localCheckpoint(true)
     val tot = spec.agg(sum("mass").cast("double").as("total"))
     spec.crossJoin(broadcast(tot))
       .select(col("freq"), col("log2_bucket"), col("n_terms"), col("mass"),

@@ -28,7 +28,9 @@ object Plans {
     "x68_dsir_score", "x69_corpus_merge", "x70_random_projection",
     "x71_nb_langid", "x73_vocab_oov", "x74_cdc_chunks",
     "x76_export_manifest", "x77_source_drift", "x80_bpe_segment",
-    "x81_pmi_collocations", "x82_vocab_growth", "x84_bpe_encode")
+    "x81_pmi_collocations", "x82_vocab_growth", "x84_bpe_encode",
+    "x91_bpe_decode", "x92_token_fertility", "x93_freq_spectrum",
+    "x94_cluster_balanced", "x95_gate_funnel", "x96_pack_efficiency")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

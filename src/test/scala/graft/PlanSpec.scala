@@ -446,6 +446,12 @@ class PlanSpec extends SparkSuite {
       s"no map-side partial heap:\n$p")
     assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
       s"window plan leaked into the cap:\n$p")
+    // the fused form: cell totals and the survivor heap come out of the
+    // SAME aggregation, so the corpus is scanned/cell-assigned once and
+    // there is no join anywhere in the plan
+    assert(!p.contains("Join"), s"join leaked into the fused report:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"$scans corpus scans (fused form needs one):\n$p")
   }
 
   // x67: the global Gumbel-top-k must run through the bounded heap with
