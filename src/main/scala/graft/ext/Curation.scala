@@ -361,6 +361,21 @@ object Curation {
       .withColumn("rep_ratio", repetitionRatio(col(textCol)))
       .filter(col("quality") >= 0.8 && col("rep_ratio") <= 0.6)
 
+  /** X7j: the CONTENT-ONLY teacher label for gate-chain distillation —
+    * "keep" iff the document clears the language + quality + repetition
+    * gates (the [[standardGates]] sequence minus the hash sample, which
+    * is id-based noise a content classifier must not learn). This is
+    * the CCNet / fastText-filter pattern: the expensive-at-ingest gate
+    * chain is the TEACHER; a bucketed Naive-Bayes student (see
+    * [[TextStats.nbTrain]]) distills it into one map-only scoring fold
+    * that runs at wire speed on streams and never re-tokenizes through
+    * the full gate expressions. Pure column expression — map-only.
+    */
+  def teacherLabel(text: Column): Column =
+    when(TextStats.langId(text) === "en" &&
+      TextStats.qualityScore(text) >= 0.8 &&
+      repetitionRatio(text) <= 0.6, "keep").otherwise("drop")
+
   /** Training-mixture temperature reweighting (data mixing): per-group
     * keep-rates that flatten the corpus distribution toward uniform.
     * Group g with share p_g gets weight p_g^alpha (alpha < 1 boosts

@@ -4365,6 +4365,105 @@ object Declared {
         |  round(sum(chunk_toks)::double / (count(*) * capacity), 6) AS fill
         |FROM pc GROUP BY capacity ORDER BY capacity""".stripMargin)),
 
+    // X7j (r12): gate-chain DISTILLATION — the CCNet/fastText-filter
+    // pattern: the content gates (langid + quality + repetition, the
+    // TEACHER) label a deterministic 80% train split; a 1024-bucket
+    // Naive-Bayes STUDENT trains on those labels (persisted + reloaded
+    // through Artifacts, so the driver gate proves artifact scoring
+    // bit-exact), then scores the held-out 20%. The declared output is
+    // the full confusion matrix over the held-out split with a SEALED
+    // per-cell membership hash (md5 of the doc_id list in id order) —
+    // any document changing teacher label, student prediction, or split
+    // side changes a cell hash. DuckDB independently replays the gate
+    // expressions, the split bucket arithmetic, the whole NB training
+    // (gram buckets, priors, add-one likelihoods) and the argmax with
+    // the same first-label tie rule. Scale: teacher labels are pure
+    // column expressions (map-only); training shuffles <= labels x 1024
+    // partial-agg'd histogram keys; scoring is one codegen'd fold per
+    // doc — the student never joins, never re-tokenizes the gate chain.
+    "x98_quality_distill" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val labeled = Curation.splitAssign(
+          docs.withColumn("teacher", Curation.teacherLabel(col("text"))),
+          "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+        val model = artifact(s, "nb_distill_1024", dir) {
+          viaStore(s, "nb_distill_1024") {
+            TextStats.nbTrain(labeled.filter(col("split") === "train"),
+              "text", "teacher", "doc_id", numBuckets = 1024)
+          }(graft.ext.Artifacts.saveNbModel, graft.ext.Artifacts.loadNbModel)
+        }
+        labeled.filter(col("split") === "test")
+          // x71's fixture note: one unsplittable row group — spread the
+          // scoring fold across cores the way a sharded corpus arrives
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("teacher"),
+            TextStats.nbScores(
+              TextStats.nbGramBuckets(col("text"), 1024), model).as("_s"))
+          .select(col("doc_id"), col("teacher"),
+            TextStats.nbBest(col("_s"), model).getField("lang").as("student"))
+          .groupBy("teacher", "student")
+          .agg(count(lit(1)).as("n_docs"),
+            md5(concat_ws(" ",
+              sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+              .as("docs_md5"))
+          .orderBy("teacher", "student")
+      },
+      Some(s"""WITH $gateCtes,
+        |lab AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text,
+        |    CASE WHEN lid.lang_pred = 'en' AND q.quality >= 0.8
+        |         AND r.rep_ratio <= 0.6 THEN 'keep' ELSE 'drop' END AS teacher,
+        |    CASE WHEN ('0x' || substr(md5('graft-split' || d.doc_id::varchar), 1, 4))::int < 52428
+        |      THEN 'train' ELSE 'test' END AS split
+        |  FROM documents d
+        |  JOIN lid USING (doc_id) JOIN qual q USING (doc_id)
+        |  JOIN rep r USING (doc_id)
+        |  WHERE d.doc_id IS NOT NULL),
+        |tr AS (SELECT doc_id, teacher FROM lab WHERE split = 'train'),
+        |te AS (SELECT doc_id, teacher FROM lab WHERE split = 'test'),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM lab),
+        |grams AS (
+        |  SELECT doc_id, u.g AS gram FROM toks, unnest(w) AS u(g)
+        |  UNION ALL
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |feats AS MATERIALIZED (
+        |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::bigint % 1024 AS bucket
+        |  FROM grams),
+        |hist AS (
+        |  SELECT l.teacher AS lab, f.bucket, count(*) AS c
+        |  FROM feats f JOIN tr l USING (doc_id) GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT lg.lab, coalesce(sum(h.c), 0)::double AS t
+        |  FROM (SELECT DISTINCT teacher AS lab FROM tr) lg
+        |  LEFT JOIN hist h USING (lab) GROUP BY 1),
+        |pri AS (
+        |  SELECT teacher AS lab, ln(count(*)::double / (SELECT count(*) FROM tr)) AS lp
+        |  FROM tr GROUP BY 1),
+        |pair AS (
+        |  SELECT f.doc_id, tt.lab,
+        |    sum(ln((coalesce(h.c, 0) + 1) / (tt.t + 1024))) AS s
+        |  FROM feats f JOIN te USING (doc_id) CROSS JOIN tot tt
+        |  LEFT JOIN hist h ON h.lab = tt.lab AND h.bucket = f.bucket
+        |  GROUP BY 1, 2),
+        |scorefinal AS MATERIALIZED (
+        |  SELECT te.doc_id, pr.lab, pr.lp + coalesce(p.s, 0.0) AS score
+        |  FROM te CROSS JOIN pri pr
+        |  LEFT JOIN pair p ON p.doc_id = te.doc_id AND p.lab = pr.lab),
+        |pick AS (
+        |  SELECT doc_id, lab AS student FROM (
+        |    SELECT doc_id, lab,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab ASC) AS rn
+        |    FROM scorefinal) WHERE rn = 1)
+        |SELECT te.teacher, p.student, count(*)::bigint AS n_docs,
+        |  md5(string_agg(te.doc_id::varchar, ' ' ORDER BY te.doc_id)) AS docs_md5
+        |FROM te JOIN pick p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

@@ -732,4 +732,67 @@ class CurationSpec extends SparkSuite {
       (4L, 0L, 0L, ""),
       (5L, 9L, 9L, "")), got.toSeq)
   }
+
+  test("X7j teacherLabel: content gates only — crafted docs land on the declared side") {
+    import spark.implicits._
+    // doc 1: English, in the 100..20000 length band, stopword-rich, low
+    // repetition -> keep. doc 2: German markers -> langid drop. doc 3:
+    // degenerate repetition (one token over and over) -> repetition
+    // drop. doc 4: too short for the quality band -> quality drop.
+    val en = ("the quick brown fox jumps over the lazy dog and then " +
+      "walks to the river for a drink of cold water with friends ") * 2
+    val docs = Seq(
+      (1L, en),
+      (2L, "der hund und die katze ist nicht mit ein haus und der baum"),
+      (3L, ("spam " * 60).trim + " the and of to is that for with a an or in it on",
+      ),
+      (4L, "the cat")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Curation.teacherLabel(col("text")).as("t"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "keep"), (2L, "drop"), (3L, "drop"),
+      (4L, "drop")), got.toSeq)
+  }
+
+  test("X7j distillation: NB student trained on teacher labels recovers them on clean fixtures") {
+    import spark.implicits._
+    // two clearly-separated populations: stopword-rich English prose
+    // (teacher keep) vs non-English/degenerate noise (teacher drop).
+    // The student must (a) train without error on the split's labels,
+    // (b) agree with the teacher on a large majority of held-out docs,
+    // and (c) be deterministic across two full train+score runs.
+    val keepWords = Seq("the", "and", "of", "river", "water", "stone",
+      "light", "garden", "winter", "morning")
+    val dropWords = Seq("der", "und", "das", "haus", "baum", "katze",
+      "hund", "nicht", "mit", "ein")
+    def doc(i: Long, ws: Seq[String]): String =
+      (0 until 40).map(j => ws(((i + 3 * j) % ws.size).toInt))
+        .mkString(" ") + " block " + (i % 7)
+    val docs = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) doc(i, keepWords) else doc(i, dropWords)))
+      .toDF("doc_id", "text")
+    def run(): Seq[(String, String, Long)] = {
+      val labeled = Curation.splitAssign(
+        docs.withColumn("teacher", Curation.teacherLabel(col("text"))),
+        "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+      val model = graft.ext.TextStats.nbTrain(
+        labeled.filter(col("split") === "train"), "text", "teacher",
+        "doc_id", numBuckets = 256)
+      labeled.filter(col("split") === "test")
+        .select(col("teacher"),
+          graft.ext.TextStats.nbPredict(
+            graft.ext.TextStats.nbGramBuckets(col("text"), 256), model)
+            .getField("lang").as("student"))
+        .groupBy("teacher", "student").count()
+        .orderBy("teacher", "student").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    val a = run()
+    assert(a == run(), s"distillation not deterministic: $a vs rerun")
+    val agree = a.collect { case (t, s, n) if t == s => n }.sum.toDouble
+    val total = a.map(_._3).sum.toDouble
+    assert(total > 20, s"held-out split too small: $a")
+    assert(agree / total >= 0.9,
+      s"student agrees on ${agree / total} of held-out docs: $a")
+  }
 }
