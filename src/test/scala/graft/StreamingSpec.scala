@@ -1096,4 +1096,45 @@ class StreamingSpec extends SparkSuite {
     assert(fr.getSeq[String](2).exists(_.startsWith("hot")),
       "hot terms missing from folded frequent set")
   }
+
+  test("X22b streaming packer == batch packChunks over monotone multi-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // (group, order_id, tok): two groups, 2 shards, token counts chosen
+    // so chunks straddle batch boundaries (a partial tail chunk must
+    // carry across micro-batches) and one doc (tok=13 > capacity=8)
+    // overflows a whole chunk by itself
+    val rows = (0L until 60L).map { i =>
+      val grp = if (i % 3 == 0) "en" else "de"
+      val tok = (i * 7 % 11) + 1 + (if (i == 17) 12L else 0L)
+      (grp, i, tok)
+    }
+    val batches = rows.grouped(20).toSeq // monotone in order_id per shard
+    val input = MemoryStream[(String, Long, Long)]
+    val packed = StreamPack.packStream(
+      input.toDF().toDF("grp", "doc_id", "tok"),
+      "grp", "doc_id", col("tok"), capacity = 8, nShards = 2)
+    val q = packed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("spk").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("spk")
+        .select("group", "shard", "order_id", "tok", "cum", "chunk_id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batchSide = graft.ext.Curation.packChunks(
+          rows.toDF("grp", "doc_id", "tok"), "grp", "doc_id", col("tok"),
+          capacity = 8, nShards = 2)
+        .select(col("grp"), col("shard"), col("doc_id"), col("tok"),
+          col("cum"), col("chunk_id"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got.size == rows.size, s"stream emitted ${got.size} rows")
+      assert(got == batchSide,
+        s"stream != batch; stream-only=${(got -- batchSide).take(3)} " +
+          s"batch-only=${(batchSide -- got).take(3)}")
+    } finally q.stop()
+  }
 }
