@@ -376,6 +376,52 @@ object Curation {
       TextStats.qualityScore(text) >= 0.8 &&
       repetitionRatio(text) <= 0.6, "keep").otherwise("drop")
 
+  /** X7l: per-group ADAPTIVE quantile gate (the FineWeb-family "drop the
+    * bottom decile per language" rule): instead of one global threshold —
+    * which over-prunes low-scoring languages and under-prunes high-scoring
+    * ones — each group's cutoff is its own `frac` quantile of `score`, and
+    * a document survives iff `score >= threshold(group)`.
+    *
+    * Returns the per-group gate readout: (group, n_docs, thr, n_kept,
+    * kept_tokens, kept_xor) where `kept_xor` is the bit-xor of the kept
+    * ids' portable 60-bit md5 hashes — a SEALED membership witness that is
+    * both bounded state (one long per group, unlike a collect_list) and
+    * engine-replayable (md5, not xxhash64), so moving ANY document across
+    * the gate changes its group's xor.
+    *
+    * Scale: two corpus scans by construction (the quantile must be known
+    * before the gate can run — the DSIR two-pass shape); the threshold
+    * frame is group-sized and broadcast into the gating scan. The exact
+    * `percentile` buffers each group's scores in the aggregate (the x15
+    * trade, kept here for oracle parity); at 100 TB swap in
+    * `approx_percentile` — the gate and readout are unchanged, only the
+    * cutoff estimator moves.
+    */
+  def quantileGate(docs: DataFrame, groupCol: String, idCol: String,
+                   score: Column, tokens: Column,
+                   frac: Double = 0.10): DataFrame = {
+    require(frac > 0 && frac < 1, s"frac must be in (0,1) (got $frac)")
+    val base = docs.select(col(groupCol), col(idCol).as("_id"),
+      score.as("_score"), tokens.cast("long").as("_tok"))
+    val thr = base.groupBy(groupCol).agg(
+      round(expr(s"percentile(_score, $frac)"), 4).as("thr"),
+      count(lit(1)).as("n_docs"))
+    val keptAgg = base.join(broadcast(thr.select(col(groupCol), col("thr"))),
+        Seq(groupCol))
+      .filter(col("_score") >= col("thr"))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n_kept"),
+        sum("_tok").as("kept_tokens"),
+        bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")).as("kept_xor"))
+    thr.join(keptAgg, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("thr").cast("double").as("thr"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_xor"), lit(0L)).as("kept_xor"))
+      .orderBy(groupCol)
+  }
+
   /** Training-mixture temperature reweighting (data mixing): per-group
     * keep-rates that flatten the corpus distribution toward uniform.
     * Group g with share p_g gets weight p_g^alpha (alpha < 1 boosts

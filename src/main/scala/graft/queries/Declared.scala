@@ -4464,6 +4464,42 @@ object Declared {
         |FROM te JOIN pick p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // X7l (r12): per-language ADAPTIVE quantile gate — the FineWeb rule
+    // "drop the bottom decile per language": each language's cutoff is
+    // its own p10 of the x06 quality score, and the readout is the
+    // per-group gate report with a SEALED kept-set witness (bit-xor of
+    // the kept ids' portable 60-bit md5 hashes — bounded state per
+    // group, engine-replayable, and any document crossing the gate
+    // flips its group's xor). DuckDB independently recomputes quality,
+    // the interpolated quantile (quantile_cont == Spark's percentile,
+    // the proven x15 pairing, rounded to 4dp on both sides BEFORE the
+    // comparison so the boundary is the same double), the gate, and
+    // the xor arithmetic.
+    "x99_quantile_gate" -> Q(
+      (s, dir) => Curation.quantileGate(
+        t(s, dir, "documents").filter(col("doc_id").isNotNull),
+        "lang", "doc_id",
+        TextStats.qualityScore(col("text")),
+        TextStats.tokenCount(col("text")), frac = 0.10),
+      Some(s"""WITH $gateCtes,
+        |base AS (
+        |  SELECT d.lang, d.doc_id, q.quality, len(t.w)::bigint AS tok
+        |  FROM documents d JOIN qual q USING (doc_id) JOIN t0 t USING (doc_id)
+        |  WHERE d.doc_id IS NOT NULL),
+        |thr AS (
+        |  SELECT lang, round(quantile_cont(quality, 0.10), 4) AS thr,
+        |    count(*)::bigint AS n_docs
+        |  FROM base GROUP BY 1),
+        |kept AS (
+        |  SELECT b.lang, b.doc_id, b.tok
+        |  FROM base b JOIN thr USING (lang) WHERE b.quality >= thr.thr)
+        |SELECT t.lang, t.n_docs, t.thr::double AS thr,
+        |  count(k.doc_id)::bigint AS n_kept,
+        |  coalesce(sum(k.tok), 0)::bigint AS kept_tokens,
+        |  coalesce(bit_xor(('0x' || substr(md5(k.doc_id::varchar), 1, 15))::bigint), 0)::bigint AS kept_xor
+        |FROM thr t LEFT JOIN kept k USING (lang)
+        |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

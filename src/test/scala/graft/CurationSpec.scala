@@ -733,6 +733,29 @@ class CurationSpec extends SparkSuite {
       (5L, 9L, 9L, "")), got.toSeq)
   }
 
+  test("X7l quantileGate: crafted distribution hits the interpolated cutoff and seals membership") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    // group a: scores 1..10 -> p10 interpolates to 1.9, keeps ids with
+    // score >= 1.9 (9 docs); group b: all-equal scores -> thr = value,
+    // everything kept
+    val docs = ((1L to 10L).map(i => ("a", i, i.toDouble, 10L)) ++
+      (11L to 13L).map(i => ("b", i, 5.0, 7L))).toDF("g", "id", "s", "tok")
+    val got = Curation.quantileGate(docs, "g", "id", col("s"), col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    def h(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val xorA = (2L to 10L).map(h).reduce(_ ^ _)
+    val xorB = (11L to 13L).map(h).reduce(_ ^ _)
+    assert(got.toSeq == Seq(
+      ("a", 10L, 1.9, 9L, 90L, xorA),
+      ("b", 3L, 5.0, 3L, 21L, xorB)), got.toSeq)
+  }
+
   test("X7j teacherLabel: content gates only — crafted docs land on the declared side") {
     import spark.implicits._
     // doc 1: English, in the 100..20000 length band, stopword-rich, low
