@@ -174,6 +174,81 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Gradient fixture image: grayscale pixel v(x,y) = ((a·x + b·y) mod
+    * 150) + c at every (x,y), written r=g=b=v through a LOSSLESS JDK
+    * codec (png/gif/bmp — NOT jpeg), so decoded pixels replay the
+    * closed-form formula exactly. The mod-150 + offset keeps v < 256 for
+    * any c ≤ 105 — no wraparound from the brightness term, which is what
+    * makes two images differing ONLY in `c` perceptual twins: every
+    * horizontal pixel difference is identical, so their [[dHash56]]
+    * collides by construction while their bytes (and sha2) differ.
+    */
+  def encodeGradientImage(fmt: String, w: Int, h: Int,
+                          a: Int, b: Int, c: Int): Array[Byte] = {
+    require(c >= 0 && c <= 105, s"brightness offset must be in [0,105]: $c")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((a * x + b * y) % 150 + 150) % 150 + c
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** X6c: 56-bit difference hash (dHash family) over the decoder's 8×8
+    * luminance sample grid: bit (gy·7 + gx) is set iff
+    * grid(gx+1, gy) > grid(gx, gy) — 7 horizontal comparisons per row ×
+    * 8 rows. Brightness-INVARIANT (a constant luminance shift cancels in
+    * every comparison) and exactly replayable from pixel arithmetic: the
+    * grid values are (r+g+b)/765 at sampled points, and x/765 is
+    * strictly monotone over the 766 possible integer sums, so the float
+    * comparisons equal the integer pixel-sum comparisons an oracle
+    * computes.
+    */
+  def dHash56(features: Array[Float]): Long = {
+    var h = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 7) {
+        if (features(gy * 8 + gx + 1) > features(gy * 8 + gx))
+          h |= 1L << (gy * 7 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    h
+  }
+
+  /** X6c: perceptual image dedup — group REAL-decoded images by
+    * [[dHash56]]: images whose sampled luminance STRUCTURE matches land
+    * in one group even when their bytes differ (brightness shifts,
+    * re-encodes), which exact sha2 dedup can never see. One row per
+    * fingerprint: (dhash, n_images, min_id, ids_md5) where ids_md5 seals
+    * the group membership.
+    *
+    * Scale: decode + hash are map-only (one JDK decoder init per
+    * partition, one 64-float grid per row — the raster never shuffles);
+    * the only exchange is the partial-agg'd groupBy on the 8-byte
+    * fingerprint. Hamming-tolerant matching (d > 0) composes with the
+    * X2b SimHash band machinery over the same fingerprint column.
+    */
+  def perceptualGroups(decoded: Dataset[DecodedRow]): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded
+      .map(r => (r.media_id, dHash56(r.features)))
+      .toDF("media_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_images"),
+        min("media_id").as("min_id"),
+        md5(concat_ws(" ",
+          sort_array(collect_list(col("media_id"))).cast("array<string>")))
+          .as("ids_md5"))
+      .orderBy("dhash")
+  }
+
   /** Mono 16-bit LE PCM WAV with every sample = `value`. */
   def encodeConstWav(rate: Int, nFrames: Int, value: Short): Array[Byte] = {
     val pcm = new Array[Byte](nFrames * 2)

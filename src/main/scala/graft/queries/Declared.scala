@@ -4464,6 +4464,64 @@ object Declared {
         |FROM te JOIN pick p USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // X6c (r12): PERCEPTUAL image dedup — 56-bit difference hash (dHash
+    // family) over the REAL JDK-decoded 8×8 luminance sample grid,
+    // grouping images whose sampled structure matches even when their
+    // bytes differ. The fixture is gradient images v(x,y) = ((a·x+b·y)
+    // mod 150) + c written through the LOSSLESS png codec; ids with
+    // doc_id%4==1 are brightness twins (same a,b; different c) of the
+    // preceding id — their sha2 differs, their dHash collides by
+    // construction. The Spark side hashes DECODED pixels; DuckDB
+    // recomputes every hash from the closed-form pixel formula (integer
+    // sums — strictly monotone with the decoder's /765 floats) — so a
+    // hash match proves the whole codec round-trip AND the grouping.
+    "x97_perceptual_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val base = if (id % 4 == 1) id - 1 else id
+            // ×37/×23: step sizes that WRAP the mod-150 ramp between
+            // sample columns — without them the gradient is monotone at
+            // every sampled step and ~90% of images collapse onto the
+            // all-ones hash (measured at sf0.001: 455/500)
+            val a = (base % 5 + 1).toInt * 37
+            val b = ((base * 3) % 7 + 1).toInt * 23
+            val c = if (id % 4 == 1) 60 else 20
+            graft.ext.Multimodal.MediaRow(id, "image",
+              graft.ext.Multimodal.encodeGradientImage("png", 18, 16, a, b, c))
+          }
+        graft.ext.Multimodal.perceptualGroups(
+          graft.ext.Multimodal.decodeReal(media))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |par AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    CASE WHEN doc_id % 4 = 1 THEN 60 ELSE 20 END AS c
+        |  FROM ids),
+        |ab AS (
+        |  SELECT doc_id, ((base % 5 + 1) * 37)::bigint AS a,
+        |    (((base * 3) % 7 + 1) * 23)::bigint AS b, c::bigint AS c
+        |  FROM par),
+        |grid AS (
+        |  SELECT doc_id, gy.g AS gy, gx.g AS gx,
+        |    ((a * ((gx.g * 18) // 8) + b * ((gy.g * 16) // 8)) % 150 + c) AS v
+        |  FROM ab, unnest(range(0, 8)) gy(g), unnest(range(0, 8)) gx(g)),
+        |bits AS (
+        |  SELECT l.doc_id, (l.gy * 7 + l.gx)::bigint AS k,
+        |    CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS bit
+        |  FROM grid l
+        |  JOIN grid r ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+        |  WHERE l.gx < 7),
+        |dh AS (
+        |  SELECT doc_id, sum(bit * (1::bigint << k))::bigint AS dhash
+        |  FROM bits GROUP BY 1)
+        |SELECT dhash, count(*)::bigint AS n_images, min(doc_id)::bigint AS min_id,
+        |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS ids_md5
+        |FROM dh GROUP BY 1 ORDER BY dhash""".stripMargin)),
+
     // X7l (r12): per-language ADAPTIVE quantile gate — the FineWeb rule
     // "drop the bottom decile per language": each language's cutoff is
     // its own p10 of the x06 quality score, and the readout is the

@@ -1182,6 +1182,46 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X6c dHash56: brightness-invariant, pattern-sensitive, decode == formula") {
+    import graft.ext.Multimodal
+    import spark.implicits._
+    def decodeHash(a: Int, b: Int, c: Int): Long = {
+      val media = Seq(Multimodal.MediaRow(1L, "image",
+        Multimodal.encodeGradientImage("png", 18, 16, a, b, c))).toDS()
+      Multimodal.dHash56(Multimodal.decodeReal(media).head().features)
+    }
+    // independent replay of the hash from the closed-form pixel formula
+    // (pure JVM ints — no codec, no floats)
+    def formulaHash(a: Int, b: Int, c: Int): Long = {
+      def v(x: Int, y: Int): Int = (a * x + b * y) % 150 + c
+      var h = 0L
+      for (gy <- 0 until 8; gx <- 0 until 7) {
+        val (x1, x2, y) = (gx * 18 / 8, (gx + 1) * 18 / 8, gy * 16 / 8)
+        if (v(x2, y) > v(x1, y)) h |= 1L << (gy * 7 + gx)
+      }
+      h
+    }
+    val base = decodeHash(74, 46, 20)
+    assert(base == formulaHash(74, 46, 20),
+      "decoded-pixel hash != closed-form pixel hash")
+    // brightness twin (same a,b; shifted c): bytes differ, hash collides
+    assert(base == decodeHash(74, 46, 60), "brightness shift changed dHash")
+    assert(!java.util.Arrays.equals(
+      Multimodal.encodeGradientImage("png", 18, 16, 74, 46, 20),
+      Multimodal.encodeGradientImage("png", 18, 16, 74, 46, 60)),
+      "fixture twins must differ at the byte level")
+    // a different gradient pattern must separate
+    assert(base != decodeHash(37, 115, 20), "distinct patterns collided")
+    // grouping: twins join one group, the outsider stays alone
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodeGradientImage("png", 18, 16, 74, 46, 20)),
+      Multimodal.MediaRow(2L, "image", Multimodal.encodeGradientImage("png", 18, 16, 74, 46, 60)),
+      Multimodal.MediaRow(3L, "image", Multimodal.encodeGradientImage("png", 18, 16, 37, 115, 20))).toDS()
+    val groups = Multimodal.perceptualGroups(Multimodal.decodeReal(media))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((2L, 1L), (1L, 3L)), s"groups: $groups")
+  }
+
   test("Artifacts: parquet round-trip exact for every trained-artifact type") {
     import graft.ext.{Artifacts, TrainSet}
     def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
