@@ -859,6 +859,44 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("FullOuter"), s"full-outer join missing in x89:\n$p")
   }
 
+  // x97: decode + dHash are a typed map (per-partition codec init) —
+  // the ONLY exchanges are the fingerprint groupBy and the presentation
+  // sort; grouping a corpus by an 8-byte hash must never join
+  test("perceptual dedup plans map-side decode + one fingerprint agg, no join") {
+    val p = planOf("x97_perceptual_dedup")
+    assert(!p.contains("Join"), s"join in perceptual dedup:\n$p")
+    assert(!p.contains("Window"), s"window in perceptual dedup:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"collect_list group must plan as ObjectHashAggregate:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges (agg + orderBy allowed):\n$p")
+  }
+
+  // x98: the distilled student scores through the LOCAL model object —
+  // the held-out scoring path has no join and no window; the codegen'd
+  // NB fold is in-plan; exchanges = spread repartition + confusion agg
+  // + presentation sort only
+  test("distillation scoring plans the local-model fold: no join, no window") {
+    val p = planOf("x98_quality_distill")
+    assert(p.contains("nb_score_vec"), s"codegen'd NB fold not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in distillation scoring:\n$p")
+    assert(!p.contains("Window"), s"window in distillation scoring:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"$exchanges exchanges (repartition + agg + orderBy allowed):\n$p")
+  }
+
+  // x99: the per-group threshold frame is group-sized — it must reach
+  // the gating scan as a broadcast, never by shuffling the corpus side
+  test("quantile gate broadcasts the threshold frame into the gating scan") {
+    val p = planOf("x99_quantile_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a group-sized join:\n$p")
+    assert(!p.contains("Window"), s"window in quantile gate:\n$p")
+  }
+
   test("column pruning reaches the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sparkPlan, not executedPlan: the AQE wrapper hides its input plan
