@@ -235,18 +235,77 @@ object Multimodal {
     * fingerprint. Hamming-tolerant matching (d > 0) composes with the
     * X2b SimHash band machinery over the same fingerprint column.
     */
-  def perceptualGroups(decoded: Dataset[DecodedRow]): DataFrame = {
+  def perceptualGroups(decoded: Dataset[DecodedRow]): DataFrame =
+    fingerprintGroups(decoded, dHash56, "dhash")
+
+  /** X6d: 63-bit difference hash over the decoder's 64 time-bin
+    * amplitude samples — bit i is set iff bin(i+1) > bin(i). The bins
+    * are |pcm|/32768, and |k·s| = k·|s| for any positive gain k, so the
+    * fingerprint is VOLUME-invariant: a re-mastered (gain-scaled) clip
+    * collides with its original while its bytes (and sha2) differ —
+    * the audio sibling of [[dHash56]].
+    */
+  def dHash63(features: Array[Float]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 63) {
+      if (features(i + 1) > features(i)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Group decoded media rows by a feature fingerprint — the shared
+    * tail of [[perceptualGroups]] (images, [[dHash56]]) and
+    * [[audioGroups]] (clips, [[dHash63]]): map-only hashing, one
+    * partial-agg'd exchange of 8-byte fingerprints, sealed membership
+    * md5 per group.
+    */
+  def fingerprintGroups(decoded: Dataset[DecodedRow],
+                        hashFn: Array[Float] => Long,
+                        hashCol: String): DataFrame = {
     import decoded.sparkSession.implicits._
     decoded
-      .map(r => (r.media_id, dHash56(r.features)))
-      .toDF("media_id", "dhash")
-      .groupBy("dhash")
-      .agg(count(lit(1)).as("n_images"),
+      .map(r => (r.media_id, hashFn(r.features)))
+      .toDF("media_id", hashCol)
+      .groupBy(hashCol)
+      .agg(count(lit(1)).as("n_" + (if (hashCol == "ahash") "clips" else "images")),
         min("media_id").as("min_id"),
         md5(concat_ws(" ",
           sort_array(collect_list(col("media_id"))).cast("array<string>")))
           .as("ids_md5"))
-      .orderBy("dhash")
+      .orderBy(hashCol)
+  }
+
+  /** X6d: volume-invariant audio dedup — group REAL-decoded clips by
+    * [[dHash63]]. Same scale shape as [[perceptualGroups]]: decode +
+    * hash map-only, fingerprint exchange only.
+    */
+  def audioGroups(decoded: Dataset[DecodedRow]): DataFrame =
+    fingerprintGroups(decoded, dHash63, "ahash")
+
+  /** Sawtooth fixture WAV: mono 16-bit LE PCM, sample(i) =
+    * (((a·i) mod 200) − 100) · scale — a closed-form waveform (lossless
+    * PCM, so decoded samples replay the formula exactly). Two clips with
+    * the same `a` and different `scale` are volume twins: every
+    * amplitude comparison is identical, so their [[dHash63]] collides
+    * while their bytes differ. `scale` ≤ 327 keeps samples in int16.
+    */
+  def encodeRampWav(rate: Int, nFrames: Int, a: Int, scale: Int): Array[Byte] = {
+    require(scale > 0 && scale <= 327, s"scale must be in [1,327]: $scale")
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = (((a * i) % 200) - 100) * scale
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Mono 16-bit LE PCM WAV with every sample = `value`. */

@@ -4522,6 +4522,52 @@ object Declared {
         |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS ids_md5
         |FROM dh GROUP BY 1 ORDER BY dhash""".stripMargin)),
 
+    // X6d (r12): VOLUME-invariant audio dedup — x97's sibling over the
+    // PCM decode path: 63-bit difference hash on the 64 time-bin
+    // amplitude samples of REAL JDK-decoded WAVs. The fixture is
+    // sawtooth clips sample(i) = (((a·i) mod 200) − 100)·scale; ids
+    // with doc_id%4==1 are GAIN twins (same waveform a, 3× the volume)
+    // of the preceding id — bytes and sha2 differ, the fingerprint
+    // collides because |k·s| comparisons are gain-independent. DuckDB
+    // recomputes every fingerprint from the closed-form sample formula
+    // at the decoder's bin-start frames — a hash match proves the WAV
+    // codec round-trip, the |pcm| feature arithmetic, and the grouping.
+    "x100_audio_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val base = if (id % 4 == 1) id - 1 else id
+            val a = (base % 9 + 1).toInt * 7
+            val scale = if (id % 4 == 1) 300 else 100
+            graft.ext.Multimodal.MediaRow(id, "audio",
+              graft.ext.Multimodal.encodeRampWav(8000, 160, a, scale))
+          }
+        graft.ext.Multimodal.audioGroups(
+          graft.ext.Multimodal.decodeReal(media))
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+        |ab AS (
+        |  SELECT doc_id,
+        |    (((CASE WHEN doc_id % 4 = 1 THEN doc_id - 1 ELSE doc_id END) % 9 + 1) * 7)::bigint AS a
+        |  FROM ids),
+        |bins AS (
+        |  SELECT doc_id, i.g AS i,
+        |    abs((a * ((i.g * 160) // 64)) % 200 - 100) AS v
+        |  FROM ab, unnest(range(0, 64)) i(g)),
+        |bits AS (
+        |  SELECT l.doc_id, l.i AS k,
+        |    CASE WHEN r.v > l.v THEN 1 ELSE 0 END AS bit
+        |  FROM bins l JOIN bins r ON r.doc_id = l.doc_id AND r.i = l.i + 1
+        |  WHERE l.i < 63),
+        |ah AS (
+        |  SELECT doc_id, sum(bit * (1::bigint << k))::bigint AS ahash
+        |  FROM bits GROUP BY 1)
+        |SELECT ahash, count(*)::bigint AS n_clips, min(doc_id)::bigint AS min_id,
+        |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS ids_md5
+        |FROM ah GROUP BY 1 ORDER BY ahash""".stripMargin)),
+
     // X7l (r12): per-language ADAPTIVE quantile gate — the FineWeb rule
     // "drop the bottom decile per language": each language's cutoff is
     // its own p10 of the x06 quality score, and the readout is the

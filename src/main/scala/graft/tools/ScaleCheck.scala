@@ -81,6 +81,16 @@ object ScaleCheck {
       (c.getLong(0), c.getLong(1))
     }
 
+    // x99's 1x anchor: (group count, kept fraction) of the unreplicated
+    // corpus — the frozen-distribution invariant the scaled runs re-hit
+    val quantileGate1x: (Long, Double) = {
+      val r = graft.ext.Curation.quantileGate(docs0, "lang", "doc_id",
+          graft.ext.TextStats.qualityScore(col("text")),
+          graft.ext.TextStats.tokenCount(col("text")), frac = 0.10)
+        .agg(count(lit(1)), sum(col("n_kept")), sum(col("n_docs"))).head
+      (r.getLong(0), r.getLong(1).toDouble / r.getLong(2))
+    }
+
     val scales = Seq(1, 4, 16)
     // (name, per-scale runnable built on the scaled frame)
     val cases: Seq[(String, Int => Unit)] = Seq(
@@ -380,6 +390,68 @@ object ScaleCheck {
           assert(kl >= 0.0 && kl <= k1 + 1e-6,
             s"group $g drift left [0, 1x] under replication: $kl vs $k1")
         }
+      },
+      "x97 perceptual dedup (synthetic PNGs, 35 pattern classes)" -> { n =>
+        // decode + dHash are map-only; the only exchange carries 8-byte
+        // fingerprints. Pattern classes are id-arithmetic with period
+        // 140 (lcm of the 5x7 (a,b) cycles x the %4 twin layout), so
+        // growing the image count multiplies GROUP SIZES, never the
+        // group domain: the fingerprint exchange stays 35 keys at any
+        // corpus size — that is the 100 TB contract
+        import spark.implicits._
+        val media = spark.range(0L, 500L * n).as[Long].map { id =>
+          val base = if (id % 4 == 1) id - 1 else id
+          graft.ext.Multimodal.MediaRow(id, "image",
+            graft.ext.Multimodal.encodeGradientImage("png", 18, 16,
+              (base % 5 + 1).toInt * 37, ((base * 3) % 7 + 1).toInt * 23,
+              if (id % 4 == 1) 60 else 20))
+        }
+        val g = graft.ext.Multimodal.perceptualGroups(
+          graft.ext.Multimodal.decodeReal(media))
+          .agg(count(lit(1)).as("groups"), sum(col("n_images")).as("imgs")).head
+        assert(g.getLong(0) == 35L,
+          s"fingerprint domain grew with the corpus: ${g.getLong(0)} groups")
+        assert(g.getLong(1) == 500L * n, s"images dropped: ${g.getLong(1)}")
+      },
+      "x98 distillation scoring (documents, fixed 1x student)" -> { n =>
+        // the student is a FIXED-size artifact (<= labels x 1024 table
+        // entries) however large the teacher's corpus was; scoring the
+        // replicated corpus is the map-only fold — and a replica must
+        // score exactly its original's label (same witness family as
+        // x71/x73)
+        val student = graft.ext.TextStats.nbTrain(
+          docs0.withColumn("teacher",
+            graft.ext.Curation.teacherLabel(col("text"))),
+          "text", "teacher", "doc_id", 1024)
+        assert(student.tables.map(_.size).sum <= student.labels.length * 1024,
+          "student table domain exceeded labels x buckets")
+        val docsN = replicate(docs0, "doc_id", n)
+        val diverged = docsN.select((col("doc_id") % 100000000L).as("orig"),
+            graft.ext.TextStats.nbPredict(
+              graft.ext.TextStats.nbGramBuckets(col("text"), 1024), student)
+              .getField("lang").as("pl"))
+          .groupBy("orig").agg(countDistinct(col("pl")).as("nd"))
+          .agg(max(col("nd"))).head.getLong(0)
+        assert(diverged == 1L, s"replica student labels diverged: $diverged")
+      },
+      "x99 quantile gate (documents, per-lang p10)" -> { n =>
+        // replicas duplicate every quality value, so each group's score
+        // distribution is FROZEN: the kept fraction must match the 1x
+        // anchor within interpolation wobble (the threshold can only
+        // move between the same adjacent order statistics; quality's
+        // discrete ties mean "keep >= p10" keeps ~96%, not 90% — the
+        // anchor, not a textbook 0.9, is the invariant), and the report
+        // stays one row per group
+        val rep = graft.ext.Curation.quantileGate(
+          replicate(docs0, "doc_id", n), "lang", "doc_id",
+          graft.ext.TextStats.qualityScore(col("text")),
+          graft.ext.TextStats.tokenCount(col("text")), frac = 0.10)
+        val r = rep.agg(count(lit(1)).as("groups"),
+          sum(col("n_kept")).as("kept"), sum(col("n_docs")).as("docs")).head
+        assert(r.getLong(0) == quantileGate1x._1, s"group domain grew: ${r.getLong(0)}")
+        val frac = r.getLong(1).toDouble / r.getLong(2)
+        assert(math.abs(frac - quantileGate1x._2) <= 0.01 && frac >= 0.9,
+          s"kept fraction $frac drifted from 1x anchor ${quantileGate1x._2} at ${n}x")
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum

@@ -1222,6 +1222,40 @@ class ExtSpec extends SparkSuite {
     assert(groups == Set((2L, 1L), (1L, 3L)), s"groups: $groups")
   }
 
+  test("X6d dHash63: volume-invariant, waveform-sensitive, decode == formula") {
+    import graft.ext.Multimodal
+    import spark.implicits._
+    def decodeHash(a: Int, scale: Int): Long = {
+      val media = Seq(Multimodal.MediaRow(1L, "audio",
+        Multimodal.encodeRampWav(8000, 160, a, scale))).toDS()
+      Multimodal.dHash63(Multimodal.decodeReal(media).head().features)
+    }
+    // independent replay from the closed-form sample formula (no codec)
+    def formulaHash(a: Int): Long = {
+      def v(i: Int): Int = math.abs((a * (i * 160 / 64)) % 200 - 100)
+      (0 until 63).foldLeft(0L)((h, i) =>
+        if (v(i + 1) > v(i)) h | (1L << i) else h)
+    }
+    val base = decodeHash(21, 100)
+    assert(base == formulaHash(21), "decoded-PCM hash != closed-form hash")
+    // gain twin: 3x volume, same waveform -> bytes differ, hash collides
+    assert(base == decodeHash(21, 300), "gain change altered dHash63")
+    assert(!java.util.Arrays.equals(
+      Multimodal.encodeRampWav(8000, 160, 21, 100),
+      Multimodal.encodeRampWav(8000, 160, 21, 300)),
+      "gain twins must differ at the byte level")
+    // a different waveform must separate
+    assert(base != decodeHash(49, 100), "distinct waveforms collided")
+    // grouping: the gain twin joins its base, the outsider stays alone
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.encodeRampWav(8000, 160, 21, 100)),
+      Multimodal.MediaRow(2L, "audio", Multimodal.encodeRampWav(8000, 160, 21, 300)),
+      Multimodal.MediaRow(3L, "audio", Multimodal.encodeRampWav(8000, 160, 49, 100))).toDS()
+    val groups = Multimodal.audioGroups(Multimodal.decodeReal(media))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((2L, 1L), (1L, 3L)), s"groups: $groups")
+  }
+
   test("Artifacts: parquet round-trip exact for every trained-artifact type") {
     import graft.ext.{Artifacts, TrainSet}
     def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
