@@ -280,6 +280,85 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** X2g: engine-PORTABLE minhash signature — per-seed min of the 60-bit
+    * md5 hash `('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT`
+    * (the [[graft.operators.Routing.portableHash]] family, seeded by
+    * prefixing the seed index), so signatures — and hence band
+    * collisions — are bit-identical in any engine that has md5. The
+    * xxhash64 [[minhashSignature]] stays the scale path (codegen'd, no
+    * hex round-trip); this variant exists so LSH DESIGN DECISIONS
+    * (x101's S-curve) are independently replayable.
+    */
+  def minhashSignaturePortable(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleArr, s =>
+        conv(substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 15),
+          16, 10).cast("long"))))
+
+  /** X2g: LSH band-calibration report — the MMDS S-curve MEASURED on
+    * the corpus instead of assumed: for every candidate (bands,
+    * rows-per-band) split of a `numHashes`-wide minhash signature and
+    * every exact-Jaccard decile bucket, the fraction of true pairs at
+    * least one band would catch. This is how `bands`/`rowsPerBand` for
+    * [[minhashLshPairs]] get CHOSEN — theory says detection ≈
+    * 1-(1-j^r)^b; this report says what the corpus actually does, with
+    * the false-negative tail per bucket made visible.
+    *
+    * Output: (bands, rows_per_band, jbucket, n_pairs, n_detected,
+    * det_rate), jbucket = min(9, floor(jaccard·10)).
+    *
+    * Scale: calibration is a SAMPLE-scale tool by design — the exact
+    * pair list it scores against is the quadratic-ish [[jaccardPairs]]
+    * path (inverted-index join on 64-bit shingle hashes), so run it on
+    * a corpus sample (the deterministic [[graft.ext.Curation.hashKeep]]
+    * gate) and apply the chosen (b, r) at full scale. The signature
+    * pass itself is map-only; the config explode multiplies the slim
+    * PAIR frame (|configs|×), never the corpus.
+    */
+  def lshCalibration(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 3, numHashes: Int = 12,
+                     configs: Seq[(Int, Int)] =
+                       Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)),
+                     minJaccard: Double = 0.05): DataFrame = {
+    require(configs.nonEmpty &&
+      configs.forall { case (b, r) => b > 0 && r > 0 && b * r == numHashes },
+      s"every (bands, rowsPerBand) must factor numHashes=$numHashes: $configs")
+    require(configs.map(_._1).distinct.size == configs.size,
+      s"band counts must be distinct (they key the config dispatch): $configs")
+    val pairs = jaccardPairs(docs, textCol, idCol, k, minJaccard)
+    val sigs = docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        minhashSignaturePortable(col("sh"), numHashes).as("sig"))
+    def bandMatch(sa: Column, sb: Column, bands: Int, rpb: Int): Column =
+      exists(sequence(lit(0), lit(bands - 1)),
+        b => forall(sequence(lit(0), lit(rpb - 1)),
+          j => element_at(sa, b * rpb + j + 1) === element_at(sb, b * rpb + j + 1)))
+    val cfgArr = array(configs.map { case (b, r) =>
+      struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rpb")) }: _*)
+    val det = configs.tail.foldLeft(
+      when(col("c.bands") === configs.head._1,
+        bandMatch(col("sig_a"), col("sig_b"), configs.head._1, configs.head._2))) {
+      case (w, (b, r)) =>
+        w.when(col("c.bands") === b, bandMatch(col("sig_a"), col("sig_b"), b, r))
+    }.otherwise(lit(false))
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("jaccard"), explode(cfgArr).as("c"),
+        col("sig_a"), col("sig_b"))
+      .select(col("c.bands").as("bands"), col("c.rpb").as("rows_per_band"),
+        least(lit(9L), floor(col("jaccard") * 10)).cast("long").as("jbucket"),
+        det.cast("int").as("det"))
+      .groupBy("bands", "rows_per_band", "jbucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("det")).cast("long").as("n_detected"))
+      .withColumn("det_rate",
+        round(col("n_detected").cast("double") / col("n_pairs"), 6))
+      .orderBy(col("bands").desc, col("jbucket"))
+  }
+
   /** X2 (scale form): MinHash + LSH banding candidate pairs, verified with
     * exact Jaccard. `numHashes = bands * rowsPerBand`.
     */

@@ -4568,6 +4568,54 @@ object Declared {
         |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS ids_md5
         |FROM ah GROUP BY 1 ORDER BY ahash""".stripMargin)),
 
+    // X2g (r12): LSH band-calibration S-curve — how bands/rowsPerBand
+    // for the X2 family get CHOSEN: for every factoring of the 12-hash
+    // portable minhash signature and every exact-Jaccard decile, the
+    // measured fraction of true pairs at least one band catches. The
+    // signature is the md5-seeded PORTABLE variant, so DuckDB
+    // independently recomputes every minhash, every band collision, the
+    // exact pair list it scores against, and the decile rollup — the
+    // design readout is hash-verified end to end, not trusted theory.
+    "x101_lsh_calibration" -> Q(
+      (s, dir) => Dedup.lshCalibration(
+        t(s, dir, "documents"), "text", "doc_id"),
+      Some(shingleCte + s""",
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b, jaccard FROM (
+        |    SELECT id_a, id_b,
+        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+        |    FROM common
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.05),
+        |mh AS MATERIALIZED (
+        |  SELECT doc_id, h.g AS i,
+        |    min(('0x' || substr(md5(h.g::varchar || ':' || s), 1, 15))::bigint) AS mh
+        |  FROM sh, unnest(range(0, 12)) h(g) GROUP BY 1, 2),
+        |cfg AS (SELECT * FROM (VALUES (12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)) c(bands, rpb)),
+        |banded AS (
+        |  SELECT p.id_a, p.id_b, p.jaccard, cfg.bands, cfg.rpb,
+        |    (a.i // cfg.rpb) AS band, bool_and(a.mh = b.mh) AS bandmatch
+        |  FROM pairs p
+        |  JOIN mh a ON a.doc_id = p.id_a
+        |  JOIN mh b ON b.doc_id = p.id_b AND b.i = a.i
+        |  CROSS JOIN cfg
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |det AS (
+        |  SELECT id_a, id_b, jaccard, bands, rpb,
+        |    max(CASE WHEN bandmatch THEN 1 ELSE 0 END) AS detected
+        |  FROM banded GROUP BY 1, 2, 3, 4, 5)
+        |SELECT bands::bigint AS bands, rpb::bigint AS rows_per_band,
+        |  least(9, floor(jaccard * 10))::bigint AS jbucket,
+        |  count(*)::bigint AS n_pairs, sum(detected)::bigint AS n_detected,
+        |  round(sum(detected)::double / count(*), 6) AS det_rate
+        |FROM det GROUP BY 1, 2, 3 ORDER BY bands DESC, jbucket""".stripMargin)),
+
     // X7l (r12): per-language ADAPTIVE quantile gate — the FineWeb rule
     // "drop the bottom decile per language": each language's cutoff is
     // its own p10 of the x06 quality score, and the readout is the

@@ -81,6 +81,15 @@ object ScaleCheck {
       (c.getLong(0), c.getLong(1))
     }
 
+    // x98's fixed train-once student (1x teacher labels, OUTSIDE any
+    // timed region — the x68/x71 convention: carrying the constant train
+    // cost inside the case would flatten the scaling read)
+    val student1x: graft.ext.TextStats.NbModel =
+      graft.ext.TextStats.nbTrain(
+        docs0.withColumn("teacher",
+          graft.ext.Curation.teacherLabel(col("text"))),
+        "text", "teacher", "doc_id", 1024)
+
     // x99's 1x anchor: (group count, kept fraction) of the unreplicated
     // corpus — the frozen-distribution invariant the scaled runs re-hit
     val quantileGate1x: (Long, Double) = {
@@ -418,17 +427,14 @@ object ScaleCheck {
         // entries) however large the teacher's corpus was; scoring the
         // replicated corpus is the map-only fold — and a replica must
         // score exactly its original's label (same witness family as
-        // x71/x73)
-        val student = graft.ext.TextStats.nbTrain(
-          docs0.withColumn("teacher",
-            graft.ext.Curation.teacherLabel(col("text"))),
-          "text", "teacher", "doc_id", 1024)
-        assert(student.tables.map(_.size).sum <= student.labels.length * 1024,
+        // x71/x73). Train-once: student1x is built outside the timed
+        // region, so the datum is the SCORING slope alone.
+        assert(student1x.tables.map(_.size).sum <= student1x.labels.length * 1024,
           "student table domain exceeded labels x buckets")
         val docsN = replicate(docs0, "doc_id", n)
         val diverged = docsN.select((col("doc_id") % 100000000L).as("orig"),
             graft.ext.TextStats.nbPredict(
-              graft.ext.TextStats.nbGramBuckets(col("text"), 1024), student)
+              graft.ext.TextStats.nbGramBuckets(col("text"), 1024), student1x)
               .getField("lang").as("pl"))
           .groupBy("orig").agg(countDistinct(col("pl")).as("nd"))
           .agg(max(col("nd"))).head.getLong(0)

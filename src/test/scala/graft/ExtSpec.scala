@@ -1182,6 +1182,41 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X2g portable minhash + calibration: signature == plain-JVM md5 replay; detection extremes") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    import java.security.MessageDigest
+    // the portable signature must equal an independent JVM reimplementation
+    val doc = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = doc.select(Dedup.minhashSignaturePortable(
+        Dedup.shingles(col("text"), 3), 4).as("sig"))
+      .head().getSeq[Long](0)
+    def h60(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val shingles = Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon")
+    val want = (0 until 4).map(i => shingles.map(s => h60(s"$i:$s")).min)
+    assert(got == want, s"portable signature diverged: $got vs $want")
+    // calibration extremes: an identical pair must be detected by EVERY
+    // config in EVERY band split; two disjoint docs form no pair at all
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "entirely different words compose this second document body here now"),
+      (4L, "unrelated content about rivers mountains forests and winter mornings")
+    ).toDF("doc_id", "text")
+    val cal = Dedup.lshCalibration(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(cal.nonEmpty, "no calibration rows for an identical pair")
+    // only the identical pair (jaccard 1.0 -> bucket 9) exists
+    assert(cal.forall { case (_, jb, np, nd) => jb == 9L && np == 1L && nd == 1L },
+      s"identical pair missed by some config: ${cal.toSeq}")
+    assert(cal.map(_._1).toSet == Set(12L, 6L, 4L, 3L, 2L, 1L),
+      s"config domain wrong: ${cal.map(_._1).toSet}")
+  }
+
   test("X6c dHash56: brightness-invariant, pattern-sensitive, decode == formula") {
     import graft.ext.Multimodal
     import spark.implicits._
