@@ -280,6 +280,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** X1b: CCNet-family text NORMALIZATION — lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim. The canonical
+    * pre-hash cleanup that makes casing/punctuation/spacing variants of
+    * one document hash-equal. Pure column expression — map-only,
+    * streaming-safe.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9 ]+", " "),
+      " +", " "))
+
+  /** X1b: normalized-exact dedup — the rung between [[exact]] (byte
+    * identity) and the minhash family (token-set similarity): group by
+    * sha2 of the [[normalizeText]] form, so re-cased / re-punctuated /
+    * re-spaced variants collapse while genuinely different text stays
+    * apart. Output one row per normalized group: (norm_sha, n_docs,
+    * n_raw = distinct RAW texts merged — the count byte-exact dedup
+    * would have left apart, min_id, ids_md5 sealed membership).
+    *
+    * Scale: identical shape to [[exact]] — the shuffle carries 32-byte
+    * hashes, never bodies; n_raw adds one distinct-count over raw sha2
+    * inside the same aggregation (two-column partial agg, no second
+    * scan).
+    */
+  def normalizedDedup(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("_id"),
+        sha2(normalizeText(col(textCol)), 256).as("norm_sha"),
+        sha2(coalesce(col(textCol), lit("")), 256).as("raw_sha"))
+      .groupBy("norm_sha")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_sha")).as("n_raw"),
+        min("_id").as("min_id"),
+        md5(concat_ws(" ",
+          sort_array(collect_list(col("_id"))).cast("array<string>")))
+          .as("ids_md5"))
+      .orderBy("norm_sha")
+
   /** X2g: engine-PORTABLE minhash signature — per-seed min of the 60-bit
     * md5 hash `('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT`
     * (the [[graft.operators.Routing.portableHash]] family, seeded by

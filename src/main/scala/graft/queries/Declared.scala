@@ -4568,6 +4568,42 @@ object Declared {
         |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS ids_md5
         |FROM ah GROUP BY 1 ORDER BY ahash""".stripMargin)),
 
+    // X1b (r12): normalized-exact dedup — the CCNet rung between X1
+    // byte-identity and X2 minhash: re-cased/re-punctuated/re-spaced
+    // variants of one document collapse under the normalize-then-sha2
+    // key. The fixture UNIONS each document with a deterministic
+    // variant twin (uppercased, '!!'-suffixed, double-spaced — all
+    // erased by normalization), so every group must merge exactly the
+    // original + its byte-different twin: n_docs=2, n_raw=2 per group,
+    // membership sealed. DuckDB replays the normalization regexes, both
+    // sha256 keys and the rollup independently.
+    "x102_normalized_dedup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(upper(coalesce(col("text"), lit(""))), lit("  !!  "))
+            .as("text"))
+        Dedup.normalizedDedup(docs.unionByName(twins), "text", "doc_id")
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, upper(coalesce(text, '')) || '  !!  '
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(
+        |      regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]+', ' ', 'g'),
+        |      ' +', ' ', 'g'))) AS norm_sha,
+        |    sha256(coalesce(text, '')) AS raw_sha
+        |  FROM base)
+        |SELECT norm_sha, count(*)::bigint AS n_docs,
+        |  count(DISTINCT raw_sha)::bigint AS n_raw,
+        |  min(doc_id)::bigint AS min_id,
+        |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS ids_md5
+        |FROM keyed GROUP BY 1 ORDER BY norm_sha""".stripMargin)),
+
     // X2g (r12): LSH band-calibration S-curve — how bands/rowsPerBand
     // for the X2 family get CHOSEN: for every factoring of the 12-hash
     // portable minhash signature and every exact-Jaccard decile, the

@@ -162,6 +162,27 @@ object StreamCurate {
       round(common.cast("double") / greatest(size(sh), lit(1)), 6) < maxFrac)
   }
 
+  /** X7j streaming twin (r12): batch-train / stream-apply gate-chain
+    * DISTILLATION — the deployment x98's student exists for: at ingest
+    * the distilled NB model gates at wire speed through ONE codegen'd
+    * scoring fold ([[graft.ext.TextStats.nbScores]]), never
+    * re-evaluating the teacher's langid/quality/repetition expression
+    * chain. The model is the persisted x98 artifact (retrained per
+    * corpus refresh, like [[applyTemperature]]'s rates); scoring is
+    * map-only, stateless, no join — identical batch vs. stream by
+    * construction (StreamingSpec pins kept-set equality across
+    * micro-batches).
+    */
+  def applyDistilledGate(docs: DataFrame,
+                         model: graft.ext.TextStats.NbModel,
+                         textCol: String = "text",
+                         keepLabel: String = "keep"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.filter(graft.ext.TextStats.nbPredict(
+      graft.ext.TextStats.nbGramBuckets(col(textCol), model.numBuckets),
+      model).getField("lang") === keepLabel)
+  }
+
   /** X7i streaming twin (r12): the gate-funnel JOURNAL — per
     * micro-batch, append the slim (stage, n_docs, n_tokens) delta
     * ([[Curation.funnelCounts]], the SAME classification expression as

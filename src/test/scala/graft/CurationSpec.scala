@@ -788,12 +788,22 @@ class CurationSpec extends SparkSuite {
       "light", "garden", "winter", "morning")
     val dropWords = Seq("der", "und", "das", "haus", "baum", "katze",
       "hund", "nicht", "mit", "ein")
+    // every 4th token a class marker, the rest unique — low repetition,
+    // so the keep population clears the teacher's repetition gate and
+    // BOTH teacher labels occur (an all-marker doc is ~0.7 repetitive:
+    // the teacher would drop both classes and agreement would be vacuous)
     def doc(i: Long, ws: Seq[String]): String =
-      (0 until 40).map(j => ws(((i + 3 * j) % ws.size).toInt))
-        .mkString(" ") + " block " + (i % 7)
+      (0 until 40).map(j =>
+        if (j % 4 == 0) ws(((i + j) % ws.size).toInt) else s"tok${i}x$j")
+        .mkString(" ")
     val docs = (0L until 200L).map(i =>
       (i, if (i % 2 == 0) doc(i, keepWords) else doc(i, dropWords)))
       .toDF("doc_id", "text")
+    val teacherLabels = docs.select(
+        graft.ext.Curation.teacherLabel(col("text")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(teacherLabels.keySet == Set("keep", "drop"),
+      s"fixture must produce both teacher labels: $teacherLabels")
     def run(): Seq[(String, String, Long)] = {
       val labeled = Curation.splitAssign(
         docs.withColumn("teacher", Curation.teacherLabel(col("text"))),

@@ -1097,6 +1097,49 @@ class StreamingSpec extends SparkSuite {
       "hot terms missing from folded frequent set")
   }
 
+  test("X7j distilled gate: stream kept set == batch kept set under the frozen student") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two separable populations (the X7j CurationSpec fixture shape):
+    // stopword-rich English prose (teacher keep) vs German-marker noise
+    val keepWords = Seq("the", "and", "of", "river", "water", "stone",
+      "light", "garden", "winter", "morning")
+    val dropWords = Seq("der", "und", "das", "haus", "baum", "katze",
+      "hund", "nicht", "mit", "ein")
+    // every 4th token a class marker, the rest unique — keeps the
+    // repetition ratio low so the keep population actually clears the
+    // teacher's repetition gate (an all-marker doc is ~0.7 repetitive
+    // and the teacher drops BOTH classes, making the claim vacuous)
+    def doc(i: Long, ws: Seq[String]): String =
+      (0 until 40).map(j =>
+        if (j % 4 == 0) ws(((i + j) % ws.size).toInt) else s"tok${i}x$j")
+        .mkString(" ")
+    val rows = (0L until 120L).map(i =>
+      (i, if (i % 2 == 0) doc(i, keepWords) else doc(i, dropWords)))
+    val docsDf = rows.toDF("doc_id", "text")
+    val student = graft.ext.TextStats.nbTrain(
+      docsDf.withColumn("teacher",
+        graft.ext.Curation.teacherLabel(col("text"))),
+      "text", "teacher", "doc_id", 256)
+    val batchKept = StreamCurate.applyDistilledGate(docsDf, student)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < rows.size,
+      s"degenerate fixture: ${batchKept.size} of ${rows.size} kept")
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamCurate.applyDistilledGate(
+      input.toDF().toDF("doc_id", "text"), student)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dsg").start()
+    try {
+      rows.grouped(40).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamKept = spark.table("dsg")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept,
+        s"stream kept ${streamKept.size} != batch kept ${batchKept.size}; " +
+          s"diff=${(streamKept diff batchKept) ++ (batchKept diff streamKept)}")
+    } finally q.stop()
+  }
+
   test("X22b streaming packer == batch packChunks over monotone multi-batch arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
