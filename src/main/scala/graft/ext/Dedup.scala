@@ -358,13 +358,15 @@ object Dedup {
                      k: Int = 3, numHashes: Int = 12,
                      configs: Seq[(Int, Int)] =
                        Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)),
-                     minJaccard: Double = 0.05): DataFrame = {
+                     minJaccard: Double = 0.05,
+                     materialize: Boolean = true): DataFrame = {
     require(configs.nonEmpty &&
       configs.forall { case (b, r) => b > 0 && r > 0 && b * r == numHashes },
       s"every (bands, rowsPerBand) must factor numHashes=$numHashes: $configs")
     require(configs.map(_._1).distinct.size == configs.size,
       s"band counts must be distinct (they key the config dispatch): $configs")
-    val pairs = jaccardPairs(docs, textCol, idCol, k, minJaccard)
+    val pairs = jaccardPairs(docs, textCol, idCol, k, minJaccard,
+      materialize = materialize)
     val sigs = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)

@@ -30,7 +30,9 @@ object Plans {
     "x76_export_manifest", "x77_source_drift", "x80_bpe_segment",
     "x81_pmi_collocations", "x82_vocab_growth", "x84_bpe_encode",
     "x91_bpe_decode", "x92_token_fertility", "x93_freq_spectrum",
-    "x94_cluster_balanced", "x95_gate_funnel", "x96_pack_efficiency")
+    "x94_cluster_balanced", "x95_gate_funnel", "x96_pack_efficiency",
+    "x97_perceptual_dedup", "x98_quality_distill", "x99_quantile_gate",
+    "x100_audio_dedup", "x102_normalized_dedup")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -82,6 +84,8 @@ object Plans {
         graft.ext.Dedup.clusterSurvivors(
           docs.select(col("doc_id"), (col("doc_id") % 10).as("cluster_id")),
           docs, "doc_id", graft.ext.TextStats.qualityScore(col("text"))),
+      "x101_lsh_calibration (lazy form)" -> graft.ext.Dedup.lshCalibration(
+        docs, "text", "doc_id", materialize = false),
       "x41_cross_dedup (lazy form)" -> graft.ext.Dedup.crossDupPairs(
         docs.filter(col("doc_id") % 5 === 0),
         docs.filter(col("doc_id") % 5 =!= 0),
