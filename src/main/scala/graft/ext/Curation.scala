@@ -795,6 +795,38 @@ object Curation {
       .orderBy("capacity")
   }
 
+  /** X22d: per-chunk DOCUMENT-BOUNDARY manifest — the piece a trainer
+    * needs next to the packed chunks themselves: within each chunk, the
+    * start offset of every document in the chunk's token stream (offset
+    * = running-sum start − chunk_id·capacity, always in [0, capacity)),
+    * in document order. These offsets are what builds the block-diagonal
+    * attention mask / sequence separators when packed chunks feed a
+    * trainer — without them, cross-document attention leaks.
+    *
+    * Output: one row per (group, shard, chunk) with (n_docs, n_tokens,
+    * bounds_str = space-joined offsets in order-key order, docs_md5 =
+    * sealed chunk membership).
+    *
+    * Scale: [[packChunks]]' one window pass plus one partial-agg'd
+    * rollup keyed by chunk; the collect_list is chunk-bounded (a chunk
+    * holds at most capacity documents), never corpus-bounded.
+    */
+  def packBoundaries(docs: DataFrame, partitionCol: String, orderCol: String,
+                     tokens: Column, capacity: Int,
+                     nShards: Int = 1): DataFrame =
+    packChunks(docs, partitionCol, orderCol, tokens, capacity, nShards)
+      .withColumn("off", col("cum") - col("tok") - col("chunk_id") * capacity)
+      .groupBy(col(partitionCol), col("shard"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col(orderCol).as("o"),
+            col("off").as("off")))),
+          x => x.getField("off").cast("string"))).as("bounds_str"),
+        md5(concat_ws(" ", transform(array_sort(collect_list(col(orderCol))),
+          x => x.cast("string")))).as("docs_md5"))
+      .orderBy(partitionCol, "shard", "chunk_id")
+
   /** [[packChunks]] with `nShards` DERIVED instead of defaulted — the
     * `nShards = 1` default is a documented scale trap (5 distinct
     * partitionCol values = 5 window tasks at 100 TB). Two lower bounds,

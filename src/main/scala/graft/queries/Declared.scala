@@ -4147,6 +4147,47 @@ object Declared {
         |  md5(string_agg(ids_str, ' ' ORDER BY doc_id)) AS ids_md5
         |FROM cm GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
 
+    // X22d (r12): per-chunk document-BOUNDARY manifest — the attention
+    // -mask offsets a trainer needs next to x90's packed chunks: for
+    // every (shard, chunk), each document's start offset in the chunk's
+    // token stream (running-sum start − chunk_id·capacity, in
+    // [0, capacity)), in doc order, with the chunk membership sealed.
+    // Without these offsets, packed training leaks cross-document
+    // attention. DuckDB independently re-trains, re-encodes, re-shards,
+    // replays the running sum and re-derives every offset string.
+    "x103_pack_boundaries" -> Q(
+      (s, dir) => {
+        val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
+        val vocab = bpeVocab64Artifact(s, dir)
+        val enc = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            size(TextStats.bpeEncodeIds(col("text"), merges, vocab))
+              .cast("long").as("n_ids"))
+          .filter(col("n_ids") > 0)
+          .withColumn("grp", lit(0L))
+        Curation.packBoundaries(enc, "grp", "doc_id", col("n_ids"),
+            capacity = 512, nShards = 4)
+          .select(col("shard").cast("long").as("shard"), col("chunk_id"),
+            col("n_docs"), col("n_tokens"), col("bounds_str"), col("docs_md5"))
+          .orderBy("shard", "chunk_id")
+      },
+      Some(bpeEncodePrefix(64) + s""",
+        |pk AS MATERIALIZED (
+        |  SELECT doc_id, len(ids)::bigint AS n FROM enc WHERE len(ids) > 0),
+        |shd AS MATERIALIZED (
+        |  SELECT doc_id, n,
+        |    ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 4 AS shard
+        |  FROM pk),
+        |cm AS MATERIALIZED (
+        |  SELECT doc_id, n, shard,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM shd)
+        |SELECT shard, ((cum - n) // 512)::bigint AS chunk_id,
+        |  count(*)::bigint AS n_docs, sum(n)::bigint AS n_tokens,
+        |  string_agg((cum - n - ((cum - n) // 512) * 512)::varchar, ' ' ORDER BY doc_id) AS bounds_str,
+        |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS docs_md5
+        |FROM cm GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
+
     // X5f decode (r12): the INVERSE tokenizer surface — id sequences
     // back to text under the persisted 64-merge vocabulary, with the
     // round-trip claim decode(encode(text)) == concat(tokens(text))

@@ -34,6 +34,22 @@ object StreamDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** X1b streaming form (r12): first document per NORMALIZED content
+    * within the horizon — [[firstPerContent]] keyed on
+    * `sha2(Dedup.normalizeText(text))`, so re-cased / re-punctuated /
+    * re-spaced replays of a document are dropped at ingest exactly as
+    * the batch [[graft.ext.Dedup.normalizedDedup]] would group them.
+    * Same state shape: a 256-bit key per horizon document, never the
+    * body.
+    */
+  def firstPerNormalizedContent(docs: DataFrame, textCol: String,
+                                tsCol: String,
+                                watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("norm_hash",
+        sha2(graft.ext.Dedup.normalizeText(col(textCol)), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("norm_hash")
+
   /** Cross-corpus NEAR-dup at ingest (x41's streaming form — the
     * [[StreamSimilarity]] batch-index / stream-probe split): "is this
     * new document a near-duplicate of anything already in the corpus?"

@@ -90,6 +90,14 @@ object ScaleCheck {
           graft.ext.Curation.teacherLabel(col("text"))),
         "text", "teacher", "doc_id", 1024)
 
+    // x102's 1x anchor: the normalized-group domain of the corpus
+    // unioned with its variant twins — replication must never grow it
+    val normGroups1x: Long = graft.ext.Dedup.normalizedDedup(
+      docs0.select(col("doc_id"), col("text")).unionByName(
+        docs0.select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(upper(coalesce(col("text"), lit(""))), lit("  !!  ")).as("text"))),
+      "text", "doc_id").count()
+
     // x99's 1x anchor: (group count, kept fraction) of the unreplicated
     // corpus — the frozen-distribution invariant the scaled runs re-hit
     val quantileGate1x: (Long, Double) = {
@@ -458,6 +466,25 @@ object ScaleCheck {
         val frac = r.getLong(1).toDouble / r.getLong(2)
         assert(math.abs(frac - quantileGate1x._2) <= 0.01 && frac >= 0.9,
           s"kept fraction $frac drifted from 1x anchor ${quantileGate1x._2} at ${n}x")
+      },
+      "x102 normalized dedup (documents + variant twins)" -> { n =>
+        // replicas carry identical text, so the NORMALIZED-hash domain is
+        // frozen at the 1x distinct-content count while group sizes grow
+        // n-fold — the x01/x74 witness shape, with each replica unioned
+        // with a byte-different variant twin that must merge into its
+        // original's group (n_raw >= 2 everywhere twins exist)
+        val base = replicate(docs0, "doc_id", n)
+        val twins = base.select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(upper(coalesce(col("text"), lit(""))), lit("  !!  ")).as("text"))
+        val g = graft.ext.Dedup.normalizedDedup(
+            base.select("doc_id", "text").unionByName(twins), "text", "doc_id")
+          .agg(count(lit(1)).as("groups"), sum(col("n_docs")).as("docs"),
+            min(col("n_raw")).as("minraw")).head
+        assert(g.getLong(0) == normGroups1x,
+          s"normalized-hash domain grew: ${g.getLong(0)} vs $normGroups1x")
+        assert(g.getLong(1) == 2L * n * nDocs0, s"docs dropped: ${g.getLong(1)}")
+        assert(g.getLong(2) >= 2L,
+          s"a variant twin failed to merge with its original: minraw ${g.getLong(2)}")
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum

@@ -733,6 +733,30 @@ class CurationSpec extends SparkSuite {
       (5L, 9L, 9L, "")), got.toSeq)
   }
 
+  test("X22d packBoundaries: hand-computed offsets; every offset inside [0, capacity)") {
+    import spark.implicits._
+    // capacity 5: cum = 3,7,9,14 -> chunks 0,0,1,1; offsets 0,3 and 2,4
+    // (doc 3 starts at stream position 7 = chunk 1 offset 2)
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L))
+      .toDF("doc_id", "tok").withColumn("g", lit("a"))
+    val got = Curation.packBoundaries(docs, "g", "doc_id", col("tok"), 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    assert(got.toSeq == Seq((0L, 2L, 7L, "0 3"), (1L, 2L, 7L, "2 4")),
+      got.toSeq)
+    // fixture-scale invariant: offsets always land inside the chunk
+    val fx = Tables.load(spark, sf(), "documents")
+      .select(col("doc_id"),
+        graft.ext.TextStats.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0).withColumn("g", lit(0L))
+    val bad = Curation.packBoundaries(fx, "g", "doc_id", col("n"), 128,
+        nShards = 4)
+      .select(explode(split(col("bounds_str"), " ")).as("os"))
+      .select(col("os").cast("long").as("o"))
+      .filter(col("o") < 0 || col("o") >= 128).count()
+    assert(bad == 0L, s"$bad offsets escaped [0, 128)")
+  }
+
   test("X7l quantileGate: crafted distribution hits the interpolated cutoff and seals membership") {
     import spark.implicits._
     import java.security.MessageDigest

@@ -285,6 +285,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming normalized dedup: variant twins drop, different text survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = StreamDedup.firstPerNormalizedContent(docs, "text", "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ndedup").start()
+    try {
+      input.addData((1L, "the same body", 10L), (2L, "a different text", 11L))
+      q.processAllAvailable()
+      // 3 is a byte-different variant twin of 1 (case/punctuation/
+      // spacing — all erased by normalization); 4 is genuinely new
+      input.addData((3L, "  THE  same, body!! ", 12L),
+        (4L, "the same body indeed", 13L))
+      q.processAllAvailable()
+      val ids = spark.table("ndedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"kept: $ids")
+    } finally q.stop()
+  }
+
   test("streaming DSIR gate: stream kept set equals the batch filter exactly") {
     implicit val sqlCtx = spark.sqlContext
     // train on the batch fixture (raw = all docs, target = en)
