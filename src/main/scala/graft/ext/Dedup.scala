@@ -319,6 +319,54 @@ object Dedup {
           .as("ids_md5"))
       .orderBy("norm_sha")
 
+  /** X1d: dedup-tier FUNNEL — the "where did my duplicates go" readout
+    * over the dedup ladder, the dedup analogue of the curation gate
+    * funnel (X7i): apply byte-exact → normalized-exact → near-dup
+    * (jaccard clusters) survivor election IN SEQUENCE and report the
+    * surviving (n_docs, n_tokens) after each tier. This is the number a
+    * corpus owner reads to decide which tiers pay for themselves at
+    * their corpus's redundancy profile.
+    *
+    * Tier semantics (each tier sees only the previous tier's
+    * survivors, so the counts partition the drops by the CHEAPEST tier
+    * that catches them): exact keeps min-id per sha2(text); normalized
+    * keeps min-id per sha2([[normalizeText]]); near-dup drops cluster
+    * non-survivors from [[dupClusters]] over [[jaccardPairs]] at
+    * `threshold` (min-id election, the x23/x25 convention).
+    *
+    * Scale: tiers 1-2 are the [[exact]] plan shape (32-byte-hash
+    * shuffles + slim semi-joins); tier 3 is the priced x23 chain over
+    * the already-thinned survivor set; the report is four 1-row
+    * aggregates.
+    */
+  def dedupFunnel(docs: DataFrame, textCol: String, idCol: String,
+                  tokens: Column, k: Int = 3,
+                  threshold: Double = 0.2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("_text"), tokens.cast("long").as("_tok"))
+    val ex = base.groupBy(sha2(col("_text"), 256))
+      .agg(min("doc_id").as("doc_id"))
+    val s1 = base.join(ex.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nm = s1.groupBy(sha2(normalizeText(col("_text")), 256))
+      .agg(min("doc_id").as("doc_id"))
+    val s2 = s1.join(nm.select("doc_id"), Seq("doc_id"), "left_semi")
+    val clusters = dupClusters(jaccardPairs(
+      s2.select(col("doc_id"), col("_text")), "_text", "doc_id", k, threshold))
+    val s3 = s2.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    def tier(ord: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("_tok"), lit(0L)).as("n_tokens"))
+        .select(lit(ord).as("tier_ord"), lit(name).as("tier"),
+          col("n_docs"), col("n_tokens"))
+    tier(0L, "corpus", base)
+      .unionByName(tier(1L, "exact", s1))
+      .unionByName(tier(2L, "normalized", s2))
+      .unionByName(tier(3L, "neardup", s3))
+      .orderBy("tier_ord")
+  }
+
   /** X2g: engine-PORTABLE minhash signature — per-seed min of the 60-bit
     * md5 hash `('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT`
     * (the [[graft.operators.Routing.portableHash]] family, seeded by

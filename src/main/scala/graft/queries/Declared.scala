@@ -4609,6 +4609,77 @@ object Declared {
         |  md5(string_agg(doc_id::varchar, ' ' ORDER BY doc_id)) AS ids_md5
         |FROM ah GROUP BY 1 ORDER BY ahash""".stripMargin)),
 
+    // X1d (r12): dedup-tier FUNNEL — byte-exact → normalized-exact →
+    // near-dup survivor election applied in sequence, reporting the
+    // surviving (n_docs, n_tokens) after each tier: the readout that
+    // decides which dedup tiers pay for themselves on this corpus.
+    // The fixture unions each document with a normalization-variant
+    // twin (caught by tier 2, invisible to tier 1). DuckDB replays all
+    // three tiers independently — both sha tiers, the exact Jaccard
+    // pair list over tier-2 survivors, and the recursive min-label
+    // connected components with the min-id election.
+    "x104_dedup_funnel" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(upper(coalesce(col("text"), lit(""))), lit("  !!  "))
+            .as("text"))
+        Dedup.dedupFunnel(docs.unionByName(twins), "text", "doc_id",
+          TextStats.tokenCount(coalesce(col("text"), lit(""))))
+      },
+      Some("""WITH RECURSIVE base AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> ''))::bigint AS tok
+        |  FROM (
+        |    SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT doc_id + 10000000, upper(coalesce(text, '')) || '  !!  '
+        |    FROM documents WHERE doc_id IS NOT NULL)),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY sha256(text)),
+        |s1 AS MATERIALIZED (SELECT base.* FROM base JOIN ex USING (doc_id)),
+        |nm AS (
+        |  SELECT min(doc_id) AS doc_id FROM s1
+        |  GROUP BY sha256(trim(regexp_replace(
+        |    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]+', ' ', 'g'),
+        |    ' +', ' ', 'g')))),
+        |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN nm USING (doc_id)),
+        |tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM s2),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM tk, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(common::double / (sa.sz + sb.sz - common), 6) AS j
+        |    FROM common
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |  WHERE j >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        |s3 AS (
+        |  SELECT s2.* FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id))
+        |SELECT 0::bigint AS tier_ord, 'corpus' AS tier, count(*)::bigint AS n_docs, coalesce(sum(tok), 0)::bigint AS n_tokens FROM base
+        |UNION ALL SELECT 1::bigint, 'exact', count(*)::bigint, coalesce(sum(tok), 0)::bigint FROM s1
+        |UNION ALL SELECT 2::bigint, 'normalized', count(*)::bigint, coalesce(sum(tok), 0)::bigint FROM s2
+        |UNION ALL SELECT 3::bigint, 'neardup', count(*)::bigint, coalesce(sum(tok), 0)::bigint FROM s3
+        |ORDER BY tier_ord""".stripMargin)),
+
     // X1b (r12): normalized-exact dedup — the CCNet rung between X1
     // byte-identity and X2 minhash: re-cased/re-punctuated/re-spaced
     // variants of one document collapse under the normalize-then-sha2

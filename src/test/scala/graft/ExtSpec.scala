@@ -1182,6 +1182,29 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("X1d dedupFunnel: each tier catches exactly its crafted duplicate class") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    // d2 = byte copy of d1 (exact tier); d3 = case/punct variant of d1
+    // (normalized tier); d4 = near-dup of d1 (1 of 2 shingles shared,
+    // j=0.5 — near-dup tier); d5 = unrelated survivor
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "  ALPHA beta, gamma!! "),
+      (4L, "alpha beta gamma delta"),
+      (5L, "entirely different content here")).toDF("doc_id", "text")
+    val got = Dedup.dedupFunnel(docs, "text", "doc_id",
+        graft.ext.TextStats.tokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "corpus", 5L, 17L),
+      (1L, "exact", 4L, 14L),
+      (2L, "normalized", 3L, 11L),
+      (3L, "neardup", 2L, 7L)), got.toSeq)
+  }
+
   test("X2g portable minhash + calibration: signature == plain-JVM md5 replay; detection extremes") {
     import graft.ext.Dedup
     import spark.implicits._
