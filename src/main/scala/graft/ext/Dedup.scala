@@ -299,10 +299,11 @@ object Dedup {
     * n_raw = distinct RAW texts merged — the count byte-exact dedup
     * would have left apart, min_id, ids_md5 sealed membership).
     *
-    * Scale: identical shape to [[exact]] — the shuffle carries 32-byte
-    * hashes, never bodies; n_raw adds one distinct-count over raw sha2
-    * inside the same aggregation (two-column partial agg, no second
-    * scan).
+    * Scale: the [[exact]] shape — every shuffle carries 32-byte hashes,
+    * never bodies. n_raw's distinct-count expands to Spark's two-phase
+    * distinct aggregation (one extra hash exchange keyed by
+    * (norm_sha, raw_sha)) — still a single scan, still hash-only
+    * shuffles (PlanSpec-gated).
     */
   def normalizedDedup(docs: DataFrame, textCol: String,
                       idCol: String): DataFrame =

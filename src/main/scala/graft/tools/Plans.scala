@@ -32,7 +32,8 @@ object Plans {
     "x91_bpe_decode", "x92_token_fertility", "x93_freq_spectrum",
     "x94_cluster_balanced", "x95_gate_funnel", "x96_pack_efficiency",
     "x97_perceptual_dedup", "x98_quality_distill", "x99_quantile_gate",
-    "x100_audio_dedup", "x102_normalized_dedup")
+    "x100_audio_dedup", "x102_normalized_dedup", "x103_pack_boundaries",
+    "x104_dedup_funnel")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

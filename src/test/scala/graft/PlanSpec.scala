@@ -897,6 +897,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), s"window in quantile gate:\n$p")
   }
 
+  // x102: normalize + sha2 are map-only; the n_raw distinct-count
+  // expands to Spark's two-phase distinct agg (an extra exchange keyed
+  // by (norm_sha, raw_sha)) — still hash-only shuffles, never bodies
+  test("normalized dedup plans map-side hashing + hash-only aggs, no join") {
+    val p = planOf("x102_normalized_dedup")
+    assert(!p.contains("Join"), s"join in normalized dedup:\n$p")
+    assert(!p.contains("Window"), s"window in normalized dedup:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"$exchanges exchanges (distinct-expand + agg + orderBy allowed):\n$p")
+  }
+
+  // x103: boundary manifest = packChunks' ONE window + one chunk-keyed
+  // rollup — no join anywhere, and exactly one window
+  test("pack boundaries plan one window + one chunk rollup, no join") {
+    val p = planOf("x103_pack_boundaries")
+    assert(!p.contains("Join"), s"join in pack boundaries:\n$p")
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows == 1, s"$windows windows (the running sum only):\n$p")
+  }
+
   test("column pruning reaches the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sparkPlan, not executedPlan: the AQE wrapper hides its input plan
