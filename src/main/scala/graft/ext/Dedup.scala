@@ -335,37 +335,69 @@ object Dedup {
     * non-survivors from [[dupClusters]] over [[jaccardPairs]] at
     * `threshold` (min-id election, the x23/x25 convention).
     *
-    * Scale: tiers 1-2 are the [[exact]] plan shape (32-byte-hash
-    * shuffles + slim semi-joins); tier 3 is the priced x23 chain over
-    * the already-thinned survivor set; the report is four 1-row
-    * aggregates.
+    * Scale: the text hashes ONCE into a persisted slim (id, tok, 2×32B)
+    * frame; tier elections are hash groupBys + slim id semi-joins over
+    * it; tier 3 is the priced x23 chain over the already-thinned
+    * survivor set (the one extra text scan, for shingles); the report
+    * folds from ONE labeling pass — each doc classified to the cheapest
+    * tier that drops it — rolled up to a checkpointed ≤4-row frame
+    * (the x95 funnel shape), so no tier re-scans the corpus.
     */
   def dedupFunnel(docs: DataFrame, textCol: String, idCol: String,
                   tokens: Column, k: Int = 3,
                   threshold: Double = 0.2): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("_text"), tokens.cast("long").as("_tok"))
-    val ex = base.groupBy(sha2(col("_text"), 256))
-      .agg(min("doc_id").as("doc_id"))
-    val s1 = base.join(ex.select("doc_id"), Seq("doc_id"), "left_semi")
-    val nm = s1.groupBy(sha2(normalizeText(col("_text")), 256))
-      .agg(min("doc_id").as("doc_id"))
-    val s2 = s1.join(nm.select("doc_id"), Seq("doc_id"), "left_semi")
-    val clusters = dupClusters(jaccardPairs(
-      s2.select(col("doc_id"), col("_text")), "_text", "doc_id", k, threshold))
-    val s3 = s2.join(
-      clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
-      Seq("doc_id"), "left_anti")
-    def tier(ord: Long, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("_tok"), lit(0L)).as("n_tokens"))
-        .select(lit(ord).as("tier_ord"), lit(name).as("tier"),
-          col("n_docs"), col("n_tokens"))
-    tier(0L, "corpus", base)
-      .unionByName(tier(1L, "exact", s1))
-      .unionByName(tier(2L, "normalized", s2))
-      .unionByName(tier(3L, "neardup", s3))
-      .orderBy("tier_ord")
+    // ONE hashing pass over the text, persisted slim (id, tok, 2×32-byte
+    // hashes) — the x95 single-classification shape: every tier decision
+    // below works off this frame or slim id lists, the corpus text is
+    // scanned once more only for tier 3's shingles
+    val keyed = base.select(col("doc_id"), col("_tok"),
+        sha2(col("_text"), 256).as("h_ex"),
+        sha2(normalizeText(col("_text")), 256).as("h_nm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exKeep = keyed.groupBy("h_ex").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val s1 = keyed.join(exKeep, Seq("doc_id"), "left_semi")
+      val nmKeep = s1.groupBy("h_nm").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val s2ids = s1.join(nmKeep, Seq("doc_id"), "left_semi").select("doc_id")
+      val nonSurv = dupClusters(jaccardPairs(
+          base.join(s2ids, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("_text")),
+          "_text", "doc_id", k, threshold))
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      // one labeling pass: each doc gets the CHEAPEST tier that drops it
+      // (the when-chain order encodes the sequential-tier semantics —
+      // a doc dropped at exact never reaches the normalized election,
+      // and nmKeep/nonSurv were computed on exactly the surviving sets)
+      val counts = keyed
+        .join(exKeep.withColumn("_ex", lit(1)), Seq("doc_id"), "left")
+        .join(nmKeep.withColumn("_nm", lit(1)), Seq("doc_id"), "left")
+        .join(nonSurv.withColumn("_nd", lit(1)), Seq("doc_id"), "left")
+        .select(col("_tok"),
+          when(col("_ex").isNull, 1L).when(col("_nm").isNull, 2L)
+            .when(col("_nd").isNotNull, 3L).otherwise(4L).as("dropped_at"))
+        .groupBy("dropped_at")
+        .agg(count(lit(1)).as("n"), coalesce(sum("_tok"), lit(0L)).as("t"))
+        .localCheckpoint(true) // ≤ 4 rows — the tier folds below reread
+                               // this, never the corpus
+      def tier(ord: Long, name: String): DataFrame =
+        counts.agg(
+            coalesce(sum(when(col("dropped_at") > ord, col("n"))), lit(0L))
+              .as("n_docs"),
+            coalesce(sum(when(col("dropped_at") > ord, col("t"))), lit(0L))
+              .as("n_tokens"))
+          .select(lit(ord).as("tier_ord"), lit(name).as("tier"),
+            col("n_docs"), col("n_tokens"))
+      tier(0L, "corpus")
+        .unionByName(tier(1L, "exact"))
+        .unionByName(tier(2L, "normalized"))
+        .unionByName(tier(3L, "neardup"))
+        .orderBy("tier_ord")
+        .localCheckpoint(true) // 4 rows; frees `keyed` for the unpersist
+    } finally keyed.unpersist()
   }
 
   /** X2g: engine-PORTABLE minhash signature — per-seed min of the 60-bit
