@@ -5073,7 +5073,14 @@ object Declared {
         import graft.ext.TrainSet
         val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), col("text"))
-        val path = "/tmp/graft_x88_delivery"
+        // path keyed by the corpus's total text length — a CONTENT-
+        // derived value the STATIC oracle re-derives from the documents
+        // table and filters on via hive partitioning — so Verify runs
+        // against different fixtures write disjoint partitions instead
+        // of racing on one directory (doc COUNTS collide: sf0.001 and
+        // sf0.01 both carry 500 docs over ids 0..499)
+        val scaleKey = docs.agg(sum(length(col("text")))).head.getLong(0)
+        val path = s"/tmp/graft_x88_delivery/scale=$scaleKey"
         TrainSet.exportShards(docs, "doc_id", "text", "x88", 4, path)
         val manifest = TrainSet.exportManifest(docs, "doc_id",
           TextStats.tokenCount(coalesce(col("text"), lit(""))), "x88", 4)
@@ -5084,7 +5091,8 @@ object Declared {
       },
       Some("""WITH del AS MATERIALIZED (
         |  SELECT shard::bigint AS shard, doc_id, text
-        |  FROM read_parquet('/tmp/graft_x88_delivery/shard=*/*.parquet', hive_partitioning = true)),
+        |  FROM read_parquet('/tmp/graft_x88_delivery/scale=*/shard=*/*.parquet', hive_partitioning = true)
+        |  WHERE scale::bigint = (SELECT sum(length(text)) FROM documents WHERE doc_id IS NOT NULL)),
         |re AS MATERIALIZED (
         |  SELECT shard, count(*)::bigint AS n_docs,
         |    sum(len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '')))::bigint AS token_mass,
