@@ -643,6 +643,106 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("normalizeText fuzz: idempotent, case/edge-punct invariant, equals a plain-JVM replay") {
+    // plain-JVM reimplementation of the declared normalization
+    def refNorm(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]+", " ")
+        .replaceAll(" +", " ").trim
+    val asciiText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ' ', '.', ',', '!', '?', '-', '_',
+        ';', ':', '\'', '"', '(', ')'))).map(_.mkString)
+    val cases = samples(asciiText, 60)
+    assert(cases.size >= 50)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        Dedup.normalizeText(col("t")).as("n1"),
+        Dedup.normalizeText(Dedup.normalizeText(col("t"))).as("n2"),
+        Dedup.normalizeText(
+          concat(lit("  "), upper(col("t")), lit(" !! "))).as("n3"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      val (n1, n2, n3) = got(i.toLong)
+      assert(n1 == refNorm(t), s"case $i: '$n1' != ref '${refNorm(t)}'")
+      assert(n2 == n1, s"case $i: not idempotent")
+      assert(n3 == n1, s"case $i: case/edge-punct variant diverged")
+    }
+  }
+
+  test("dHash56/dHash63 fuzz: brightness/gain invariance and formula equality on random fixtures") {
+    import graft.ext.Multimodal
+    val imgCases = samples(for {
+      a <- Gen.choose(1, 250); b <- Gen.choose(1, 250)
+      c1 <- Gen.choose(0, 105); c2 <- Gen.choose(0, 105)
+    } yield (a, b, c1, c2), 12)
+    val imgRows = imgCases.zipWithIndex.flatMap { case ((a, b, c1, c2), i) =>
+      Seq(Multimodal.MediaRow(2L * i, "image",
+          Multimodal.encodeGradientImage("png", 18, 16, a, b, c1)),
+        Multimodal.MediaRow(2L * i + 1, "image",
+          Multimodal.encodeGradientImage("png", 18, 16, a, b, c2)))
+    }
+    val imgHashes = Multimodal.decodeReal(imgRows.toDS()).collect()
+      .map(r => r.media_id -> Multimodal.dHash56(r.features)).toMap
+    imgCases.zipWithIndex.foreach { case ((a, b, _, _), i) =>
+      def v(x: Int, y: Int): Int = ((a * x + b * y) % 150 + 150) % 150
+      var want = 0L
+      for (gy <- 0 until 8; gx <- 0 until 7)
+        if (v((gx + 1) * 18 / 8, gy * 2) > v(gx * 18 / 8, gy * 2))
+          want |= 1L << (gy * 7 + gx)
+      assert(imgHashes(2L * i) == want, s"img case $i: decode != formula")
+      assert(imgHashes(2L * i) == imgHashes(2L * i + 1),
+        s"img case $i: brightness shift changed dHash56 (a=$a b=$b)")
+    }
+    val wavCases = samples(for {
+      a <- Gen.choose(1, 99); s1 <- Gen.choose(1, 327); s2 <- Gen.choose(1, 327)
+    } yield (a, s1, s2), 12)
+    val wavRows = wavCases.zipWithIndex.flatMap { case ((a, s1, s2), i) =>
+      Seq(Multimodal.MediaRow(2L * i, "audio",
+          Multimodal.encodeRampWav(8000, 160, a, s1)),
+        Multimodal.MediaRow(2L * i + 1, "audio",
+          Multimodal.encodeRampWav(8000, 160, a, s2)))
+    }
+    val wavHashes = Multimodal.decodeReal(wavRows.toDS()).collect()
+      .map(r => r.media_id -> Multimodal.dHash63(r.features)).toMap
+    wavCases.zipWithIndex.foreach { case ((a, _, _), i) =>
+      def v(j: Int): Int = math.abs((a * (j * 160 / 64)) % 200 - 100)
+      val want = (0 until 63).foldLeft(0L)((h, j) =>
+        if (v(j + 1) > v(j)) h | (1L << j) else h)
+      assert(wavHashes(2L * i) == want, s"wav case $i: decode != formula")
+      assert(wavHashes(2L * i) == wavHashes(2L * i + 1),
+        s"wav case $i: gain change altered dHash63 (a=$a)")
+    }
+  }
+
+  test("packBoundaries fuzz: offsets tile each chunk exactly against a Scala replay") {
+    val cases = samples(for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 30L))
+      cap <- Gen.choose(8, 64)
+    } yield (toks, cap), 8)
+    cases.zipWithIndex.foreach { case ((toks, cap), ci) =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "tok").withColumn("g", lit("a"))
+      val got = graft.ext.Curation.packBoundaries(
+          docs, "g", "doc_id", col("tok"), cap)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toSeq
+      // sequential Scala replay of the running-sum chunk assignment
+      var cum = 0L
+      val assigned = toks.zipWithIndex.map { case (t, i) =>
+        val start = cum; cum += t
+        (start / cap, i.toLong, t, start - (start / cap) * cap)
+      }
+      val want = assigned.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (chunk, ds) =>
+          (chunk, ds.size.toLong, ds.map(_._3).sum,
+            ds.sortBy(_._2).map(_._4).mkString(" "))
+      }
+      assert(got == want, s"case $ci (cap=$cap): $got != $want")
+    }
+  }
+
   test("deterministic_base64 fuzz: any (seed, id, n) round-trips to exactly n bytes, deterministically") {
     val cases = samples(for {
       seed <- Gen.choose(Long.MinValue, Long.MaxValue)
