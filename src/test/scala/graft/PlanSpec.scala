@@ -141,6 +141,7 @@ class PlanSpec extends SparkSuite {
       assert(hit, s"$name: no hash equi-join on (${keys.mkString(",")}):\n$p")
     }
     hashJoinOn("x02_jaccard_pairs (lazy form)", "h")       // shingle hash
+    hashJoinOn("x101_lsh_calibration (lazy form)", "h")    // same exact-pair leg
     hashJoinOn("x43_containment (lazy form)", "h")         // same index join
     hashJoinOn("x42_boilerplate (lazy form)", "h")         // df table join
     hashJoinOn("x46_dup_ngram_coverage (lazy form)", "doc_id", "h")
