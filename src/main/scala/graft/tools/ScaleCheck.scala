@@ -486,6 +486,26 @@ object ScaleCheck {
         assert(g.getLong(2) >= 2L,
           s"a variant twin failed to merge with its original: minraw ${g.getLong(2)}")
       },
+      "x103 pack boundaries (documents, cap=128, 4 shards)" -> { n =>
+        // the boundary manifest's per-chunk state is CAPACITY-bounded by
+        // construction (a chunk holds at most `capacity` docs, each >= 1
+        // token), however large the corpus grows — the collect_list can
+        // never go corpus-shaped; and the manifest partitions the corpus
+        // exactly (every doc appears in exactly one chunk row)
+        val fx = replicate(docs0, "doc_id", n)
+          .select(col("doc_id"),
+            graft.ext.TextStats.tokenCount(coalesce(col("text"), lit("")))
+              .cast("long").as("tok"))
+          .filter(col("tok") > 0).withColumn("g", lit(0L))
+        val nDocs = fx.count()
+        val st = graft.ext.Curation.packBoundaries(
+            fx, "g", "doc_id", col("tok"), 128, nShards = 4)
+          .agg(sum(col("n_docs")).as("docs"), max(col("n_docs")).as("mx")).head
+        assert(st.getLong(0) == nDocs,
+          s"manifest lost docs: ${st.getLong(0)} vs $nDocs")
+        assert(st.getLong(1) <= 128L,
+          s"a chunk row went past capacity docs: ${st.getLong(1)}")
+      },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum
         // map-side; the shuffle is O(partitions x strata x K) — the
