@@ -86,6 +86,45 @@ object Artifacts {
     (table.toMap, dflt.head._2)
   }
 
+  // ---- reference bigram LM ([[TextStats.RefLm]]) ----
+
+  /** One row per table entry: (kind, k, lang, c). kind='cb'/'cu' rows
+    * carry the combined langIdx*numBuckets+bucket key in `k`;
+    * kind='lang' rows carry (idx, name); one kind='meta' row carries
+    * numBuckets in `k`. Sparse stays sparse (unseen counts re-densify
+    * from 0 at scoring time, exactly as trained).
+    */
+  def saveRefLm(spark: SparkSession, m: TextStats.RefLm,
+                path: String): Unit = {
+    val rows =
+      m.langs.zipWithIndex.map { case (l, i) =>
+        Row("lang", i.toLong, l, 0.0) }.toSeq ++
+      m.cb.toSeq.sortBy(_._1).map { case (k, c) => Row("cb", k, null, c) } ++
+      m.cu.toSeq.sortBy(_._1).map { case (k, c) => Row("cu", k, null, c) } :+
+      Row("meta", m.numBuckets.toLong, null, 0.0)
+    val schema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("c", DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadRefLm(spark: SparkSession, path: String): TextStats.RefLm = {
+    val rows = spark.read.parquet(path).collect()
+    val byKind = rows.groupBy(_.getString(0))
+    val meta = byKind.getOrElse("meta", Array.empty)
+    require(meta.length == 1, s"expected one meta row at $path")
+    val langs = byKind.getOrElse("lang", Array.empty)
+      .sortBy(_.getLong(1)).map(_.getString(2))
+    def table(kind: String): Map[Long, Double] =
+      byKind.getOrElse(kind, Array.empty)
+        .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    TextStats.RefLm(langs, table("cb"), table("cu"),
+      meta.head.getLong(1).toInt)
+  }
+
   // ---- dense vector tables (IVF centroids, JL sign matrix rows) ----
 
   /** One row per vector, ascending idx: (idx, vec array<double>). */

@@ -323,7 +323,8 @@ object Curation {
     * followed by a same-salt 4-hex gate keeps thr/0xc000, not
     * thr/0x10000). The library's own decisions are salt-separated:
     * "graft" (sample gates), "graft-temp" (temperature mixing),
-    * "graft-mix" (recipe mixing), "graft-split" (split assignment).
+    * "graft-mix" (recipe mixing), "graft-split" (split assignment),
+    * "graft-epoch" (fractional-epoch upsampling).
     */
   def hashKeep(key: Column, thresholdHex: Column, salt: String = "graft",
                width: Int = 2): Column = {
@@ -544,6 +545,112 @@ object Curation {
       .filter(col("thr").isNull ||
         hashKeep(col(idCol), col("thr"), salt = "graft-mix", width = 4))
       .drop("thr")
+  }
+
+  /** X7k (r13): fractional-EPOCH upsampling rates — the data-recipe
+    * primitive the published LLM mixes actually run ("2.3 epochs of
+    * wiki, 0.4 epochs of web": Llama/Pile-style recipes): group g with
+    * target share w_g and token supply T_g under token budget B gets
+    *
+    *   repeats_g = w_g * B / T_g            (UNCAPPED — > 1 upsamples)
+    *
+    * realized as floor(repeats) full copies of every document plus one
+    * extra copy of the deterministic md5-gated `frac = repeats - floor`
+    * slice ([[hashKeep]] semantics, salt "graft-epoch" — the salt
+    * discipline). The expectation of emitted token mass is exactly
+    * w_g * B, bounded-variance, and the emitted multiset is
+    * reproducible in (salt, id) across engines, runs and retries —
+    * unlike `rand()` epoch sampling. [[mixtureRates]] is the capped
+    * (downsample-only) sibling; this is the complement that may REPEAT
+    * data, which a mixture that overshoots supply requires.
+    *
+    * Returns one row per group present in the corpus: (groupCol,
+    * n_docs, n_tokens, target_w, repeats, n_full, thr) — groups absent
+    * from the recipe get repeats 0 (emitted nowhere); thr is ALWAYS a
+    * 4-hex gate ("0000" = no fractional copy), never null: unlike the
+    * sampling rates frames, "keep all" is expressed by n_full, not by
+    * an absent gate. Scale: one corpus scan for the (group, count,
+    * token-sum) aggregate; the recipe rides broadcast.
+    */
+  def epochRates(docs: DataFrame, groupCol: String, textCol: String,
+                 targets: Seq[(String, Double)],
+                 budgetTokens: Long): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 >= 0) &&
+      math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"mixture target shares must be >= 0 and sum to 1 (got $targets)")
+    require(budgetTokens > 0, s"budgetTokens must be positive (got $budgetTokens)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.filter(col(groupCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(coalesce(col(textCol), lit("")))))
+          .cast("long").as("n_tokens"))
+    val recipe = broadcast(targets.toDF(groupCol, "target_w"))
+    counts.join(recipe, Seq(groupCol), "left")
+      .withColumn("target_w", coalesce(col("target_w"), lit(0.0)))
+      .withColumn("repeats", col("target_w") * budgetTokens /
+        greatest(col("n_tokens").cast("double"), lit(1.0)))
+      .withColumn("n_full", floor(col("repeats")).cast("long"))
+      .withColumn("thr", format_string("%04x",
+        floor((col("repeats") - col("n_full")) * 65536).cast("int")))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        col("target_w"), col("repeats"), col("n_full"), col("thr"))
+  }
+
+  /** Apply [[epochRates]]: emit (document × copy) training instances —
+    * every document n_full times plus the md5-gated extra copy, `copy`
+    * numbered 0.. per document. The rates frame is group-sized
+    * (broadcast); the corpus side is one map-only pass whose output
+    * scales with the emitted mass, never more (explode of an empty
+    * sequence emits nothing — a repeats-0 group vanishes here but
+    * keeps its report row). At 100 TB the caller selects the slim
+    * (group, id, copy) projection and joins payloads back by id — the
+    * [[graft.ext.TrainSet.epochShuffle]] index discipline.
+    */
+  def epochUpsample(docs: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, targets: Seq[(String, Double)],
+                    budgetTokens: Long): DataFrame = {
+    val rates = epochRates(docs, groupCol, textCol, targets, budgetTokens)
+      .select(col(groupCol), col("n_full"), col("thr"))
+    val extra = when(hashKeep(col(idCol), col("thr"),
+      salt = "graft-epoch", width = 4), 1).otherwise(0)
+    val nCopies = (col("n_full") + extra).cast("int")
+    docs.filter(col(idCol).isNotNull && col(groupCol).isNotNull)
+      .join(broadcast(rates), Seq(groupCol))
+      .withColumn("copy", explode(when(nCopies > 0,
+        sequence(lit(0), nCopies - 1)).otherwise(array().cast("array<int>"))))
+      .drop("n_full", "thr")
+  }
+
+  /** X7k report: one row per group reconciling recipe against realized
+    * emission — (n_docs, n_tokens, repeats, n_full, emitted_docs,
+    * emitted_tokens, inst_xor) where inst_xor seals the exact
+    * (document, copy) instance multiset. A group the recipe drops
+    * (repeats 0) reports zeros rather than disappearing.
+    */
+  def epochUpsampleReport(docs: DataFrame, groupCol: String, idCol: String,
+                          textCol: String, targets: Seq[(String, Double)],
+                          budgetTokens: Long): DataFrame = {
+    val rates = epochRates(docs, groupCol, textCol, targets, budgetTokens)
+    val inst = epochUpsample(docs, groupCol, idCol, textCol, targets,
+        budgetTokens)
+      .select(col(groupCol), col(idCol).as("_id"), col("copy"),
+        size(Dedup.tokens(coalesce(col(textCol), lit("")))).cast("long")
+          .as("_tok"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("emitted_docs"),
+        sum("_tok").as("emitted_tokens"),
+        bit_xor(conv(substring(md5(concat(col("_id").cast("string"),
+          lit(":"), col("copy").cast("string"))), 1, 15), 16, 10)
+          .cast("long")).as("inst_xor"))
+    rates.join(broadcast(inst), Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        round(col("repeats"), 6).as("repeats"), col("n_full"),
+        coalesce(col("emitted_docs"), lit(0L)).as("emitted_docs"),
+        coalesce(col("emitted_tokens"), lit(0L)).as("emitted_tokens"),
+        coalesce(col("inst_xor"), lit(0L)).as("inst_xor"))
+      .orderBy(groupCol)
   }
 
   /** X7g: per-group frequency cap — keep at most `cap` documents per

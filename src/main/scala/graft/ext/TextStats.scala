@@ -731,6 +731,153 @@ object TextStats {
       .orderBy("k")
   }
 
+  /** X5k: reference-corpus bigram language model (the CCNet-style
+    * perplexity-filter step — Wenzek et al. 2020: train an LM on a
+    * trusted reference slice, score the whole corpus, split each
+    * language into head/middle/tail perplexity tiers). The reference
+    * formulation uses a KenLM 5-gram; the engine-portable declared
+    * semantics here are an add-one-smoothed HASHED-bigram conditional
+    * model per language:
+    *
+    *   lp(w2 | w1) = ln((cb[lang, b(w1 + ' ' + w2)] + 1)
+    *                  / (cu[lang, b(w1)] + numBuckets))
+    *
+    * where `b` is the corpus-wide md5 bucket convention (see
+    * [[TrainSet.hashedNgramBuckets]]) and cb/cu are bigram / prefix
+    * occurrence counts from the REFERENCE slice only. Unseen bigrams
+    * and unseen languages fall out of the same formula at count 0, so
+    * train and apply share one smoothing rule (the [[NbModel]]
+    * discipline). The whole model is ≤ 2 × |langs| × numBuckets
+    * doubles — kilobytes, riding into the scoring plan as
+    * [[graft.functions.BucketLookup]] reference arrays: scoring is
+    * MAP-ONLY at any scale and streams unchanged.
+    */
+  case class RefLm(langs: Array[String], cb: Map[Long, Double],
+                   cu: Map[Long, Double], numBuckets: Int) {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    private[graft] def langIdx: Map[String, Int] = langs.zipWithIndex.toMap
+  }
+
+  /** Train [[RefLm]] on the `refPred` slice of the corpus: ONE
+    * tokenize+explode pass builds the slim (lang, prefix-bucket,
+    * bigram-bucket) frame (persisted with lineage, released in
+    * finally — the [[graft.ext.Dedup]] materialization policy); the two
+    * histograms are partial-agg'd shuffles of ≤ |langs| × numBuckets
+    * keys each, collected at model size. Documents with a null lang or
+    * < 2 tokens contribute no bigrams (the x38 convention).
+    */
+  def refLmTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                 langCol: String, refPred: Column,
+                 numBuckets: Int = 1024): RefLm = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
+    val base = docs.filter(refPred && col(langCol).isNotNull)
+      .select(col(langCol).as("_lang"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bg0 = base.select(col("_lang"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          concat(element_at(col("toks"), i), lit(" "),
+            element_at(col("toks"), i + 1)).as("g")))).as("b"))
+      .select(col("_lang"),
+        (conv(substring(md5(col("b.w1")), 1, 8), 16, 10)
+          .cast("long") % numBuckets).as("b1"),
+        (conv(substring(md5(col("b.g")), 1, 8), 16, 10)
+          .cast("long") % numBuckets).as("b2"))
+    val bg = bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val langs = bg.select("_lang").distinct().collect()
+        .map(_.getString(0)).sorted
+      val lidx = langs.zipWithIndex.toMap
+      def hist(keyCol: String): Map[Long, Double] =
+        bg.groupBy("_lang", keyCol).agg(count(lit(1)).as("c")).collect()
+          .map(r => (lidx(r.getString(0)).toLong * numBuckets +
+            r.getLong(1)) -> r.getLong(2).toDouble).toMap
+      RefLm(langs, hist("b2"), hist("b1"), numBuckets)
+    } finally bg.unpersist()
+  }
+
+  /** Mean reference-LM bigram log-probability of one document (the
+    * quantity CCNet thresholds; perplexity = exp(-this)). A pure
+    * column expression: the in-row left fold over the document's
+    * sequential bigrams probes the broadcast model tables twice per
+    * position ([[graft.functions.BucketLookup]], O(log model) each) —
+    * no join, no shuffle, identical on a streaming frame. Callers
+    * filter to ≥ 2 tokens (a bigram-less document has no mean).
+    */
+  def refLmAvgLogProb(text: Column, lang: Column, model: RefLm): Column = {
+    val b = model.numBuckets
+    val toks = Dedup.tokens(coalesce(text, lit("")))
+    // unseen lang → idx -1 → negative keys → both lookups default 0,
+    // so the add-one formula degrades to ln(1/numBuckets) per bigram —
+    // one smoothing rule, no special case (mirrored by the oracle's
+    // LEFT JOIN + coalesce(0))
+    val off = coalesce(element_at(typedLit(model.langIdx), lang), lit(-1))
+      .cast("long") * b
+    def bkt(g: Column): Column =
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % b
+    def cbAt(k: Column): Column =
+      graft.functions.BucketLookup.bucket_lookup(k, model.cb, 0.0)
+    def cuAt(k: Column): Column =
+      graft.functions.BucketLookup.bucket_lookup(k, model.cu, 0.0)
+    val lpSum = aggregate(
+      when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast("array<int>")),
+      lit(0.0),
+      (acc, i) => {
+        val w1 = element_at(toks, i)
+        val g = concat(w1, lit(" "), element_at(toks, i + 1))
+        acc + log((cbAt(off + bkt(g)) + lit(1.0)) /
+          (cuAt(off + bkt(w1)) + lit(b.toDouble)))
+      })
+    lpSum / (size(toks) - 1)
+  }
+
+  /** X5k report: per-language head/middle/tail perplexity tiers under
+    * [[RefLm]] — tier thresholds are the exact tertiles of the
+    * 6dp-rounded per-doc mean log-prob (rounded to 4dp, the x99
+    * quantile-gate rounding discipline, so both engines agree on every
+    * boundary), head = highest log-prob (lowest perplexity). One
+    * map-only scoring pass, one lang-keyed tertile aggregate
+    * (broadcast back), one bounded rollup. Output one row per
+    * (lang, tier) with doc/bigram mass, mean perplexity and the
+    * doc-set xor witness.
+    */
+  def perplexityTiers(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      langCol: String, idCol: String,
+                      model: RefLm): org.apache.spark.sql.DataFrame = {
+    val scored = docs
+      .filter(col(idCol).isNotNull && col(langCol).isNotNull)
+      .filter(size(Dedup.tokens(coalesce(col(textCol), lit("")))) >= 2)
+      .select(col(langCol).as("lang"), col(idCol).as("_id"),
+        (size(Dedup.tokens(coalesce(col(textCol), lit("")))) - 1)
+          .cast("long").as("n_bigrams"),
+        round(refLmAvgLogProb(col(textCol), col(langCol), model), 6)
+          .as("lp"))
+    val thr = scored.groupBy("lang").agg(
+      round(expr(s"percentile(lp, ${1.0 / 3})"), 4).as("thr_lo"),
+      round(expr(s"percentile(lp, ${2.0 / 3})"), 4).as("thr_hi"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .withColumn("tier", when(col("lp") >= col("thr_hi"), "head")
+        .when(col("lp") >= col("thr_lo"), "middle").otherwise("tail"))
+      .groupBy("lang", "tier", "thr_lo", "thr_hi")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+        // mean perplexity folds the 4dp-rounded per-doc values as EXACT
+        // scaled longs (one double division at the end): a plain avg()
+        // combines partition sums in task-completion order, and a
+        // boundary value (….xxxx5) then flips its last digit run-to-run
+        sum(round(round(exp(-col("lp")), 4) * 10000, 0).cast("long"))
+          .as("_ppl_sum"),
+        bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15),
+          16, 10).cast("long")).as("doc_xor"))
+      .withColumn("avg_ppl", round(
+        (col("_ppl_sum").cast("double") / 10000.0) / col("n_docs"), 4))
+      .select(col("lang"), col("tier"), col("thr_lo").cast("double"),
+        col("thr_hi").cast("double"), col("n_docs"), col("n_bigrams"),
+        col("avg_ppl"), col("doc_xor"))
+      .orderBy("lang", "tier")
+  }
+
   /** X6: 256-bit content fingerprint (hex). */
   def fingerprint(text: Column): Column = sha2(text, 256)
 

@@ -4800,6 +4800,126 @@ object Declared {
         |FROM thr t LEFT JOIN kept k USING (lang)
         |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin)),
 
+    // X5k: CCNet-style reference-model perplexity tiers (Wenzek et al.
+    // 2020) — train an add-one-smoothed hashed-bigram LM per language
+    // on the trusted reference slice (source src0/src1), score EVERY
+    // document map-only through the broadcast kilobyte model
+    // (train → save → reload via Artifacts, the x68/x71 discipline),
+    // split each language into head/middle/tail at the exact tertiles
+    // of the 6dp-rounded mean log-prob (thresholds rounded 4dp — the
+    // x99 boundary discipline). DuckDB independently rebuilds the
+    // reference histograms from the same md5-bucket arithmetic and
+    // replays scoring, tertiles, tier assignment, and every rollup, so
+    // the hash gate covers train AND apply end-to-end.
+    "x105_perplexity_tiers" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lm = artifact(s, "reflm_src01_1024", dir) {
+          viaStore(s, "reflm_src01_1024") {
+            TextStats.refLmTrain(docs, "text", "lang",
+              col("source").isin("src0", "src1"), numBuckets = 1024)
+          }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+            graft.ext.Artifacts.loadRefLm)
+        }
+        TextStats.perplexityTiers(
+          docs.repartition(s.sparkContext.defaultParallelism),
+          "text", "lang", "doc_id", lm)
+      },
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |cb AS (
+        |  SELECT lang, b2, count(*)::double AS c FROM bg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT lang, b1, count(*)::double AS c FROM bg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT g.doc_id, g.lang, count(*)::bigint AS n_bigrams,
+        |    round(avg(ln((coalesce(cb.c, 0) + 1) / (coalesce(cu.c, 0) + 1024))), 6) AS lp
+        |  FROM bg g
+        |  LEFT JOIN cb ON cb.lang = g.lang AND cb.b2 = g.b2
+        |  LEFT JOIN cu ON cu.lang = g.lang AND cu.b1 = g.b1
+        |  GROUP BY 1, 2),
+        |thr AS (
+        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo,
+        |    round(quantile_cont(lp, ${2.0 / 3}), 4) AS thr_hi
+        |  FROM sc GROUP BY 1),
+        |tiers AS (
+        |  SELECT s.lang,
+        |    CASE WHEN s.lp >= t.thr_hi THEN 'head'
+        |         WHEN s.lp >= t.thr_lo THEN 'middle'
+        |         ELSE 'tail' END AS tier,
+        |    t.thr_lo, t.thr_hi, s.doc_id, s.n_bigrams,
+        |    round(exp(-s.lp), 4) AS ppl
+        |  FROM sc s JOIN thr t USING (lang))
+        |SELECT lang, tier, thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
+        |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
+        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
+        |    / count(*), 4) AS avg_ppl,
+        |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
+        |FROM tiers GROUP BY 1, 2, 3, 4
+        |ORDER BY lang, tier""".stripMargin)),
+
+    // X7k: fractional-epoch upsampling — the recipe primitive published
+    // LLM mixes actually run ("2.5 epochs of en, 0.45 of es"): UNCAPPED
+    // repeats = w*B/T realized as floor full copies + one md5-gated
+    // fractional copy (salt "graft-epoch"). The fixed 60k budget walks
+    // the operator through genuinely different regimes across the three
+    // SFs (multi-epoch at sf0.001, mixed up/down at sf0.01, mostly
+    // fractional at sf0.1). DuckDB independently rebuilds the rates and
+    // regenerates the full (document × copy) instance multiset —
+    // inst_xor seals every instance, so a single missing or duplicated
+    // copy anywhere flips the row red.
+    "x106_epoch_upsample" -> Q(
+      (s, dir) => Curation.epochUpsampleReport(
+        t(s, dir, "documents"), "lang", "doc_id", "text",
+        Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.15, "fr" -> 0.07,
+          "es" -> 0.03), budgetTokens = 60000L),
+      Some("""WITH t0 AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> ''))::bigint AS tok
+        |  FROM documents WHERE lang IS NOT NULL),
+        |g AS (
+        |  SELECT lang, count(*)::bigint AS n_docs, sum(tok)::bigint AS n_tokens
+        |  FROM t0 GROUP BY 1),
+        |tw AS (SELECT * FROM (VALUES
+        |  ('en', 0.5::double), ('zh', 0.25::double), ('de', 0.15::double),
+        |  ('fr', 0.07::double), ('es', 0.03::double)) t(lang, w)),
+        |r AS (
+        |  SELECT g.lang, n_docs, n_tokens,
+        |    coalesce(w, 0.0) * 60000 / greatest(n_tokens::double, 1.0) AS rep
+        |  FROM g LEFT JOIN tw USING (lang)),
+        |r2 AS (
+        |  SELECT lang, n_docs, n_tokens, rep, floor(rep)::bigint AS n_full,
+        |    printf('%04x', floor((rep - floor(rep)) * 65536)::int) AS thr
+        |  FROM r),
+        |inst AS (
+        |  SELECT t0.lang, t0.doc_id, c.copy, t0.tok
+        |  FROM t0 JOIN r2 USING (lang),
+        |    unnest(range(0, r2.n_full +
+        |      CASE WHEN substr(md5('graft-epoch' || t0.doc_id::varchar), 1, 4) < r2.thr
+        |        THEN 1 ELSE 0 END)) AS c(copy)
+        |  WHERE t0.doc_id IS NOT NULL),
+        |agg AS (
+        |  SELECT lang, count(*)::bigint AS emitted_docs,
+        |    sum(tok)::bigint AS emitted_tokens,
+        |    bit_xor(('0x' || substr(md5(doc_id::varchar || ':' || copy::varchar), 1, 15))::bigint)::bigint AS inst_xor
+        |  FROM inst GROUP BY 1)
+        |SELECT r2.lang, r2.n_docs, r2.n_tokens,
+        |  round(r2.rep, 6) AS repeats, r2.n_full,
+        |  coalesce(a.emitted_docs, 0)::bigint AS emitted_docs,
+        |  coalesce(a.emitted_tokens, 0)::bigint AS emitted_tokens,
+        |  coalesce(a.inst_xor, 0)::bigint AS inst_xor
+        |FROM r2 LEFT JOIN agg a USING (lang)
+        |ORDER BY lang""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

@@ -566,6 +566,71 @@ class CurationSpec extends SparkSuite {
     assert(kept.nonEmpty && kept.size < 400, kept.size)
   }
 
+  test("X7k epoch rates: uncapped repeats, fractional gate, off-recipe zero") {
+    val docs = Seq(
+      (1L, "a", "t1 t2 t3 t4 t5"), (2L, "a", "u1 u2 u3 u4 u5"),
+      (3L, "b", "v1 v2 v3 v4 v5"),
+      (4L, "c", "w1 w2")).toDF("doc_id", "lang", "text")
+    // budget 50: a (10 tokens) wants 25 -> repeats 2.5 (2 full copies +
+    // a 0.5 gate = thr 8000); b (5 tokens) wants 25 -> repeats 5.0
+    // (five full copies, thr 0000); c off-recipe -> zero everywhere
+    val got = Curation.epochRates(docs, "lang", "text",
+        Seq("a" -> 0.5, "b" -> 0.5), 50L)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getString(6)))
+    assert(got(0) == (("a", 2L, 10L, 0.5, 2.5, 2L, "8000")), got.toSeq)
+    assert(got(1) == (("b", 1L, 5L, 0.5, 5.0, 5L, "0000")), got.toSeq)
+    assert(got(2) == (("c", 1L, 2L, 0.0, 0.0, 0L, "0000")), got.toSeq)
+    intercept[IllegalArgumentException] {
+      Curation.epochRates(docs, "lang", "text", Seq("a" -> 0.6), 50L)
+    }
+  }
+
+  test("X7k epoch upsample: instance multiset equals a plain-JVM md5 replay") {
+    val docs = (1L to 300L).map { i =>
+      val lang = if (i % 3 == 0) "b" else "a"
+      (i, lang, ("tok " * (1 + (i % 4).toInt)).trim)
+    }.toDF("doc_id", "lang", "text")
+    val targets = Seq("a" -> 0.7, "b" -> 0.3)
+    val budget = 2000L
+    val inst = Curation.epochUpsample(docs, "lang", "doc_id", "text",
+        targets, budget)
+      .select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val rates = Curation.epochRates(docs, "lang", "text", targets, budget)
+      .collect().map(r => r.getString(0) -> ((r.getLong(5), r.getString(6))))
+      .toMap
+    def gate(id: Long, thr: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"graft-epoch$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.substring(0, 4) < thr
+    }
+    val want = (1L to 300L).flatMap { i =>
+      val (nFull, thr) = rates(if (i % 3 == 0) "b" else "a")
+      val n = nFull + (if (gate(i, thr)) 1L else 0L)
+      (0L until n).map(c => (i, c.toInt))
+    }.sorted.toSeq
+    assert(inst == want, s"sizes ${inst.size} vs ${want.size}")
+    // the fixture really exercises the UNCAPPED regime
+    assert(rates.values.exists(_._1 >= 1L), rates.toString)
+  }
+
+  test("X7k epoch report: dropped group reports zeros, emitted mass reconciles") {
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "p q"), (3L, "b", "m n o p")
+    ).toDF("doc_id", "lang", "text")
+    val rep = Curation.epochUpsampleReport(docs, "lang", "doc_id", "text",
+        Seq("a" -> 1.0), 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // a: 5 tokens under budget 10 -> repeats 2.0 -> every doc exactly twice
+    assert(rep(0) == (("a", 2L, 5L, 2.0, 2L, 4L, 10L)), rep.toSeq)
+    // b off-recipe: present with zero emission, never silently dropped
+    assert(rep(1) == (("b", 1L, 4L, 0.0, 0L, 0L, 0L)), rep.toSeq)
+  }
+
   test("domain cap: kept set is the cap smallest md5 uniforms per group") {
     val docs = (1L to 300L).map { i =>
       (i, s"src${i % 3}", s"text $i")

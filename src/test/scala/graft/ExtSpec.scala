@@ -1930,4 +1930,86 @@ class ExtSpec extends SparkSuite {
     assert(topk(Artifacts.loadIndex(spark, s"$tmp/lsh")) == fresh,
       "reloaded banded index served different top-k")
   }
+
+  test("X5k reference LM: crafted histograms + scoring match a plain-JVM md5 replay") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val nb = 64
+    def bkt(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16) % nb
+    val docs = Seq(
+      (1L, "en", "ref", "alpha beta gamma"),
+      (2L, "en", "ref", "beta gamma"),
+      (3L, "en", "apply", "alpha beta delta"),
+      (4L, "fr", "ref", "un deux"),
+      (5L, "en", "ref", "solo") // < 2 tokens: contributes no bigrams
+    ).toDF("doc_id", "lang", "slice", "text")
+    val m = TextStats.refLmTrain(docs, "text", "lang",
+      col("slice") === "ref", numBuckets = nb)
+    assert(m.langs.toSeq == Seq("en", "fr"))
+    val en = m.langIdx("en").toLong * nb
+    val fr = m.langIdx("fr").toLong * nb
+    // bucket collisions (if any) fold identically in both replays
+    val cbWant = Seq(en -> "alpha beta", en -> "beta gamma", en -> "beta gamma",
+        fr -> "un deux").map { case (off, g) => off + bkt(g) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val cuWant = Seq(en -> "alpha", en -> "beta", en -> "beta", fr -> "un")
+      .map { case (off, w) => off + bkt(w) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    assert(m.cb == cbWant, s"cb: ${m.cb} vs $cbWant")
+    assert(m.cu == cuWant, s"cu: ${m.cu} vs $cuWant")
+    // held-out doc 3 "alpha beta delta": add-one formula by hand
+    def cbAt(k: Long) = cbWant.getOrElse(k, 0.0)
+    def cuAt(k: Long) = cuWant.getOrElse(k, 0.0)
+    val want = (math.log((cbAt(en + bkt("alpha beta")) + 1) / (cuAt(en + bkt("alpha")) + nb)) +
+      math.log((cbAt(en + bkt("beta delta")) + 1) / (cuAt(en + bkt("beta")) + nb))) / 2
+    val got = docs.filter(col("doc_id") === 3L)
+      .select(TextStats.refLmAvgLogProb(col("text"), col("lang"), m))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-12, s"$got vs $want")
+    // unseen language: one smoothing rule, every bigram ln(1/numBuckets)
+    val alien = Seq(("zz", "x y z")).toDF("lang", "text")
+      .select(TextStats.refLmAvgLogProb(col("text"), col("lang"), m))
+      .collect()(0).getDouble(0)
+    assert(math.abs(alien - math.log(1.0 / nb)) < 1e-12, alien.toString)
+  }
+
+  test("X5k perplexity tiers: artifact round-trip bit-exact; tier invariants on the fixture") {
+    import graft.ext.Artifacts
+    def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+    val docs = Tables.load(spark, sf(), "documents")
+    val m = TextStats.refLmTrain(docs, "text", "lang",
+      col("source").isin("src0", "src1"), numBuckets = 256)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-reflm").toString
+    Artifacts.saveRefLm(spark, m, s"$tmp/reflm")
+    val m2 = Artifacts.loadRefLm(spark, s"$tmp/reflm")
+    assert(m2.langs.toSeq == m.langs.toSeq && m2.numBuckets == m.numBuckets)
+    assert(m2.cb.keySet == m.cb.keySet && m2.cu.keySet == m.cu.keySet)
+    m.cb.foreach { case (k, v) => assert(bits(m2.cb(k)) == bits(v), s"cb $k") }
+    m.cu.foreach { case (k, v) => assert(bits(m2.cu(k)) == bits(v), s"cu $k") }
+    val scored = docs.filter(col("lang").isNotNull).limit(50)
+      .select(TextStats.refLmAvgLogProb(col("text"), col("lang"), m).as("a"),
+        TextStats.refLmAvgLogProb(col("text"), col("lang"), m2).as("b"))
+      .collect()
+    scored.foreach(r => assert(bits(r.getDouble(0)) == bits(r.getDouble(1)),
+      "reloaded RefLm scores differ"))
+
+    val tiers = TextStats.perplexityTiers(docs, "text", "lang", "doc_id", m)
+      .collect()
+    val byLang = tiers.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.map(_.getString(1)).toSet == Set("head", "middle", "tail"), lang)
+      assert(rows.head.getDouble(2) <= rows.head.getDouble(3),
+        s"$lang: thr_lo above thr_hi")
+      // head = lowest-perplexity tier: exp(-lp) is monotone in the cut
+      val ppl = rows.map(r => r.getString(1) -> r.getDouble(6)).toMap
+      assert(ppl("head") <= ppl("middle") && ppl("middle") <= ppl("tail"),
+        s"$lang: $ppl")
+    }
+    // tiers cover exactly the scoreable documents (>= 2 tokens, lang set)
+    val scoreable = docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .filter(size(Dedup.tokens(coalesce(col("text"), lit("")))) >= 2).count()
+    assert(tiers.map(_.getLong(4)).sum == scoreable)
+  }
 }

@@ -919,6 +919,29 @@ class PlanSpec extends SparkSuite {
     assert(windows == 1, s"$windows windows (the running sum only):\n$p")
   }
 
+  // x105: scoring is the codegen'd bucket_lookup fold — no join on the
+  // corpus side; the per-lang tertile frame is lang-sized and must reach
+  // the tier assignment as a broadcast, never by shuffling the corpus
+  test("perplexity tiers broadcast the tertile frame; scoring is the in-plan fold") {
+    val p = planOf("x105_perplexity_tiers")
+    assert(p.contains("bucket_lookup"), s"codegen'd LM fold not in-plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"tertile join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a lang-sized join:\n$p")
+    assert(!p.contains("Window"), s"window in perplexity tiers:\n$p")
+  }
+
+  // x106: both joins carry group-sized frames (recipe rates into the
+  // corpus scan, the emission rollup into the report) — broadcast only,
+  // and the instance explosion must not sort or window anything
+  test("epoch upsample joins are broadcast; no window, no sort-merge") {
+    val p = planOf("x106_epoch_upsample")
+    assert(p.contains("BroadcastHashJoin"), s"rates join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a group-sized join:\n$p")
+    assert(!p.contains("Window"), s"window in epoch upsample:\n$p")
+  }
+
   test("column pruning reaches the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sparkPlan, not executedPlan: the AQE wrapper hides its input plan
