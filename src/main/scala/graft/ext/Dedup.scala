@@ -320,6 +320,72 @@ object Dedup {
           .as("ids_md5"))
       .orderBy("norm_sha")
 
+  /** X1e (r13): corpus-wide LINE-level dedup drops — the C4/RefinedWeb
+    * line-dedup rule: a line whose exact content appears in >= `minDocs`
+    * DISTINCT documents is removed everywhere except its first corpus
+    * occurrence, ordered by (doc_id, pos). This is the keep-ONE policy
+    * a boilerplate-ridden web corpus wants (nav bars, cookie banners,
+    * license footers collapse to a single surviving site) — the
+    * complement of X7e's span cut, which removes duplicated runs from
+    * ALL sites and keys on token n-grams rather than whole lines. A
+    * line repeated only WITHIN one document is not a cross-doc
+    * duplicate and stays (intra-doc repetition is X7e/x19's job).
+    *
+    * `linesCol` is the caller's line view (an `array<string>` column
+    * over the doc — real `split(text, "\n")` lines, sentences, or any
+    * deterministic re-chunking), so the policy composes with whatever
+    * segmentation the corpus carries.
+    *
+    * Returns the slim per-doc drop list: (doc_id, drop_pos
+    * array<int>) for affected docs only. Scale: line TEXT never
+    * shuffles — the corpus reduces map-side to (doc_id, pos, 60-bit
+    * md5 line hash); the histogram + first-owner election is one
+    * partial-agg'd groupBy of the hash domain (min over the (doc_id,
+    * pos) struct — no window over occurrence lists); the drop list is
+    * per-doc bounded by the doc's own line count.
+    */
+  def lineDrops(docs: DataFrame, idCol: String, linesCol: Column,
+                minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val lf = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), posexplode(linesCol))
+      .toDF("doc_id", "pos", "_line")
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("_line")), 1, 15), 16, 10).cast("long")
+          .as("lh"))
+    val dupFirst = lf.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("nd") >= minDocs)
+      .select(col("lh"), col("first.doc_id").as("_fid"),
+        col("first.pos").as("_fpos"))
+    lf.join(dupFirst, Seq("lh"))
+      .filter(!(col("doc_id") === col("_fid") && col("pos") === col("_fpos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
+  }
+
+  /** Apply [[lineDrops]]: one row per input document — (doc_id,
+    * n_lines, n_dropped, clean_text) with the surviving lines rejoined
+    * by `sep` (clean docs pass through, n_dropped 0). The cut itself is
+    * the [[graft.ext.Curation.cutDupSpans]] discipline: the slim drop
+    * frame (affected docs × a few ints) joins back by doc_id and the
+    * filter-by-index lambda runs map-side inside codegen — document
+    * bodies cross the join, never the line histogram.
+    */
+  def lineDedupRewrite(docs: DataFrame, idCol: String, linesCol: Column,
+                       minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val drops = lineDrops(docs, idCol, linesCol, minDocs)
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), linesCol.as("_ls"))
+      .join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("_ls")).cast("long").as("n_lines"),
+        coalesce(size(col("drop_pos")), lit(0)).cast("long").as("n_dropped"),
+        concat_ws(sep, filter(col("_ls"), (_, i) =>
+          !coalesce(array_contains(col("drop_pos"), i), lit(false))))
+          .as("clean_text"))
+  }
+
   /** X1d: dedup-tier FUNNEL — the "where did my duplicates go" readout
     * over the dedup ladder, the dedup analogue of the curation gate
     * funnel (X7i): apply byte-exact → normalized-exact → near-dup

@@ -4920,6 +4920,55 @@ object Declared {
         |FROM r2 LEFT JOIN agg a USING (lang)
         |ORDER BY lang""".stripMargin)),
 
+    // X1e: corpus-wide LINE-level dedup with keep-first rewrite (the
+    // C4/RefinedWeb line-dedup rule: a line appearing in >= 2 distinct
+    // documents survives only at its first corpus occurrence). The
+    // fixture carries no newlines, so the declared line view is a
+    // deterministic re-chunk — 12-token lines — built IDENTICALLY on
+    // both engines; the corpus's near-dup structure makes it genuinely
+    // non-vacuous (110 cross-doc duplicate lines at sf0.001). Output is
+    // one row per document with the rebuilt text sealed by md5, so a
+    // single mis-kept or mis-dropped line anywhere flips the row red.
+    "x107_line_dedup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val toks = Dedup.tokens(coalesce(col("text"), lit("")))
+        val lines = when(size(toks) > 0,
+          transform(sequence(lit(0),
+            floor((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+            i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+          .otherwise(array().cast("array<string>"))
+        Dedup.lineDedupRewrite(docs, "doc_id", lines, minDocs = 2)
+          .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+            md5(col("clean_text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |lines AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[(i*12+1):(i*12+12)], ' ') AS line
+        |  FROM toks, unnest(range(0, (len(w)+11)//12)) t(i)),
+        |marked AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint
+        |      ORDER BY doc_id, pos) AS rn,
+        |    count(distinct doc_id) OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint) AS nd
+        |  FROM lines),
+        |agg AS (
+        |  SELECT doc_id, count(*)::bigint AS n_lines,
+        |    count(*) FILTER (nd >= 2 AND rn > 1)::bigint AS n_dropped,
+        |    md5(coalesce(string_agg(
+        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+        |      chr(10) ORDER BY pos), '')) AS clean_md5
+        |  FROM marked GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.n_lines, 0)::bigint AS n_lines,
+        |  coalesce(a.n_dropped, 0)::bigint AS n_dropped,
+        |  coalesce(a.clean_md5, md5('')) AS clean_md5
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic
     // rare-pair guard). DuckDB independently rebuilds both count

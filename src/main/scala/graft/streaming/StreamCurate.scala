@@ -183,6 +183,33 @@ object StreamCurate {
       model).getField("lang") === keepLabel)
   }
 
+  /** X5k streaming twin (r13): the frozen reference-LM PERPLEXITY gate —
+    * the CCNet deployment shape: [[graft.ext.TextStats.refLmTrain]]'s
+    * model plus the per-language tail boundary the batch
+    * [[graft.ext.TextStats.perplexityTiers]] emits as `thr_lo` gate
+    * live ingest, keeping the head+middle tiers (mean bigram log-prob
+    * clears the language's own tail tertile). Model tables and the
+    * threshold map both ride into the plan as reference objects —
+    * map-only, stateless, no join, so the stream keeps EXACTLY the
+    * batch tiers' non-tail rows (StreamingSpec-pinned). Languages
+    * without a trained threshold and sub-2-token documents (no mean
+    * exists) fail closed — the x42 bloom discipline.
+    */
+  def applyPerplexityGate(docs: DataFrame,
+                          model: graft.ext.TextStats.RefLm,
+                          tailThr: Map[String, Double],
+                          textCol: String = "text",
+                          langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, TextStats}
+    val lp = round(TextStats.refLmAvgLogProb(col(textCol), col(langCol),
+      model), 6)
+    val thr = element_at(typedLit(tailThr), coalesce(col(langCol), lit("")))
+    docs.filter(
+      size(Dedup.tokens(coalesce(col(textCol), lit("")))) >= 2 &&
+        thr.isNotNull && lp >= thr)
+  }
+
   /** X7i streaming twin (r12): the gate-funnel JOURNAL — per
     * micro-batch, append the slim (stage, n_docs, n_tokens) delta
     * ([[Curation.funnelCounts]], the SAME classification expression as

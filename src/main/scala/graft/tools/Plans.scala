@@ -33,7 +33,8 @@ object Plans {
     "x94_cluster_balanced", "x95_gate_funnel", "x96_pack_efficiency",
     "x97_perceptual_dedup", "x98_quality_distill", "x99_quantile_gate",
     "x100_audio_dedup", "x102_normalized_dedup", "x103_pack_boundaries",
-    "x104_dedup_funnel")
+    "x104_dedup_funnel", "x105_perplexity_tiers", "x106_epoch_upsample",
+    "x107_line_dedup")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

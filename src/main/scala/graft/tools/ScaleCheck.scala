@@ -108,6 +108,22 @@ object ScaleCheck {
       (r.getLong(0), r.getLong(1).toDouble / r.getLong(2))
     }
 
+    // x105's fixed train-once reference LM (1x reference slice, outside
+    // any timed region — the deployment shape: retrain per corpus
+    // refresh, score every ingest batch through the frozen kilobytes)
+    val refLm1x: graft.ext.TextStats.RefLm =
+      graft.ext.TextStats.refLmTrain(docs0, "text", "lang",
+        col("source").isin("src0", "src1"), numBuckets = 1024)
+    val scoreable1x: Long = docs0
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+      .filter(size(graft.ext.Dedup.tokens(coalesce(col("text"), lit("")))) >= 2)
+      .count()
+    // x106's 1x token supply (the budget tracks the corpus so repeats
+    // stay scale-invariant — the realistic recipe re-run mode)
+    val tokens1x: Long = docs0.filter(col("lang").isNotNull)
+      .agg(sum(size(graft.ext.Dedup.tokens(coalesce(col("text"), lit("")))))
+        .cast("long")).head.getLong(0)
+
     val scales = Seq(1, 4, 16)
     // (name, per-scale runnable built on the scaled frame)
     val cases: Seq[(String, Int => Unit)] = Seq(
@@ -505,6 +521,44 @@ object ScaleCheck {
           s"manifest lost docs: ${st.getLong(0)} vs $nDocs")
         assert(st.getLong(1) <= 128L,
           s"a chunk row went past capacity docs: ${st.getLong(1)}")
+      },
+      "x105 perplexity tiers (documents, frozen 1x reference LM)" -> { n =>
+        // the timed region is the MAP-ONLY scoring fold + the lang-keyed
+        // tertile aggregate; replicas carry identical text so the scored
+        // multiset is the 1x multiset n-fold — total tier mass must
+        // scale exactly (per-tier splits re-derive their own boundaries)
+        val t = graft.ext.TextStats.perplexityTiers(
+            replicate(docs0, "doc_id", n), "text", "lang", "doc_id", refLm1x)
+          .agg(sum(col("n_docs")).as("docs"), count(lit(1)).as("rows")).head
+        assert(t.getLong(0) == n * scoreable1x,
+          s"tier mass: ${t.getLong(0)} vs ${n * scoreable1x}")
+        assert(t.getLong(1) >= 3L, s"degenerate tier rows: ${t.getLong(1)}")
+      },
+      "x106 epoch upsample (documents, budget 2x corpus tokens)" -> { n =>
+        // repeats = w*B/T is scale-invariant when the budget tracks the
+        // corpus; emission is one map-only pass scaling with emitted
+        // mass — each in-recipe group's realized token mass must sit on
+        // its w*B expectation (the md5 fractional gate's deviation is
+        // O(sqrt(docs)·avg_tok), far inside 2% at this corpus size)
+        val targets = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.15,
+          "fr" -> 0.07, "es" -> 0.03)
+        val budget = 2L * n * tokens1x
+        val rep = graft.ext.Curation.epochUpsampleReport(
+          replicate(docs0, "doc_id", n), "lang", "doc_id", "text",
+          targets, budget).collect()
+        val tmap = targets.toMap
+        rep.filter(r => tmap.getOrElse(r.getString(0), 0.0) > 0).foreach { r =>
+          val want = tmap(r.getString(0)) * budget
+          val got = r.getLong(6).toDouble
+          // the fractional gate is a per-doc Bernoulli draw: allow 5
+          // sigma of sqrt(n_docs)·avg_tok (the small 3%-share group
+          // sits ~2.6% wide at sf0.1 — a systematic repeats error is
+          // 100%+ and still trips)
+          val sd = math.sqrt(r.getLong(1).toDouble) *
+            (r.getLong(2).toDouble / r.getLong(1))
+          assert(math.abs(got - want) <= 5 * sd + 2,
+            s"${r.getString(0)}: emitted $got vs expectation $want (5sd=${5 * sd})")
+        }
       },
       "x54 weighted sample (documents, K=50/stratum)" -> { n =>
         // WindowGroupLimit caps every partition at K rows per stratum

@@ -1931,6 +1931,31 @@ class ExtSpec extends SparkSuite {
       "reloaded banded index served different top-k")
   }
 
+  test("X1e line dedup: keep-first across docs, intra-doc dup untouched, rebuild exact") {
+    val docs = Seq(
+      (1L, "boiler\nunique a"),
+      (2L, "boiler\nunique b\nboiler"),
+      (3L, "unique c"),
+      (4L, "intra\nintra")).toDF("doc_id", "text")
+    val lines = split(col("text"), "\n")
+    // "boiler" lives in docs 1 and 2 -> keep only its first corpus
+    // occurrence (1,0); doc 4's intra-doc repeat is NOT cross-doc
+    val drops = Dedup.lineDrops(docs, "doc_id", lines).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(drops == Map(2L -> Seq(0, 2)), drops.toString)
+    val got = Dedup.lineDedupRewrite(docs, "doc_id", lines)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, "boiler\nunique a"),
+      (2L, 3L, 2L, "unique b"),
+      (3L, 1L, 0L, "unique c"),
+      (4L, 2L, 0L, "intra\nintra")), got.toSeq)
+    // minDocs raised past the duplication: nothing drops anywhere
+    assert(Dedup.lineDedupRewrite(docs, "doc_id", lines, minDocs = 3)
+      .agg(sum(col("n_dropped"))).collect()(0).getLong(0) == 0L)
+  }
+
   test("X5k reference LM: crafted histograms + scoring match a plain-JVM md5 replay") {
     def md5hex(s: String): String = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -924,7 +924,7 @@ class PlanSpec extends SparkSuite {
   // the tier assignment as a broadcast, never by shuffling the corpus
   test("perplexity tiers broadcast the tertile frame; scoring is the in-plan fold") {
     val p = planOf("x105_perplexity_tiers")
-    assert(p.contains("bucket_lookup"), s"codegen'd LM fold not in-plan:\n$p")
+    assert(p.contains("ref_lm_score"), s"codegen'd LM scorer not in-plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"tertile join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled for a lang-sized join:\n$p")
@@ -940,6 +940,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled for a group-sized join:\n$p")
     assert(!p.contains("Window"), s"window in epoch upsample:\n$p")
+  }
+
+  // x107: the first-owner election is a min-over-struct AGGREGATE on
+  // the slim line-hash frame — never a window over occurrence lists —
+  // and nothing in the chain multiplies rows
+  test("line dedup elects first owners by aggregate, not window") {
+    val p = planOf("x107_line_dedup")
+    assert(!p.contains("Window"), s"window in line dedup:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in line dedup:\n$p")
   }
 
   test("column pruning reaches the parquet scan") {

@@ -1162,6 +1162,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("X5k perplexity gate: stream kept set == batch head+middle tiers under the frozen LM") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.TextStats
+    val docs = Tables.load(spark, sf(), "documents")
+    val m = TextStats.refLmTrain(docs, "text", "lang",
+      col("source").isin("src0", "src1"), numBuckets = 256)
+    val tiers = TextStats.perplexityTiers(docs, "text", "lang", "doc_id", m)
+      .collect()
+    val thrMap = tiers.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // batch non-tail membership per lang: counts sum, doc-xor folds
+    val want = tiers.filter(_.getString(1) != "tail")
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> ((rs.map(_.getLong(4)).sum, rs.map(_.getLong(7)).reduce(_ ^ _)))
+      }
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .filter(r => !r.isNullAt(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val gated = StreamCurate.applyPerplexityGate(
+      input.toDF().toDF("doc_id", "lang", "text"), m, thrMap)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ppxg").start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = spark.table("ppxg").groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long")).as("x"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("X22b streaming packer == batch packChunks over monotone multi-batch arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
