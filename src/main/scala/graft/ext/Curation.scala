@@ -423,6 +423,70 @@ object Curation {
       .orderBy(groupCol)
   }
 
+  /** X7m (r13): embedding-space OUTLIER gate — the semantic sibling of
+    * [[quantileGate]] (X7l) and the flip side of X7h's dense-region
+    * flattening: within each group, vectors farthest from the group's
+    * OWN centroid (lowest cosine) are the mis-clustered / off-topic /
+    * garbled tail — drop the bottom `frac` of each group, cutoff = the
+    * group's own score quantile, so sparse groups aren't over-pruned
+    * by a global radius.
+    *
+    * Engine-portable end-to-end: the centroid folds every dimension as
+    * EXACT scaled longs (sum of round(v·1e6) — a float sum would be
+    * partition-order-dependent, the x105 mean lesson), one double
+    * division at the end; similarities are the native
+    * [[graft.functions.CosineSimilarity]] rounded 6dp (the x83
+    * convention — DuckDB replays with `list_cosine_similarity`);
+    * cutoffs are `percentile` rounded 4dp (the x99 boundary
+    * discipline).
+    *
+    * Scale: the centroid pass is one explode to (group, dim) partial
+    * aggs (≤ groups × dim slim keys); centroid arrays rebuild
+    * deterministically via array_sort over (dim, c) structs — a
+    * group-sized frame that BROADCASTS into the map-only scoring scan;
+    * the cutoff is the X7l two-pass shape (swap `percentile` for
+    * `approx_percentile` at 100 TB, gate unchanged). Returns one row
+    * per group: (groupCol, n_vecs, thr, n_kept, kept_xor).
+    */
+  def embeddingOutlierGate(emb: DataFrame, groupCol: String, idCol: String,
+                           vecCol: String, frac: Double = 0.10): DataFrame = {
+    require(frac > 0 && frac < 1, s"frac must be in (0,1) (got $frac)")
+    val base = emb.filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(vecCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+    val cent = base
+      .select(col("_g"), posexplode(col("_v")))
+      .toDF("_g", "dim", "v")
+      .groupBy("_g", "dim")
+      .agg(sum(round(col("v") * 1e6, 0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("_g"), struct(col("dim"),
+        (col("s").cast("double") / 1e6 / col("n")).as("c")).as("dc"))
+      .groupBy("_g")
+      .agg(array_sort(collect_list(col("dc"))).as("dcs"))
+      .select(col("_g"), transform(col("dcs"), x => x.getField("c")).as("cent"))
+    val scored = base.join(broadcast(cent), Seq("_g"))
+      .select(col("_g"), col("_id"),
+        round(graft.functions.CosineSimilarity.cosine_sim(
+          col("_v"), col("cent")), 6).as("sim"))
+    val thr = scored.groupBy("_g").agg(
+      round(expr(s"percentile(sim, $frac)"), 4).as("thr"),
+      count(lit(1)).as("n_vecs"))
+    val kept = scored.join(broadcast(thr.select(col("_g"), col("thr"))),
+        Seq("_g"))
+      .filter(col("sim") >= col("thr"))
+      .groupBy("_g").agg(count(lit(1)).as("n_kept"),
+        bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")).as("kept_xor"))
+    thr.join(kept, Seq("_g"), "left")
+      .select(col("_g").as(groupCol), col("n_vecs"),
+        col("thr").cast("double").as("thr"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_xor"), lit(0L)).as("kept_xor"))
+      .orderBy(groupCol)
+  }
+
   /** Training-mixture temperature reweighting (data mixing): per-group
     * keep-rates that flatten the corpus distribution toward uniform.
     * Group g with share p_g gets weight p_g^alpha (alpha < 1 boosts

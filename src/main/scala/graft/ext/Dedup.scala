@@ -346,21 +346,47 @@ object Dedup {
     */
   def lineDrops(docs: DataFrame, idCol: String, linesCol: Column,
                 minDocs: Int = 2): DataFrame = {
-    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
-    val lf = docs.filter(col(idCol).isNotNull)
+    val lf = lineFrame(docs, idCol, linesCol)
+    lineDropsAgainst(lf, lineHistogram(lf), minDocs)
+  }
+
+  /** The slim (doc_id, pos, 60-bit md5 line hash) view [[lineDrops]]
+    * and the streaming journal share — line text never leaves the map
+    * side.
+    */
+  private[graft] def lineFrame(docs: DataFrame, idCol: String,
+                               linesCol: Column): DataFrame =
+    docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), posexplode(linesCol))
       .toDF("doc_id", "pos", "_line")
       .select(col("doc_id"), col("pos"),
         conv(substring(md5(col("_line")), 1, 15), 16, 10).cast("long")
           .as("lh"))
-    val dupFirst = lf.groupBy("lh")
-      .agg(countDistinct(col("doc_id")).as("nd"),
+
+  /** Per-line-hash state: (lh, n_docs = distinct owning documents,
+    * first_id/first_pos = the (doc_id, pos)-min occurrence). This is
+    * the EXACTLY-foldable shape the streaming journal appends per
+    * batch: with each document arriving whole in one batch, distinct
+    * counts add and firsts min across batches.
+    */
+  private[graft] def lineHistogram(lf: DataFrame): DataFrame =
+    lf.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
-      .filter(col("nd") >= minDocs)
-      .select(col("lh"), col("first.doc_id").as("_fid"),
-        col("first.pos").as("_fpos"))
-    lf.join(dupFirst, Seq("lh"))
-      .filter(!(col("doc_id") === col("_fid") && col("pos") === col("_fpos")))
+      .select(col("lh"), col("n_docs"), col("first.doc_id").as("first_id"),
+        col("first.pos").as("first_pos"))
+
+  /** The election against a standing histogram (one code path for the
+    * batch form and the journal-folded streaming form, the
+    * crossDupProbe discipline).
+    */
+  private[graft] def lineDropsAgainst(lf: DataFrame, hist: DataFrame,
+                                      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    lf.join(hist.filter(col("n_docs") >= minDocs)
+        .select(col("lh"), col("first_id"), col("first_pos")), Seq("lh"))
+      .filter(!(col("doc_id") === col("first_id") &&
+        col("pos") === col("first_pos")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("drop_pos"))
   }

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.gen.RecordGen
 import graft.operators.{ConfigResolve, Counters, Routing, Snapshots}
 import graft.ext.{Curation, Dedup, Search, Similarity, TextStats}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The declared oracle query catalog (SURVEY §5.2): every operator row of
@@ -183,6 +183,41 @@ object Declared {
 
   private val jaccardPairsOracleSql: String =
     jaccardOracle("a.doc_id < b.doc_id", "id_a", "id_b", 0.2)
+
+  /** The declared 12-token line view shared by x107/x108: the fixture
+    * carries no newlines, so both engines re-chunk the token stream
+    * into 12-token lines IDENTICALLY (the corpus's near-dup structure
+    * makes the view non-vacuous — 110 cross-doc duplicate lines at
+    * sf0.001).
+    */
+  private def tokenLines12: Column = {
+    val toks = Dedup.tokens(coalesce(col("text"), lit("")))
+    when(size(toks) > 0,
+      transform(sequence(lit(0),
+        floor((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+        i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Shared DuckDB CTE block replaying [[tokenLines12]] +
+    * [[graft.ext.Dedup.lineDrops]]' keep-first marking — one
+    * definition for the x107 rewrite oracle and the x108 e2e oracle
+    * (a line-view or election change reaches both or neither).
+    */
+  private val lineDedupCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |lines AS (
+      |  SELECT doc_id, i AS pos, array_to_string(w[(i*12+1):(i*12+12)], ' ') AS line
+      |  FROM toks, unnest(range(0, (len(w)+11)//12)) t(i)),
+      |marked AS (
+      |  SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint
+      |      ORDER BY doc_id, pos) AS rn,
+      |    count(distinct doc_id) OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint) AS nd
+      |  FROM lines)""".stripMargin
 
   /** The shared gate CTE block (t0 tokens, langid, quality, repetition)
     * — the independent SQL replay of [[graft.ext.Curation.standardGates]]'
@@ -4932,30 +4967,12 @@ object Declared {
     "x107_line_dedup" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val toks = Dedup.tokens(coalesce(col("text"), lit("")))
-        val lines = when(size(toks) > 0,
-          transform(sequence(lit(0),
-            floor((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
-            i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
-          .otherwise(array().cast("array<string>"))
-        Dedup.lineDedupRewrite(docs, "doc_id", lines, minDocs = 2)
+        Dedup.lineDedupRewrite(docs, "doc_id", tokenLines12, minDocs = 2)
           .select(col("doc_id"), col("n_lines"), col("n_dropped"),
             md5(col("clean_text")).as("clean_md5"))
           .orderBy("doc_id")
       },
-      Some("""WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |lines AS (
-        |  SELECT doc_id, i AS pos, array_to_string(w[(i*12+1):(i*12+12)], ' ') AS line
-        |  FROM toks, unnest(range(0, (len(w)+11)//12)) t(i)),
-        |marked AS (
-        |  SELECT doc_id, pos, line,
-        |    row_number() OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint
-        |      ORDER BY doc_id, pos) AS rn,
-        |    count(distinct doc_id) OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint) AS nd
-        |  FROM lines),
+      Some(s"""WITH $lineDedupCtes,
         |agg AS (
         |  SELECT doc_id, count(*)::bigint AS n_lines,
         |    count(*) FILTER (nd >= 2 AND rn > 1)::bigint AS n_dropped,
@@ -4968,6 +4985,152 @@ object Declared {
         |  coalesce(a.clean_md5, md5('')) AS clean_md5
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+
+    // X25 (r13): the CCNet pipeline END-TO-END (Wenzek et al. 2020's
+    // published order): line-level keep-first dedup (x107) → language
+    // ID on the raw text (x08's marker heuristic — the line view is
+    // a-z0-9 tokens, so langid runs pre-rewrite; 'und' drops) →
+    // reference bigram LM trained on the CLEANED trusted slice
+    // (src0/src1, through the save→reload artifact path) → per-language
+    // perplexity tertiles over the cleaned corpus, head+middle kept.
+    // DuckDB independently replays every stage — line election,
+    // rebuild, langid, LM training, scoring, tertiles, rollup — so one
+    // wrong decision anywhere in the chain flips a row.
+    "x108_ccnet_e2e" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val meta = docs.select(col("doc_id"), col("source"),
+          TextStats.langId(col("text")).as("lang_pred"))
+        val cleaned = Dedup.lineDedupRewrite(docs, "doc_id", tokenLines12,
+            minDocs = 2)
+          .select(col("doc_id"), col("clean_text"))
+          .join(meta, Seq("doc_id"))
+          .filter(col("lang_pred") =!= "und")
+        val lm = artifact(s, "reflm_ccnet_1024", dir) {
+          viaStore(s, "reflm_ccnet_1024") {
+            TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
+              col("source").isin("src0", "src1"), numBuckets = 1024)
+          }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+            graft.ext.Artifacts.loadRefLm)
+        }
+        TextStats.perplexityTiers(
+          cleaned.repartition(s.sparkContext.defaultParallelism),
+          "clean_text", "lang_pred", "doc_id", lm)
+          .withColumn("kept", col("tier") =!= "tail")
+          .select(col("lang"), col("tier"), col("kept"), col("thr_lo"),
+            col("thr_hi"), col("n_docs"), col("n_bigrams"), col("avg_ppl"),
+            col("doc_xor"))
+          .orderBy("lang", "tier")
+      },
+      Some(s"""WITH $lineDedupCtes,
+        |ct AS (
+        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+        |  FROM toks t LEFT JOIN (
+        |    SELECT doc_id, string_agg(
+        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+        |      chr(10) ORDER BY pos) AS ctext
+        |    FROM marked GROUP BY 1) a USING (doc_id)),
+        |lt AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |lid AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, source, has_cjk,
+        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM lt)),
+        |corp AS (
+        |  SELECT c.doc_id, l.lang_pred AS lang, l.source,
+        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM ct c JOIN lid l USING (doc_id)
+        |  WHERE l.lang_pred <> 'und'),
+        |bg AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+        |  FROM corp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |cb AS (
+        |  SELECT lang, b2, count(*)::double AS c FROM bg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT lang, b1, count(*)::double AS c FROM bg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT g.doc_id, g.lang, count(*)::bigint AS n_bigrams,
+        |    round(avg(ln((coalesce(cb.c, 0) + 1) / (coalesce(cu.c, 0) + 1024))), 6) AS lp
+        |  FROM bg g
+        |  LEFT JOIN cb ON cb.lang = g.lang AND cb.b2 = g.b2
+        |  LEFT JOIN cu ON cu.lang = g.lang AND cu.b1 = g.b1
+        |  GROUP BY 1, 2),
+        |thr AS (
+        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo,
+        |    round(quantile_cont(lp, ${2.0 / 3}), 4) AS thr_hi
+        |  FROM sc GROUP BY 1),
+        |tiers AS (
+        |  SELECT s.lang,
+        |    CASE WHEN s.lp >= t.thr_hi THEN 'head'
+        |         WHEN s.lp >= t.thr_lo THEN 'middle'
+        |         ELSE 'tail' END AS tier,
+        |    t.thr_lo, t.thr_hi, s.doc_id, s.n_bigrams,
+        |    round(exp(-s.lp), 4) AS ppl
+        |  FROM sc s JOIN thr t USING (lang))
+        |SELECT lang, tier, tier <> 'tail' AS kept,
+        |  thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
+        |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
+        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
+        |    / count(*), 4) AS avg_ppl,
+        |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
+        |FROM tiers GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY lang, tier""".stripMargin)),
+
+    // X7m: embedding-space outlier gate — per-label centroid from
+    // EXACT scaled-long dimension sums (float sums are partition-order-
+    // dependent), native cosine rounded 6dp (the x83 convention), and
+    // each label's own p10 cutoff (4dp, the x99 boundary discipline).
+    // DuckDB independently rebuilds every centroid, every similarity
+    // (list_cosine_similarity), the quantile and the kept-set xor.
+    "x109_embedding_outliers" -> Q(
+      (s, dir) => Curation.embeddingOutlierGate(
+        t(s, dir, "embeddings"), "label", "vec_id", "embedding",
+        frac = 0.10),
+      Some("""WITH e AS (
+        |  SELECT vec_id, label, embedding::double[] AS v
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND label IS NOT NULL AND embedding IS NOT NULL),
+        |d AS (
+        |  SELECT label, i AS dim, v[i + 1] AS val
+        |  FROM e, unnest(range(0, len(v))) t(i)),
+        |cent0 AS (
+        |  SELECT label, dim, sum(round(val * 1000000)::bigint) AS s,
+        |    count(*) AS n
+        |  FROM d GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, list(s::double / 1000000.0 / n ORDER BY dim) AS c
+        |  FROM cent0 GROUP BY 1),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, cent.c), 6) AS sim
+        |  FROM e JOIN cent USING (label)),
+        |thr AS (
+        |  SELECT label, round(quantile_cont(sim, 0.1), 4) AS thr,
+        |    count(*)::bigint AS n_vecs
+        |  FROM sims GROUP BY 1)
+        |SELECT t.label, t.n_vecs, t.thr::double AS thr,
+        |  count(*) FILTER (s.sim >= t.thr)::bigint AS n_kept,
+        |  coalesce(bit_xor(CASE WHEN s.sim >= t.thr
+        |    THEN ('0x' || substr(md5(s.vec_id::varchar), 1, 15))::bigint END), 0)::bigint AS kept_xor
+        |FROM sims s JOIN thr t USING (label)
+        |GROUP BY t.label, t.n_vecs, t.thr ORDER BY t.label""".stripMargin)),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

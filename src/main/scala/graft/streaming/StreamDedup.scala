@@ -77,4 +77,71 @@ object StreamDedup {
                     bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
     graft.ext.Dedup.crossDupPairsPrebuilt(batch, oldIndex, oldShingles,
       textCol, idCol, k, threshold, bands, rowsPerBand, materialize = false)
+
+  /** X1e streaming twin (r13): per-micro-batch LINE-HISTOGRAM journal —
+    * the standing state corpus-wide keep-first line dedup needs at
+    * ingest. Each batch appends the slim per-batch histogram
+    * (batch_id, lh, n_docs, first_id, first_pos) — 60-bit line hashes,
+    * never line text — built by the SAME
+    * [[graft.ext.Dedup.lineHistogram]] code path as the batch form.
+    * The state folds EXACTLY across batches: a document arrives whole
+    * in one batch, so distinct-doc counts add and the global first
+    * occurrence is the min of per-batch minima — [[lineStateFold]] +
+    * [[graft.ext.Dedup.lineDropsAgainst]] over the folded journal
+    * equals the batch [[graft.ext.Dedup.lineDrops]] over the union of
+    * batches bit-for-bit (StreamingSpec-pinned). At-least-once replays
+    * re-append byte-identical rows and collapse via the
+    * (batch_id, lh) dropDuplicates in the fold (the StreamDrift
+    * discipline).
+    */
+  def lineJournal(stream: DataFrame, journalDir: String, idCol: String,
+                  linesCol: org.apache.spark.sql.Column,
+                  configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+                    org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = identity)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val writer = stream.writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Dedup.lineHistogram(
+              graft.ext.Dedup.lineFrame(batch, idCol, linesCol))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(journalDir)
+        }
+      }
+    configure(writer).start()
+  }
+
+  /** Fold the line journal into the standing per-line state — a
+    * journal-sized aggregation over slim rows, never a corpus re-scan.
+    * Feed the result to [[graft.ext.Dedup.lineDropsAgainst]] with any
+    * document set's [[graft.ext.Dedup.lineFrame]] to get its drop
+    * list under the corpus-wide keep-first election.
+    */
+  def lineStateFold(spark: org.apache.spark.sql.SparkSession,
+                    journalDir: String): DataFrame =
+    spark.read.parquet(journalDir)
+      .dropDuplicates("batch_id", "lh")
+      .groupBy("lh")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        min(struct(col("first_id").as("doc_id"), col("first_pos").as("pos")))
+          .as("first"))
+      .select(col("lh"), col("n_docs"), col("first.doc_id").as("first_id"),
+        col("first.pos").as("first_pos"))
+
+  /** The journal-backed drop list for a document set (the deployment
+    * read path: the standing fold + one slim join — the batch and
+    * stream forms share [[graft.ext.Dedup.lineDropsAgainst]] verbatim,
+    * so they cannot drift).
+    */
+  def lineDropsFromJournal(spark: org.apache.spark.sql.SparkSession,
+                           journalDir: String, docs: DataFrame,
+                           idCol: String,
+                           linesCol: org.apache.spark.sql.Column,
+                           minDocs: Int = 2): DataFrame =
+    graft.ext.Dedup.lineDropsAgainst(
+      graft.ext.Dedup.lineFrame(docs, idCol, linesCol),
+      lineStateFold(spark, journalDir), minDocs)
 }

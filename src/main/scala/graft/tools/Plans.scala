@@ -34,7 +34,7 @@ object Plans {
     "x97_perceptual_dedup", "x98_quality_distill", "x99_quantile_gate",
     "x100_audio_dedup", "x102_normalized_dedup", "x103_pack_boundaries",
     "x104_dedup_funnel", "x105_perplexity_tiers", "x106_epoch_upsample",
-    "x107_line_dedup")
+    "x107_line_dedup", "x108_ccnet_e2e", "x109_embedding_outliers")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

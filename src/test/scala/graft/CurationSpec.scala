@@ -631,6 +631,37 @@ class CurationSpec extends SparkSuite {
     assert(rep(1) == (("b", 1L, 4L, 0.0, 0L, 0L, 0L)), rep.toSeq)
   }
 
+  test("X7m embedding outlier gate: outlier dropped at the group's own cutoff, ties kept") {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def x60(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16)
+    // label 0: five vectors on one axis + one orthogonal outlier — the
+    // p10 cutoff interpolates between the outlier and the cluster, so
+    // exactly the outlier drops; label 9: two orthogonal vectors tie at
+    // the cutoff (sim == thr keeps — the >= boundary)
+    val rows = (1L to 5L).map(i => (i, 0, Array(1.0f, 0.0f))) ++ Seq(
+      (6L, 0, Array(0.0f, 1.0f)),
+      (7L, 9, Array(1.0f, 0.0f)), (8L, 9, Array(0.0f, 1.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Curation.embeddingOutlierGate(df, "label", "vec_id",
+        "embedding", frac = 0.10)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == 2, got.toSeq)
+    val (l0, l9) = (got(0), got(1))
+    assert(l0._1 == 0 && l0._2 == 6L && l0._4 == 5L, l0.toString)
+    assert(l0._5 == (1L to 5L).map(x60).reduce(_ ^ _),
+      "label-0 kept set is not exactly the cluster")
+    assert(l9._1 == 9 && l9._2 == 2L && l9._4 == 2L, l9.toString)
+    // both label-9 sims equal cos(v, centroid) of orthogonal unit pair
+    assert(math.abs(l9._3 - 0.7071) < 1e-9, l9._3.toString)
+    assert(l9._5 == (7L to 8L).map(x60).reduce(_ ^ _))
+  }
+
   test("domain cap: kept set is the cap smallest md5 uniforms per group") {
     val docs = (1L to 300L).map { i =>
       (i, s"src${i % 3}", s"text $i")

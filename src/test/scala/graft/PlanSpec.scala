@@ -951,6 +951,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in line dedup:\n$p")
   }
 
+  // x108: the composed CCNet chain must keep its pieces' shapes — the
+  // native LM scorer in-plan, the lang-sized tertile frame broadcast,
+  // and nothing multiplying rows (the doc-keyed rewrite/meta joins are
+  // corpus-sized hash joins, allowed)
+  test("ccnet e2e keeps the native scorer + broadcast tertiles, no cartesian") {
+    val p = planOf("x108_ccnet_e2e")
+    assert(p.contains("ref_lm_score"), s"codegen'd LM scorer not in-plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"tertile join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ccnet e2e:\n$p")
+    assert(!p.contains("Window"), s"window in ccnet e2e:\n$p")
+  }
+
+  // x109: centroid and threshold frames are group-sized — both reach
+  // the corpus-side scans as broadcasts; scoring is the native cosine
+  test("embedding outlier gate broadcasts centroids + cutoffs; native cosine in-plan") {
+    val p = planOf("x109_embedding_outliers")
+    assert(p.contains("cosine_sim"), s"native cosine not in-plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"group-sized joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a group-sized join:\n$p")
+    assert(!p.contains("Window"), s"window in outlier gate:\n$p")
+  }
+
   test("column pruning reaches the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sparkPlan, not executedPlan: the AQE wrapper hides its input plan

@@ -1162,6 +1162,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("X1e line journal: folded drops == batch lineDrops over the union; replays collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // cross-doc boilerplate spread ACROSS batches: 7 recurring header
+    // lines + a shared footer on every 4th doc; the rest unique
+    val rows = (0L until 90L).map { i =>
+      val tail = if (i % 4 == 0) "footer shared" else s"solo $i"
+      (i, s"boiler ${i % 7}\nunique token $i\n$tail")
+    }
+    val docsDf = rows.toDF("doc_id", "text")
+    val lines = split(col("text"), "\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft-linejournal")
+      .toString + "/j"
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDedup.lineJournal(
+      input.toDF().toDF("doc_id", "text"), dir, "doc_id", lines)
+    try {
+      rows.grouped(30).foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+        .sortBy(_._1).toSeq
+    val batchDrops = canon(graft.ext.Dedup.lineDrops(docsDf, "doc_id", lines))
+    assert(batchDrops.nonEmpty, "vacuous fixture: no cross-doc duplicates")
+    assert(canon(StreamDedup.lineDropsFromJournal(
+      spark, dir, docsDf, "doc_id", lines)) == batchDrops,
+      "journal-folded drops differ from the batch election")
+    // at-least-once replay: byte-identical rows re-appended for batch 0
+    // must collapse in the fold, not double the counts
+    spark.read.parquet(dir).filter(col("batch_id") === 0L)
+      .write.mode("append").parquet(dir)
+    assert(canon(StreamDedup.lineDropsFromJournal(
+      spark, dir, docsDf, "doc_id", lines)) == batchDrops,
+      "replayed journal rows changed the fold")
+  }
+
   test("X5k perplexity gate: stream kept set == batch head+middle tiers under the frozen LM") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
