@@ -449,7 +449,8 @@ object Curation {
     * per group: (groupCol, n_vecs, thr, n_kept, kept_xor).
     */
   def embeddingOutlierGate(emb: DataFrame, groupCol: String, idCol: String,
-                           vecCol: String, frac: Double = 0.10): DataFrame = {
+                           vecCol: String, frac: Double = 0.10,
+                           materialize: Boolean = true): DataFrame = {
     require(frac > 0 && frac < 1, s"frac must be in (0,1) (got $frac)")
     val base = emb.filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
         col(vecCol).isNotNull)
@@ -466,25 +467,36 @@ object Curation {
       .groupBy("_g")
       .agg(array_sort(collect_list(col("dc"))).as("dcs"))
       .select(col("_g"), transform(col("dcs"), x => x.getField("c")).as("cent"))
-    val scored = base.join(broadcast(cent), Seq("_g"))
+    // the slim (_g, _id, sim) frame feeds BOTH the cutoff aggregate and
+    // the kept rollup: persist it so the centroid join + cosine run once
+    // (the refLmTrain persist-in-finally discipline; the group-sized
+    // result is checkpointed eagerly so the persist can be released).
+    // materialize = false returns the lazy plan (plan audits).
+    val scored0 = base.join(broadcast(cent), Seq("_g"))
       .select(col("_g"), col("_id"),
         round(graft.functions.CosineSimilarity.cosine_sim(
           col("_v"), col("cent")), 6).as("sim"))
-    val thr = scored.groupBy("_g").agg(
-      round(expr(s"percentile(sim, $frac)"), 4).as("thr"),
-      count(lit(1)).as("n_vecs"))
-    val kept = scored.join(broadcast(thr.select(col("_g"), col("thr"))),
-        Seq("_g"))
-      .filter(col("sim") >= col("thr"))
-      .groupBy("_g").agg(count(lit(1)).as("n_kept"),
-        bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15), 16, 10)
-          .cast("long")).as("kept_xor"))
-    thr.join(kept, Seq("_g"), "left")
-      .select(col("_g").as(groupCol), col("n_vecs"),
-        col("thr").cast("double").as("thr"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_xor"), lit(0L)).as("kept_xor"))
-      .orderBy(groupCol)
+    val scored = if (materialize)
+      scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else scored0
+    try {
+      val thr = scored.groupBy("_g").agg(
+        round(expr(s"percentile(sim, $frac)"), 4).as("thr"),
+        count(lit(1)).as("n_vecs"))
+      val kept = scored.join(broadcast(thr.select(col("_g"), col("thr"))),
+          Seq("_g"))
+        .filter(col("sim") >= col("thr"))
+        .groupBy("_g").agg(count(lit(1)).as("n_kept"),
+          bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")).as("kept_xor"))
+      val out = thr.join(kept, Seq("_g"), "left")
+        .select(col("_g").as(groupCol), col("n_vecs"),
+          col("thr").cast("double").as("thr"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_xor"), lit(0L)).as("kept_xor"))
+        .orderBy(groupCol)
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) scored.unpersist()
   }
 
   /** Training-mixture temperature reweighting (data mixing): per-group

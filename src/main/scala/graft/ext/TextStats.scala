@@ -804,9 +804,9 @@ object TextStats {
     * shuffle, identical on a streaming frame. Unseen languages (and
     * null lang, scored as unseen) degrade to ln(1/numBuckets) per
     * bigram — one smoothing rule, no special case (mirrored by the
-    * oracle's LEFT JOIN + coalesce(0)). Callers filter to ≥ 2 tokens
-    * (a bigram-less document has no mean; the expression yields the
-    * fold's own NaN there). The built-ins `aggregate`-fold form this
+    * oracle's LEFT JOIN + coalesce(0)). Sub-2-token documents yield
+    * NaN (no mean exists) — callers filter with `isnan` or a
+    * token-count predicate. The built-ins `aggregate`-fold form this
     * replaces ran its lambda interpreted — 42.8 cpu-sec to score
     * sf0.1 vs ~4 for the native pass.
     */
@@ -825,44 +825,70 @@ object TextStats {
     * 6dp-rounded per-doc mean log-prob (rounded to 4dp, the x99
     * quantile-gate rounding discipline, so both engines agree on every
     * boundary), head = highest log-prob (lowest perplexity). One
-    * map-only scoring pass, one lang-keyed tertile aggregate
-    * (broadcast back), one bounded rollup. Output one row per
-    * (lang, tier) with doc/bigram mass, mean perplexity and the
-    * doc-set xor witness.
+    * map-only scoring pass over the corpus, persisted as the slim
+    * (lang, id, n_bigrams, lp) frame so the tertile aggregate and the
+    * tier rollup both read the materialized rows (never re-scoring —
+    * the [[refLmTrain]] persist-in-finally discipline; the group-sized
+    * result is checkpointed eagerly so the persist can be released
+    * before returning). The ≥ 2-token filter is `isnan(lp)` AFTER
+    * materialization — the scorer's NaN sentinel is exactly the
+    * "no mean exists" set, so filtering costs no extra tokenize.
+    * `materialize = false` skips the persist + eager checkpoint and
+    * returns the lazy plan (the [[Dedup.jaccardPairs]] policy — plan
+    * audits and callers managing their own materialization).
+    * Output one row per (lang, tier) with doc/bigram mass, mean
+    * perplexity and the doc-set xor witness.
+    *
+    * Rounding note: lp is the scorer's sequential left-to-right float
+    * sum rounded 6dp, while the oracle averages the same bigram terms
+    * in its own order — a doc within an ulp of a 6dp boundary could in
+    * principle round apart cross-engine (the x83 accepted risk class;
+    * avg_ppl, where partition order varies RUN-TO-RUN in one engine,
+    * folds exact scaled longs instead — that failure mode is
+    * nondeterminism, not a fixed cross-engine ulp, so it is the one
+    * that must be exact).
     */
   def perplexityTiers(docs: org.apache.spark.sql.DataFrame, textCol: String,
-                      langCol: String, idCol: String,
-                      model: RefLm): org.apache.spark.sql.DataFrame = {
-    val scored = docs
+                      langCol: String, idCol: String, model: RefLm,
+                      materialize: Boolean = true)
+    : org.apache.spark.sql.DataFrame = {
+    val scored0 = docs
       .filter(col(idCol).isNotNull && col(langCol).isNotNull)
-      .filter(size(Dedup.tokens(coalesce(col(textCol), lit("")))) >= 2)
       .select(col(langCol).as("lang"), col(idCol).as("_id"),
         (size(Dedup.tokens(coalesce(col(textCol), lit("")))) - 1)
           .cast("long").as("n_bigrams"),
         round(refLmAvgLogProb(col(textCol), col(langCol), model), 6)
           .as("lp"))
-    val thr = scored.groupBy("lang").agg(
-      round(expr(s"percentile(lp, ${1.0 / 3})"), 4).as("thr_lo"),
-      round(expr(s"percentile(lp, ${2.0 / 3})"), 4).as("thr_hi"))
-    scored.join(broadcast(thr), Seq("lang"))
-      .withColumn("tier", when(col("lp") >= col("thr_hi"), "head")
-        .when(col("lp") >= col("thr_lo"), "middle").otherwise("tail"))
-      .groupBy("lang", "tier", "thr_lo", "thr_hi")
-      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
-        // mean perplexity folds the 4dp-rounded per-doc values as EXACT
-        // scaled longs (one double division at the end): a plain avg()
-        // combines partition sums in task-completion order, and a
-        // boundary value (….xxxx5) then flips its last digit run-to-run
-        sum(round(round(exp(-col("lp")), 4) * 10000, 0).cast("long"))
-          .as("_ppl_sum"),
-        bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15),
-          16, 10).cast("long")).as("doc_xor"))
-      .withColumn("avg_ppl", round(
-        (col("_ppl_sum").cast("double") / 10000.0) / col("n_docs"), 4))
-      .select(col("lang"), col("tier"), col("thr_lo").cast("double"),
-        col("thr_hi").cast("double"), col("n_docs"), col("n_bigrams"),
-        col("avg_ppl"), col("doc_xor"))
-      .orderBy("lang", "tier")
+    val cached = if (materialize)
+      scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else scored0
+    try {
+      val scored = cached.filter(!isnan(col("lp")))
+      val thr = scored.groupBy("lang").agg(
+        round(expr(s"percentile(lp, ${1.0 / 3})"), 4).as("thr_lo"),
+        round(expr(s"percentile(lp, ${2.0 / 3})"), 4).as("thr_hi"))
+      val out = scored.join(broadcast(thr), Seq("lang"))
+        .withColumn("tier", when(col("lp") >= col("thr_hi"), "head")
+          .when(col("lp") >= col("thr_lo"), "middle").otherwise("tail"))
+        .groupBy("lang", "tier", "thr_lo", "thr_hi")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+          // mean perplexity folds the 4dp-rounded per-doc values as EXACT
+          // scaled longs (one double division at the end): a plain avg()
+          // combines partition sums in task-completion order, and a
+          // boundary value (….xxxx5) then flips its last digit run-to-run
+          sum(round(round(exp(-col("lp")), 4) * 10000, 0).cast("long"))
+            .as("_ppl_sum"),
+          bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15),
+            16, 10).cast("long")).as("doc_xor"))
+        .withColumn("avg_ppl", round(
+          (col("_ppl_sum").cast("double") / 10000.0) / col("n_docs"), 4))
+        .select(col("lang"), col("tier"), col("thr_lo").cast("double"),
+          col("thr_hi").cast("double"), col("n_docs"), col("n_bigrams"),
+          col("avg_ppl"), col("doc_xor"))
+        .orderBy("lang", "tier")
+      // group-sized (langs × 3 rows): pin eagerly, then release the scan
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) cached.unpersist()
   }
 
   /** X6: 256-bit content fingerprint (hex). */

@@ -27,9 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * same sequential left-to-right summation order as the fold it
   * replaces, same unseen-lang degrade (index -1 → negative keys → both
   * lookups default 0 → ln(1/nb) per bigram). Sub-2-token documents
-  * return NaN (0/0, the fold's own value) — callers filter them first,
-  * the x38 convention; null text or lang returns null (callers
-  * coalesce/filter, same convention).
+  * return NaN (no mean exists — callers filter, with `isnan` or a
+  * token-count predicate, the x38 convention); null text or lang
+  * returns null (callers coalesce/filter, same convention).
   */
 case class RefLmScore(left: Expression, right: Expression,
                       table: RefLmScore.Table)
@@ -100,7 +100,10 @@ object RefLmScore {
   def compute(text: UTF8String, lang: UTF8String, t: Table): Double = {
     val toks = WordShingles.tokenize(text)
     val nb = t.numBuckets
-    if (toks.length < 2) return 0.0 / (toks.length - 1) // NaN, the fold's own 0/0
+    // uniform sub-2-token sentinel: the fold's 1-token case was 0/0=NaN
+    // but its 0-token case was 0/-1=-0.0 — return NaN for both so
+    // "no mean exists" is one value callers can test with isnan
+    if (toks.length < 2) return Double.NaN
     val off = t.idxOf(lang.toString).toLong * nb
     val md = mdLocal.get()
     var sum = 0.0

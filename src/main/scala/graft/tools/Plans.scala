@@ -139,6 +139,32 @@ object Plans {
         graft.ext.Dedup.semanticDedupPairs(
           graft.ext.Dedup.semanticCells(emb, nlist = 8, nprobe = 3),
           threshold = 0.4)
+      },
+      // r14: the declared x105/x108 forms persist the slim scored frame
+      // (one scoring scan) + checkpoint the group-sized tiers, so their
+      // declared plans are ExistingRDD scans; the scorer + tertile
+      // broadcast shapes are gated on these lazy twins (model trained
+      // small here — plan shape is model-size independent)
+      "x105_perplexity_tiers (lazy form)" -> {
+        val m = graft.ext.TextStats.refLmTrain(docs, "text", "lang",
+          col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+          numBuckets = 256)
+        graft.ext.TextStats.perplexityTiers(docs, "text", "lang", "doc_id",
+          m, materialize = false)
+      },
+      "x108_ccnet_e2e (lazy form)" -> {
+        val cleaned = graft.queries.Declared.ccnetCleaned(docs)
+        val m = graft.ext.TextStats.refLmTrain(cleaned, "clean_text",
+          "lang_pred",
+          col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+          numBuckets = 256)
+        graft.ext.TextStats.perplexityTiers(cleaned, "clean_text",
+          "lang_pred", "doc_id", m, materialize = false)
+      },
+      "x109_embedding_outliers (lazy form)" -> {
+        val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        graft.ext.Curation.embeddingOutlierGate(emb, "label", "vec_id",
+          "embedding", frac = 0.10, materialize = false)
       })
   }
 

@@ -97,7 +97,17 @@ class PlanSpec extends SparkSuite {
     "x33_simhash_pairs", "x38_bigram_logprob", "x41_cross_dedup",
     "x42_boilerplate", "x43_containment", "x46_dup_ngram_coverage",
     "x63_dup_spans", "x63_cut_spans", "x67_dsir_resample",
-    "x72_budget_fill")
+    "x72_budget_fill",
+    // r14: scored-frame persist + group-sized checkpoint (one scoring
+    // scan) — declared plans are ExistingRDD; lazy twins gated below
+    "x105_perplexity_tiers", "x108_ccnet_e2e", "x109_embedding_outliers")
+
+  // built once: the lazy twins of every eagerly-materializing operator
+  // (training the small plan-shape models runs a few fixture jobs)
+  private lazy val lazyPlans: Map[String, String] =
+    graft.tools.Plans.lazyForms(spark, sf()).toMap
+      .view.mapValues(_.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)).toMap
 
   test("no cartesian product outside the declared n-squared oracles") {
     for (q <- SparkEntry.queries.keys.toSeq.sorted
@@ -115,9 +125,6 @@ class PlanSpec extends SparkSuite {
   // fixture scale, SMJ at corpus scale — both are fine; the KEYS are the
   // invariant.)
   test("eager pipelines (lazy forms): hash equi-joins on banded keys, no cartesian") {
-    val lazyPlans = graft.tools.Plans.lazyForms(spark, sf()).toMap
-      .view.mapValues(_.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode)).toMap
     // the only nested-loop joins allowed are the broadcast crossJoins of
     // the 1-row corpus-stats frames (bm25's (n, avgdl), unigram's tot)
     val bnljAllowance = Map(
@@ -921,9 +928,11 @@ class PlanSpec extends SparkSuite {
 
   // x105: scoring is the codegen'd bucket_lookup fold — no join on the
   // corpus side; the per-lang tertile frame is lang-sized and must reach
-  // the tier assignment as a broadcast, never by shuffling the corpus
+  // the tier assignment as a broadcast, never by shuffling the corpus.
+  // (Declared form materializes the slim scored frame — gated on the
+  // lazy twin, whose plan is identical minus the InMemory scan.)
   test("perplexity tiers broadcast the tertile frame; scoring is the in-plan fold") {
-    val p = planOf("x105_perplexity_tiers")
+    val p = lazyPlans("x105_perplexity_tiers (lazy form)")
     assert(p.contains("ref_lm_score"), s"codegen'd LM scorer not in-plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"tertile join must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
@@ -956,7 +965,7 @@ class PlanSpec extends SparkSuite {
   // and nothing multiplying rows (the doc-keyed rewrite/meta joins are
   // corpus-sized hash joins, allowed)
   test("ccnet e2e keeps the native scorer + broadcast tertiles, no cartesian") {
-    val p = planOf("x108_ccnet_e2e")
+    val p = lazyPlans("x108_ccnet_e2e (lazy form)")
     assert(p.contains("ref_lm_score"), s"codegen'd LM scorer not in-plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"tertile join must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in ccnet e2e:\n$p")
@@ -966,7 +975,7 @@ class PlanSpec extends SparkSuite {
   // x109: centroid and threshold frames are group-sized — both reach
   // the corpus-side scans as broadcasts; scoring is the native cosine
   test("embedding outlier gate broadcasts centroids + cutoffs; native cosine in-plan") {
-    val p = planOf("x109_embedding_outliers")
+    val p = lazyPlans("x109_embedding_outliers (lazy form)")
     assert(p.contains("cosine_sim"), s"native cosine not in-plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"group-sized joins must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
