@@ -394,18 +394,25 @@ object Curation {
     * before the gate can run — the DSIR two-pass shape); the threshold
     * frame is group-sized and broadcast into the gating scan. The exact
     * `percentile` buffers each group's scores in the aggregate (the x15
-    * trade, kept here for oracle parity); at 100 TB swap in
-    * `approx_percentile` — the gate and readout are unchanged, only the
-    * cutoff estimator moves.
+    * trade, kept here for oracle parity); at 100 TB pass
+    * `approx = true` — the gate and readout are unchanged, only the
+    * cutoff estimator moves to `approx_percentile` (bounded sketch
+    * state; kept-set drift vs the exact form is MEASURED, not assumed:
+    * ExtSpec bounds it at every fixture SF with BoundProbe provenance
+    * in BASELINE.md, and the estimator's rank error is <= n/accuracy,
+    * i.e. <= 0.01% of each group at accuracy 10000).
     */
   def quantileGate(docs: DataFrame, groupCol: String, idCol: String,
                    score: Column, tokens: Column,
-                   frac: Double = 0.10): DataFrame = {
+                   frac: Double = 0.10,
+                   approx: Boolean = false): DataFrame = {
     require(frac > 0 && frac < 1, s"frac must be in (0,1) (got $frac)")
     val base = docs.select(col(groupCol), col(idCol).as("_id"),
       score.as("_score"), tokens.cast("long").as("_tok"))
+    val est = if (approx) s"approx_percentile(_score, $frac, 10000)"
+      else s"percentile(_score, $frac)"
     val thr = base.groupBy(groupCol).agg(
-      round(expr(s"percentile(_score, $frac)"), 4).as("thr"),
+      round(expr(est), 4).as("thr"),
       count(lit(1)).as("n_docs"))
     val keptAgg = base.join(broadcast(thr.select(col(groupCol), col("thr"))),
         Seq(groupCol))
@@ -450,7 +457,8 @@ object Curation {
     */
   def embeddingOutlierGate(emb: DataFrame, groupCol: String, idCol: String,
                            vecCol: String, frac: Double = 0.10,
-                           materialize: Boolean = true): DataFrame = {
+                           materialize: Boolean = true,
+                           approx: Boolean = false): DataFrame = {
     require(frac > 0 && frac < 1, s"frac must be in (0,1) (got $frac)")
     val base = emb.filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
         col(vecCol).isNotNull)
@@ -480,8 +488,10 @@ object Curation {
       scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else scored0
     try {
+      val est = if (approx) s"approx_percentile(sim, $frac, 10000)"
+        else s"percentile(sim, $frac)"
       val thr = scored.groupBy("_g").agg(
-        round(expr(s"percentile(sim, $frac)"), 4).as("thr"),
+        round(expr(est), 4).as("thr"),
         count(lit(1)).as("n_vecs"))
       val kept = scored.join(broadcast(thr.select(col("_g"), col("thr"))),
           Seq("_g"))

@@ -850,7 +850,8 @@ object TextStats {
     */
   def perplexityTiers(docs: org.apache.spark.sql.DataFrame, textCol: String,
                       langCol: String, idCol: String, model: RefLm,
-                      materialize: Boolean = true)
+                      materialize: Boolean = true,
+                      approx: Boolean = false)
     : org.apache.spark.sql.DataFrame = {
     val scored0 = docs
       .filter(col(idCol).isNotNull && col(langCol).isNotNull)
@@ -864,9 +865,12 @@ object TextStats {
     else scored0
     try {
       val scored = cached.filter(!isnan(col("lp")))
+      def est(q: Double): String =
+        if (approx) s"approx_percentile(lp, $q, 10000)"
+        else s"percentile(lp, $q)"
       val thr = scored.groupBy("lang").agg(
-        round(expr(s"percentile(lp, ${1.0 / 3})"), 4).as("thr_lo"),
-        round(expr(s"percentile(lp, ${2.0 / 3})"), 4).as("thr_hi"))
+        round(expr(est(1.0 / 3)), 4).as("thr_lo"),
+        round(expr(est(2.0 / 3)), 4).as("thr_hi"))
       val out = scored.join(broadcast(thr), Seq("lang"))
         .withColumn("tier", when(col("lp") >= col("thr_hi"), "head")
           .when(col("lp") >= col("thr_lo"), "middle").otherwise("tail"))
@@ -887,6 +891,46 @@ object TextStats {
           col("avg_ppl"), col("doc_xor"))
         .orderBy("lang", "tier")
       // group-sized (langs × 3 rows): pin eagerly, then release the scan
+      if (materialize) out.localCheckpoint(true) else out
+    } finally if (materialize) cached.unpersist()
+  }
+
+  /** X5k gate form — the filter CCNet actually deploys (Wenzek et al.
+    * 2020 §4.4: drop the worst-perplexity tercile per language): keep
+    * the head+middle tiers, i.e. documents whose 6dp-rounded mean
+    * bigram log-prob clears their own language's tail tertile
+    * (`lp >= thr_lo`, the same >= boundary [[perplexityTiers]] uses, so
+    * gate and report agree on every document by construction). Same
+    * one-scan discipline as the report: the slim (lang, id, lp) scored
+    * frame persists, the lang-sized tertile frame broadcasts back.
+    * Sub-2-token documents (no mean exists) fail closed; unTRAINED
+    * languages degrade to the uniform smoothing score and tier among
+    * themselves (the x105 convention — the STREAMING gate with its
+    * frozen threshold map is the fail-closed form,
+    * [[graft.streaming.StreamCurate.applyPerplexityGate]]). Returns
+    * the kept (idCol, lang, lp) — slim, join it back to the corpus for
+    * payloads. `materialize = false` returns the lazy plan (plan
+    * audits / callers composing their own materialization).
+    */
+  def perplexityKeep(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     langCol: String, idCol: String, model: RefLm,
+                     materialize: Boolean = true)
+    : org.apache.spark.sql.DataFrame = {
+    val scored0 = docs
+      .filter(col(idCol).isNotNull && col(langCol).isNotNull)
+      .select(col(langCol).as("lang"), col(idCol).as(idCol),
+        round(refLmAvgLogProb(col(textCol), col(langCol), model), 6)
+          .as("lp"))
+    val cached = if (materialize)
+      scored0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else scored0
+    try {
+      val scored = cached.filter(!isnan(col("lp")))
+      val thr = scored.groupBy("lang").agg(
+        round(expr(s"percentile(lp, ${1.0 / 3})"), 4).as("thr_lo"))
+      val out = scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("lp") >= col("thr_lo"))
+        .select(col(idCol), col("lang"), col("lp"))
       if (materialize) out.localCheckpoint(true) else out
     } finally if (materialize) cached.unpersist()
   }

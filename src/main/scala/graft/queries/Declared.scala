@@ -237,25 +237,47 @@ object Declared {
       .filter(col("lang_pred") =!= "und")
   }
 
+  /** The x110 assembly's CCNet head: line-level keep-first dedup over
+    * the MERGED multi-source corpus, language ID on the raw merged
+    * text, 'und' drops — the x108 prefix re-based onto the x69/x78
+    * merge output (doc_id, text, src), shared by the declared query
+    * and its lazy plan form.
+    */
+  private[graft] def ccnetAssemblyCleaned(docs: DataFrame): DataFrame = {
+    val merged = assemblyMerged(assemblyUnion(docs))
+    val meta = merged.select(col("doc_id"), col("src"),
+      TextStats.langId(col("text")).as("lang_pred"))
+    Dedup.lineDedupRewrite(merged, "doc_id", tokenLines12, minDocs = 2)
+      .select(col("doc_id"), col("clean_text"))
+      .join(meta, Seq("doc_id"))
+      .filter(col("lang_pred") =!= "und")
+  }
+
   /** Shared DuckDB CTE block replaying [[tokenLines12]] +
     * [[graft.ext.Dedup.lineDrops]]' keep-first marking — one
     * definition for the x107 rewrite oracle and the x108 e2e oracle
     * (a line-view or election change reaches both or neither).
     */
-  private val lineDedupCtes: String =
-    """toks AS (
+  private val lineDedupCtes: String = lineDedupCtesFor("documents", "")
+
+  /** The same block parameterized by source relation and a CTE-name
+    * prefix, so the x110 assembly oracle can replay X1e over the MERGED
+    * corpus without colliding with its tail's own `toks` CTE.
+    */
+  private def lineDedupCtesFor(rel: String, p: String): String =
+    s"""${p}toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
-      |  FROM documents WHERE doc_id IS NOT NULL),
-      |lines AS (
+      |  FROM $rel WHERE doc_id IS NOT NULL),
+      |${p}lines AS (
       |  SELECT doc_id, i AS pos, array_to_string(w[(i*12+1):(i*12+12)], ' ') AS line
-      |  FROM toks, unnest(range(0, (len(w)+11)//12)) t(i)),
-      |marked AS (
+      |  FROM ${p}toks, unnest(range(0, (len(w)+11)//12)) t(i)),
+      |${p}marked AS (
       |  SELECT doc_id, pos, line,
       |    row_number() OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint
       |      ORDER BY doc_id, pos) AS rn,
       |    count(distinct doc_id) OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint) AS nd
-      |  FROM lines)""".stripMargin
+      |  FROM ${p}lines)""".stripMargin
 
   /** The shared gate CTE block (t0 tokens, langid, quality, repetition)
     * — the independent SQL replay of [[graft.ext.Curation.standardGates]]'
@@ -5169,6 +5191,254 @@ object Declared {
         |    THEN ('0x' || substr(md5(s.vec_id::varchar), 1, 15))::bigint END), 0)::bigint AS kept_xor
         |FROM sims s JOIN thr t USING (label)
         |GROUP BY t.label, t.n_vecs, t.thr ORDER BY t.label""".stripMargin)),
+
+    // X22+X1e+X5k (r14): the CCNet stages folded into the STANDING
+    // assembly — the r13 verdict's composition ask. Published order
+    // (Wenzek et al. 2020) inside the x78 chain: multi-source
+    // precedence merge (x69) -> LINE-LEVEL keep-first dedup (X1e, on
+    // the merged corpus) -> language ID (raw text, 'und' drops) ->
+    // reference-LM PERPLEXITY GATE (X5k's deployed form: LM trained on
+    // the cleaned curated slice, worst tercile per language dropped)
+    // -> then the standing tail over the CLEANED surviving text:
+    // near-dup clusters + survivor election -> curation gates ->
+    // decontam -> mixture -> budget fill -> epoch shuffle -> manifest.
+    // Output/columns identical to x78 (one row per non-empty shard),
+    // so a drifted id/column contract anywhere in the extended chain
+    // flips the xor. DuckDB replays ALL ELEVEN stages independently.
+    // Scale: each stage keeps its proven plan (line text never
+    // shuffles, LM+tertiles broadcast, drop/contam lists broadcast,
+    // fill range-partitions slim longs); `cleaned` is checkpointed
+    // once per refresh (the real pipeline's stage materialization) and
+    // the LM + cluster artifacts are the memoized per-refresh hand-off
+    // (the x78 discipline).
+    "x110_assembly_ccnet" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cleaned = ccnetAssemblyCleaned(docs).localCheckpoint(true)
+        val lm = artifact(s, "reflm_asm_ccnet_1024", dir) {
+          viaStore(s, "reflm_asm_ccnet_1024") {
+            TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
+              col("src") === "curated" && col("doc_id").isNotNull,
+              numBuckets = 1024)
+          }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+            graft.ext.Artifacts.loadRefLm)
+        }
+        val kept = TextStats.perplexityKeep(
+          spreadIfStarved(s, docs, cleaned), "clean_text", "lang_pred",
+          "doc_id", lm)
+        val corpus = cleaned.join(kept.select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text").as("text"), col("src"))
+        val dropDups = artifact(s, "asm_ccnet_drop_k3_t02", dir) {
+          viaStore(s, "asm_ccnet_drop")(assemblyDropDups(corpus))(
+            (ss, d, p) => graft.ext.Artifacts.saveIndex(d, p),
+            graft.ext.Artifacts.loadIndex)
+        }
+        assemblyResult(assemblyMixed(docs, corpus, dropDups))
+      },
+      Some(s"""WITH RECURSIVE u AS MATERIALIZED (
+        |  SELECT doc_id, text, 'curated' AS src, 2 AS prio
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'web', 1
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, 'mirror', -1
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |msv AS MATERIALIZED (
+        |  SELECT (max({'prio': prio, 'negid': -doc_id, 'id': doc_id})).id AS doc_id
+        |  FROM u GROUP BY sha256(text)),
+        |m AS MATERIALIZED (SELECT u.doc_id, u.text, u.src FROM u JOIN msv USING (doc_id)),
+        |${lineDedupCtesFor("m", "l")},
+        |lct AS MATERIALIZED (
+        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+        |  FROM ltoks t LEFT JOIN (
+        |    SELECT doc_id, string_agg(
+        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+        |      chr(10) ORDER BY pos) AS ctext
+        |    FROM lmarked GROUP BY 1) a USING (doc_id)),
+        |plt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+        |  FROM m WHERE doc_id IS NOT NULL),
+        |plid AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, has_cjk,
+        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM plt)),
+        |corp AS MATERIALIZED (
+        |  SELECT c.doc_id, l.lang_pred AS lang, p2.src,
+        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM lct c JOIN plid l USING (doc_id) JOIN m p2 USING (doc_id)
+        |  WHERE l.lang_pred <> 'und'),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, lang, src,
+        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+        |  FROM corp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |cbt AS (
+        |  SELECT lang, b2, count(*)::double AS c FROM bg
+        |  WHERE src = 'curated' GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT lang, b1, count(*)::double AS c FROM bg
+        |  WHERE src = 'curated' GROUP BY 1, 2),
+        |psc AS MATERIALIZED (
+        |  SELECT g.doc_id, g.lang,
+        |    round(avg(ln((coalesce(cbt.c, 0) + 1) / (coalesce(cut.c, 0) + 1024))), 6) AS lp
+        |  FROM bg g
+        |  LEFT JOIN cbt ON cbt.lang = g.lang AND cbt.b2 = g.b2
+        |  LEFT JOIN cut ON cut.lang = g.lang AND cut.b1 = g.b1
+        |  GROUP BY 1, 2),
+        |pthr AS (
+        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo
+        |  FROM psc GROUP BY 1),
+        |pk AS MATERIALIZED (
+        |  SELECT s.doc_id FROM psc s JOIN pthr t USING (lang)
+        |  WHERE s.lp >= t.thr_lo),
+        |corpus AS MATERIALIZED (
+        |  SELECT c.doc_id, c.ctext AS text, p2.src
+        |  FROM lct c JOIN m p2 USING (doc_id) JOIN pk USING (doc_id)),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM corpus),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+        |    FROM common
+        |    JOIN sizes sa ON sa.doc_id = id_a
+        |    JOIN sizes sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.2),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach(node, root) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+        |cl AS MATERIALIZED (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+        |qf AS MATERIALIZED (
+        |  SELECT doc_id, nchars,
+        |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+        |    round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+        |      / greatest(len(w), 1), 6) AS stopword_ratio,
+        |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
+        |  FROM (
+        |    SELECT corpus.doc_id, t.w,
+        |      length(regexp_replace(corpus.text, '[^.,;:!?]', '', 'g')) AS punct,
+        |      length(corpus.text) AS nchars
+        |    FROM corpus JOIN toks t USING (doc_id))),
+        |q AS MATERIALIZED (
+        |  SELECT doc_id, rep_ratio,
+        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        |      + 0.2
+        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+        |  FROM qf),
+        |sv AS MATERIALIZED (
+        |  SELECT doc_id FROM (
+        |    SELECT cl.doc_id, cl.cluster_id, q.quality FROM cl JOIN q USING (doc_id))
+        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality DESC, doc_id ASC) = 1),
+        |dedup AS MATERIALIZED (
+        |  SELECT corpus.* FROM corpus
+        |  WHERE corpus.doc_id NOT IN (SELECT doc_id FROM cl)
+        |     OR corpus.doc_id IN (SELECT doc_id FROM sv)),
+        |lid2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (
+        |    SELECT d.doc_id, regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+        |      len(list_filter(t.w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(t.w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(t.w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(t.w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM dedup d JOIN toks t USING (doc_id))),
+        |gated AS MATERIALIZED (
+        |  SELECT d.doc_id, d.src, q.quality
+        |  FROM dedup d
+        |  JOIN lid2 USING (doc_id) JOIN q USING (doc_id)
+        |  WHERE substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
+        |    AND lid2.lang_pred = 'en'
+        |    AND q.quality >= 0.8 AND q.rep_ratio <= 0.6),
+        |btoks AS MATERIALIZED (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bsh AS MATERIALIZED (
+        |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM btoks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |contam AS MATERIALIZED (
+        |  SELECT sh.doc_id FROM sh
+        |  JOIN gated USING (doc_id) JOIN bsh USING (s)
+        |  GROUP BY sh.doc_id HAVING count(*) >= 5),
+        |clean AS MATERIALIZED (
+        |  SELECT g.doc_id, g.src, g.quality, len(t.w)::bigint AS nt
+        |  FROM gated g JOIN toks t USING (doc_id)
+        |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |cnt AS MATERIALIZED (
+        |  SELECT src, count(*) AS n_docs, sum(nt)::bigint AS n_tokens
+        |  FROM clean GROUP BY src),
+        |tw AS MATERIALIZED (SELECT * FROM (VALUES
+        |  ('curated', 0.5::double), ('web', 0.3::double),
+        |  ('mirror', 0.2::double)) t(src, tgt)),
+        |mthr AS MATERIALIZED (
+        |  SELECT src,
+        |    CASE WHEN rate >= 1.0 THEN NULL
+        |      ELSE printf('%04x', floor(rate * 65536)::int) END AS thr
+        |  FROM (
+        |    SELECT c.src,
+        |      least(1.0::double, coalesce(tgt, 0) * 8000 / greatest(n_tokens::double, 1.0)) AS rate
+        |    FROM cnt c LEFT JOIN tw USING (src))),
+        |mixed AS MATERIALIZED (
+        |  SELECT c.doc_id, c.quality, c.nt
+        |  FROM clean c JOIN mthr USING (src)
+        |  WHERE mthr.thr IS NULL
+        |     OR substr(md5('graft-mix' || c.doc_id::varchar), 1, 4) < mthr.thr),
+        |bf AS MATERIALIZED (
+        |  SELECT doc_id, nt,
+        |    coalesce(sum(nt) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cum_before
+        |  FROM mixed),
+        |selres AS MATERIALIZED (
+        |  SELECT doc_id, nt, md5('asm-e1:' || doc_id::varchar) AS hx
+        |  FROM bf WHERE cum_before < 5000),
+        |sh4 AS MATERIALIZED (
+        |  SELECT doc_id, nt, hx,
+        |    ('0x' || substr(hx, 1, 8))::bigint % 4 AS shard
+        |  FROM selres),
+        |man AS MATERIALIZED (
+        |  SELECT shard, count(*) AS n_docs, sum(nt)::bigint AS token_mass,
+        |    bit_xor(('0x' || substr(hx, 9, 15))::bigint) AS id_xor
+        |  FROM sh4 GROUP BY 1),
+        |lead AS MATERIALIZED (
+        |  SELECT shard, doc_id AS lead_doc FROM sh4
+        |  QUALIFY row_number() OVER (PARTITION BY shard
+        |    ORDER BY hx, doc_id) = 1)
+        |SELECT man.shard, man.n_docs, man.token_mass, man.id_xor, lead.lead_doc
+        |FROM man JOIN lead USING (shard) ORDER BY man.shard""".stripMargin)),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

@@ -210,6 +210,37 @@ object StreamCurate {
         thr.isNotNull && lp >= thr)
   }
 
+  /** X7k streaming twin (r14): the fractional-EPOCH gate on live
+    * ingest — [[graft.ext.Curation.epochRates]]' recipe (n_full full
+    * copies + one md5-gated fractional copy, salt "graft-epoch")
+    * frozen into the plan as a group-keyed literal map, so each
+    * arriving document emits its (document × copy) instances map-only:
+    * no state, no join, no aggregate, and the emitted multiset is
+    * EXACTLY what the batch [[graft.ext.Curation.epochUpsample]] emits
+    * for the same documents under the same rates
+    * (StreamingSpec-pinned). Groups missing from the recipe emit
+    * nothing — same as the batch inner rates join. `rates` maps group
+    * -> (n_full, thr) straight from epochRates' (n_full, thr) columns.
+    */
+  def applyEpochGate(docs: DataFrame,
+                     rates: Map[String, (Long, String)],
+                     groupCol: String = "lang",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Curation
+    val g = coalesce(col(groupCol), lit(""))
+    val nf = element_at(typedLit(rates.map { case (k, v) => k -> v._1 }), g)
+    val th = element_at(typedLit(rates.map { case (k, v) => k -> v._2 }), g)
+    val extra = when(th.isNotNull &&
+      Curation.hashKeep(col(idCol), th, salt = "graft-epoch", width = 4),
+      1).otherwise(0)
+    val nCopies = (coalesce(nf, lit(0L)) + extra).cast("int")
+    docs.filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        nf.isNotNull)
+      .withColumn("copy", explode(when(nCopies > 0,
+        sequence(lit(0), nCopies - 1)).otherwise(array().cast("array<int>"))))
+  }
+
   /** X7i streaming twin (r12): the gate-funnel JOURNAL — per
     * micro-batch, append the slim (stage, n_docs, n_tokens) delta
     * ([[Curation.funnelCounts]], the SAME classification expression as

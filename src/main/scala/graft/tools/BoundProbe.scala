@@ -221,6 +221,55 @@ object BoundProbe {
       val scan = pairSet(a.join(b, col("id_a") < col("id_b") &&
         Dedup.hamming64(col("fa"), col("fb")) <= 3))
       println(s"x33 n_banded=${banded.size} n_scan=${scan.size} equal=${banded == scan}")
+
+      // r14: the quantile-gate family's approx_percentile deployment
+      // twin (x99 / x105 / x109) — measured kept-set drift vs the exact
+      // estimator at each SF. Kept sets are nested in the threshold, so
+      // |n_kept_a - n_kept_e| IS the membership drift; also printed:
+      // max |thr_a - thr_e|. (accuracy 10000: rank error <= n/10000.)
+      locally {
+        import graft.ext.{Curation, TextStats}
+        def drift(tag: String, exact: org.apache.spark.sql.DataFrame,
+                  approxDf: org.apache.spark.sql.DataFrame,
+                  keyCols: Seq[String], thrCol: String,
+                  keptCol: String): Unit = {
+          val e = exact.collect().map(r =>
+            keyCols.map(r.getAs[Any]).mkString("|") ->
+              (r.getAs[Double](thrCol), r.getAs[Long](keptCol))).toMap
+          val g = approxDf.collect().map(r =>
+            keyCols.map(r.getAs[Any]).mkString("|") ->
+              (r.getAs[Double](thrCol), r.getAs[Long](keptCol))).toMap
+          assert(e.keySet == g.keySet, s"$tag: group domains differ")
+          val thrD = e.keys.map(k => math.abs(e(k)._1 - g(k)._1)).max
+          val relD = e.keys.map { k =>
+            math.abs(e(k)._2 - g(k)._2).toDouble / math.max(e(k)._2, 1L)
+          }.max
+          println(f"$tag max_thr_drift=$thrD%.4f max_kept_rel_drift=$relD%.4f")
+        }
+        val d99 = docs.filter(col("lang").isNotNull)
+        def q99(a: Boolean) = Curation.quantileGate(d99, "lang", "doc_id",
+          TextStats.qualityScore(col("text")),
+          TextStats.tokenCount(col("text")), frac = 0.10, approx = a)
+        drift("x99_approx_twin", q99(false), q99(true),
+          Seq("lang"), "thr", "n_kept")
+
+        val lm = TextStats.refLmTrain(docs, "text", "lang",
+          col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+          numBuckets = 1024)
+        def t105(a: Boolean) = TextStats.perplexityTiers(docs, "text",
+            "lang", "doc_id", lm, approx = a)
+          .filter(col("tier") =!= "tail")
+          .groupBy("lang").agg(min("thr_lo").as("thr"),
+            sum("n_docs").as("n_kept"))
+        drift("x105_approx_twin", t105(false), t105(true),
+          Seq("lang"), "thr", "n_kept")
+
+        val emb = Tables.load(spark, dir, "embeddings")
+        def g109(a: Boolean) = Curation.embeddingOutlierGate(emb, "label",
+          "vec_id", "embedding", frac = 0.10, approx = a)
+        drift("x109_approx_twin", g109(false), g109(true),
+          Seq("label"), "thr", "n_kept")
+      }
     }
     spark.stop()
   }

@@ -34,7 +34,8 @@ object Plans {
     "x97_perceptual_dedup", "x98_quality_distill", "x99_quantile_gate",
     "x100_audio_dedup", "x102_normalized_dedup", "x103_pack_boundaries",
     "x104_dedup_funnel", "x105_perplexity_tiers", "x106_epoch_upsample",
-    "x107_line_dedup", "x108_ccnet_e2e", "x109_embedding_outliers")
+    "x107_line_dedup", "x108_ccnet_e2e", "x109_embedding_outliers",
+    "x110_assembly_ccnet")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -165,6 +166,24 @@ object Plans {
         val emb = graft.Tables.load(spark, sfDir, "embeddings")
         graft.ext.Curation.embeddingOutlierGate(emb, "label", "vec_id",
           "embedding", frac = 0.10, materialize = false)
+      },
+      // r14: the x110 CCNet-extended assembly's composed lazy prefix
+      // (merge -> line dedup -> langid -> perplexity keep-gate ->
+      // gates -> decontam -> mixture) — the declared query executes
+      // exactly this before the eager budget fill; small plan-shape LM,
+      // crafted slim drop list (the x78 gate's convention)
+      "x110_assembly_ccnet (composed lazy prefix)" -> {
+        val cleaned = graft.queries.Declared.ccnetAssemblyCleaned(docs)
+        val m = graft.ext.TextStats.refLmTrain(cleaned, "clean_text",
+          "lang_pred",
+          col("src") === "curated" && col("doc_id").isNotNull,
+          numBuckets = 256)
+        val kept = graft.ext.TextStats.perplexityKeep(cleaned, "clean_text",
+          "lang_pred", "doc_id", m, materialize = false)
+        val corpus = cleaned.join(kept.select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text").as("text"), col("src"))
+        val drop = docs.select((col("doc_id") + 20000).as("doc_id")).limit(1)
+        graft.queries.Declared.assemblyMixed(docs, corpus, drop)
       })
   }
 

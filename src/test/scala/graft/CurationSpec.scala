@@ -876,6 +876,57 @@ class CurationSpec extends SparkSuite {
       ("b", 3L, 5.0, 3L, 21L, xorB)), got.toSeq)
   }
 
+  test("quantile-gate family: approx_percentile deployment twin bounds kept-set drift") {
+    // the r13 verdict's "swap approx_percentile at 100 TB, gate
+    // unchanged" claim, witnessed: run x99/x105/x109 with approx = true
+    // and bound the kept-set drift vs the exact estimator on the
+    // fixture. Kept sets are nested in the threshold (gate rule is
+    // score >= thr in all three), so |n_kept_a - n_kept_e| IS the
+    // membership drift. Bounds chosen from BoundProbe measurements at
+    // all 3 SFs WITH margin (BASELINE.md provenance, run 2026-08-15):
+    // x99 drifts 0.0000 everywhere (coarse score steps — both
+    // estimators land on the same data value); x105/x109 drift up to
+    // 0.0197 thr / 0.027 kept at sf0.001 — NOT sketch error (accuracy
+    // 10000 >= every fixture group, ranks are exact) but exact
+    // percentile INTERPOLATING between order stats where
+    // approx_percentile returns a data value; the gap shrinks with
+    // group size (sf0.1: <= 0.0049/0.0061). Bounds: ~2x margin over
+    // the worst measurement.
+    import graft.ext.TextStats
+    val docs = Tables.load(spark, sf(), "documents")
+    def check(tag: String, exact: Map[Any, (Double, Long)],
+              approxM: Map[Any, (Double, Long)]): Unit = {
+      assert(exact.keySet == approxM.keySet, s"$tag: group domains differ")
+      exact.foreach { case (k, (te, ne)) =>
+        val (ta, na) = approxM(k)
+        assert(math.abs(ta - te) <= 0.05,
+          s"$tag/$k: thr drifted $te -> $ta")
+        assert(math.abs(na - ne).toDouble / math.max(ne, 1L) <= 0.05,
+          s"$tag/$k: kept drifted $ne -> $na")
+      }
+    }
+    def q99(a: Boolean) = Curation.quantileGate(
+        docs.filter(col("lang").isNotNull), "lang", "doc_id",
+        TextStats.qualityScore(col("text")),
+        TextStats.tokenCount(col("text")), frac = 0.10, approx = a)
+      .collect().map(r => (r.get(0), (r.getDouble(2), r.getLong(3)))).toMap
+    check("x99", q99(false), q99(true))
+    val lm = TextStats.refLmTrain(docs, "text", "lang",
+      col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+      numBuckets = 256)
+    def t105(a: Boolean) = TextStats.perplexityTiers(
+        docs, "text", "lang", "doc_id", lm, approx = a)
+      .filter(col("tier") =!= "tail")
+      .groupBy("lang").agg(min("thr_lo").as("thr"), sum("n_docs").as("n"))
+      .collect().map(r => (r.get(0), (r.getDouble(1), r.getLong(2)))).toMap
+    check("x105", t105(false), t105(true))
+    val emb = Tables.load(spark, sf(), "embeddings")
+    def g109(a: Boolean) = Curation.embeddingOutlierGate(emb, "label",
+        "vec_id", "embedding", frac = 0.10, approx = a)
+      .collect().map(r => (r.get(0), (r.getDouble(2), r.getLong(3)))).toMap
+    check("x109", g109(false), g109(true))
+  }
+
   test("X7j teacherLabel: content gates only — crafted docs land on the declared side") {
     import spark.implicits._
     // doc 1: English, in the 100..20000 length band, stopword-rich, low

@@ -2037,4 +2037,41 @@ class ExtSpec extends SparkSuite {
       .filter(size(Dedup.tokens(coalesce(col("text"), lit("")))) >= 2).count()
     assert(tiers.map(_.getLong(4)).sum == scoreable)
   }
+
+  test("X5k perplexity keep-gate: kept set is exactly the non-tail tiers") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val m = TextStats.refLmTrain(docs, "text", "lang",
+      col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+      numBuckets = 256)
+    // gate and report must agree per language on BOTH the count and the
+    // xor membership checksum of the head+middle set — including every
+    // lp == thr_lo boundary document (same >= rule in both)
+    val wantByLang = TextStats.perplexityTiers(
+        docs, "text", "lang", "doc_id", m).collect()
+      .filter(_.getString(1) != "tail")
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> (rows.map(_.getLong(4)).sum, rows.map(_.getLong(7)).reduce(_ ^ _))
+      }
+    val gotByLang = TextStats.perplexityKeep(
+        docs, "text", "lang", "doc_id", m)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long")).as("x"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(gotByLang.keySet == wantByLang.keySet,
+      s"language domains differ: ${gotByLang.keySet} vs ${wantByLang.keySet}")
+    wantByLang.foreach { case (lang, want) =>
+      assert(gotByLang(lang) == want,
+        s"$lang: gate ${gotByLang(lang)} vs tiers-derived $want")
+    }
+    // sub-2-token / null-text docs fail closed (no mean exists);
+    // an unTRAINED language tiers among itself (x105 convention)
+    import spark.implicits._
+    val edge = Seq((1L, "en", "solo"), (2L, "xx", "alpha beta gamma"),
+      (3L, "en", null.asInstanceOf[String])).toDF("doc_id", "lang", "text")
+    val kept = TextStats.perplexityKeep(edge, "text", "lang", "doc_id", m)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"edge kept set: $kept")
+  }
 }

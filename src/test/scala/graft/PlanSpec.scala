@@ -100,7 +100,10 @@ class PlanSpec extends SparkSuite {
     "x72_budget_fill",
     // r14: scored-frame persist + group-sized checkpoint (one scoring
     // scan) — declared plans are ExistingRDD; lazy twins gated below
-    "x105_perplexity_tiers", "x108_ccnet_e2e", "x109_embedding_outliers")
+    "x105_perplexity_tiers", "x108_ccnet_e2e", "x109_embedding_outliers",
+    // r14: stage-checkpointed CCNet-extended assembly — composed lazy
+    // prefix gated below (the x78 convention)
+    "x110_assembly_ccnet")
 
   // built once: the lazy twins of every eagerly-materializing operator
   // (training the small plan-shape models runs a few fixture jobs)
@@ -561,6 +564,25 @@ class PlanSpec extends SparkSuite {
     assert(smj <= 1, s"only the payload id join may sort-merge, got $smj:\n$p")
   }
 
+  // x110: the CCNet-EXTENDED assembly prefix (merge -> line dedup ->
+  // langid -> perplexity keep-gate -> gates -> decontam -> mixture)
+  // must keep every folded stage's proven shape in one composition:
+  // the merge's partial greatest_row agg, the line election's partial
+  // min-over-struct (never a window over occurrence lists), the native
+  // LM scorer in-plan with its lang-sized tertile broadcast, and still
+  // no window / cartesian / global sort anywhere in the prefix
+  test("ccnet assembly composed prefix keeps merge agg, line election, native scorer") {
+    val p = lazyPlans("x110_assembly_ccnet (composed lazy prefix)")
+    assert(p.contains("partial_greatest_row"), s"merge lost its partial agg:\n$p")
+    assert(p.contains("partial_min"), s"line election lost its partial agg:\n$p")
+    assert(p.contains("ref_lm_score"), s"codegen'd LM scorer not in-plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in prefix:\n$p")
+    assert(!p.contains("Window"), s"window in the composed prefix:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the prefix:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"global sort in the composed prefix:\n$p")
+  }
+
   // x80: BPE application must be pure map — the merge rules ride as
   // codegen reference objects inside the single bpe_subwords
   // expression, so the scoring plan has no join/aggregate and the only
@@ -958,6 +980,11 @@ class PlanSpec extends SparkSuite {
     val p = planOf("x107_line_dedup")
     assert(!p.contains("Window"), s"window in line dedup:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in line dedup:\n$p")
+    // the election must reduce the hot hash per-task BEFORE the lh
+    // exchange — a partial min over the (doc_id, pos) struct (the
+    // ScaleCheck x107 hot-line witness relies on this shape)
+    assert(p.contains("partial_min"),
+      s"first-owner election not partial-agg'd map-side:\n$p")
   }
 
   // x108: the composed CCNet chain must keep its pieces' shapes — the

@@ -1235,6 +1235,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("X7k epoch gate: stream instance multiset == batch epochUpsample under frozen rates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Curation
+    val docs = Tables.load(spark, sf(), "documents")
+    val targets = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 0.15,
+      "fr" -> 0.07, "es" -> 0.03)
+    val rates = Curation.epochRates(docs, "lang", "text", targets, 60000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(5), r.getString(6))))
+      .toMap
+    def instAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        bit_xor(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("copy").cast("string"))), 1, 15), 16, 10)
+          .cast("long")).as("x"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = instAgg(Curation.epochUpsample(
+      docs, "lang", "doc_id", "text", targets, 60000L))
+    val rows = docs.select("doc_id", "lang").collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamCurate.applyEpochGate(
+      input.toDF().toDF("doc_id", "lang"), rates)
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("epochg").start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = instAgg(spark.table("epochg"))
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("X22b streaming packer == batch packChunks over monotone multi-batch arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
