@@ -343,11 +343,16 @@ object TextStats {
     * (map-only, streams unchanged) or via a segmentation-table join.
     */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
-               numMerges: Int, minCount: Long = 2L): Array[(String, String, Long)] = {
+               numMerges: Int, minCount: Long = 2L,
+               wordsCol: Option[Column] = None): Array[(String, String, Long)] = {
     require(numMerges > 0, s"numMerges must be positive (got $numMerges)")
     import org.apache.spark.sql.DataFrame
+    // default word view: the [a-z0-9] tokenizer; byte-level training
+    // passes wordsCol = Some(byteWords(col(textCol))) — symbols are
+    // still "one char each": the byte map emits one BMP char per byte
     val wordFreq = docs
-      .select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .select(explode(wordsCol.getOrElse(
+        Dedup.tokens(coalesce(col(textCol), lit(""))))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .localCheckpoint(true) // distinct words: slim, reused every iteration
     var words: DataFrame = wordFreq
@@ -449,6 +454,40 @@ object TextStats {
                    vocab: Seq[String]): Column =
     graft.functions.BpeEncode.bpe_encode(
       Dedup.tokens(coalesce(text, lit(""))), merges, vocab)
+
+  /** X5f byte-level word view (r14): ASCII-whitespace-split words with
+    * every UTF-8 byte mapped onto the fixed 256-char GPT-2 alphabet
+    * ([[graft.functions.ByteMapTokens]]) — feed to [[bpeTrain]] via
+    * `words = Some(byteWords(...))` and to [[bpeEncodeIdsBytes]].
+    */
+  def byteWords(text: Column): Column =
+    graft.functions.ByteMapTokens.byte_map_tokens(coalesce(text, lit("")))
+
+  /** X5f byte-level vocabulary (r14): ids 0..255 are the 256 base
+    * symbols IN BYTE ORDER — every possible input byte, before any
+    * merge, which is what makes byte-level encoding TOTAL — then the
+    * merge outputs in merge order (distinct by [[bpeTrain]]
+    * construction, enforced loudly by [[graft.functions.BpeEncode]];
+    * a merge output is >= 2 chars so it can never collide with a base
+    * symbol).
+    */
+  def bpeVocabBytes(merges: Seq[(String, String, Long)]): Seq[String] =
+    (0 until 256).map(b =>
+      String.valueOf(graft.functions.ByteMapTokens.byteToChar(b))) ++
+      merges.map(m => m._1 + m._2)
+
+  /** X5f byte-level encode (r14): arbitrary UTF-8 text → token ids
+    * under a byte-level model. `unkId = vocab.length` is RESERVED and
+    * PROVABLY DEAD: segmentation only emits base chars (all 256 in the
+    * vocab) or merge outputs (in the vocab by construction) — the
+    * declared row asserts n_unk == 0 on text with planted multi-byte
+    * UTF-8, making the totality claim driver-visible rather than
+    * assumed.
+    */
+  def bpeEncodeIdsBytes(text: Column, merges: Seq[(String, String)],
+                        vocab: Seq[String]): Column =
+    graft.functions.BpeEncode.bpe_encode(
+      byteWords(text), merges, vocab, unkId = vocab.length.toLong)
 
   /** X5f unseen-text encode (r12): same encoder with the declared
     * out-of-vocabulary policy — genuinely novel characters (the only

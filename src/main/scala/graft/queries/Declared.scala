@@ -495,7 +495,17 @@ object Declared {
       |      SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
       |      FROM $source), unnest(ws) AS u(x))
       |  GROUP BY w)""".stripMargin
-    val stages = (1 to k).map { s =>
+    (base +: bpeStageBlocks(k, minCount)).mkString(",\n")
+  }
+
+  /** The k merge-stage CTE blocks (pair count → argmax → greedy L2R
+    * rebuild), driven entirely by `a0 (w, freq, syms)` — shared by the
+    * [a-z0-9] chain ([[bpeStagesCte]]) and the byte-level chain
+    * ([[bpeByteStagesCte]]): one definition of the training replay, two
+    * alphabets.
+    */
+  private def bpeStageBlocks(k: Int, minCount: Long): Seq[String] = {
+    (1 to k).map { s =>
       s"""|p$s AS MATERIALIZED (
       |  SELECT l, r, sum(freq)::bigint AS c FROM (
       |    SELECT freq, syms[i] AS l, syms[i+1] AS r
@@ -528,8 +538,103 @@ object Declared {
       |  SELECT w, freq, syms FROM a${s - 1}
       |  WHERE (SELECT count(*) FROM b$s) = 0)""".stripMargin
     }
-    (base +: stages).mkString(",\n")
   }
+
+  /** The x111 marker: non-ASCII UTF-8 the training corpus never saw —
+    * 2-byte Latin (é/à), 3-byte CJK (世界), 4-byte non-BMP (🚀) —
+    * appended to the doc_id%5=0 slice at encode time. Built from
+    * escapes/chr() on both engines so no source-encoding step can
+    * mangle it.
+    */
+  private val byteMarkerScala: String =
+    "déjà 世界 🚀"
+  private val byteMarkerSql: String =
+    "'d' || chr(233) || 'j' || chr(224) || ' ' || chr(19990) || " +
+      "chr(30028) || ' ' || chr(128640)"
+  private val byteMarkerWordsSql: String =
+    "SELECT 'd' || chr(233) || 'j' || chr(224) AS rw UNION ALL " +
+      "SELECT chr(19990) || chr(30028) UNION ALL SELECT chr(128640)"
+
+  /** Byte-level twin of [[bpeStagesCte]]: `a0` carries the
+    * ASCII-whitespace words of the corpus mapped byte-by-byte onto the
+    * fixed 256-char GPT-2 alphabet ([[graft.functions.ByteMapTokens]]'
+    * exact CASE arithmetic, replayed from hex(encode(w))), plus the
+    * marker words at train frequency 0 (the x86 held-out-words-ride-
+    * the-chain device), then the SAME k stage blocks.
+    */
+  private def bpeByteStagesCte(k: Int, minCount: Long = 2L): String = {
+    val base = s"""WITH bmapc AS MATERIALIZED (
+      |  SELECT b, chr((CASE
+      |      WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |        OR (b BETWEEN 174 AND 255) THEN b
+      |      WHEN b <= 32 THEN 256 + b
+      |      WHEN b = 173 THEN 323
+      |      ELSE 289 + (b - 127) END)::int) AS mc
+      |  FROM unnest(range(0, 256)) t(b)),
+      |rocc AS MATERIALIZED (
+      |  SELECT u.x AS rw FROM (
+      |    SELECT string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS ws
+      |    FROM documents), unnest(ws) AS u(x) WHERE u.x <> ''),
+      |occ AS MATERIALIZED (
+      |  SELECT rw, 1 AS istrain FROM rocc
+      |  UNION ALL
+      |  SELECT rw, 0 AS istrain FROM ($byteMarkerWordsSql)),
+      |wmap AS MATERIALIZED (
+      |  SELECT rw, string_agg(mc, '' ORDER BY i) AS w
+      |  FROM (
+      |    SELECT rw, i, ('0x' || substr(hex(encode(rw)), i * 2 + 1, 2))::int AS b
+      |    FROM (SELECT DISTINCT rw FROM occ),
+      |      unnest(range(0, octet_length(encode(rw)))) t(i))
+      |  JOIN bmapc USING (b)
+      |  GROUP BY rw),
+      |a0 AS MATERIALIZED (
+      |  SELECT w, sum(istrain)::bigint AS freq, regexp_extract_all(w, '.') AS syms
+      |  FROM occ JOIN wmap USING (rw)
+      |  GROUP BY w)""".stripMargin
+    (base +: bpeStageBlocks(k, minCount)).mkString(",\n")
+  }
+
+  /** Byte-level encode replay: vocabulary = 256 base symbols in byte
+    * order + merge outputs (ids 256+rank), every document of the
+    * marked corpus segmented through the stage chain's final word
+    * table and mapped to ids — zero unknown symbols possible, which
+    * the final projection PROVES by counting vocab misses (must be 0).
+    */
+  private def bpeByteEncodeOracle(k: Int): String =
+    bpeByteStagesCte(k) + s""",
+      |mrg AS MATERIALIZED (
+      |  ${(1 to k).map(s => s"SELECT $s AS step, l, r FROM b$s")
+           .mkString("\n      |  UNION ALL\n      |  ")}),
+      |vocab AS MATERIALIZED (
+      |  SELECT mc AS token, b::bigint AS id FROM bmapc
+      |  UNION ALL
+      |  SELECT l || r AS token, (255 + step)::bigint AS id FROM mrg),
+      |seg AS MATERIALIZED (SELECT w, syms FROM a$k),
+      |dtext AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |    THEN coalesce(text, '') || ' ' || $byteMarkerSql
+      |    ELSE text END AS text
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |dws AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws
+      |  FROM dtext),
+      |dt AS MATERIALIZED (
+      |  SELECT doc_id, t.i AS wi, ws[i] AS rw
+      |  FROM dws, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |sy AS MATERIALIZED (
+      |  SELECT dt.doc_id, dt.wi, u.j, seg.syms[j] AS sym
+      |  FROM dt JOIN wmap USING (rw) JOIN seg ON seg.w = wmap.w,
+      |    unnest(range(1, len(seg.syms) + 1)) AS u(j)),
+      |enc AS MATERIALIZED (
+      |  SELECT sy.doc_id, list(v.id ORDER BY sy.wi, sy.j) AS ids,
+      |    sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::bigint AS n_miss
+      |  FROM sy LEFT JOIN vocab v ON v.token = sy.sym
+      |  GROUP BY sy.doc_id)
+      |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
+      |  coalesce(e.n_miss, 0)::bigint AS n_unk,
+      |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
+      |FROM documents d LEFT JOIN enc e USING (doc_id)
+      |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
 
   private def bpeMergesOracle(k: Int): String =
     bpeStagesCte(k) + "\n" + (1 to k).map(s =>
@@ -571,6 +676,14 @@ object Declared {
     artifact(s, "bpe_merges_64", dir) {
       viaStore(s, "bpe_merges_64") {
         TextStats.bpeTrain(t(s, dir, "documents"), "text", numMerges = 64)
+      }(graft.ext.Artifacts.saveBpeMerges, graft.ext.Artifacts.loadBpeMerges)
+    }
+
+  private def bpeByteMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long)] =
+    artifact(s, "bpe_byte_merges_24", dir) {
+      viaStore(s, "bpe_byte_merges_24") {
+        TextStats.bpeTrain(t(s, dir, "documents"), "text", numMerges = 24,
+          wordsCol = Some(TextStats.byteWords(col("text"))))
       }(graft.ext.Artifacts.saveBpeMerges, graft.ext.Artifacts.loadBpeMerges)
     }
 
@@ -5191,6 +5304,39 @@ object Declared {
         |    THEN ('0x' || substr(md5(s.vec_id::varchar), 1, 15))::bigint END), 0)::bigint AS kept_xor
         |FROM sims s JOIN thr t USING (label)
         |GROUP BY t.label, t.n_vecs, t.thr ORDER BY t.label""".stripMargin)),
+
+    // X5f byte-level TOTALITY (r14 — the GPT-2 practice the [a-z0-9]
+    // alphabet approximates, stated as the r13 verdict's stretch:
+    // bytes_to_unicode maps every UTF-8 byte onto a fixed 256-char
+    // alphabet, the vocabulary seeds with ALL 256 base symbols in byte
+    // order, so ANY input — planted 2-byte Latin, 3-byte CJK, 4-byte
+    // non-BMP emoji the training corpus NEVER saw — encodes with ZERO
+    // unknowns, asserted driver-visibly (n_unk column; contrast x86,
+    // where the same setup under the letter alphabet must spend its
+    // reserved unk id). 24 byte-level merges train on the raw fixture
+    // (persisted + reloaded); DuckDB independently replays the byte
+    // mapping from hex(encode(w)) arithmetic, re-trains all 24 stages,
+    // rebuilds the 280-entry vocabulary and re-encodes every marked
+    // document id-for-id.
+    "x111_bpe_byte_encode" -> Q(
+      (s, dir) => {
+        val merges = bpeByteMergesArtifact(s, dir)
+        val vocab = TextStats.bpeVocabBytes(merges.toSeq)
+        val unk = vocab.length.toLong
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" "),
+              lit(byteMarkerScala))).otherwise(col("text")))
+          .select(col("doc_id"),
+            TextStats.bpeEncodeIdsBytes(col("text"),
+              merges.map(m => (m._1, m._2)).toSeq, vocab).as("ids"))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+            size(filter(col("ids"), x => x === lit(unk)))
+              .cast("long").as("n_unk"),
+            concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"))
+          .orderBy("doc_id")
+      },
+      Some(bpeByteEncodeOracle(24))),
 
     // X22+X1e+X5k (r14): the CCNet stages folded into the STANDING
     // assembly — the r13 verdict's composition ask. Published order

@@ -2074,4 +2074,68 @@ class ExtSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L), s"edge kept set: $kept")
   }
+
+  test("X5f byte map: bijection over all 256 bytes; UTF-8 round-trip incl. non-BMP") {
+    import graft.functions.ByteMapTokens
+    // the mapped alphabet has exactly 256 distinct chars, identity on
+    // printable Latin-1, shifts elsewhere — and unmap inverts exactly
+    val chars = (0 until 256).map(ByteMapTokens.byteToChar)
+    assert(chars.distinct.size == 256)
+    assert(chars(97) == 'a' && chars(48) == '0' && chars(233) == 'é')
+    assert(chars(32) == (256 + 32).toChar && chars(10) == (256 + 10).toChar &&
+      chars(173) == (256 + 67).toChar && chars(127) == (256 + 33).toChar)
+    // byte-level inverse restores the exact raw byte for all 256 —
+    // including bare continuation bytes that are not valid UTF-8 alone
+    (0 until 256).foreach { b =>
+      val back = ByteMapTokens.unmapBytes(
+        String.valueOf(ByteMapTokens.byteToChar(b)))
+      assert(back.length == 1 && (back(0) & 0xff) == b,
+        s"byte $b did not round-trip through the table")
+    }
+    // seeded fuzz: arbitrary BMP+non-BMP strings round-trip exactly
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val s = (1 to rnd.nextInt(30)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => (33 + rnd.nextInt(94)).toChar.toString
+          case 1 => (0xe9 + rnd.nextInt(8)).toChar.toString       // Latin-1
+          case 2 => (0x4e00 + rnd.nextInt(100)).toChar.toString   // CJK
+          case _ => new String(Character.toChars(0x1f600 + rnd.nextInt(64)))
+        }
+      }.mkString
+      assert(ByteMapTokens.unmapWord(ByteMapTokens.mapWord(s)) == s,
+        s"round-trip broke on: $s")
+    }
+  }
+
+  test("X5f byte-level encode: TOTAL on arbitrary UTF-8 — zero unks ever") {
+    import spark.implicits._
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran"),
+      (3L, "the dog sat")).toDF("doc_id", "text")
+    val merges = TextStats.bpeTrain(train, "text", numMerges = 4,
+      wordsCol = Some(TextStats.byteWords(col("text"))))
+    val vocab = TextStats.bpeVocabBytes(merges.toSeq)
+    assert(vocab.length == 256 + merges.length)
+    assert(vocab.take(256).distinct.size == 256, "base alphabet not total")
+    val unk = vocab.length.toLong
+    // wild inputs the training never saw: CJK, emoji, control bytes,
+    // Latin-1, mixed whitespace — every id must be < unk
+    val wild = Seq((1L, "déjà vu 世界 🚀 naïve"),
+      (2L, "tab\tand\nnewlinevtab"), (3L, "ascii only words"),
+      (4L, " control"), (5L, "🚀🚀🚀")).toDF("doc_id", "text")
+    val bad = wild.select(TextStats.bpeEncodeIdsBytes(col("text"),
+        merges.map(m => (m._1, m._2)).toSeq, vocab).as("ids"))
+      .select(explode(col("ids")).as("id"))
+      .filter(col("id") >= unk || col("id") < 0).count()
+    assert(bad == 0L, s"$bad out-of-vocab ids under the byte-level model")
+    // and the encode is lossless at the byte level: decode the ids of a
+    // multi-byte doc back through the vocab + unmap — exact original
+    val ids = wild.filter(col("doc_id") === 1L)
+      .select(TextStats.bpeEncodeIdsBytes(col("text"),
+        merges.map(m => (m._1, m._2)).toSeq, vocab).as("ids"))
+      .collect()(0).getSeq[Long](0)
+    val mapped = ids.map(i => vocab(i.toInt)).mkString
+    assert(graft.functions.ByteMapTokens.unmapWord(mapped) ==
+      "déjàvu世界🚀naïve", "byte-level decode did not restore the bytes")
+  }
 }

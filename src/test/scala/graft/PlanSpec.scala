@@ -596,6 +596,19 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
+  // x111: byte-level encode is the same pure-map shape — the byte
+  // mapping and the rank-based encoder are two codegen'd expressions
+  // in one projection; no join/aggregate, only the presentation sort
+  test("byte-level BPE encode plans map-only: byte map + encoder fused") {
+    val p = planOf("x111_bpe_byte_encode")
+    assert(p.contains("byte_map_tokens"), s"codegen'd byte map not in-plan:\n$p")
+    assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in byte-level encode:\n$p")
+    assert(!p.contains("Aggregate"), s"aggregation in byte-level encode:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
+  }
+
   // x84: the rank-based id encoder must likewise be pure map — merge
   // ranks + vocab ids ride as one reference object, so the scoring
   // plan has no join/aggregate; only the presentation sort shuffles
