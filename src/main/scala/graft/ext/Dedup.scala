@@ -400,8 +400,18 @@ object Dedup {
     * bodies cross the join, never the line histogram.
     */
   def lineDedupRewrite(docs: DataFrame, idCol: String, linesCol: Column,
-                       minDocs: Int = 2, sep: String = "\n"): DataFrame = {
-    val drops = lineDrops(docs, idCol, linesCol, minDocs)
+                       minDocs: Int = 2, sep: String = "\n"): DataFrame =
+    lineRewriteWith(docs, idCol, linesCol,
+      lineDrops(docs, idCol, linesCol, minDocs), sep)
+
+  /** The rewrite-APPLY half of [[lineDedupRewrite]], against a caller-
+    * supplied drop frame — the seam the incremental refresh needs
+    * (drops computed by [[lineDropsAgainst]] a STANDING histogram for
+    * the affected/fresh docs only, never a subset-local election).
+    */
+  private[graft] def lineRewriteWith(docs: DataFrame, idCol: String,
+                                     linesCol: Column, drops: DataFrame,
+                                     sep: String = "\n"): DataFrame =
     docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), linesCol.as("_ls"))
       .join(drops, Seq("doc_id"), "left")
@@ -410,7 +420,6 @@ object Dedup {
         concat_ws(sep, filter(col("_ls"), (_, i) =>
           !coalesce(array_contains(col("drop_pos"), i), lit(false))))
           .as("clean_text"))
-  }
 
   /** X1d: dedup-tier FUNNEL — the "where did my duplicates go" readout
     * over the dedup ladder, the dedup analogue of the curation gate

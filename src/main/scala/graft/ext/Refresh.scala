@@ -260,6 +260,174 @@ object Refresh {
     * numShards-row full-outer join; shards absent on one side surface
     * as `new` / `retired` rather than vanishing.
     */
+  // ------------------------------------------------------------ X23d
+
+  /** X23d (r14): incremental CCNet-HEAD refresh under a FROZEN
+    * reference LM — the deployment shape of the x108/x110 chain's
+    * front half (line-level keep-first dedup → language ID →
+    * frozen-LM perplexity scoring). CCNet-style pipelines freeze the
+    * reference model and its per-language tail thresholds between
+    * re-baselines (the [[graft.streaming.StreamCurate
+    * .applyPerplexityGate]] contract); under that freeze the whole
+    * head becomes incrementally maintainable, and the refresh is
+    * BIT-IDENTICAL to a from-scratch rebuild (the declared x112 row
+    * asserts it in-query; DuckDB replays the rebuild independently).
+    *
+    * State frames (all slim, persisted via [[Artifacts.saveIndex]]):
+    *  - `lf`     (doc_id, pos, lh): the corpus's 60-bit line-hash view
+    *    — line TEXT is never state;
+    *  - `hist`   (lh, n_docs, first_id, first_pos): the standing
+    *    election;
+    *  - `scored` (lang, doc_id, n_bigrams, lp): frozen-LM scores of
+    *    the cleaned scoreable corpus.
+    *
+    * EXACTNESS: `lf2 = lf − touched + lineFrame(fresh)` equals
+    * lineFrame(v2) row-for-row (unchanged docs contribute identical
+    * rows), so `hist2` equals the rebuild's histogram. A document's
+    * drop set depends only on its own line rows and, per line hash,
+    * on (n_docs ≥ minDocs, first) — so the drop set of an unchanged
+    * document changes iff one of its hashes changed one of those
+    * fields between hist and hist2. The AFFECTED set (owners in lf2
+    * of exactly those hashes) therefore captures every document whose
+    * clean text — and hence langid scope, token count or frozen-LM
+    * score — can differ; everything else carries its scored row
+    * forward bit-for-bit. Languages, scores and thresholds are frozen
+    * per re-baseline, so no other channel exists.
+    *
+    * SCALE: only fresh documents re-tokenize into lines and only
+    * affected ∪ fresh documents re-clean + re-score (their text read
+    * from v2 — text is corpus data, never refresh state); the
+    * histogram recompute and the affected detection are hash-only
+    * aggregates/joins over the slim lf/hist frames; retirements and
+    * the re-score restriction broadcast delta-sized id lists (the x85
+    * discipline). A planted every-document boilerplate line makes the
+    * affected set corpus-sized by design — that is the rebuild's cost
+    * too, not an incremental penalty.
+    */
+  final case class CcnetState(lf: DataFrame, hist: DataFrame,
+                              scored: DataFrame)
+
+  /** The chain's cleaned view for a set of documents against a given
+    * drop frame: (doc_id, clean_text, lang_pred), 'und' dropped —
+    * langid runs on the RAW text (the x108 convention: the line view
+    * is a-z0-9 tokens).
+    */
+  private def ccnetCleanedWith(docs: DataFrame, linesCol: org.apache.spark.sql.Column,
+                               drops: DataFrame): DataFrame =
+    Dedup.lineRewriteWith(docs, "doc_id", linesCol, drops)
+      .select(col("doc_id"), col("clean_text"))
+      .join(docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          TextStats.langId(col("text")).as("lang_pred")), Seq("doc_id"))
+      .filter(col("lang_pred") =!= "und")
+
+  /** The slim frozen-LM scored frame of a cleaned view: (lang, doc_id,
+    * n_bigrams, lp), sub-2-token rows excluded by the scorer's NaN
+    * sentinel (the r14 perplexityTiers discipline).
+    */
+  private def ccnetScoredOf(cleaned: DataFrame,
+                            lm: TextStats.RefLm): DataFrame =
+    cleaned.select(col("lang_pred").as("lang"), col("doc_id"),
+        (size(Dedup.tokens(coalesce(col("clean_text"), lit("")))) - 1)
+          .cast("long").as("n_bigrams"),
+        round(TextStats.refLmAvgLogProb(col("clean_text"), col("lang_pred"),
+          lm), 6).as("lp"))
+      .filter(!isnan(col("lp")))
+
+  /** Build the standing CCNet-head state from scratch (corpus v1, or a
+    * periodic re-baseline — the point at which the LM and thresholds
+    * are also retrained). Lazy frames; the deployment contract is to
+    * persist all three via [[Artifacts.saveIndex]] (what the declared
+    * x112 does).
+    */
+  def ccnetBuildState(corpus: DataFrame, linesCol: org.apache.spark.sql.Column,
+                      lm: TextStats.RefLm, minDocs: Int = 2): CcnetState = {
+    val lf = Dedup.lineFrame(corpus, "doc_id", linesCol)
+    val hist = Dedup.lineHistogram(lf)
+    val cleaned = ccnetCleanedWith(corpus, linesCol,
+      Dedup.lineDropsAgainst(lf, hist, minDocs))
+    CcnetState(lf, hist, ccnetScoredOf(cleaned, lm))
+  }
+
+  /** The incremental path: diff v1 → v2, fold the line view, recompute
+    * the slim election, detect the election-changed hashes, re-clean +
+    * re-score ONLY affected ∪ fresh documents against the frozen LM,
+    * and carry every other scored row forward untouched.
+    */
+  def ccnetRefresh(state: CcnetState, oldCorpus: DataFrame,
+                   newCorpus: DataFrame, linesCol: org.apache.spark.sql.Column,
+                   lm: TextStats.RefLm, minDocs: Int = 2): CcnetState = {
+    val d = CorpusDiff.diff(oldCorpus, newCorpus, "doc_id", "text")
+      .select("doc_id", "status")
+    val touched = d.filter(col("status").isin("removed", "changed"))
+      .select("doc_id").localCheckpoint(true)
+    val freshIds = d.filter(col("status").isin("added", "changed"))
+      .select("doc_id").localCheckpoint(true)
+    def retire(df: DataFrame): DataFrame =
+      df.join(broadcast(touched), Seq("doc_id"), "left_anti")
+    val freshDocs = newCorpus.join(broadcast(freshIds), Seq("doc_id"), "left_semi")
+    val lf2 = retire(state.lf)
+      .unionByName(Dedup.lineFrame(freshDocs, "doc_id", linesCol))
+      .localCheckpoint(true) // next standing state; read 3x below
+    val hist2 = Dedup.lineHistogram(lf2).localCheckpoint(true)
+    // election-relevant change per hash: dup status flipped, or both
+    // dup and the first owner moved (missing side = not dup)
+    def rel(h: DataFrame, s: String) = h.select(col("lh"),
+      (col("n_docs") >= minDocs).as(s + "d"),
+      col("first_id").as(s + "f"), col("first_pos").as(s + "p"))
+    val affectedLh = rel(state.hist, "a").join(rel(hist2, "b"),
+        Seq("lh"), "full_outer")
+      .filter(!(coalesce(col("ad"), lit(false)) <=> coalesce(col("bd"), lit(false))) ||
+        (coalesce(col("ad"), lit(false)) && coalesce(col("bd"), lit(false)) &&
+          !(col("af") <=> col("bf") && col("ap") <=> col("bp"))))
+      .select("lh")
+    val rescoreIds = lf2.join(affectedLh, Seq("lh"), "left_semi")
+      .select("doc_id").unionByName(freshIds).distinct()
+      .localCheckpoint(true) // delta-component-sized (see scaladoc)
+    val rescoreDocs = newCorpus.join(broadcast(rescoreIds), Seq("doc_id"),
+      "left_semi")
+    val cleanedDelta = ccnetCleanedWith(rescoreDocs, linesCol,
+      Dedup.lineDropsAgainst(
+        lf2.join(broadcast(rescoreIds), Seq("doc_id"), "left_semi"),
+        hist2, minDocs))
+    val scored2 = retire(state.scored)
+      .join(broadcast(rescoreIds), Seq("doc_id"), "left_anti")
+      .unionByName(ccnetScoredOf(cleanedDelta, lm)
+        .select("lang", "doc_id", "n_bigrams", "lp"))
+    CcnetState(lf2, hist2, scored2)
+  }
+
+  /** The frozen per-language tail thresholds of a baseline scored
+    * frame (round-4dp lower tertile — [[TextStats.perplexityTiers]]'
+    * thr_lo), collected at language-count size.
+    */
+  def ccnetTailThr(scored: DataFrame): Map[String, Double] =
+    scored.groupBy("lang")
+      .agg(round(expr(s"percentile(lp, ${1.0 / 3})"), 4).as("thr_lo"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** The kept-set readout under frozen thresholds: one row per
+    * language — (lang, thr, n_docs, n_kept, kept_xor). Languages
+    * without a frozen threshold fail closed (thr null, n_kept 0) but
+    * stay visible rather than vanishing.
+    */
+  def ccnetKeptReport(scored: DataFrame,
+                      tailThr: Map[String, Double]): DataFrame = {
+    val thr = element_at(typedLit(tailThr), col("lang"))
+    val kept = thr.isNotNull && col("lp") >= thr
+    scored.select(col("lang"), thr.as("thr"), col("doc_id"), col("lp"),
+        kept.as("_k"))
+      .groupBy("lang", "thr")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_k"), 1L).otherwise(0L)).as("n_kept"),
+        bit_xor(when(col("_k"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")).otherwise(0L)).as("kept_xor"))
+      .select(col("lang"), col("thr").cast("double").as("thr"),
+        col("n_docs"), col("n_kept"), col("kept_xor"))
+      .orderBy("lang")
+  }
+
   def manifestDelta(oldMan: DataFrame, newMan: DataFrame): DataFrame =
     oldMan.as("o").join(newMan.as("n"), Seq("shard"), "full_outer")
       .select(col("shard"),

@@ -253,6 +253,35 @@ object Declared {
       .filter(col("lang_pred") =!= "und")
   }
 
+  /** x112's standing v1 CCNet-head state — frozen LM (save→reload via
+    * Artifacts), the three slim state frames persisted through the
+    * parquet index store and RELOADED (the x85 cross-job hand-off
+    * discipline), and the frozen per-language tail thresholds derived
+    * from the reloaded baseline scores.
+    */
+  private def ccnetRefreshArtifact(s: SparkSession, dir: String)
+    : (graft.ext.Refresh.CcnetState, TextStats.RefLm, Map[String, Double]) =
+    artifact(s, "ccnet_refresh_state_v1", dir) {
+      val v1 = refreshV1(t(s, dir, "documents"))
+      val lm = viaStore(s, "reflm_ccnetref_1024") {
+        TextStats.refLmTrain(ccnetCleaned(v1), "clean_text", "lang_pred",
+          col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+          numBuckets = 1024)
+      }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+        graft.ext.Artifacts.loadRefLm)
+      val st = graft.ext.Refresh.ccnetBuildState(v1, tokenLines12, lm)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-ccnet-refresh").toString
+      graft.ext.Artifacts.saveIndex(st.lf, s"$base/lf")
+      graft.ext.Artifacts.saveIndex(st.hist, s"$base/hist")
+      graft.ext.Artifacts.saveIndex(st.scored, s"$base/scored")
+      val reloaded = graft.ext.Refresh.CcnetState(
+        graft.ext.Artifacts.loadIndex(s, s"$base/lf"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/hist"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/scored"))
+      (reloaded, lm, graft.ext.Refresh.ccnetTailThr(reloaded.scored))
+    }
+
   /** Shared DuckDB CTE block replaying [[tokenLines12]] +
     * [[graft.ext.Dedup.lineDrops]]' keep-first marking — one
     * definition for the x107 rewrite oracle and the x108 e2e oracle
@@ -5337,6 +5366,159 @@ object Declared {
           .orderBy("doc_id")
       },
       Some(bpeByteEncodeOracle(24))),
+
+    // X23d (r14): incremental CCNet-HEAD refresh under a frozen
+    // reference LM — the deployment reality of the x108 chain (corpus
+    // v2 arrives; CCNet-style pipelines freeze the LM + per-language
+    // tail thresholds between re-baselines): the line view folds
+    // (retire touched rows, tokenize ONLY fresh docs), the slim
+    // election recomputes hash-only, the election-CHANGED hashes mark
+    // the affected documents, and only affected ∪ fresh re-clean +
+    // re-score — every other scored row carries forward bit-for-bit.
+    // The declared claim is the x85 duality: the query runs BOTH the
+    // incremental path (from the persisted+reloaded v1 state) and the
+    // from-scratch rebuild, emits the rebuild's per-language kept
+    // report with an incr_match boolean, and DuckDB independently
+    // replays the REBUILD (v1 chain → frozen LM + tertile thresholds;
+    // v2 chain → line election, rewrite, langid, scoring, kept
+    // rollup) — so the booleans catch incremental-vs-rebuild drift
+    // and the hash catches rebuild-vs-oracle drift.
+    "x112_ccnet_refresh" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val v1 = refreshV1(docs)
+        val v2 = refreshV2(docs)
+        val (st1, lm, thr) = ccnetRefreshArtifact(s, dir)
+        val inc = graft.ext.Refresh.ccnetKeptReport(
+          graft.ext.Refresh.ccnetRefresh(st1, v1, v2, tokenLines12, lm)
+            .scored, thr)
+        val full = graft.ext.Refresh.ccnetKeptReport(
+          graft.ext.Refresh.ccnetBuildState(v2, tokenLines12, lm).scored, thr)
+        full.as("f").join(inc.as("i"), Seq("lang"), "full_outer")
+          .select(col("lang"), col("f.thr").as("thr"),
+            col("f.n_docs").as("n_docs"), col("f.n_kept").as("n_kept"),
+            col("f.kept_xor").as("kept_xor"),
+            (col("f.thr") <=> col("i.thr") &&
+              col("f.n_docs") <=> col("i.n_docs") &&
+              col("f.n_kept") <=> col("i.n_kept") &&
+              col("f.kept_xor") <=> col("i.kept_xor")).as("incr_match"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH v1 AS MATERIALIZED (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 17 <> 5),
+        |v2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
+        |      ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 19 <> 7),
+        |${lineDedupCtesFor("v1", "o")},
+        |oct AS MATERIALIZED (
+        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+        |  FROM otoks t LEFT JOIN (
+        |    SELECT doc_id, string_agg(
+        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+        |      chr(10) ORDER BY pos) AS ctext
+        |    FROM omarked GROUP BY 1) a USING (doc_id)),
+        |olt AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+        |  FROM v1 WHERE doc_id IS NOT NULL),
+        |olid AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, source, has_cjk,
+        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM olt)),
+        |ocorp AS MATERIALIZED (
+        |  SELECT c.doc_id, l.lang_pred AS lang, l.source,
+        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM oct c JOIN olid l USING (doc_id)
+        |  WHERE l.lang_pred <> 'und'),
+        |obg AS MATERIALIZED (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+        |  FROM ocorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |ocb AS (
+        |  SELECT lang, b2, count(*)::double AS c FROM obg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |ocu AS (
+        |  SELECT lang, b1, count(*)::double AS c FROM obg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |osc AS MATERIALIZED (
+        |  SELECT g.doc_id, g.lang,
+        |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
+        |  FROM obg g
+        |  LEFT JOIN ocb ON ocb.lang = g.lang AND ocb.b2 = g.b2
+        |  LEFT JOIN ocu ON ocu.lang = g.lang AND ocu.b1 = g.b1
+        |  GROUP BY 1, 2),
+        |othr AS MATERIALIZED (
+        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo
+        |  FROM osc GROUP BY 1),
+        |${lineDedupCtesFor("v2", "n")},
+        |nct AS MATERIALIZED (
+        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+        |  FROM ntoks t LEFT JOIN (
+        |    SELECT doc_id, string_agg(
+        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+        |      chr(10) ORDER BY pos) AS ctext
+        |    FROM nmarked GROUP BY 1) a USING (doc_id)),
+        |nlt AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+        |  FROM v2 WHERE doc_id IS NOT NULL),
+        |nlid AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, has_cjk,
+        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM nlt)),
+        |ncorp AS MATERIALIZED (
+        |  SELECT c.doc_id, l.lang_pred AS lang,
+        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM nct c JOIN nlid l USING (doc_id)
+        |  WHERE l.lang_pred <> 'und'),
+        |nbg AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+        |  FROM ncorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |nsc AS MATERIALIZED (
+        |  SELECT g.doc_id, g.lang,
+        |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
+        |  FROM nbg g
+        |  LEFT JOIN ocb ON ocb.lang = g.lang AND ocb.b2 = g.b2
+        |  LEFT JOIN ocu ON ocu.lang = g.lang AND ocu.b1 = g.b1
+        |  GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT s.lang, t.thr_lo, s.doc_id,
+        |    t.thr_lo IS NOT NULL AND s.lp >= t.thr_lo AS k
+        |  FROM nsc s LEFT JOIN othr t USING (lang))
+        |SELECT lang, thr_lo::double AS thr, count(*)::bigint AS n_docs,
+        |  sum(CASE WHEN k THEN 1 ELSE 0 END)::bigint AS n_kept,
+        |  bit_xor(CASE WHEN k
+        |    THEN ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint
+        |    ELSE 0 END)::bigint AS kept_xor,
+        |  true AS incr_match
+        |FROM rep GROUP BY 1, 2 ORDER BY lang""".stripMargin)),
 
     // X22+X1e+X5k (r14): the CCNet stages folded into the STANDING
     // assembly — the r13 verdict's composition ask. Published order

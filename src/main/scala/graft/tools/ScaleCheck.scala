@@ -1199,6 +1199,105 @@ object ScaleCheck {
         timed.map { case (t, _) => f"$t%.2f" }.mkString(" "))
     }
 
+    // --- x112 incremental CCNet-head refresh at scale ------------------
+    // x85's witness shape for the frozen-LM CCNet head: token-permuted
+    // replicas (langid-invariant token multisets, replica-local line
+    // content — so the election and the affected set stay delta-bound
+    // instead of rippling through verbatim line copies), the whole
+    // v1→v2 delta confined to replica 0. Witnesses: (a) refresh kept
+    // report == rebuild kept report at EVERY scale (the x112 equality
+    // under a growing standing corpus); (b) with the delta constant,
+    // refresh wall stays well under rebuild wall at 16x — only
+    // affected ∪ fresh documents re-clean/re-score, and the
+    // corpus-proportional refresh costs are the slim diff scan and
+    // hash-only histogram work.
+    locally {
+      import graft.ext.{Refresh, TextStats}
+      val R0 = 100000000L
+      val lines12: org.apache.spark.sql.Column = {
+        val toks = graft.ext.Dedup.tokens(coalesce(col("text"), lit("")))
+        when(size(toks) > 0,
+          transform(sequence(lit(0),
+            floor((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+            i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+      def permuted(n: Int): DataFrame =
+        (0 until n).map { i =>
+          val base = docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * R0))
+          if (i == 0) base
+          else base.withColumn("text", concat_ws(" ",
+            transform(array_sort(transform(
+              filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+              (tok, pos) => struct(
+                md5(concat(tok, lit(s"#$i#"), pos.cast("string"))).as("k"),
+                tok.as("t")))),
+              s => s.getField("t"))))
+        }.reduce(_ union _)
+      def v1(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 17 === 5 && col("doc_id") < R0))
+      def v2(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 19 === 7 && col("doc_id") < R0))
+        .withColumn("text",
+          when(col("doc_id") % 13 === 4 && col("doc_id") < R0,
+            concat(col("text"), lit(" spark refresh delta")))
+            .otherwise(col("text")))
+      val timedC = scales.map { n =>
+        // deployment shape, setup untimed: stored corpora, persisted
+        // state, frozen LM + thresholds from the v1 re-baseline
+        val base = java.nio.file.Files
+          .createTempDirectory(s"x112-scale-$n").toString
+        v1(n).write.mode("overwrite").parquet(s"$base/v1")
+        v2(n).write.mode("overwrite").parquet(s"$base/v2")
+        val v1p = spark.read.parquet(s"$base/v1")
+        val v2p = spark.read.parquet(s"$base/v2")
+        val lm = TextStats.refLmTrain(
+          v1p.withColumn("lang_pred", TextStats.langId(col("text"))),
+          "text", "lang_pred",
+          col("lang_pred") =!= "und" && col("doc_id").isNotNull,
+          numBuckets = 1024)
+        val st0 = Refresh.ccnetBuildState(v1p, lines12, lm)
+        graft.ext.Artifacts.saveIndex(st0.lf, s"$base/lf")
+        graft.ext.Artifacts.saveIndex(st0.hist, s"$base/hist")
+        graft.ext.Artifacts.saveIndex(st0.scored, s"$base/scored")
+        val st = Refresh.CcnetState(
+          graft.ext.Artifacts.loadIndex(spark, s"$base/lf"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/hist"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/scored"))
+        val thr = Refresh.ccnetTailThr(st.scored)
+        val t0 = System.nanoTime()
+        val inc = Refresh.ccnetKeptReport(
+            Refresh.ccnetRefresh(st, v1p, v2p, lines12, lm).scored, thr)
+          .collect().map(_.toSeq).toSet
+        val tRef = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val full = Refresh.ccnetKeptReport(
+            Refresh.ccnetBuildState(v2p, lines12, lm).scored, thr)
+          .collect().map(_.toSeq).toSet
+        val tReb = (System.nanoTime() - t1) / 1e9
+        assert(inc == full,
+          s"x112 scale: refresh != rebuild at ${n}x\n inc: $inc\n reb: $full")
+        (n, tRef, tReb)
+      }
+      val (_, ref16, reb16) = timedC(2)
+      assert(ref16 < reb16,
+        f"x112 scale: constant-delta refresh ($ref16%.2f s) not cheaper than " +
+          f"rebuild ($reb16%.2f s) at 16x")
+      sb.append("\n## Incremental CCNet-head refresh at scale (x112, constant delta)\n\n")
+      sb.append("Token-permuted replication (replica-local lines, langid-invariant);\n")
+      sb.append("the v1->v2 delta lives in replica 0. Refresh kept report asserted ==\n")
+      sb.append("rebuild at every scale; constant-delta refresh asserted cheaper than\n")
+      sb.append("the rebuild at 16x (only affected+fresh docs re-clean/re-score).\n\n")
+      sb.append("| case | 1x (s) | 4x (s) | 16x (s) |\n|---|---|---|---|\n")
+      sb.append(f"| x112 refresh (delta fixed) | ${timedC(0)._2}%.2f | " +
+        f"${timedC(1)._2}%.2f | ${timedC(2)._2}%.2f |\n")
+      sb.append(f"| x112 full rebuild | ${timedC(0)._3}%.2f | " +
+        f"${timedC(1)._3}%.2f | ${timedC(2)._3}%.2f |\n")
+      println(f"SCALE x112 refresh " +
+        timedC.map { case (_, a, b) => f"$a%.2f/$b%.2f" }.mkString(" "))
+    }
+
     // --- x79 BPE training at scale ------------------------------------
     // Plain replication (same texts, shifted ids) multiplies every word
     // frequency by n, so every pair count scales by exactly n and the

@@ -1632,6 +1632,69 @@ class ExtSpec extends SparkSuite {
       s"misplaced row not caught by checksums: $mis")
   }
 
+  test("X23d ccnet refresh: election flip on first-owner removal; refresh == rebuild bit-for-bit") {
+    import graft.ext.{Refresh, TextStats}
+    import spark.implicits._
+    val lines = split(coalesce(col("text"), lit("")), "\n")
+    // v1: docs 1/2/3 share a nav line (first owner = doc 1); doc 4 is
+    // clean; doc 7 shares nothing (the untouched-unaffected control);
+    // doc 5 has no language markers (und, out of scope)
+    val v1 = Seq(
+      (1L, "the nav bar\nthe quick fox and dog jumps", "src0"),
+      (2L, "the nav bar\nthe lazy dog and cat is that", "src0"),
+      (3L, "the nav bar\nthe cat sat for with that", "src1"),
+      (4L, "unique text of the day for all", "src1"),
+      (5L, "solo mumble", "src0"),
+      (7L, "completely different words that go for with", "src0")
+    ).toDF("doc_id", "text", "source")
+    // v2: REMOVE doc 1 (the nav line's first owner — the election must
+    // flip to doc 2, whose clean text GROWS); CHANGE doc 4; ADD doc 6
+    // sharing the nav line (drops it — doc 2 is now first)
+    val v2 = Seq(
+      (2L, "the nav bar\nthe lazy dog and cat is that", "src0"),
+      (3L, "the nav bar\nthe cat sat for with that", "src1"),
+      (4L, "unique text of the day for all and more words", "src1"),
+      (5L, "solo mumble", "src0"),
+      (6L, "the nav bar\nthe new doc is here and there", "src0"),
+      (7L, "completely different words that go for with", "src0")
+    ).toDF("doc_id", "text", "source")
+    // the frozen reference LM, trained per predicted language on the
+    // v1 baseline (the chain's own langid, mirroring the deployment)
+    val lmReal = TextStats.refLmTrain(
+      v1.withColumn("lang_pred", TextStats.langId(col("text"))),
+      "text", "lang_pred", col("lang_pred") =!= "und", numBuckets = 64)
+    val st1 = Refresh.ccnetBuildState(v1, lines, lmReal)
+    val thr = Refresh.ccnetTailThr(st1.scored)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "doc_id", "n_bigrams", "lp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val scored1 = rows(st1.scored)
+    val st2 = Refresh.ccnetRefresh(st1, v1, v2, lines, lmReal)
+    val inc = rows(st2.scored)
+    val full = rows(Refresh.ccnetBuildState(v2, lines, lmReal).scored)
+    assert(inc == full, s"refresh drifted from rebuild:\n inc=$inc\n full=$full")
+    // the flip happened: doc 2 now OWNS the nav line, so its cleaned
+    // text (and bigram count) grew vs the v1 state
+    def nbg(s: Set[(String, Long, Long, Double)], id: Long) =
+      s.collectFirst { case (_, `id`, n, _) => n }.get
+    assert(nbg(inc, 2L) > nbg(scored1, 2L),
+      s"doc 2 did not inherit the nav line: ${nbg(scored1, 2L)} -> ${nbg(inc, 2L)}")
+    // the added doc drops the (now doc-2-owned) nav line
+    assert(inc.exists(_._2 == 6L), "added doc missing from scored state")
+    // untouched + unaffected doc 7 carries its row forward bit-for-bit
+    assert(inc.filter(_._2 == 7L) == scored1.filter(_._2 == 7L),
+      "unaffected doc's scored row changed")
+    // removed doc is gone
+    assert(!inc.exists(_._2 == 1L), "removed doc still in scored state")
+    // the kept report folds identically through the frozen thresholds
+    val repI = Refresh.ccnetKeptReport(st2.scored, thr).collect().map(_.toString)
+    val repF = Refresh.ccnetKeptReport(
+      Refresh.ccnetBuildState(v2, lines, lmReal).scored, thr)
+      .collect().map(_.toString)
+    assert(repI.toSeq == repF.toSeq, s"${repI.toSeq} vs ${repF.toSeq}")
+  }
+
   test("X23b incrementalClusters: merge-on-add, split-on-retire, carry untouched — equals full recompute") {
     import graft.ext.{Dedup, Refresh}
     // standing v1 graph: components {1,2,3} (chain), {10,11}, {20,21},
