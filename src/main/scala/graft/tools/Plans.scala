@@ -35,7 +35,7 @@ object Plans {
     "x100_audio_dedup", "x102_normalized_dedup", "x103_pack_boundaries",
     "x104_dedup_funnel", "x105_perplexity_tiers", "x106_epoch_upsample",
     "x107_line_dedup", "x108_ccnet_e2e", "x109_embedding_outliers",
-    "x110_assembly_ccnet", "x111_bpe_byte_encode")
+    "x110_assembly_ccnet", "x111_bpe_byte_encode", "x112_ccnet_refresh")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
