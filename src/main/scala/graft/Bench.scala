@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *  - `load_sentinel_*` entries time a fixed reference computation at
   *    start / mid-suite / end; a sentinel far above its known-quiet
   *    value (BASELINE.md) marks the whole run as box-load-polluted.
+  *  - `load_sentinel_par_*` (r15) additionally probe parallel CAPACITY
+  *    with one long ALU task per core: contention that collapses
+  *    many-way throughput while single-task latency stays quiet (the
+  *    r13/r14 driver boxes) is visible here and invisible above.
   *  - `queries_cpu_sec` records per-query process-CPU seconds next to
   *    the wall figures: a wall spike without a matching CPU spike marks
   *    that single query as externally contended (BASELINE.md rule) —
@@ -94,6 +98,23 @@ object Bench {
     def sentinel(): Double =
       timed2(spark.range(200000000L).select(sum(bit_count(col("id")))).collect())
 
+    // parallel-CAPACITY sentinel (r15, per the r14 verdict): the probe
+    // above finishes its ~70 ms tasks inside contention gaps and so
+    // passed two driver runs whose parallel throughput had collapsed
+    // 30x (gen_8m_wire_p32 87.5 s vs 2.89 s quiet while the sentinels
+    // read in-band — r13/r14's seven false REGRESSION flags). This one
+    // forces EXACTLY one long task per core (defaultParallelism
+    // partitions, ~0.6 s/task quiet), so the wall can only be quiet if
+    // every core runs CONCURRENTLY for the full window — a box with
+    // quiet cores but collapsed parallelism/bandwidth reads far over
+    // band (quiet band: BASELINE.md; bench_compare.py downgrades
+    // REGRESSION to CONTENTION(capacity) when it is out of band).
+    def sentinelPar(): Double = {
+      val p = spark.sparkContext.defaultParallelism
+      timed2(spark.range(0L, 50000000L * p, 1L, p)
+        .select(sum(bit_count(col("id")))).collect())
+    }
+
     // Steady-state methodology (JMH-style): one untimed warm-up pass over
     // the target dir compiles all whole-stage-codegen classes and JITs the
     // hot paths (cold-vs-warm is ~7x on the expression-heavy dedup
@@ -115,6 +136,7 @@ object Bench {
       .select(sum(length(col("value")))).collect()
 
     val sentinelStart = sentinel()
+    val sentinelParStart = sentinelPar()
 
     val names = SparkEntry.queries.keys.toSeq.filter(included).sorted
     val (firstHalf, secondHalf) = names.splitAt(names.length / 2)
@@ -127,6 +149,7 @@ object Bench {
     }
     val t1 = run(firstHalf)
     val sentinelMid = sentinel()
+    val sentinelParMid = sentinelPar()
     val t2 = run(secondHalf)
     val queryTimes = (t1 ++ t2).sortBy(_._1)
 
@@ -147,6 +170,7 @@ object Bench {
     val gen8p32 = if (only.isEmpty) genScale(32) else -1.0
     val gen8p2 = if (only.isEmpty) genScale(2) else -1.0
     val sentinelEnd = sentinel()
+    val sentinelParEnd = sentinelPar()
 
     val all = queryTimes :+ ("gen_1m_wire" -> (genSec, genCpu))
     val qs = all.map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.3f" }
@@ -189,12 +213,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL.json")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"load_sentinel_par_start":$sentinelParStart%.3f,"load_sentinel_par_mid":$sentinelParMid%.3f,"load_sentinel_par_end":$sentinelParEnd%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-map write failed: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","full_map":"$fullPath","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qsByCost,"hot_wall_cpu":$hot,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"total_sec":$total%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","full_map":"$fullPath","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qsByCost,"hot_wall_cpu":$hot,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"load_sentinel_par_start":$sentinelParStart%.3f,"load_sentinel_par_mid":$sentinelParMid%.3f,"load_sentinel_par_end":$sentinelParEnd%.3f,"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

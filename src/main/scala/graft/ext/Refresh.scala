@@ -66,6 +66,20 @@ object Refresh {
     gated.select(col("doc_id"), col("quality"),
       TextStats.tokenCount(col("text")).cast("long").as("n_toks"))
 
+  /** Broadcast-hint an id-list join side only when it is verifiably
+    * small. The refresh id frames are usually delta-sized, but the
+    * [[ccnetRefresh]] scaladoc's boilerplate-line case makes the
+    * affected set CORPUS-sized — an unconditional hint would then push
+    * a corpus-sized build through the driver (and into the 8 GB
+    * broadcast hard cap). Callers pass eagerly localCheckpoint'ed
+    * frames, so the count is a cached-partition scan, not a replay;
+    * above the bound the join is left unhinted and AQE picks the
+    * strategy from runtime stats.
+    */
+  private val BroadcastIdRows = 4L << 20 // ~32 MB of packed longs
+  private def hintIfSlim(ids: DataFrame): DataFrame =
+    if (ids.count() <= BroadcastIdRows) broadcast(ids) else ids
+
   /** Build the standing state from scratch (corpus version 1, or any
     * periodic full re-baseline).
     *
@@ -363,9 +377,11 @@ object Refresh {
       .select("doc_id").localCheckpoint(true)
     val freshIds = d.filter(col("status").isin("added", "changed"))
       .select("doc_id").localCheckpoint(true)
+    val touchedH = hintIfSlim(touched)
+    val freshH = hintIfSlim(freshIds)
     def retire(df: DataFrame): DataFrame =
-      df.join(broadcast(touched), Seq("doc_id"), "left_anti")
-    val freshDocs = newCorpus.join(broadcast(freshIds), Seq("doc_id"), "left_semi")
+      df.join(touchedH, Seq("doc_id"), "left_anti")
+    val freshDocs = newCorpus.join(freshH, Seq("doc_id"), "left_semi")
     val lf2 = retire(state.lf)
       .unionByName(Dedup.lineFrame(freshDocs, "doc_id", linesCol))
       .localCheckpoint(true) // next standing state; read 3x below
@@ -381,17 +397,16 @@ object Refresh {
         (coalesce(col("ad"), lit(false)) && coalesce(col("bd"), lit(false)) &&
           !(col("af") <=> col("bf") && col("ap") <=> col("bp"))))
       .select("lh")
-    val rescoreIds = lf2.join(affectedLh, Seq("lh"), "left_semi")
+    val rescoreIds = hintIfSlim(lf2.join(affectedLh, Seq("lh"), "left_semi")
       .select("doc_id").unionByName(freshIds).distinct()
-      .localCheckpoint(true) // delta-component-sized (see scaladoc)
-    val rescoreDocs = newCorpus.join(broadcast(rescoreIds), Seq("doc_id"),
-      "left_semi")
+      .localCheckpoint(true)) // usually delta-sized, corpus-sized worst case
+    val rescoreDocs = newCorpus.join(rescoreIds, Seq("doc_id"), "left_semi")
     val cleanedDelta = ccnetCleanedWith(rescoreDocs, linesCol,
       Dedup.lineDropsAgainst(
-        lf2.join(broadcast(rescoreIds), Seq("doc_id"), "left_semi"),
+        lf2.join(rescoreIds, Seq("doc_id"), "left_semi"),
         hist2, minDocs))
     val scored2 = retire(state.scored)
-      .join(broadcast(rescoreIds), Seq("doc_id"), "left_anti")
+      .join(rescoreIds, Seq("doc_id"), "left_anti")
       .unionByName(ccnetScoredOf(cleanedDelta, lm)
         .select("lang", "doc_id", "n_bigrams", "lp"))
     CcnetState(lf2, hist2, scored2)

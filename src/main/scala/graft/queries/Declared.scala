@@ -262,7 +262,7 @@ object Declared {
   private def ccnetRefreshArtifact(s: SparkSession, dir: String)
     : (graft.ext.Refresh.CcnetState, TextStats.RefLm, Map[String, Double]) =
     artifact(s, "ccnet_refresh_state_v1", dir) {
-      val v1 = refreshV1(t(s, dir, "documents"))
+      val v1 = ccnetV1(t(s, dir, "documents"))
       val lm = viaStore(s, "reflm_ccnetref_1024") {
         TextStats.refLmTrain(ccnetCleaned(v1), "clean_text", "lang_pred",
           col("source").isin("src0", "src1") && col("doc_id").isNotNull,
@@ -576,7 +576,7 @@ object Declared {
     * mangle it.
     */
   private val byteMarkerScala: String =
-    "déjà 世界 🚀"
+    "d\u00e9j\u00e0 \u4e16\u754c \uD83D\uDE80"
   private val byteMarkerSql: String =
     "'d' || chr(233) || 'j' || chr(224) || ' ' || chr(19990) || " +
       "chr(30028) || ' ' || chr(128640)"
@@ -1012,6 +1012,33 @@ object Declared {
       .withColumn("text", when(col("doc_id") % 13 === 4,
         concat(col("text"), lit(" spark refresh delta")))
         .otherwise(col("text")))
+
+  /** x112's language-perturbed carve (r15): deterministic stopword-built
+    * GERMAN docs in both versions (doc_id%23==1) and FRENCH docs in v2
+    * ONLY (doc_id%23==2) — the frozen threshold map then carries
+    * {en, de} and the v2 kept-report emits several language rows
+    * including one with NO frozen threshold ('fr': thr null, n_kept 0 —
+    * the fail-closed path, now pinned by the DuckDB replay rather than
+    * only by ExtSpec). REPLACEMENT, not append, so the langid verdict
+    * is deterministic regardless of the base text; the doc_id digits
+    * vary the bigram stream so per-language scores form a real
+    * distribution for the tertile threshold. Applied AFTER the x85
+    * perturbations (the %13 marker append is overwritten on the
+    * language slices — mirrored by the oracle's CASE order).
+    */
+  private def ccnetLangCarve(v: DataFrame, withFr: Boolean): DataFrame = {
+    val de = concat(lit("der die das und ist nicht mit ein " * 6),
+      lit("marke "), col("doc_id").cast("string"))
+    val fr = concat(lit("le la les et est que pour dans " * 6),
+      lit("delta "), col("doc_id").cast("string"))
+    val base = when(col("doc_id") % 23 === 1, de)
+    val full = if (withFr) base.when(col("doc_id") % 23 === 2, fr) else base
+    v.withColumn("text", full.otherwise(col("text")))
+  }
+  private[graft] def ccnetV1(docs: DataFrame): DataFrame =
+    ccnetLangCarve(refreshV1(docs), withFr = false)
+  private[graft] def ccnetV2(docs: DataFrame): DataFrame =
+    ccnetLangCarve(refreshV2(docs), withFr = true)
 
   /** x85's standing v1 state — built once per fixture dir, all four
     * frames persisted through the parquet index store and RELOADED
@@ -3573,8 +3600,11 @@ object Declared {
           }((ss, t, p) => graft.ext.Artifacts.saveDsirRatio(ss, t._1, t._2, p),
             graft.ext.Artifacts.loadDsirRatio)
         }
-        docs.filter(col("doc_id").isNotNull)
-          .repartition(s.sparkContext.defaultParallelism) // one-row-group fixture spread
+        // spreadIfStarved, not an unconditional repartition: the fixture
+        // is one unsplittable row group (spread pays 600 KB for 32x scan
+        // parallelism); a sharded corpus arrives pre-spread and the
+        // map-only scorer must then see NO Exchange of corpus text
+        spreadIfStarved(s, docs, docs.filter(col("doc_id").isNotNull))
           .select(col("doc_id"),
             graft.ext.TrainSet.dsirGramCount(col("text")).as("n_grams"),
             round(graft.ext.TrainSet.dsirLogWeight(
@@ -3707,13 +3737,12 @@ object Declared {
               docs, "text", "lang", "doc_id", numBuckets = 1024)
           }(graft.ext.Artifacts.saveNbModel, graft.ext.Artifacts.loadNbModel)
         }
-        docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
-          // the fixture is ONE unsplittable row group, so without this the
-          // whole interpreted scoring fold runs on one core; production
-          // corpora arrive in thousands of splits (or get this exact
-          // spread when they land as few big unsplittable files). 600 KB
-          // moved once vs 32x scan parallelism.
-          .repartition(s.sparkContext.defaultParallelism)
+        // guarded spread: the fixture is ONE unsplittable row group, so
+        // without it the whole scoring fold runs on one core; production
+        // corpora arrive in thousands of splits and the guard is then
+        // false — no Exchange of corpus text enters the scoring plan
+        spreadIfStarved(s, docs,
+          docs.filter(col("doc_id").isNotNull && col("lang").isNotNull))
           // the L-label fold lands in its OWN projection so the argmax's
           // three references hit a materialized array, not three re-folds
           .select(col("doc_id"), col("lang").as("actual_lang"),
@@ -4671,10 +4700,10 @@ object Declared {
               "text", "teacher", "doc_id", numBuckets = 1024)
           }(graft.ext.Artifacts.saveNbModel, graft.ext.Artifacts.loadNbModel)
         }
-        labeled.filter(col("split") === "test")
-          // x71's fixture note: one unsplittable row group — spread the
-          // scoring fold across cores the way a sharded corpus arrives
-          .repartition(s.sparkContext.defaultParallelism)
+        // x71's guarded spread: one unsplittable fixture row group —
+        // spread the scoring fold the way a sharded corpus arrives;
+        // pre-spread corpora take the map-only plan with no Exchange
+        spreadIfStarved(s, docs, labeled.filter(col("split") === "test"))
           .select(col("doc_id"), col("teacher"),
             TextStats.nbScores(
               TextStats.nbGramBuckets(col("text"), 1024), model).as("_s"))
@@ -5386,8 +5415,8 @@ object Declared {
     "x112_ccnet_refresh" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val v1 = refreshV1(docs)
-        val v2 = refreshV2(docs)
+        val v1 = ccnetV1(docs)
+        val v2 = ccnetV2(docs)
         val (st1, lm, thr) = ccnetRefreshArtifact(s, dir)
         val inc = graft.ext.Refresh.ccnetKeptReport(
           graft.ext.Refresh.ccnetRefresh(st1, v1, v2, tokenLines12, lm)
@@ -5405,10 +5434,18 @@ object Declared {
           .orderBy("lang")
       },
       Some(s"""WITH v1 AS MATERIALIZED (
-        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 17 <> 5),
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 1
+        |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
+        |      ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 17 <> 5),
         |v2 AS MATERIALIZED (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
+        |    CASE WHEN doc_id % 23 = 1
+        |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
+        |      WHEN doc_id % 23 = 2
+        |      THEN repeat('le la les et est que pour dans ', 6) || 'delta ' || doc_id::varchar
+        |      WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
         |      ELSE text END AS text, source
         |  FROM documents WHERE doc_id % 19 <> 7),
         |${lineDedupCtesFor("v1", "o")},

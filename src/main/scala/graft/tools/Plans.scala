@@ -162,6 +162,55 @@ object Plans {
         graft.ext.TextStats.perplexityTiers(cleaned, "clean_text",
           "lang_pred", "doc_id", m, materialize = false)
       },
+      // r15: the declared x68/x71/x98 forms spread a STARVED fixture
+      // scan (spreadIfStarved); a sharded corpus arrives pre-spread and
+      // takes exactly these plans — gated map-only (no text Exchange)
+      "x68_dsir_score (lazy form)" -> {
+        val (ratio, dflt) = graft.ext.TrainSet.dsirRatioMapTagged(
+          docs, col("lang") === "en", "text", "doc_id", numBuckets = 1024)
+        docs.filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            graft.ext.TrainSet.dsirGramCount(col("text")).as("n_grams"),
+            org.apache.spark.sql.functions.round(graft.ext.TrainSet
+              .dsirLogWeight(col("text"), ratio, dflt, 1024), 6)
+              .as("log_weight"))
+          .orderBy("doc_id")
+      },
+      "x71_nb_langid (lazy form)" -> {
+        val model = graft.ext.TextStats.nbTrain(
+          docs, "text", "lang", "doc_id", numBuckets = 1024)
+        docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+          .select(col("doc_id"), col("lang").as("actual_lang"),
+            graft.ext.TextStats.nbScores(
+              graft.ext.TextStats.nbGramBuckets(col("text"), 1024), model)
+              .as("_scores"))
+          .select(col("doc_id"), col("actual_lang"),
+            graft.ext.TextStats.nbBest(col("_scores"), model).as("p"))
+          .select(col("doc_id"), col("actual_lang"),
+            col("p.lang").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      "x98_quality_distill (lazy form)" -> {
+        val labeled = graft.ext.Curation.splitAssign(
+          docs.filter(col("doc_id").isNotNull).withColumn("teacher",
+            graft.ext.Curation.teacherLabel(col("text"))),
+          "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+        val model = graft.ext.TextStats.nbTrain(
+          labeled.filter(col("split") === "train"),
+          "text", "teacher", "doc_id", numBuckets = 1024)
+        labeled.filter(col("split") === "test")
+          .select(col("doc_id"), col("teacher"),
+            graft.ext.TextStats.nbScores(
+              graft.ext.TextStats.nbGramBuckets(col("text"), 1024), model)
+              .as("_s"))
+          .select(col("doc_id"), col("teacher"),
+            graft.ext.TextStats.nbBest(col("_s"), model)
+              .getField("lang").as("student"))
+          .groupBy("teacher", "student")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+          .orderBy("teacher", "student")
+      },
       "x109_embedding_outliers (lazy form)" -> {
         val emb = graft.Tables.load(spark, sfDir, "embeddings")
         graft.ext.Curation.embeddingOutlierGate(emb, "label", "vec_id",

@@ -1023,6 +1023,36 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), s"window in outlier gate:\n$p")
   }
 
+  // x68/x71: on a pre-spread corpus the scoring fold is MAP-ONLY — the
+  // only exchange allowed is the presentation sort's range partition of
+  // the slim scored projection (text already dropped); a round-robin or
+  // hash exchange here would shuffle corpus text a 100 TB reader never
+  // needs to move (the declared forms add the spread ONLY behind the
+  // spreadIfStarved scan probe, so these lazy twins ARE the scale plans)
+  test("dsir + nb scoring lazy forms are map-only up to the presentation sort") {
+    for (q <- Seq("x68_dsir_score (lazy form)", "x71_nb_langid (lazy form)")) {
+      val p = lazyPlans(q)
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(exchanges == rangeExchanges,
+        s"$q: non-range exchange in a map-only scoring plan:\n$p")
+      assert(!p.contains("Join"), s"$q: join in a map-only scoring plan:\n$p")
+    }
+  }
+
+  // x98: the distilled student's report aggregates AFTER the map-only
+  // scoring fold — exactly one hash exchange (the partial-agg'd slim
+  // (teacher, student) rows) plus the presentation sort; corpus text is
+  // never round-robin'd or hash-shuffled
+  test("distill lazy form exchanges only slim agg rows, never corpus text") {
+    val p = lazyPlans("x98_quality_distill (lazy form)")
+    assert(!p.toLowerCase.contains("roundrobin"),
+      s"corpus text round-robin'd:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"$hashEx hash exchanges (one slim agg expected):\n$p")
+    assert(!p.contains("Join"), s"join in the distill scoring plan:\n$p")
+  }
+
   test("column pruning reaches the parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // sparkPlan, not executedPlan: the AQE wrapper hides its input plan
