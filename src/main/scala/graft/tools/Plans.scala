@@ -35,7 +35,8 @@ object Plans {
     "x100_audio_dedup", "x102_normalized_dedup", "x103_pack_boundaries",
     "x104_dedup_funnel", "x105_perplexity_tiers", "x106_epoch_upsample",
     "x107_line_dedup", "x108_ccnet_e2e", "x109_embedding_outliers",
-    "x110_assembly_ccnet", "x111_bpe_byte_encode", "x112_ccnet_refresh")
+    "x110_assembly_ccnet", "x111_bpe_byte_encode", "x112_ccnet_refresh",
+    "x113_html_extract", "x116_packed_bytes")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -188,6 +189,19 @@ object Plans {
             graft.ext.TextStats.nbBest(col("_scores"), model).as("p"))
           .select(col("doc_id"), col("actual_lang"),
             col("p.lang").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      // r15: the declared x113 spreads a starved fixture scan; this is
+      // the pre-spread corpus plan — map-only extraction, gated below
+      "x113_html_extract (lazy form)" -> {
+        val withBf = docs.filter(col("doc_id").isNotNull)
+          .withColumn("html",
+            graft.ext.Extract.htmlWrap(col("doc_id"), col("text")))
+          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("html")))
+        withBf.select(col("doc_id"),
+          graft.ext.Extract.blockCountOf(col("_bf")).cast("long").as("n_blocks"),
+          graft.ext.Extract.keptCountOf(col("_bf")).cast("long").as("n_kept"),
+          graft.ext.Extract.textOf(col("_bf")).as("clean_text"))
           .orderBy("doc_id")
       },
       "x98_quality_distill (lazy form)" -> {

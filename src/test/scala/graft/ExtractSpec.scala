@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Extract
+
+/** Crafted cases for the X26 HTML → clean-text extractor: each test
+  * pins one stage of the declared pipeline (noise strip, block
+  * segmentation, entity decode order, and both legs of the keep rule)
+  * on inputs built to decide exactly that stage.
+  */
+class ExtractSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def extract(html: String): (Long, Long, String) = {
+    val r = Seq(html).toDF("html")
+      .withColumn("_bf", Extract.blockFeatures(col("html")))
+      .select(Extract.blockCountOf(col("_bf")).cast("long"),
+        Extract.keptCountOf(col("_bf")).cast("long"),
+        Extract.textOf(col("_bf")))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getString(2))
+  }
+
+  test("body prose survives, nested inline tags stripped") {
+    val (_, kept, txt) = extract(
+      "<div><p>seven <b>bold</b> words of <i>body</i> text here</p></div>")
+    assert(kept == 1L)
+    assert(txt == "seven bold words of body text here")
+  }
+
+  test("script and style vanish wholesale, a literal < inside script cannot leak") {
+    val (_, kept, txt) = extract(
+      "<script>if (a<2) { emit('<p>fake para with many words inside</p>'); }</script>" +
+        "<style>p { color: red; }</style>" +
+        "<p>the one real paragraph with enough words kept</p>")
+    assert(kept == 1L)
+    assert(txt == "the one real paragraph with enough words kept")
+  }
+
+  test("comments stripped even when they contain block tags") {
+    val (_, kept, txt) = extract(
+      "<!-- <p>commented out paragraph with plenty of words</p> -->" +
+        "<p>real paragraph body with seven plain words</p>")
+    assert(kept == 1L)
+    assert(txt == "real paragraph body with seven plain words")
+  }
+
+  test("entity decode order: double-escaped entities survive literally") {
+    val (_, kept, txt) = extract(
+      "<p>q&amp;a &lt;tag&gt; &#39;x&#39; &quot;y&quot; &amp;lt; and more words here</p>")
+    assert(kept == 1L)
+    // &amp;lt; -> &lt; (literal), NOT <
+    assert(txt == "q&a <tag> 'x' \"y\" &lt; and more words here")
+  }
+
+  test("keep rule leg 1: short blocks drop (nav, title, headings)") {
+    val (blocks, kept, txt) = extract(
+      "<title>Short Title</title><h1>tiny heading</h1>" +
+        "<p>this paragraph has the six tokens needed</p>")
+    assert(blocks == 3L)
+    assert(kept == 1L)
+    assert(txt == "this paragraph has the six tokens needed")
+  }
+
+  test("keep rule leg 2: link farms drop even with enough tokens") {
+    val (_, kept, _) = extract(
+      "<p><a href=\"/a\">one two three four five six seven</a> ok</p>")
+    assert(kept == 0L)
+  }
+
+  test("low anchor share keeps: prose with one inline link") {
+    val (_, kept, txt) = extract(
+      "<p>a long paragraph of prose that happens to mention " +
+        "<a href=\"/x\">a link</a> in passing among many words</p>")
+    assert(kept == 1L)
+    assert(txt.contains("a link in passing"))
+  }
+
+  test("multi-block documents keep order; empty html yields empty text") {
+    val (_, kept, txt) = extract(
+      "<p>first body paragraph with seven plain words</p>" +
+        "<nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a></nav>" +
+        "<p>second body paragraph with seven plain words</p>")
+    assert(kept == 2L)
+    assert(txt == "first body paragraph with seven plain words\n" +
+      "second body paragraph with seven plain words")
+    val (b0, k0, t0) = extract("")
+    assert(b0 == 0L && k0 == 0L && t0 == "")
+  }
+
+  test("htmlWrap fixture: exactly the content paragraph survives, decoded") {
+    val out = Seq((5L, "some body words that keep the paragraph alive"))
+      .toDF("doc_id", "text")
+      .withColumn("_bf", Extract.blockFeatures(
+        Extract.htmlWrap(col("doc_id"), col("text"))))
+      .select(Extract.keptCountOf(col("_bf")),
+        Extract.textOf(col("_bf"))).head()
+    assert(out.getInt(0) == 1)
+    assert(out.getString(1) ==
+      "Q&A <notes> some body words that keep the paragraph alive")
+  }
+}

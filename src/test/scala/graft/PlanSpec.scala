@@ -882,6 +882,19 @@ class PlanSpec extends SparkSuite {
       s"$exchanges exchanges (shard hash + rollup + presentation sort):\n$p")
   }
 
+  // x116: the byte-level packed twin must keep x90's exact shape — the
+  // byte mapper + encoder fused map-side, one packing window, no join
+  test("packed BYTE sequences plan: map-only encode, one window, no join") {
+    val p = planOf("x116_packed_bytes")
+    assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
+    assert(p.contains("byte_map_tokens"), s"byte mapper not in-plan:\n$p")
+    assert(!p.contains("Join"), s"join in x116:\n$p")
+    assert("Window".r.findAllIn(p).size == 1, s"window count != 1:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"$exchanges exchanges (shard hash + rollup + presentation sort):\n$p")
+  }
+
   // x88: delivery verification is one scan of the delivered files and
   // one scan of the fixture — partial-agg'd numShards-row frames meet
   // in a slim join; nothing may cartesian or window, and the delivered
@@ -1038,6 +1051,17 @@ class PlanSpec extends SparkSuite {
         s"$q: non-range exchange in a map-only scoring plan:\n$p")
       assert(!p.contains("Join"), s"$q: join in a map-only scoring plan:\n$p")
     }
+  }
+
+  // x113: extraction is per-document expression work — on a pre-spread
+  // corpus the only exchange is the presentation sort's range partition
+  test("html extraction lazy form is map-only up to the presentation sort") {
+    val p = lazyPlans("x113_html_extract (lazy form)")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(exchanges == rangeExchanges,
+      s"non-range exchange in the extraction plan:\n$p")
+    assert(!p.contains("Join"), s"join in the extraction plan:\n$p")
   }
 
   // x98: the distilled student's report aggregates AFTER the map-only
