@@ -593,7 +593,19 @@ object Curation {
     */
   def mixtureRates(docs: DataFrame, groupCol: String, textCol: String,
                    targets: Seq[(String, Double)],
-                   budgetTokens: Long): DataFrame = {
+                   budgetTokens: Long): DataFrame =
+    mixtureRatesBy(docs, groupCol,
+      size(Dedup.tokens(coalesce(col(textCol), lit("")))),
+      targets, budgetTokens)
+
+  /** [[mixtureRates]] with the token mass supplied as a COLUMN — the
+    * slim-state form (r15): a refresh that stores per-doc token counts
+    * (x114's docMeta) prices its recipe without re-tokenizing text.
+    * The textCol overload delegates here, so the two cannot drift.
+    */
+  def mixtureRatesBy(docs: DataFrame, groupCol: String, tokenCol: Column,
+                     targets: Seq[(String, Double)],
+                     budgetTokens: Long): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 >= 0) &&
       math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
       s"mixture target shares must be >= 0 and sum to 1 (got $targets)")
@@ -602,8 +614,7 @@ object Curation {
     import spark.implicits._
     val counts = docs.groupBy(groupCol)
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(Dedup.tokens(coalesce(col(textCol), lit("")))))
-          .cast("long").as("n_tokens"))
+        sum(tokenCol).cast("long").as("n_tokens"))
     val recipe = broadcast(targets.toDF(groupCol, "target_w"))
     counts.join(recipe, Seq(groupCol), "left")
       .withColumn("target_w", coalesce(col("target_w"), lit(0.0)))
@@ -624,9 +635,23 @@ object Curation {
     */
   def mixtureSample(docs: DataFrame, groupCol: String, textCol: String,
                     idCol: String, targets: Seq[(String, Double)],
-                    budgetTokens: Long): DataFrame = {
-    val rates = mixtureRates(docs, groupCol, textCol, targets, budgetTokens)
-      .select(col(groupCol), col("thr"))
+                    budgetTokens: Long): DataFrame =
+    applyMixtureRates(docs,
+      mixtureRates(docs, groupCol, textCol, targets, budgetTokens),
+      groupCol, idCol)
+
+  /** [[mixtureSample]] over a precomputed token-mass column (r15 —
+    * see [[mixtureRatesBy]]). */
+  def mixtureSampleBy(docs: DataFrame, groupCol: String, tokenCol: Column,
+                      idCol: String, targets: Seq[(String, Double)],
+                      budgetTokens: Long): DataFrame =
+    applyMixtureRates(docs,
+      mixtureRatesBy(docs, groupCol, tokenCol, targets, budgetTokens),
+      groupCol, idCol)
+
+  private def applyMixtureRates(docs: DataFrame, ratesFull: DataFrame,
+                                groupCol: String, idCol: String): DataFrame = {
+    val rates = ratesFull.select(col(groupCol), col("thr"))
     docs.join(broadcast(rates), Seq(groupCol))
       .filter(col("thr").isNull ||
         hashKeep(col(idCol), col("thr"), salt = "graft-mix", width = 4))

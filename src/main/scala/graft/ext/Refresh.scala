@@ -363,6 +363,18 @@ object Refresh {
     CcnetState(lf, hist, ccnetScoredOf(cleaned, lm))
   }
 
+  /** A ccnet-head refresh's full readout — the updated state plus the
+    * delta frames a COMPOSED refresh (the x114 assembly tail) consumes:
+    * `touched` (removed/changed merged ids), `rescoreIds` (affected ∪
+    * fresh — every document whose clean text, langid or score can
+    * differ from its carried v1 row), `cleanedDelta` (the re-cleaned
+    * text of exactly those documents) and `scoredDelta` (their frozen-
+    * LM scores — the fresh rows inside `state2.scored`).
+    */
+  final case class CcnetDelta(state2: CcnetState, touched: DataFrame,
+                              rescoreIds: DataFrame, cleanedDelta: DataFrame,
+                              scoredDelta: DataFrame)
+
   /** The incremental path: diff v1 → v2, fold the line view, recompute
     * the slim election, detect the election-changed hashes, re-clean +
     * re-score ONLY affected ∪ fresh documents against the frozen LM,
@@ -370,7 +382,17 @@ object Refresh {
     */
   def ccnetRefresh(state: CcnetState, oldCorpus: DataFrame,
                    newCorpus: DataFrame, linesCol: org.apache.spark.sql.Column,
-                   lm: TextStats.RefLm, minDocs: Int = 2): CcnetState = {
+                   lm: TextStats.RefLm, minDocs: Int = 2): CcnetState =
+    ccnetRefreshDelta(state, oldCorpus, newCorpus, linesCol, lm, minDocs)
+      .state2
+
+  /** [[ccnetRefresh]] exposing its delta — shared body, so the solo
+    * head refresh (x112) and the composed assembly refresh (x114)
+    * cannot drift.
+    */
+  def ccnetRefreshDelta(state: CcnetState, oldCorpus: DataFrame,
+                        newCorpus: DataFrame, linesCol: org.apache.spark.sql.Column,
+                        lm: TextStats.RefLm, minDocs: Int = 2): CcnetDelta = {
     val d = CorpusDiff.diff(oldCorpus, newCorpus, "doc_id", "text")
       .select("doc_id", "status")
     val touched = d.filter(col("status").isin("removed", "changed"))
@@ -397,19 +419,25 @@ object Refresh {
         (coalesce(col("ad"), lit(false)) && coalesce(col("bd"), lit(false)) &&
           !(col("af") <=> col("bf") && col("ap") <=> col("bp"))))
       .select("lh")
-    val rescoreIds = hintIfSlim(lf2.join(affectedLh, Seq("lh"), "left_semi")
+    val rescoreIdsRaw = lf2.join(affectedLh, Seq("lh"), "left_semi")
       .select("doc_id").unionByName(freshIds).distinct()
-      .localCheckpoint(true)) // usually delta-sized, corpus-sized worst case
+      .localCheckpoint(true) // usually delta-sized, corpus-sized worst case
+    val rescoreIds = hintIfSlim(rescoreIdsRaw)
     val rescoreDocs = newCorpus.join(rescoreIds, Seq("doc_id"), "left_semi")
+    // delta-sized text; checkpointed because the composed consumer reads
+    // it twice (scores below + the tail's fresh corpus slice)
     val cleanedDelta = ccnetCleanedWith(rescoreDocs, linesCol,
       Dedup.lineDropsAgainst(
         lf2.join(rescoreIds, Seq("doc_id"), "left_semi"),
         hist2, minDocs))
+      .localCheckpoint(true)
+    val scoredDelta = ccnetScoredOf(cleanedDelta, lm)
+      .select("lang", "doc_id", "n_bigrams", "lp")
     val scored2 = retire(state.scored)
       .join(rescoreIds, Seq("doc_id"), "left_anti")
-      .unionByName(ccnetScoredOf(cleanedDelta, lm)
-        .select("lang", "doc_id", "n_bigrams", "lp"))
-    CcnetState(lf2, hist2, scored2)
+      .unionByName(scoredDelta)
+    CcnetDelta(CcnetState(lf2, hist2, scored2), touched, rescoreIdsRaw,
+      cleanedDelta, scoredDelta)
   }
 
   /** The frozen per-language tail thresholds of a baseline scored
@@ -441,6 +469,193 @@ object Refresh {
       .select(col("lang"), col("thr").cast("double").as("thr"),
         col("n_docs"), col("n_kept"), col("kept_xor"))
       .orderBy("lang")
+  }
+
+  // ------------------------------------------------------------ X23e
+
+  /** X23e (r15): incremental refresh of the CCNet-EXTENDED assembly —
+    * [[ccnetRefreshDelta]]'s head state threaded into the x85-style
+    * tail machinery so corpus v2 re-runs only delta work through ALL
+    * eleven x110 stages (the r14 verdict's Next-round #4).
+    *
+    * The chain splits at the frozen-LM keep-gate:
+    *  - HEAD (merge → line dedup → langid → frozen-LM score → frozen
+    *    tail-threshold keep): maintained by [[CcnetState]] /
+    *    [[ccnetRefreshDelta]] exactly as x112 proved — only affected ∪
+    *    fresh documents re-clean/re-score, and `rescoreIds` is BY
+    *    CONSTRUCTION a superset of every document whose cleaned text,
+    *    language or kept status can differ from its carried row.
+    *  - TAIL (near-dup clusters → survivor election → curation gates →
+    *    decontam → mixture → budget fill → epoch shuffle → manifest):
+    *    every per-document quantity is a pure function of the KEPT
+    *    cleaned text + frozen benchmark set, so it lives in one SLIM
+    *    state frame [[AsmState.docMeta]] (id, src, n_toks, quality,
+    *    gate_pass, contam) next to the x85-shaped dedup state (band
+    *    index, shingles, verified pairs, standing cluster map). A
+    *    refresh retires `touched ∪ rescoreIds` from every frame,
+    *    computes the per-doc rows for the fresh kept slice only (its
+    *    text comes from the head's `cleanedDelta` — corpus text is
+    *    never tail state), finds cross/within pairs against the retired
+    *    index ([[Dedup.crossDupPairsPrebuilt]]), and re-labels ONLY the
+    *    delta-touched cluster region ([[incrementalClusters]]). The
+    *    global stages (election, rates, fill, manifest) recompute over
+    *    metadata-sized frames — [[asmManifestFrom]], shared verbatim by
+    *    the refresh and rebuild paths so they cannot drift.
+    *
+    * EXACTNESS (refresh == rebuild, the declared x114 claim): the
+    * retired set `touched ∪ rescoreIds` covers every document whose
+    * (clean text, kept status, src) can differ between versions (x112's
+    * exactness argument; src is a function of the merged id), the fresh
+    * side re-derives exactly the current kept members of that set from
+    * v2 text, and the pair/cluster decomposition is x85's. Everything
+    * downstream is a pure function of (docMeta, clusters).
+    */
+  final case class AsmState(head: CcnetState, docMeta: DataFrame,
+                            bandIdx: DataFrame, shingles: DataFrame,
+                            pairs: DataFrame, clusters: DataFrame)
+
+  /** The kept ids of a scored frame under the FROZEN per-language tail
+    * thresholds (missing language fails closed — the x112 rule).
+    */
+  def keptUnderThr(scored: DataFrame, thr: Map[String, Double]): DataFrame = {
+    val t = element_at(typedLit(thr), col("lang"))
+    scored.filter(t.isNotNull && col("lp") >= t).select("doc_id")
+  }
+
+  /** The slim per-document tail state of a kept cleaned corpus slice
+    * `ck` (doc_id, text = clean text, src): token mass, the shared
+    * quality score (election rank AND fill rank — [[Curation
+    * .standardGates]] computes the same [[TextStats.qualityScore]]),
+    * gate membership (the REAL gate code runs on the slice, not a
+    * re-derived predicate), and benchmark contamination (per-doc
+    * overlap vs the frozen benchmark shingle set — computed for every
+    * kept doc and flag-filtered later, a superset of x110's
+    * gated-only probe with the identical final drop set).
+    */
+  def asmDocMeta(ck: DataFrame, bench: DataFrame): DataFrame = {
+    val gated = Curation.standardGates(ck)
+      .select(col("doc_id"), lit(true).as("gate_pass"))
+    val contam = Curation.contaminationOverlap(ck, bench, "text", "doc_id",
+      k = 3, minOverlap = 5).select(col("doc_id"), lit(true).as("contam"))
+    ck.select(col("doc_id"), col("src"),
+        size(Dedup.tokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_toks"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      .join(gated, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("src"), col("n_toks"), col("quality"),
+        coalesce(col("gate_pass"), lit(false)).as("gate_pass"),
+        coalesce(col("contam"), lit(false)).as("contam"))
+  }
+
+  /** Build the standing assembly state from scratch (corpus v1 or a
+    * re-baseline: the LM + thresholds are retrained at the same
+    * moment). `merged` is the precedence-merged corpus (doc_id, text,
+    * src); `bench` the frozen decontamination benchmark. Deployment
+    * persists every frame via [[Artifacts.saveIndex]] (what the
+    * declared x114 does).
+    */
+  def asmBuildState(merged: DataFrame, linesCol: org.apache.spark.sql.Column,
+                    lm: TextStats.RefLm, thr: Map[String, Double],
+                    bench: DataFrame, p: Params = Params(),
+                    minDocs: Int = 2): AsmState = {
+    val lf = Dedup.lineFrame(merged, "doc_id", linesCol)
+    val hist = Dedup.lineHistogram(lf)
+    val cleaned = ccnetCleanedWith(merged, linesCol,
+      Dedup.lineDropsAgainst(lf, hist, minDocs))
+    val scored = ccnetScoredOf(cleaned, lm)
+    val ck = cleaned
+      .join(keptUnderThr(scored, thr), Seq("doc_id"), "left_semi")
+      .join(merged.select("doc_id", "src"), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("src"))
+      .localCheckpoint(true) // consumed by meta, band, shingles, pairs
+    val pairs = Dedup.minhashLshPairs(ck, "text", "doc_id", p.k,
+      p.threshold, p.bands, p.rowsPerBand).select("id_a", "id_b")
+    AsmState(CcnetState(lf, hist, scored), asmDocMeta(ck, bench),
+      Dedup.minhashBandIndex(ck, "text", "doc_id", p.k, p.bands, p.rowsPerBand),
+      Dedup.shingleFrame(ck, "text", "doc_id", p.k),
+      pairs, Dedup.dupClusters(pairs))
+  }
+
+  /** The incremental path: refresh the head via [[ccnetRefreshDelta]],
+    * retire `touched ∪ rescoreIds` from every tail frame, insert the
+    * fresh kept slice (text from the head's `cleanedDelta`), find its
+    * cross/within pairs against the retired index, and re-label only
+    * the touched cluster region.
+    */
+  def asmRefresh(st: AsmState, mergedOld: DataFrame, mergedNew: DataFrame,
+                 linesCol: org.apache.spark.sql.Column, lm: TextStats.RefLm,
+                 thr: Map[String, Double], bench: DataFrame,
+                 p: Params = Params(), minDocs: Int = 2): AsmState = {
+    val hd = ccnetRefreshDelta(st.head, mergedOld, mergedNew, linesCol,
+      lm, minDocs)
+    val tailTouched = hd.touched.unionByName(hd.rescoreIds).distinct()
+      .localCheckpoint(true)
+    val tailTouchedH = hintIfSlim(tailTouched)
+    def retire(df: DataFrame, cols: String*): DataFrame =
+      cols.foldLeft(df) { (acc, c) =>
+        acc.join(tailTouchedH.withColumnRenamed("doc_id", c), Seq(c),
+          "left_anti")
+      }
+    val freshCk = hd.cleanedDelta
+      .join(keptUnderThr(hd.scoredDelta, thr), Seq("doc_id"), "left_semi")
+      .join(mergedNew.select("doc_id", "src"), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("src"))
+      .localCheckpoint(true) // consumed by meta, band, shingles, 2 pair legs
+    val meta2 = retire(st.docMeta, "doc_id")
+      .unionByName(asmDocMeta(freshCk, bench))
+    val band2 = retire(st.bandIdx, "doc_id")
+      .unionByName(Dedup.minhashBandIndex(freshCk, "text", "doc_id",
+        p.k, p.bands, p.rowsPerBand))
+    val sh2 = retire(st.shingles, "doc_id")
+      .unionByName(Dedup.shingleFrame(freshCk, "text", "doc_id", p.k))
+    val cross = Dedup.crossDupPairsPrebuilt(freshCk,
+        retire(st.bandIdx, "doc_id"), retire(st.shingles, "doc_id"),
+        "text", "doc_id", p.k, p.threshold, p.bands, p.rowsPerBand)
+      .select(least(col("id_new"), col("id_old")).as("id_a"),
+        greatest(col("id_new"), col("id_old")).as("id_b"))
+    val within = Dedup.minhashLshPairs(freshCk, "text", "doc_id",
+        p.k, p.threshold, p.bands, p.rowsPerBand)
+      .select("id_a", "id_b")
+    val added = cross.unionByName(within).localCheckpoint(true)
+    val pairs2 = retire(st.pairs, "id_a", "id_b").unionByName(added)
+    val seeds = added.select(col("id_a").as("doc_id"))
+      .unionByName(added.select(col("id_b").as("doc_id")))
+      .unionByName(tailTouched)
+    AsmState(hd.state2, meta2, band2, sh2, pairs2,
+      incrementalClusters(st.clusters, pairs2, seeds))
+  }
+
+  /** Stages 5–11 from the slim state — survivor election over the
+    * standing cluster map, gate + decontamination flags applied,
+    * mixture recipe over token sums, greedy budget fill, epoch shuffle
+    * and export manifest — a pure function of (docMeta, clusters)
+    * shared VERBATIM by the refresh and rebuild paths (the
+    * [[manifestOf]] discipline). Constants are x110's (the chain being
+    * refreshed): mixture (0.5/0.3/0.2, 8000 tokens), fill 5000, seed
+    * "asm-e1", 4 shards.
+    */
+  def asmManifestFrom(docMeta: DataFrame, clusters: DataFrame): DataFrame = {
+    val drop = clusters.join(
+        Dedup.clusterSurvivors(clusters, docMeta, "doc_id", col("quality"))
+          .select(col("survivor_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val standing = docMeta.join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .filter(col("gate_pass") && !col("contam"))
+    val mixed = Curation.mixtureSampleBy(standing, "src", col("n_toks"),
+      "doc_id", Seq("curated" -> 0.5, "web" -> 0.3, "mirror" -> 0.2), 8000L)
+    val sel = TrainSet.budgetFill(mixed, "doc_id", rankCol = col("quality"),
+        tokenCol = col("n_toks"), budget = 5000L)
+      .select("doc_id", "n_tokens")
+    val shuf = TrainSet.epochShuffle(sel, "doc_id", seed = "asm-e1",
+      numShards = 4)
+    TrainSet.exportManifest(sel, "doc_id", col("n_tokens"),
+        seed = "asm-e1", numShards = 4)
+      .join(shuf.filter(col("pos") === 1)
+        .select(col("shard"), col("doc_id").as("lead_doc")), Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("token_mass"),
+        col("id_xor"), col("lead_doc"))
   }
 
   def manifestDelta(oldMan: DataFrame, newMan: DataFrame): DataFrame =

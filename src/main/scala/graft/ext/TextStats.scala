@@ -859,6 +859,78 @@ object TextStats {
       coalesce(text, lit("")), coalesce(lang, lit("")), table)
   }
 
+  /** X5e composed onto the frozen head (r15): the RE-BASELINE TRIGGER —
+    * per-language KL divergence of the CURRENT cleaned corpus's
+    * hashed-BIGRAM distribution against the FROZEN [[RefLm]]'s training
+    * distribution, answering "when must the frozen LM re-baseline"
+    * (the x112/x114 contract freezes LM + thresholds *between
+    * re-baselines* but nothing computed when the freeze has expired).
+    * Both sides share the LM's own bucket space (md5(bigram) %
+    * numBuckets), add-one smoothed over the full bucket domain.
+    *
+    * The trigger is two-legged: `rebaseline = NOT frozen_lang OR
+    * kl > klThreshold`. The membership leg is load-bearing, not a
+    * convenience — a language absent from the frozen model fails
+    * CLOSED at the kept-gate (x112: thr null, n_kept 0), so onboarding
+    * it requires a re-baseline by definition; and its KL reading
+    * cannot carry that signal, because a small new-language sample is
+    * add-one smoothed toward uniform while the absent frozen side IS
+    * uniform — smoothed KL reads deceptively LOW exactly when the
+    * language is newest. Output one row per current-corpus language:
+    * (lang, n_docs, n_bigrams, kl_vs_frozen, frozen_lang, rebaseline).
+    *
+    * Scale: ONE tokenize+explode pass folds the current corpus to a
+    * ≤ langs×numBuckets histogram (partial-agg'd); the frozen side is
+    * rebuilt from the kilobyte model driver-side and broadcast; the KL
+    * fold runs over the langs×numBuckets domain — metadata-sized.
+    */
+  def refLmDriftReport(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                       langCol: String, lm: RefLm,
+                       klThreshold: Double): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nb = lm.numBuckets
+    val toks = Dedup.tokens(coalesce(col(textCol), lit("")))
+    val base = docs.filter(col(langCol).isNotNull)
+      .select(col(langCol).as("lang"), toks.as("toks"))
+    val nd = base.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val cur = base.filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("g"))
+      .select(col("lang"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % nb)
+          .as("bucket"))
+      .groupBy("lang", "bucket").agg(count(lit(1)).as("c"))
+    // the frozen training histogram, rebuilt from the kilobyte model
+    val qSparse = lm.cb.toSeq.map { case (k, v) =>
+      (lm.langs((k / nb).toInt), k % nb, v) }
+    val q = broadcast(qSparse.toDF("lang", "bucket", "qc"))
+    val tqMap = qSparse.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val tq = coalesce(element_at(typedLit(tqMap), col("lang")), lit(0.0))
+    val tg = cur.groupBy("lang").agg(sum(col("c")).as("tg"))
+    // full (lang x bucket) domain so zero-count buckets carry their
+    // Laplace terms on BOTH sides (the driftFromHistogram discipline)
+    val domain = tg.select(col("lang"), col("tg"),
+      explode(sequence(lit(0L), lit(nb - 1L))).as("bucket"))
+    val terms = domain
+      .join(cur, Seq("lang", "bucket"), "left")
+      .join(q, Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("tg"),
+        ((coalesce(col("c"), lit(0L)) + 1) / (col("tg") + nb)).as("p"),
+        ((coalesce(col("qc"), lit(0.0)) + 1) / (tq + nb)).as("qp"))
+    val frozenLang = col("lang").isin(lm.langs.toIndexedSeq: _*)
+    terms.groupBy("lang")
+      .agg(sum(col("p") * log(col("p") / col("qp"))).as("kl"),
+        max(col("tg")).as("n_bigrams"))
+      .join(nd, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_bigrams"),
+        round(col("kl"), 6).as("kl_vs_frozen"),
+        frozenLang.as("frozen_lang"),
+        (!frozenLang || round(col("kl"), 6) > klThreshold).as("rebaseline"))
+  }
+
   /** X5k report: per-language head/middle/tail perplexity tiers under
     * [[RefLm]] — tier thresholds are the exact tertiles of the
     * 6dp-rounded per-doc mean log-prob (rounded to 4dp, the x99

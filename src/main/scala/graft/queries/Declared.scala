@@ -243,8 +243,14 @@ object Declared {
     * merge output (doc_id, text, src), shared by the declared query
     * and its lazy plan form.
     */
-  private[graft] def ccnetAssemblyCleaned(docs: DataFrame): DataFrame = {
-    val merged = assemblyMerged(assemblyUnion(docs))
+  private[graft] def ccnetAssemblyCleaned(docs: DataFrame): DataFrame =
+    ccnetCleanedOfMerged(assemblyMerged(assemblyUnion(docs)))
+
+  /** The same head over an ALREADY-merged corpus (doc_id, text, src) —
+    * the x114 refresh carves v1/v2 merges explicitly and feeds them
+    * here (LM training input) and to the Refresh state builders.
+    */
+  private[graft] def ccnetCleanedOfMerged(merged: DataFrame): DataFrame = {
     val meta = merged.select(col("doc_id"), col("src"),
       TextStats.langId(col("text")).as("lang_pred"))
     Dedup.lineDedupRewrite(merged, "doc_id", tokenLines12, minDocs = 2)
@@ -282,6 +288,47 @@ object Declared {
       (reloaded, lm, graft.ext.Refresh.ccnetTailThr(reloaded.scored))
     }
 
+  /** x114's standing v1 ASSEMBLY state — the x110 chain's full refresh
+    * state built on the v1 carve: frozen LM (save→reload), the three
+    * slim head frames + docMeta + dedup index/shingles/pairs + standing
+    * cluster map all persisted through the parquet index store and
+    * RELOADED (the x85/x112 cross-job hand-off discipline), frozen tail
+    * thresholds derived from the reloaded baseline scores.
+    */
+  private def asmRefreshArtifact(s: SparkSession, dir: String)
+    : (graft.ext.Refresh.AsmState, TextStats.RefLm, Map[String, Double]) =
+    artifact(s, "asm_ccnet_refresh_state_v1", dir) {
+      val docs = t(s, dir, "documents")
+      val merged1 = assemblyMerged(assemblyUnion(refreshV1(docs)))
+        .localCheckpoint(true) // read by LM train + head + tail builders
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val lm = viaStore(s, "reflm_asmref_1024") {
+        TextStats.refLmTrain(ccnetCleanedOfMerged(merged1), "clean_text",
+          "lang_pred", col("src") === "curated" && col("doc_id").isNotNull,
+          numBuckets = 1024)
+      }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+        graft.ext.Artifacts.loadRefLm)
+      val thr = graft.ext.Refresh.ccnetTailThr(
+        graft.ext.Refresh.ccnetBuildState(merged1, tokenLines12, lm).scored)
+      val st = graft.ext.Refresh.asmBuildState(merged1, tokenLines12, lm,
+        thr, bench)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-asm-refresh").toString
+      graft.ext.Artifacts.saveIndex(st.head.lf, s"$base/lf")
+      graft.ext.Artifacts.saveIndex(st.head.hist, s"$base/hist")
+      graft.ext.Artifacts.saveIndex(st.head.scored, s"$base/scored")
+      graft.ext.Artifacts.saveIndex(st.docMeta, s"$base/meta")
+      graft.ext.Artifacts.saveIndex(st.bandIdx, s"$base/band")
+      graft.ext.Artifacts.saveIndex(st.shingles, s"$base/shingles")
+      graft.ext.Artifacts.saveIndex(st.pairs, s"$base/pairs")
+      graft.ext.Artifacts.saveIndex(st.clusters, s"$base/clusters")
+      def ld(n: String) = graft.ext.Artifacts.loadIndex(s, s"$base/$n")
+      val reloaded = graft.ext.Refresh.AsmState(
+        graft.ext.Refresh.CcnetState(ld("lf"), ld("hist"), ld("scored")),
+        ld("meta"), ld("band"), ld("shingles"), ld("pairs"), ld("clusters"))
+      (reloaded, lm, graft.ext.Refresh.ccnetTailThr(reloaded.head.scored))
+    }
+
   /** Shared DuckDB CTE block replaying [[tokenLines12]] +
     * [[graft.ext.Dedup.lineDrops]]' keep-first marking — one
     * definition for the x107 rewrite oracle and the x108 e2e oracle
@@ -307,6 +354,352 @@ object Declared {
       |      ORDER BY doc_id, pos) AS rn,
       |    count(distinct doc_id) OVER (PARTITION BY ('0x' || substr(md5(line), 1, 15))::bigint) AS nd
       |  FROM ${p}lines)""".stripMargin
+
+  /** x112/x115's shared head replay: the language-perturbed v1/v2
+    * carves, BOTH line-dedup + langid + cleaned-corpus chains (o = v1,
+    * n = v2), the hashed bigram streams (obg/nbg) and the FROZEN v1
+    * curated-slice LM histograms (ocb/ocu). x112 appends scoring +
+    * threshold + kept-report CTEs; x115 appends the KL drift fold.
+    */
+  private def ccnetRefreshHeadCtes: String =
+    s"""v1 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 23 = 1
+      |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
+      |      ELSE text END AS text, source
+      |  FROM documents WHERE doc_id % 17 <> 5),
+      |v2 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 23 = 1
+      |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
+      |      WHEN doc_id % 23 = 2
+      |      THEN repeat('le la les et est que pour dans ', 6) || 'delta ' || doc_id::varchar
+      |      WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
+      |      ELSE text END AS text, source
+      |  FROM documents WHERE doc_id % 19 <> 7),
+      |${lineDedupCtesFor("v1", "o")},
+      |oct AS MATERIALIZED (
+      |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+      |  FROM otoks t LEFT JOIN (
+      |    SELECT doc_id, string_agg(
+      |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+      |      chr(10) ORDER BY pos) AS ctext
+      |    FROM omarked GROUP BY 1) a USING (doc_id)),
+      |olt AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+      |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+      |  FROM v1 WHERE doc_id IS NOT NULL),
+      |olid AS MATERIALIZED (
+      |  SELECT doc_id, source,
+      |    CASE WHEN has_cjk THEN 'zh'
+      |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+      |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+      |      WHEN s_de > 0 THEN 'de'
+      |      ELSE 'und' END AS lang_pred
+      |  FROM (SELECT doc_id, source, has_cjk,
+      |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+      |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+      |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+      |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+      |    FROM olt)),
+      |ocorp AS MATERIALIZED (
+      |  SELECT c.doc_id, l.lang_pred AS lang, l.source,
+      |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM oct c JOIN olid l USING (doc_id)
+      |  WHERE l.lang_pred <> 'und'),
+      |obg AS MATERIALIZED (
+      |  SELECT doc_id, lang, source,
+      |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+      |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+      |  FROM ocorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+      |ocb AS (
+      |  SELECT lang, b2, count(*)::double AS c FROM obg
+      |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+      |ocu AS (
+      |  SELECT lang, b1, count(*)::double AS c FROM obg
+      |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+      |${lineDedupCtesFor("v2", "n")},
+      |nct AS MATERIALIZED (
+      |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+      |  FROM ntoks t LEFT JOIN (
+      |    SELECT doc_id, string_agg(
+      |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+      |      chr(10) ORDER BY pos) AS ctext
+      |    FROM nmarked GROUP BY 1) a USING (doc_id)),
+      |nlt AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+      |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+      |  FROM v2 WHERE doc_id IS NOT NULL),
+      |nlid AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN has_cjk THEN 'zh'
+      |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+      |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+      |      WHEN s_de > 0 THEN 'de'
+      |      ELSE 'und' END AS lang_pred
+      |  FROM (SELECT doc_id, has_cjk,
+      |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+      |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+      |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+      |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+      |    FROM nlt)),
+      |ncorp AS MATERIALIZED (
+      |  SELECT c.doc_id, l.lang_pred AS lang,
+      |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM nct c JOIN nlid l USING (doc_id)
+      |  WHERE l.lang_pred <> 'und'),
+      |nbg AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+      |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+      |  FROM ncorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2)""".stripMargin
+
+  /** x110/x114's shared ASSEMBLY HEAD replay over relation `rel` with
+    * CTE prefix `p`: three-source union + sha256 precedence merge
+    * ({p}u/{p}msv/{p}m), line-level keep-first rewrite ({p}lct via the
+    * shared lineDedupCtesFor block), langid on the raw merged text
+    * ({p}plt/{p}plid), the cleaned tokenized corpus ({p}corp) and its
+    * hashed uni/bigram stream ({p}bg). One definition, three consumers:
+    * x110 (p = ""), x114's frozen v1 head (p = "o") and its v2 chain
+    * (p = "n").
+    */
+  private def assemblyHeadCtes(rel: String, p: String): String =
+    s"""${p}u AS MATERIALIZED (
+      |  SELECT doc_id, text, 'curated' AS src, 2 AS prio
+      |  FROM $rel WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text, 'web', 1
+      |  FROM $rel WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text, 'mirror', -1
+      |  FROM $rel WHERE doc_id % 2 = 0),
+      |${p}msv AS MATERIALIZED (
+      |  SELECT (max({'prio': prio, 'negid': -doc_id, 'id': doc_id})).id AS doc_id
+      |  FROM ${p}u GROUP BY sha256(text)),
+      |${p}m AS MATERIALIZED (SELECT u0.doc_id, u0.text, u0.src FROM ${p}u u0 JOIN ${p}msv USING (doc_id)),
+      |${lineDedupCtesFor(s"${p}m", s"${p}l")},
+      |${p}lct AS MATERIALIZED (
+      |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+      |  FROM ${p}ltoks t LEFT JOIN (
+      |    SELECT doc_id, string_agg(
+      |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+      |      chr(10) ORDER BY pos) AS ctext
+      |    FROM ${p}lmarked GROUP BY 1) a USING (doc_id)),
+      |${p}plt AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+      |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+      |  FROM ${p}m WHERE doc_id IS NOT NULL),
+      |${p}plid AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN has_cjk THEN 'zh'
+      |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+      |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+      |      WHEN s_de > 0 THEN 'de'
+      |      ELSE 'und' END AS lang_pred
+      |  FROM (SELECT doc_id, has_cjk,
+      |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+      |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+      |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+      |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+      |    FROM ${p}plt)),
+      |${p}corp AS MATERIALIZED (
+      |  SELECT c.doc_id, l.lang_pred AS lang, p2.src,
+      |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM ${p}lct c JOIN ${p}plid l USING (doc_id) JOIN ${p}m p2 USING (doc_id)
+      |  WHERE l.lang_pred <> 'und'),
+      |${p}bg AS MATERIALIZED (
+      |  SELECT doc_id, lang, src,
+      |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+      |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+      |  FROM ${p}corp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2)""".stripMargin
+
+  /** The reference LM of a head's bigram stream: the curated-slice
+    * uni/bigram histograms {p}cbt/{p}cut.
+    */
+  private def assemblyLmCtes(p: String): String =
+    s"""${p}cbt AS (
+      |  SELECT lang, b2, count(*)::double AS c FROM ${p}bg
+      |  WHERE src = 'curated' GROUP BY 1, 2),
+      |${p}cut AS (
+      |  SELECT lang, b1, count(*)::double AS c FROM ${p}bg
+      |  WHERE src = 'curated' GROUP BY 1, 2)""".stripMargin
+
+  /** Scores of bigram stream `sp` under the LM trained at prefix
+    * `lmp` — x114 scores the v2 stream against the FROZEN v1 LM.
+    */
+  private def assemblyScoreCte(sp: String, lmp: String): String =
+    s"""${sp}psc AS MATERIALIZED (
+      |  SELECT g.doc_id, g.lang,
+      |    round(avg(ln((coalesce(cbt.c, 0) + 1) / (coalesce(cut.c, 0) + 1024))), 6) AS lp
+      |  FROM ${sp}bg g
+      |  LEFT JOIN ${lmp}cbt cbt ON cbt.lang = g.lang AND cbt.b2 = g.b2
+      |  LEFT JOIN ${lmp}cut cut ON cut.lang = g.lang AND cut.b1 = g.b1
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def assemblyThrCte(p: String): String =
+    s"""${p}pthr AS (
+      |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo
+      |  FROM ${p}psc GROUP BY 1)""".stripMargin
+
+  /** The tail's input: kept ids (scores `sp` >= thresholds `thrp`,
+    * missing language fails closed via the inner join) re-joined to the
+    * cleaned text of head `hp` as `corpus` (doc_id, text, src).
+    */
+  private def assemblyKeptCorpusCte(sp: String, thrp: String, hp: String): String =
+    s"""pk AS MATERIALIZED (
+      |  SELECT s.doc_id FROM ${sp}psc s JOIN ${thrp}pthr t USING (lang)
+      |  WHERE s.lp >= t.thr_lo),
+      |corpus AS MATERIALIZED (
+      |  SELECT c.doc_id, c.ctext AS text, p2.src
+      |  FROM ${hp}lct c JOIN ${hp}m p2 USING (doc_id) JOIN pk USING (doc_id))""".stripMargin
+
+  /** x110/x114's shared ASSEMBLY TAIL replay (stages 5-11): exact
+    * shingle pairs, recursive CC clusters, survivor election, gates,
+    * benchmark decontamination, mixture, budget fill, epoch shuffle,
+    * export manifest + lead doc — everything downstream of the kept
+    * cleaned `corpus` CTE (doc_id, text, src). One definition, two
+    * consumers: the x110 composition and the x114 refresh rebuild
+    * (whose final select appends the incr_match literal).
+    */
+  private def assemblyTailSql(extraSelect: String): String =
+    s"""toks AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM corpus),
+      |sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS MATERIALIZED (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |prs AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+      |    FROM common
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b)
+      |  WHERE jaccard >= 0.2),
+      |edges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM prs
+      |  UNION ALL SELECT id_b, id_a FROM prs),
+      |reach(node, root) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+      |cl AS MATERIALIZED (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+      |qf AS MATERIALIZED (
+      |  SELECT doc_id, nchars,
+      |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
+      |    round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
+      |      / greatest(len(w), 1), 6) AS stopword_ratio,
+      |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
+      |  FROM (
+      |    SELECT corpus.doc_id, t.w,
+      |      length(regexp_replace(corpus.text, '[^.,;:!?]', '', 'g')) AS punct,
+      |      length(corpus.text) AS nchars
+      |    FROM corpus JOIN toks t USING (doc_id))),
+      |q AS MATERIALIZED (
+      |  SELECT doc_id, rep_ratio,
+      |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
+      |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
+      |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+      |      + 0.2
+      |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
+      |  FROM qf),
+      |sv AS MATERIALIZED (
+      |  SELECT doc_id FROM (
+      |    SELECT cl.doc_id, cl.cluster_id, q.quality FROM cl JOIN q USING (doc_id))
+      |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+      |    ORDER BY quality DESC, doc_id ASC) = 1),
+      |dedup AS MATERIALIZED (
+      |  SELECT corpus.* FROM corpus
+      |  WHERE corpus.doc_id NOT IN (SELECT doc_id FROM cl)
+      |     OR corpus.doc_id IN (SELECT doc_id FROM sv)),
+      |lid2 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN has_cjk THEN 'zh'
+      |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+      |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+      |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+      |      WHEN s_de > 0 THEN 'de'
+      |      ELSE 'und' END AS lang_pred
+      |  FROM (
+      |    SELECT d.doc_id, regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+      |      len(list_filter(t.w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+      |      len(list_filter(t.w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+      |      len(list_filter(t.w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+      |      len(list_filter(t.w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+      |    FROM dedup d JOIN toks t USING (doc_id))),
+      |gated AS MATERIALIZED (
+      |  SELECT d.doc_id, d.src, q.quality
+      |  FROM dedup d
+      |  JOIN lid2 USING (doc_id) JOIN q USING (doc_id)
+      |  WHERE substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
+      |    AND lid2.lang_pred = 'en'
+      |    AND q.quality >= 0.8 AND q.rep_ratio <= 0.6),
+      |btoks AS MATERIALIZED (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id % 37 = 0),
+      |bsh AS MATERIALIZED (
+      |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM btoks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+      |contam AS MATERIALIZED (
+      |  SELECT sh.doc_id FROM sh
+      |  JOIN gated USING (doc_id) JOIN bsh USING (s)
+      |  GROUP BY sh.doc_id HAVING count(*) >= 5),
+      |clean AS MATERIALIZED (
+      |  SELECT g.doc_id, g.src, g.quality, len(t.w)::bigint AS nt
+      |  FROM gated g JOIN toks t USING (doc_id)
+      |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contam)),
+      |cnt AS MATERIALIZED (
+      |  SELECT src, count(*) AS n_docs, sum(nt)::bigint AS n_tokens
+      |  FROM clean GROUP BY src),
+      |tw AS MATERIALIZED (SELECT * FROM (VALUES
+      |  ('curated', 0.5::double), ('web', 0.3::double),
+      |  ('mirror', 0.2::double)) t(src, tgt)),
+      |mthr AS MATERIALIZED (
+      |  SELECT src,
+      |    CASE WHEN rate >= 1.0 THEN NULL
+      |      ELSE printf('%04x', floor(rate * 65536)::int) END AS thr
+      |  FROM (
+      |    SELECT c.src,
+      |      least(1.0::double, coalesce(tgt, 0) * 8000 / greatest(n_tokens::double, 1.0)) AS rate
+      |    FROM cnt c LEFT JOIN tw USING (src))),
+      |mixed AS MATERIALIZED (
+      |  SELECT c.doc_id, c.quality, c.nt
+      |  FROM clean c JOIN mthr USING (src)
+      |  WHERE mthr.thr IS NULL
+      |     OR substr(md5('graft-mix' || c.doc_id::varchar), 1, 4) < mthr.thr),
+      |bf AS MATERIALIZED (
+      |  SELECT doc_id, nt,
+      |    coalesce(sum(nt) OVER (ORDER BY quality DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cum_before
+      |  FROM mixed),
+      |selres AS MATERIALIZED (
+      |  SELECT doc_id, nt, md5('asm-e1:' || doc_id::varchar) AS hx
+      |  FROM bf WHERE cum_before < 5000),
+      |sh4 AS MATERIALIZED (
+      |  SELECT doc_id, nt, hx,
+      |    ('0x' || substr(hx, 1, 8))::bigint % 4 AS shard
+      |  FROM selres),
+      |man AS MATERIALIZED (
+      |  SELECT shard, count(*) AS n_docs, sum(nt)::bigint AS token_mass,
+      |    bit_xor(('0x' || substr(hx, 9, 15))::bigint) AS id_xor
+      |  FROM sh4 GROUP BY 1),
+      |lead AS MATERIALIZED (
+      |  SELECT shard, doc_id AS lead_doc FROM sh4
+      |  QUALIFY row_number() OVER (PARTITION BY shard
+      |    ORDER BY hx, doc_id) = 1)
+      |SELECT man.shard, man.n_docs, man.token_mass, man.id_xor, lead.lead_doc$extraSelect
+      |FROM man JOIN lead USING (shard) ORDER BY man.shard""".stripMargin
 
   /** The shared gate CTE block (t0 tokens, langid, quality, repetition)
     * — the independent SQL replay of [[graft.ext.Curation.standardGates]]'
@@ -5495,64 +5888,7 @@ object Declared {
               col("f.kept_xor") <=> col("i.kept_xor")).as("incr_match"))
           .orderBy("lang")
       },
-      Some(s"""WITH v1 AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 23 = 1
-        |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
-        |      ELSE text END AS text, source
-        |  FROM documents WHERE doc_id % 17 <> 5),
-        |v2 AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 23 = 1
-        |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
-        |      WHEN doc_id % 23 = 2
-        |      THEN repeat('le la les et est que pour dans ', 6) || 'delta ' || doc_id::varchar
-        |      WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
-        |      ELSE text END AS text, source
-        |  FROM documents WHERE doc_id % 19 <> 7),
-        |${lineDedupCtesFor("v1", "o")},
-        |oct AS MATERIALIZED (
-        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
-        |  FROM otoks t LEFT JOIN (
-        |    SELECT doc_id, string_agg(
-        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
-        |      chr(10) ORDER BY pos) AS ctext
-        |    FROM omarked GROUP BY 1) a USING (doc_id)),
-        |olt AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
-        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
-        |  FROM v1 WHERE doc_id IS NOT NULL),
-        |olid AS MATERIALIZED (
-        |  SELECT doc_id, source,
-        |    CASE WHEN has_cjk THEN 'zh'
-        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-        |      WHEN s_de > 0 THEN 'de'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM (SELECT doc_id, source, has_cjk,
-        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
-        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
-        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
-        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
-        |    FROM olt)),
-        |ocorp AS MATERIALIZED (
-        |  SELECT c.doc_id, l.lang_pred AS lang, l.source,
-        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM oct c JOIN olid l USING (doc_id)
-        |  WHERE l.lang_pred <> 'und'),
-        |obg AS MATERIALIZED (
-        |  SELECT doc_id, lang, source,
-        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
-        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
-        |  FROM ocorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
-        |ocb AS (
-        |  SELECT lang, b2, count(*)::double AS c FROM obg
-        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
-        |ocu AS (
-        |  SELECT lang, b1, count(*)::double AS c FROM obg
-        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+      Some(s"""WITH ${ccnetRefreshHeadCtes},
         |osc AS MATERIALIZED (
         |  SELECT g.doc_id, g.lang,
         |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
@@ -5563,43 +5899,6 @@ object Declared {
         |othr AS MATERIALIZED (
         |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo
         |  FROM osc GROUP BY 1),
-        |${lineDedupCtesFor("v2", "n")},
-        |nct AS MATERIALIZED (
-        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
-        |  FROM ntoks t LEFT JOIN (
-        |    SELECT doc_id, string_agg(
-        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
-        |      chr(10) ORDER BY pos) AS ctext
-        |    FROM nmarked GROUP BY 1) a USING (doc_id)),
-        |nlt AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
-        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
-        |  FROM v2 WHERE doc_id IS NOT NULL),
-        |nlid AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN has_cjk THEN 'zh'
-        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-        |      WHEN s_de > 0 THEN 'de'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM (SELECT doc_id, has_cjk,
-        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
-        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
-        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
-        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
-        |    FROM nlt)),
-        |ncorp AS MATERIALIZED (
-        |  SELECT c.doc_id, l.lang_pred AS lang,
-        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM nct c JOIN nlid l USING (doc_id)
-        |  WHERE l.lang_pred <> 'und'),
-        |nbg AS MATERIALIZED (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
-        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
-        |  FROM ncorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
         |nsc AS MATERIALIZED (
         |  SELECT g.doc_id, g.lang,
         |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
@@ -5662,210 +5961,129 @@ object Declared {
         }
         assemblyResult(assemblyMixed(docs, corpus, dropDups))
       },
-      Some(s"""WITH RECURSIVE u AS MATERIALIZED (
-        |  SELECT doc_id, text, 'curated' AS src, 2 AS prio
-        |  FROM documents WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 10000, text, 'web', 1
-        |  FROM documents WHERE doc_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 20000, text, 'mirror', -1
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |msv AS MATERIALIZED (
-        |  SELECT (max({'prio': prio, 'negid': -doc_id, 'id': doc_id})).id AS doc_id
-        |  FROM u GROUP BY sha256(text)),
-        |m AS MATERIALIZED (SELECT u.doc_id, u.text, u.src FROM u JOIN msv USING (doc_id)),
-        |${lineDedupCtesFor("m", "l")},
-        |lct AS MATERIALIZED (
-        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
-        |  FROM ltoks t LEFT JOIN (
-        |    SELECT doc_id, string_agg(
-        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
-        |      chr(10) ORDER BY pos) AS ctext
-        |    FROM lmarked GROUP BY 1) a USING (doc_id)),
-        |plt AS (
+      Some(s"""WITH RECURSIVE ${assemblyHeadCtes("documents", "")},
+        |${assemblyLmCtes("")},
+        |${assemblyScoreCte("", "")},
+        |${assemblyThrCte("")},
+        |${assemblyKeptCorpusCte("", "", "")},
+        |${assemblyTailSql("")}""".stripMargin)),
+
+    // X23e (r15): incremental refresh of the CCNet-EXTENDED assembly —
+    // the r14 verdict's #4 (x112 refreshes the head, x85 the pre-CCNet
+    // assembly; the composed eleven-stage x110 chain was batch-only).
+    // Corpus v2 arrives under the frozen-LM/threshold contract and the
+    // refresh re-runs ONLY delta work: the head folds via
+    // ccnetRefreshDelta (x112's machinery), the tail retires
+    // touched ∪ rescoreIds from slim per-doc state (docMeta: gate,
+    // contamination, quality, token mass — all pure functions of the
+    // kept cleaned text), inserts the fresh kept slice (text from the
+    // head's cleanedDelta), finds cross/within pairs against the
+    // retired banded index, re-labels only the touched cluster region,
+    // and re-derives manifest/mixture/fill from metadata-sized frames
+    // (asmManifestFrom — shared VERBATIM with the rebuild path). The
+    // declared claim is the x85/x112 duality: the query runs BOTH
+    // paths from the persisted+reloaded v1 state, emits the rebuild's
+    // manifest with per-shard incr_match booleans, and DuckDB
+    // independently replays the REBUILD through the shared assembly
+    // blocks (v1 head → frozen LM + thresholds; v2 head → score → keep
+    // → the full eleven-stage tail).
+    "x114_assembly_ccnet_refresh" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (st1, lm, thr) = asmRefreshArtifact(s, dir)
+        val merged1 = assemblyMerged(assemblyUnion(refreshV1(docs)))
+        val merged2 = assemblyMerged(assemblyUnion(refreshV2(docs)))
+          .localCheckpoint(true) // read by diff, fresh joins, rebuild
+        val bench = docs.filter(col("doc_id") % 37 === 0)
+        val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
+          tokenLines12, lm, thr, bench)
+        val inc = graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
+        val fullSt = graft.ext.Refresh.asmBuildState(merged2, tokenLines12,
+          lm, thr, bench)
+        val full = graft.ext.Refresh.asmManifestFrom(fullSt.docMeta,
+          fullSt.clusters)
+        full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
+          .select(col("shard"), col("f.n_docs").as("n_docs"),
+            col("f.token_mass").as("token_mass"),
+            col("f.id_xor").as("id_xor"),
+            col("f.lead_doc").as("lead_doc"),
+            (col("f.n_docs") <=> col("i.n_docs") &&
+              col("f.token_mass") <=> col("i.token_mass") &&
+              col("f.id_xor") <=> col("i.id_xor") &&
+              col("f.lead_doc") <=> col("i.lead_doc")).as("incr_match"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH RECURSIVE v1 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 5),
+        |v2 AS MATERIALIZED (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
-        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
-        |  FROM m WHERE doc_id IS NOT NULL),
-        |plid AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN has_cjk THEN 'zh'
-        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-        |      WHEN s_de > 0 THEN 'de'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM (SELECT doc_id, has_cjk,
-        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
-        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
-        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
-        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
-        |    FROM plt)),
-        |corp AS MATERIALIZED (
-        |  SELECT c.doc_id, l.lang_pred AS lang, p2.src,
-        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM lct c JOIN plid l USING (doc_id) JOIN m p2 USING (doc_id)
-        |  WHERE l.lang_pred <> 'und'),
-        |bg AS MATERIALIZED (
-        |  SELECT doc_id, lang, src,
-        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
-        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
-        |  FROM corp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
-        |cbt AS (
-        |  SELECT lang, b2, count(*)::double AS c FROM bg
-        |  WHERE src = 'curated' GROUP BY 1, 2),
-        |cut AS (
-        |  SELECT lang, b1, count(*)::double AS c FROM bg
-        |  WHERE src = 'curated' GROUP BY 1, 2),
-        |psc AS MATERIALIZED (
-        |  SELECT g.doc_id, g.lang,
-        |    round(avg(ln((coalesce(cbt.c, 0) + 1) / (coalesce(cut.c, 0) + 1024))), 6) AS lp
-        |  FROM bg g
-        |  LEFT JOIN cbt ON cbt.lang = g.lang AND cbt.b2 = g.b2
-        |  LEFT JOIN cut ON cut.lang = g.lang AND cut.b1 = g.b1
-        |  GROUP BY 1, 2),
-        |pthr AS (
-        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo
-        |  FROM psc GROUP BY 1),
-        |pk AS MATERIALIZED (
-        |  SELECT s.doc_id FROM psc s JOIN pthr t USING (lang)
-        |  WHERE s.lp >= t.thr_lo),
-        |corpus AS MATERIALIZED (
-        |  SELECT c.doc_id, c.ctext AS text, p2.src
-        |  FROM lct c JOIN m p2 USING (doc_id) JOIN pk USING (doc_id)),
-        |toks AS MATERIALIZED (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM corpus),
-        |sh AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS MATERIALIZED (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |prs AS MATERIALIZED (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
-        |    FROM common
-        |    JOIN sizes sa ON sa.doc_id = id_a
-        |    JOIN sizes sb ON sb.doc_id = id_b)
-        |  WHERE jaccard >= 0.2),
-        |edges AS MATERIALIZED (
-        |  SELECT id_a AS src, id_b AS dst FROM prs
-        |  UNION ALL SELECT id_b, id_a FROM prs),
-        |reach(node, root) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
-        |cl AS MATERIALIZED (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
-        |qf AS MATERIALIZED (
-        |  SELECT doc_id, nchars,
-        |    round(punct::double / greatest(nchars, 1), 6) AS punct_ratio,
-        |    round(len(list_filter(w, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x)))::double
-        |      / greatest(len(w), 1), 6) AS stopword_ratio,
-        |    round(1.0 - len(list_distinct(w))::double / greatest(len(w), 1), 6) AS rep_ratio
-        |  FROM (
-        |    SELECT corpus.doc_id, t.w,
-        |      length(regexp_replace(corpus.text, '[^.,;:!?]', '', 'g')) AS punct,
-        |      length(corpus.text) AS nchars
-        |    FROM corpus JOIN toks t USING (doc_id))),
-        |q AS MATERIALIZED (
-        |  SELECT doc_id, rep_ratio,
-        |    round(((CASE WHEN nchars BETWEEN 100 AND 20000 THEN 0.5
-        |           WHEN nchars BETWEEN 20 AND 99 THEN 0.25 ELSE 0.0 END)
-        |      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
-        |      + 0.2
-        |      - (CASE WHEN punct_ratio > 0.1 THEN 0.2 ELSE 0.0 END))::double, 6) AS quality
-        |  FROM qf),
-        |sv AS MATERIALIZED (
-        |  SELECT doc_id FROM (
-        |    SELECT cl.doc_id, cl.cluster_id, q.quality FROM cl JOIN q USING (doc_id))
-        |  QUALIFY row_number() OVER (PARTITION BY cluster_id
-        |    ORDER BY quality DESC, doc_id ASC) = 1),
-        |dedup AS MATERIALIZED (
-        |  SELECT corpus.* FROM corpus
-        |  WHERE corpus.doc_id NOT IN (SELECT doc_id FROM cl)
-        |     OR corpus.doc_id IN (SELECT doc_id FROM sv)),
-        |lid2 AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CASE WHEN has_cjk THEN 'zh'
-        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-        |      WHEN s_de > 0 THEN 'de'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM (
-        |    SELECT d.doc_id, regexp_matches(d.text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
-        |      len(list_filter(t.w, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
-        |      len(list_filter(t.w, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
-        |      len(list_filter(t.w, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
-        |      len(list_filter(t.w, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
-        |    FROM dedup d JOIN toks t USING (doc_id))),
-        |gated AS MATERIALIZED (
-        |  SELECT d.doc_id, d.src, q.quality
-        |  FROM dedup d
-        |  JOIN lid2 USING (doc_id) JOIN q USING (doc_id)
-        |  WHERE substr(md5('graft' || d.doc_id::varchar), 1, 2) < 'c0'
-        |    AND lid2.lang_pred = 'en'
-        |    AND q.quality >= 0.8 AND q.rep_ratio <= 0.6),
-        |btoks AS MATERIALIZED (
-        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM documents WHERE doc_id % 37 = 0),
-        |bsh AS MATERIALIZED (
-        |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |  FROM btoks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        |contam AS MATERIALIZED (
-        |  SELECT sh.doc_id FROM sh
-        |  JOIN gated USING (doc_id) JOIN bsh USING (s)
-        |  GROUP BY sh.doc_id HAVING count(*) >= 5),
-        |clean AS MATERIALIZED (
-        |  SELECT g.doc_id, g.src, g.quality, len(t.w)::bigint AS nt
-        |  FROM gated g JOIN toks t USING (doc_id)
-        |  WHERE g.doc_id NOT IN (SELECT doc_id FROM contam)),
-        |cnt AS MATERIALIZED (
-        |  SELECT src, count(*) AS n_docs, sum(nt)::bigint AS n_tokens
-        |  FROM clean GROUP BY src),
-        |tw AS MATERIALIZED (SELECT * FROM (VALUES
-        |  ('curated', 0.5::double), ('web', 0.3::double),
-        |  ('mirror', 0.2::double)) t(src, tgt)),
-        |mthr AS MATERIALIZED (
-        |  SELECT src,
-        |    CASE WHEN rate >= 1.0 THEN NULL
-        |      ELSE printf('%04x', floor(rate * 65536)::int) END AS thr
-        |  FROM (
-        |    SELECT c.src,
-        |      least(1.0::double, coalesce(tgt, 0) * 8000 / greatest(n_tokens::double, 1.0)) AS rate
-        |    FROM cnt c LEFT JOIN tw USING (src))),
-        |mixed AS MATERIALIZED (
-        |  SELECT c.doc_id, c.quality, c.nt
-        |  FROM clean c JOIN mthr USING (src)
-        |  WHERE mthr.thr IS NULL
-        |     OR substr(md5('graft-mix' || c.doc_id::varchar), 1, 4) < mthr.thr),
-        |bf AS MATERIALIZED (
-        |  SELECT doc_id, nt,
-        |    coalesce(sum(nt) OVER (ORDER BY quality DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS cum_before
-        |  FROM mixed),
-        |selres AS MATERIALIZED (
-        |  SELECT doc_id, nt, md5('asm-e1:' || doc_id::varchar) AS hx
-        |  FROM bf WHERE cum_before < 5000),
-        |sh4 AS MATERIALIZED (
-        |  SELECT doc_id, nt, hx,
-        |    ('0x' || substr(hx, 1, 8))::bigint % 4 AS shard
-        |  FROM selres),
-        |man AS MATERIALIZED (
-        |  SELECT shard, count(*) AS n_docs, sum(nt)::bigint AS token_mass,
-        |    bit_xor(('0x' || substr(hx, 9, 15))::bigint) AS id_xor
-        |  FROM sh4 GROUP BY 1),
-        |lead AS MATERIALIZED (
-        |  SELECT shard, doc_id AS lead_doc FROM sh4
-        |  QUALIFY row_number() OVER (PARTITION BY shard
-        |    ORDER BY hx, doc_id) = 1)
-        |SELECT man.shard, man.n_docs, man.token_mass, man.id_xor, lead.lead_doc
-        |FROM man JOIN lead USING (shard) ORDER BY man.shard""".stripMargin)),
+        |    CASE WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 19 <> 7),
+        |${assemblyHeadCtes("v1", "o")},
+        |${assemblyLmCtes("o")},
+        |${assemblyScoreCte("o", "o")},
+        |${assemblyThrCte("o")},
+        |${assemblyHeadCtes("v2", "n")},
+        |${assemblyScoreCte("n", "o")},
+        |${assemblyKeptCorpusCte("n", "o", "n")},
+        |${assemblyTailSql(", true AS incr_match")}""".stripMargin)),
+
+    // X5e composed onto the frozen head (r15 — the r14 verdict's #5):
+    // the RE-BASELINE TRIGGER. x112/x114 freeze the reference LM and
+    // per-language tail thresholds "between re-baselines", but nothing
+    // computed WHEN to re-baseline. This row measures per-language KL
+    // divergence of the current (v2) cleaned corpus's hashed-bigram
+    // distribution against the FROZEN LM's training distribution —
+    // languages the frozen model never saw degrade to the uniform
+    // reference via the same count-0 smoothing and read as maximal
+    // distribution. The trigger is TWO-legged (rebaseline =
+    // NOT frozen_lang OR kl > 0.25): the membership leg is
+    // load-bearing — a language absent from the frozen model fails
+    // closed at the kept-gate (x112: 'fr' thr null, n_kept 0), so
+    // onboarding it requires a re-baseline by definition, and its
+    // smoothed KL reads deceptively LOW exactly when the language is
+    // newest (a tiny sample is add-one smoothed toward uniform while
+    // the absent frozen side IS uniform — the fixture's fr reads
+    // 0.026). The v2-only 'fr' carve trips the membership leg; en/de
+    // sit under the KL leg (0.18/0.007). DuckDB independently rebuilds
+    // both distributions through the shared x112 head blocks and
+    // replays the full-domain smoothed KL fold + both trigger legs.
+    "x115_lm_drift_trigger" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (_, lm, _) = ccnetRefreshArtifact(s, dir)
+        TextStats.refLmDriftReport(ccnetCleaned(ccnetV2(docs)),
+          "clean_text", "lang_pred", lm, klThreshold = 0.25)
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${ccnetRefreshHeadCtes},
+        |cur AS MATERIALIZED (
+        |  SELECT lang, b2 AS bucket, count(*)::bigint AS c
+        |  FROM nbg GROUP BY 1, 2),
+        |ndoc AS (SELECT lang, count(*)::bigint AS n_docs FROM ncorp GROUP BY 1),
+        |tg AS (SELECT lang, sum(c)::bigint AS tg FROM cur GROUP BY 1),
+        |tqv AS (SELECT lang, sum(c) AS tq FROM ocb GROUP BY 1),
+        |dom AS (
+        |  SELECT g.lang, g.tg, t.i AS bucket
+        |  FROM tg g, unnest(range(0, 1024)) AS t(i)),
+        |terms AS (
+        |  SELECT d.lang, d.tg,
+        |    (coalesce(cur.c, 0) + 1)::double / (d.tg + 1024) AS p,
+        |    (coalesce(ocb.c, 0) + 1)::double / (coalesce(tqv.tq, 0) + 1024) AS q
+        |  FROM dom d
+        |  LEFT JOIN cur ON cur.lang = d.lang AND cur.bucket = d.bucket
+        |  LEFT JOIN ocb ON ocb.lang = d.lang AND ocb.b2 = d.bucket
+        |  LEFT JOIN tqv ON tqv.lang = d.lang),
+        |klr AS (
+        |  SELECT lang, round(sum(p * ln(p / q)), 6) AS kl,
+        |    max(tg)::bigint AS n_bigrams
+        |  FROM terms GROUP BY 1),
+        |froz AS (SELECT DISTINCT lang FROM ocb)
+        |SELECT k.lang, nd.n_docs, k.n_bigrams, k.kl AS kl_vs_frozen,
+        |  k.lang IN (SELECT lang FROM froz) AS frozen_lang,
+        |  (k.lang NOT IN (SELECT lang FROM froz)) OR k.kl > 0.25 AS rebaseline
+        |FROM klr k JOIN ndoc nd USING (lang) ORDER BY k.lang""".stripMargin)),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

@@ -1298,6 +1298,109 @@ object ScaleCheck {
         timedC.map { case (_, a, b) => f"$a%.2f/$b%.2f" }.mkString(" "))
     }
 
+    // --- x114 incremental CCNet-extended ASSEMBLY refresh at scale -----
+    // The composed chain under x112's witness shape: token-permuted
+    // replicas, the whole v1→v2 delta confined to replica 0, merged
+    // corpora + the full AsmState persisted untimed (stored corpora +
+    // the cross-job state hand-off). Witnesses: (a) refresh manifest ==
+    // rebuild manifest at EVERY scale (the x114 equality under a
+    // growing standing corpus); (b) with the delta constant, refresh
+    // wall stays under rebuild wall at 16x — the rebuild re-cleans,
+    // re-scores, re-shingles and re-clusters the whole corpus while the
+    // refresh pays slim diff/histogram scans plus delta-bound text
+    // work.
+    locally {
+      import graft.ext.{Refresh, TextStats}
+      import graft.queries.Declared
+      val R0 = 100000000L
+      val lines12: org.apache.spark.sql.Column = {
+        val toks = graft.ext.Dedup.tokens(coalesce(col("text"), lit("")))
+        when(size(toks) > 0,
+          transform(sequence(lit(0),
+            floor((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+            i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+      def permuted(n: Int): DataFrame =
+        (0 until n).map { i =>
+          val base = docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * R0))
+          if (i == 0) base
+          else base.withColumn("text", concat_ws(" ",
+            transform(array_sort(transform(
+              filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+              (tok, pos) => struct(
+                md5(concat(tok, lit(s"#$i#"), pos.cast("string"))).as("k"),
+                tok.as("t")))),
+              s => s.getField("t"))))
+        }.reduce(_ union _)
+      def v1(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 17 === 5 && col("doc_id") < R0))
+      def v2(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 19 === 7 && col("doc_id") < R0))
+        .withColumn("text",
+          when(col("doc_id") % 13 === 4 && col("doc_id") < R0,
+            concat(col("text"), lit(" spark refresh delta")))
+            .otherwise(col("text")))
+      val bench = docs0.filter(col("doc_id") % 37 === 0)
+      val timedA = scales.map { n =>
+        val base = java.nio.file.Files
+          .createTempDirectory(s"x114-scale-$n").toString
+        Declared.assemblyMerged(Declared.assemblyUnion(v1(n)))
+          .write.mode("overwrite").parquet(s"$base/m1")
+        Declared.assemblyMerged(Declared.assemblyUnion(v2(n)))
+          .write.mode("overwrite").parquet(s"$base/m2")
+        val m1 = spark.read.parquet(s"$base/m1")
+        val m2 = spark.read.parquet(s"$base/m2")
+        val lm = TextStats.refLmTrain(Declared.ccnetCleanedOfMerged(m1),
+          "clean_text", "lang_pred",
+          col("src") === "curated" && col("doc_id").isNotNull,
+          numBuckets = 1024)
+        val thr = Refresh.ccnetTailThr(
+          Refresh.ccnetBuildState(m1, lines12, lm).scored)
+        val st0 = Refresh.asmBuildState(m1, lines12, lm, thr, bench)
+        for ((f, nm) <- Seq(st0.head.lf -> "lf", st0.head.hist -> "hist",
+            st0.head.scored -> "scored", st0.docMeta -> "meta",
+            st0.bandIdx -> "band", st0.shingles -> "shingles",
+            st0.pairs -> "pairs", st0.clusters -> "clusters"))
+          graft.ext.Artifacts.saveIndex(f, s"$base/$nm")
+        def ld(nm: String) = graft.ext.Artifacts.loadIndex(spark, s"$base/$nm")
+        val st = Refresh.AsmState(
+          Refresh.CcnetState(ld("lf"), ld("hist"), ld("scored")),
+          ld("meta"), ld("band"), ld("shingles"), ld("pairs"),
+          ld("clusters"))
+        val t0 = System.nanoTime()
+        val st2 = Refresh.asmRefresh(st, m1, m2, lines12, lm, thr, bench)
+        val inc = Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
+          .collect().map(_.toSeq).toSet
+        val tRef = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val fullSt = Refresh.asmBuildState(m2, lines12, lm, thr, bench)
+        val full = Refresh.asmManifestFrom(fullSt.docMeta, fullSt.clusters)
+          .collect().map(_.toSeq).toSet
+        val tReb = (System.nanoTime() - t1) / 1e9
+        assert(inc == full,
+          s"x114 scale: refresh != rebuild at ${n}x\n inc: $inc\n reb: $full")
+        (n, tRef, tReb)
+      }
+      val (_, ref16a, reb16a) = timedA(2)
+      assert(ref16a < reb16a,
+        f"x114 scale: constant-delta assembly refresh ($ref16a%.2f s) not " +
+          f"cheaper than rebuild ($reb16a%.2f s) at 16x")
+      sb.append("\n## Incremental CCNet-extended ASSEMBLY refresh at scale (x114, constant delta)\n\n")
+      sb.append("x112's witness shape composed through all eleven stages: merged\n")
+      sb.append("corpora + full AsmState persisted untimed; refresh manifest asserted\n")
+      sb.append("== rebuild manifest at every scale; constant-delta refresh asserted\n")
+      sb.append("cheaper than the rebuild at 16x.\n\n")
+      sb.append("| case | 1x (s) | 4x (s) | 16x (s) |\n|---|---|---|---|\n")
+      sb.append(f"| x114 assembly refresh (delta fixed) | ${timedA(0)._2}%.2f | " +
+        f"${timedA(1)._2}%.2f | ${timedA(2)._2}%.2f |\n")
+      sb.append(f"| x114 assembly full rebuild | ${timedA(0)._3}%.2f | " +
+        f"${timedA(1)._3}%.2f | ${timedA(2)._3}%.2f |\n")
+      println(f"SCALE x114 assembly refresh " +
+        timedA.map { case (_, a, b) => f"$a%.2f/$b%.2f" }.mkString(" "))
+    }
+
     // --- x79 BPE training at scale ------------------------------------
     // Plain replication (same texts, shifted ids) multiplies every word
     // frequency by n, so every pair count scales by exactly n and the

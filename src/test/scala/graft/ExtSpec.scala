@@ -1695,6 +1695,102 @@ class ExtSpec extends SparkSuite {
     assert(repI.toSeq == repF.toSeq, s"${repI.toSeq} vs ${repF.toSeq}")
   }
 
+  test("X23e assembly refresh: refresh == rebuild manifest; fresh doc joins its cluster; untouched meta carried") {
+    import graft.ext.{Refresh, TextStats}
+    import spark.implicits._
+    val lines = split(coalesce(col("text"), lit("")), "\n")
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "src")
+    val base = "the quick brown fox jumps over the lazy dog and that " +
+      "is for with all of the words in this line of text for the day"
+    val uniq = "unique curated text of the day for all with many fine " +
+      "words and that is that for sure " +
+      ("filler words and more for that " * 3)
+    val ctrl = "completely different control words that go for with " +
+      "and the rest of the day is that " + ("steady text for control " * 3)
+    // v1: near-dup pair 11/12 (one-word edit), unique 13, control 14
+    val m1 = mk(Seq((11L, base + " alpha", "curated"),
+      (12L, base + " beta", "web"), (13L, uniq, "curated"),
+      (14L, ctrl, "web")))
+    // v2: CHANGE 13 (re-cleaned + re-scored under the frozen LM), ADD
+    // 15 as a third near-dup of 11/12 (its pairs must arrive via the
+    // CROSS probe against the retired standing index), keep 11/12/14
+    val m2 = mk(Seq((11L, base + " alpha", "curated"),
+      (12L, base + " beta", "web"), (13L, uniq + " changed", "curated"),
+      (14L, ctrl, "web"), (15L, base + " gamma", "curated")))
+    val bench = Seq((99L, "benchmark probe sentence that never overlaps"))
+      .toDF("doc_id", "text")
+    val lm = TextStats.refLmTrain(
+      m1.withColumn("lang_pred", TextStats.langId(col("text"))),
+      "text", "lang_pred", col("lang_pred") =!= "und", numBuckets = 64)
+    // frozen thresholds with slack: the crafted texts cluster within
+    // ~0.3 of each other, so the real v1 tertile would drop the delta
+    // docs and starve the TAIL machinery this test exists to exercise
+    // (threshold semantics are x112's spec); the gate stays in-chain
+    val thr = Refresh.ccnetTailThr(
+      Refresh.ccnetBuildState(m1, lines, lm).scored)
+      .view.mapValues(_ - 1.0).toMap
+    val st1 = Refresh.asmBuildState(m1, lines, lm, thr, bench)
+    val st2 = Refresh.asmRefresh(st1, m1, m2, lines, lm, thr, bench)
+    val fullSt = Refresh.asmBuildState(m2, lines, lm, thr, bench)
+    def man(meta: org.apache.spark.sql.DataFrame,
+            cl: org.apache.spark.sql.DataFrame) =
+      Refresh.asmManifestFrom(meta, cl).orderBy("shard")
+        .collect().map(_.toString).toSeq
+    assert(man(st2.docMeta, st2.clusters) ==
+      man(fullSt.docMeta, fullSt.clusters),
+      "refresh manifest drifted from rebuild")
+    // the fresh near-dup joined the standing cluster via cross pairs
+    val p2 = st2.pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.contains((11L, 15L)) && p2.contains((12L, 15L)),
+      s"fresh doc's cross pairs missing: $p2")
+    val cl2 = st2.clusters.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl2.get(15L) == cl2.get(11L) && cl2.get(15L) == cl2.get(12L),
+      s"fresh doc not in the standing cluster: $cl2")
+    // untouched control doc carries its slim meta row bit-for-bit
+    def metaRow(df: org.apache.spark.sql.DataFrame, id: Long) =
+      df.filter(col("doc_id") === id).collect().map(_.toString).toSeq
+    assert(metaRow(st2.docMeta, 14L) == metaRow(st1.docMeta, 14L),
+      "unaffected doc's meta row changed")
+    // the changed doc was re-derived, not carried
+    assert(metaRow(st2.docMeta, 13L) == metaRow(fullSt.docMeta, 13L),
+      "changed doc's meta row drifted from the rebuild")
+  }
+
+  test("X5e re-baseline trigger: stable stays quiet, vocabulary drift trips KL, new language trips membership") {
+    import graft.ext.TextStats
+    import spark.implicits._
+    val stableTxt = "the quick brown fox jumps over the lazy dog " * 8
+    val train = (1L to 20L).map(i => (i, stableTxt + s" tail$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val lm = TextStats.refLmTrain(train, "text", "lang", lit(true),
+      numBuckets = 256)
+    def report(rows: Seq[(Long, String, String)]) =
+      TextStats.refLmDriftReport(rows.toDF("doc_id", "text", "lang"),
+          "text", "lang", lm, klThreshold = 0.5)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    // (a) same distribution: quiet
+    val stable = report((1L to 20L).map(i => (i, stableTxt + s" tail$i", "en")))
+    assert(stable("en")._2 && !stable("en")._3,
+      s"stable corpus tripped the trigger: $stable")
+    // (b) vocabulary shift within a KNOWN language: the KL leg trips
+    val driftTxt = "zebra quartz vortex nymph waltz jigsaw phlegm crypt " * 8
+    val drifted = report((1L to 20L).map(i => (i, driftTxt + s" apex$i", "en")))
+    assert(drifted("en")._1 > stable("en")._1,
+      s"drift did not raise KL: $drifted vs $stable")
+    assert(drifted("en")._2 && drifted("en")._3,
+      s"drifted corpus did not trip the KL leg: $drifted")
+    // (c) a language the frozen model never saw: the MEMBERSHIP leg
+    // trips even though its smoothed KL reads low (tiny sample ->
+    // near-uniform P vs the uniform absent-Q — the documented bias)
+    val newLang = report(Seq((1L, "der die das und ist", "de")))
+    assert(!newLang("de")._2 && newLang("de")._3,
+      s"new language did not trip the membership leg: $newLang")
+  }
+
   test("X23b incrementalClusters: merge-on-add, split-on-retire, carry untouched — equals full recompute") {
     import graft.ext.{Dedup, Refresh}
     // standing v1 graph: components {1,2,3} (chain), {10,11}, {20,21},

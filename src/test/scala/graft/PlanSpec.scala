@@ -103,7 +103,11 @@ class PlanSpec extends SparkSuite {
     "x105_perplexity_tiers", "x108_ccnet_e2e", "x109_embedding_outliers",
     // r14: stage-checkpointed CCNet-extended assembly — composed lazy
     // prefix gated below (the x78 convention)
-    "x110_assembly_ccnet")
+    "x110_assembly_ccnet",
+    // r15: the x110 refresh twin runs BOTH paths eagerly (artifact
+    // state + budget fills); its stage plans are the x110 composed
+    // prefix + the Refresh machinery gated via ExtSpec/ScaleCheck
+    "x114_assembly_ccnet_refresh")
 
   // built once: the lazy twins of every eagerly-materializing operator
   // (training the small plan-shape models runs a few fixture jobs)
