@@ -251,6 +251,35 @@ object Plans {
       })
   }
 
+  /** Stabilize a plan's run-dependent tokens so regeneration only
+    * diffs plans whose QUERY changed (the r14 verdict's #6: one new
+    * registry line used to re-number every expression id in the 2.3 MB
+    * file — a 16,912-line diff for a one-line change):
+    *  - expression ids (`#123`) renumber per-plan in first-appearance
+    *    order — they are session-global counters, so any earlier query
+    *    shifts every later plan's ids;
+    *  - per-run temp paths (artifact stores, checkpoints) and AQE
+    *    plan_ids collapse to placeholders.
+    */
+  private[tools] def normalize(plan: String): String = {
+    val ids = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val renumbered = "#(\\d+)".r.replaceAllIn(plan, m =>
+      "#" + ids.getOrElseUpdate(m.group(1), ids.size + 1))
+    renumbered
+      .replaceAll("file:/tmp/[^\\]\\s,)]*", "file:<tmp>")
+      .replaceAll("/tmp/[^\\]\\s,)]*", "<tmp>")
+      .replaceAll("plan_id=\\d+", "plan_id=<id>")
+      // JVM object identities: lambda class counters and toString
+      // hashcodes (reference-object model tables, primitive arrays)
+      .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$<n>")
+      .replaceAll("@[0-9a-f]{6,}", "@<ref>")
+      // checkpoint-backed frames: session-global RDD counters
+      .replaceAll("RDD\\[\\d+\\]", "RDD[<n>]")
+  }
+
+  private def fileName(name: String): String =
+    name.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("_+$", "") + ".md"
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -261,21 +290,28 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = Paths.get("plans")
+    Files.createDirectories(dir)
     val sb = new StringBuilder
-    sb.append("# PLANS — physical plans of headline queries (auto-generated)\n\n")
-    sb.append(s"Generated by `graft.tools.Plans` against `$sfDir`.\n")
-    sb.append("Things to check per plan: `PushedFilters`/`ReadSchema` on scans\n")
-    sb.append("(pruning + pushdown), `BroadcastHashJoin` for dimension joins,\n")
-    sb.append("partial `HashAggregate` before each `Exchange`.\n\n")
+    sb.append("# PLANS — physical plans of headline queries (auto-generated index)\n\n")
+    sb.append(s"Generated by `graft.tools.Plans` against `$sfDir`. One file per\n")
+    sb.append("query under `plans/` (expression ids renumbered per-plan and temp\n")
+    sb.append("paths collapsed, so regeneration diffs only plans whose query\n")
+    sb.append("changed). Things to check per plan: `PushedFilters`/`ReadSchema`\n")
+    sb.append("on scans (pruning + pushdown), `BroadcastHashJoin` for dimension\n")
+    sb.append("joins, partial `HashAggregate` before each `Exchange`.\n\n")
     val frames = headline.map(n =>
       n -> graft.SparkEntry.queries(n)(spark, sfDir)) ++ lazyForms(spark, sfDir)
     frames.foreach { case (name, df) =>
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      sb.append(s"## $name\n\n```\n$plan```\n\n")
+      val plan = normalize(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      val f = fileName(name)
+      Files.writeString(dir.resolve(f),
+        s"## $name\n\n```\n$plan```\n")
+      sb.append(s"- [$name](plans/$f)\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println("wrote PLANS.md")
+    println(s"wrote PLANS.md + ${frames.size} plan files under plans/")
     spark.stop()
   }
 }
