@@ -342,6 +342,98 @@ object TextStats {
     * list — persist with [[Artifacts]], apply with [[bpeSegmentCount]]
     * (map-only, streams unchanged) or via a segmentation-table join.
     */
+  /** X5f-c (r15): UNIGRAM-LM tokenizer training — the OTHER published
+    * subword algorithm next to BPE (Kudo 2018, the SentencePiece
+    * unigram model), stated as the r14 verdict's stretch. DECLARED
+    * engine-portable simplification of the published recipe:
+    *
+    *  - candidate vocabulary seeds with every substring occurrence of
+    *    the distinct-word frame up to `maxPieceLen` chars, weighted by
+    *    word frequency; multi-char pieces need `minCount` seed mass,
+    *    single characters always stay (the published
+    *    never-prune-characters rule). The candidate SET is fixed after
+    *    seeding; only counts move.
+    *  - HARD EM (Viterbi counts, the published algorithm's E-step with
+    *    1-best instead of expected counts): each round segments every
+    *    distinct word under the current piece costs
+    *    (`cost(x) = round(ln((T + |V|) / (c(x) + 1)), 6)` — add-one
+    *    smoothed, 6dp-rounded so the DP's argmin never hinges on a
+    *    last-ulp ln difference; ties broken by fewer pieces, then the
+    *    lexicographically smallest piece path — see
+    *    [[graft.functions.UnigramSegment]]), then re-estimates counts
+    *    as frequency-weighted piece uses. Zero-use candidates keep the
+    *    maximal smoothed cost instead of being pruned (a fixed-rounds
+    *    variant of the published prune schedule — the declared rule).
+    *
+    * Per round: ONE distributed segmentation pass over the slim
+    * distinct-word frame (the [[bpeTrain]] discipline — corpus text is
+    * touched once to build it), one partial-agg'd count fold collected
+    * at vocabulary size. Returns the final (piece, count) table sorted
+    * by (count desc, piece asc) — id order.
+    */
+  def unigramTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   maxPieceLen: Int = 4, minCount: Long = 2L,
+                   rounds: Int = 3): Array[(String, Long)] = {
+    require(maxPieceLen >= 1 && rounds >= 1 && minCount >= 1,
+      s"bad unigram params ($maxPieceLen, $minCount, $rounds)")
+    val wf = docs
+      .select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // distinct words: slim, reused every round
+    val seeds = wf.select(col("freq"), explode(expr(
+        s"flatten(transform(sequence(1, length(w)), i -> " +
+          s"transform(sequence(1, least($maxPieceLen, length(w) - i + 1)), " +
+          s"l -> substring(w, i, l))))")).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("c"))
+      .filter(length(col("piece")) === 1 || col("c") >= minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val candidates = seeds.map(_._1).sorted // the fixed candidate set
+    var counts: Map[String, Long] = seeds.toMap
+    for (_ <- 1 to rounds) {
+      val (cs, unk) = unigramCosts(candidates, counts)
+      val used = wf.select(col("freq"),
+          explode(graft.functions.UnigramSegment.unigram_pieces(
+            array(col("w")), candidates, cs, unk, maxPieceLen)).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts = candidates.iterator.map(p => p -> used.getOrElse(p, 0L)).toMap
+    }
+    counts.toArray.sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** The add-one-smoothed 6dp-rounded piece costs of a count table over
+    * the FIXED candidate set (sorted ascending — the binary-search
+    * order), plus the virtual unseen-single-char cost (count 0). Spark
+    * rounds HALF_UP like both engines' SQL `round` on positives.
+    */
+  private[graft] def unigramCosts(candidates: Array[String],
+                                  counts: Map[String, Long]): (Array[Double], Double) = {
+    val t = counts.valuesIterator.sum.toDouble
+    val v = candidates.length
+    def cost(c: Long): Double =
+      BigDecimal(math.log((t + v) / (c + 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (candidates.map(p => cost(counts.getOrElse(p, 0L))), cost(0L))
+  }
+
+  /** Viterbi-encode `text` to unigram piece ids under a trained table
+    * (ids = rank by (count desc, piece asc), [[unigramTrain]]'s output
+    * order) — one codegen'd segmentation + a literal-map id lookup,
+    * map-only at any scale.
+    */
+  def unigramEncodeIds(text: Column, table: Array[(String, Long)],
+                       maxPieceLen: Int = 4): Column = {
+    val byPiece = table.sortBy(_._1)
+    val candidates = byPiece.map(_._1)
+    val (cs, unk) = unigramCosts(candidates, table.toMap)
+    val idOf: Map[String, Int] = table.map(_._1).zipWithIndex.toMap
+    val pieces = graft.functions.UnigramSegment.unigram_pieces(
+      Dedup.tokens(coalesce(text, lit(""))), candidates, cs, unk,
+      maxPieceLen)
+    transform(pieces, p =>
+      coalesce(element_at(typedLit(idOf), p), lit(table.length)).cast("long"))
+  }
+
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
                numMerges: Int, minCount: Long = 2L,
                wordsCol: Option[Column] = None): Array[(String, String, Long)] = {

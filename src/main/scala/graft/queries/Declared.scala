@@ -1090,6 +1090,22 @@ object Declared {
       |WHERE d.doc_id IS NOT NULL
       |ORDER BY d.doc_id""".stripMargin
 
+  /** x117/x118's trained unigram table — persisted as a slim parquet
+    * index and RELOADED (the trained-artifact discipline: the driver's
+    * hash gate re-proves persisted-artifact scoring every round).
+    */
+  private def unigramTableArtifact(s: SparkSession, dir: String): Array[(String, Long)] =
+    artifact(s, "unigram_table_l4_r3", dir) {
+      viaStore(s, "unigram_table_l4_r3") {
+        TextStats.unigramTrain(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, minCount = 2, rounds = 3)
+      }((ss, tbl, p) => graft.ext.Artifacts.saveIndex(
+          ss.createDataFrame(tbl.toSeq).toDF("piece", "c"), p),
+        (ss, p) => graft.ext.Artifacts.loadIndex(ss, p)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (pc, c) => (-c, pc) })
+    }
+
   private def bpeMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long)] =
     artifact(s, "bpe_merges_8", dir) {
       viaStore(s, "bpe_merges_8") {
@@ -1152,6 +1168,60 @@ object Declared {
       }(graft.ext.Artifacts.saveVocab,
         (ss, p) => graft.ext.Artifacts.loadVocab(ss, p).toSeq)
     }
+
+  /** x117/x118's DuckDB replay: the unigram-LM hard-EM stages as a CTE
+    * chain (the bpeStagesCte discipline) — substring-seeded candidates,
+    * then per round a smoothed 6dp cost table, an EXHAUSTIVE-path
+    * Viterbi (recursive CTE; the layered (cost, pieces, path) min is
+    * provably the [[graft.functions.UnigramSegment]] DP's objective —
+    * see its scaladoc) and the re-estimated counts. `withEncodePass`
+    * appends the (k+1)-th model + segmentation pass — encode runs
+    * under the FINAL counts' costs.
+    */
+  private def unigramStagesCte(k: Int, maxLen: Int = 4, minCount: Long = 2L,
+                               withEncodePass: Boolean = false): String = {
+    val base = s"""wfq AS MATERIALIZED (
+      |  SELECT u.x AS w, count(*)::bigint AS freq
+      |  FROM (SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |    FROM documents), unnest(ws) AS u(x)
+      |  GROUP BY 1),
+      |useeds AS MATERIALIZED (
+      |  SELECT piece, sum(freq)::bigint AS c FROM (
+      |    SELECT substring(w, i::int, l::int) AS piece, freq
+      |    FROM wfq, unnest(range(1, length(w) + 1)) AS a(i),
+      |         unnest(range(1, least($maxLen, length(w) - i + 1) + 1)) AS b(l))
+      |  GROUP BY 1),
+      |cand AS MATERIALIZED (
+      |  SELECT piece, c FROM useeds WHERE length(piece) = 1 OR c >= $minCount),
+      |vsz AS (SELECT count(*)::bigint AS v FROM cand),
+      |cnt0 AS MATERIALIZED (SELECT piece, c FROM cand)""".stripMargin
+    def segPass(r: Int): String = s""",
+      |m${r - 1} AS MATERIALIZED (
+      |  SELECT piece, round(ln((tt.t + vsz.v)::double / (c + 1)), 6) AS cost
+      |  FROM cnt${r - 1} CROSS JOIN (SELECT sum(c)::double AS t FROM cnt${r - 1}) tt
+      |  CROSS JOIN vsz),
+      |p$r AS (
+      |  SELECT w, freq, 0::bigint AS pos, 0.0::double AS cost, 0 AS np, '' AS path FROM wfq
+      |  UNION ALL
+      |  SELECT p.w, p.freq, p.pos + length(m.piece), p.cost + m.cost, p.np + 1,
+      |    CASE WHEN p.pos = 0 THEN m.piece ELSE p.path || chr(1) || m.piece END
+      |  FROM p$r p JOIN m${r - 1} m
+      |    ON m.piece = substring(p.w, (p.pos + 1)::int, length(m.piece))
+      |  WHERE p.pos < length(p.w)),
+      |b$r AS MATERIALIZED (
+      |  SELECT w, freq, path FROM p$r WHERE pos = length(w)
+      |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY cost, np, path) = 1)""".stripMargin
+    def cntOf(r: Int): String = s""",
+      |cnt$r AS MATERIALIZED (
+      |  SELECT cand.piece, coalesce(u.c, 0)::bigint AS c
+      |  FROM cand LEFT JOIN (
+      |    SELECT pl[j] AS piece, sum(freq)::bigint AS c FROM (
+      |      SELECT freq, string_split(path, chr(1)) AS pl FROM b$r),
+      |      unnest(range(1, len(pl) + 1)) AS s(j)
+      |    GROUP BY 1) u USING (piece))""".stripMargin
+    val rounds = (1 to k).map(r => segPass(r) + cntOf(r)).mkString
+    base + rounds + (if (withEncodePass) segPass(k + 1) else "")
+  }
 
   /** x84's DuckDB replay: the k merge stages (shared CTE chain), the
     * vocabulary rebuilt by the declared construction (sorted corpus
@@ -5850,6 +5920,77 @@ object Declared {
         |  count(*)::bigint AS n_docs, sum(n)::bigint AS n_tokens,
         |  md5(string_agg(ids_str, ' ' ORDER BY doc_id)) AS ids_md5
         |FROM cm GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
+
+    // X5f-c (r15 stretch): UNIGRAM-LM tokenizer TRAINING — the other
+    // published subword algorithm next to BPE (Kudo 2018 /
+    // SentencePiece), declared as hard-EM over the distinct-word frame:
+    // substring-seeded candidates (singles always stay), three Viterbi
+    // rounds under add-one-smoothed 6dp costs with the (cost, pieces,
+    // path) tie discipline, counts re-estimated from frequency-weighted
+    // piece uses. Output = the final vocabulary (id by count desc,
+    // piece asc) with each piece's use count and NEXT-model cost.
+    // DuckDB re-seeds, re-runs all three EM rounds with an
+    // exhaustive-path recursive-CTE Viterbi (provably the DP's argmin —
+    // UnigramSegment scaladoc) and re-derives ids/costs.
+    "x117_unigram_train" -> Q(
+      (s, dir) => {
+        val table = unigramTableArtifact(s, dir)
+        val candidates = table.map(_._1).sorted
+        val (costs, _) = TextStats.unigramCosts(candidates, table.toMap)
+        val costOf = candidates.zip(costs).toMap
+        val rows = table.zipWithIndex.map { case ((p, c), i) =>
+          (i.toLong, p, c, costOf(p)) }
+        s.createDataFrame(rows.toSeq)
+          .toDF("id", "piece", "n_uses", "cost").orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${unigramStagesCte(3)}
+        |SELECT row_number() OVER (ORDER BY c DESC, piece) - 1 AS id,
+        |  piece, c AS n_uses,
+        |  round(ln((tt.t + vsz.v)::double / (c + 1)), 6) AS cost
+        |FROM cnt3 CROSS JOIN (SELECT sum(c)::double AS t FROM cnt3) tt
+        |CROSS JOIN vsz
+        |ORDER BY id""".stripMargin)),
+
+    // X5f-c encode (r15 stretch): Viterbi-encode every document under
+    // the persisted unigram table — one codegen'd segmentation
+    // (UnigramSegment, model as reference objects) + a literal-map id
+    // lookup; map-only, the x84 claim shape. DuckDB re-trains, runs the
+    // ENCODE pass (the 4th Viterbi, under the final counts' costs),
+    // maps pieces to ids and re-derives every id sequence.
+    "x118_unigram_encode" -> Q(
+      (s, dir) => {
+        val table = unigramTableArtifact(s, dir)
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .select(col("doc_id"),
+            TextStats.unigramEncodeIds(col("text"), table).as("ids"))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+            concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${unigramStagesCte(3, withEncodePass = true)},
+        |uvocab AS MATERIALIZED (
+        |  SELECT piece, row_number() OVER (ORDER BY c DESC, piece) - 1 AS id
+        |  FROM cnt3),
+        |useg AS MATERIALIZED (
+        |  SELECT w, string_split(path, chr(1)) AS pl FROM b4),
+        |udws AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |udt AS MATERIALIZED (
+        |  SELECT doc_id, t.i AS wi, ws[i] AS w
+        |  FROM udws, unnest(range(1, len(ws) + 1)) AS t(i)),
+        |usy AS MATERIALIZED (
+        |  SELECT udt.doc_id, udt.wi, s.j, useg.pl[j] AS piece
+        |  FROM udt JOIN useg USING (w),
+        |    unnest(range(1, len(useg.pl) + 1)) AS s(j)),
+        |uenc AS MATERIALIZED (
+        |  SELECT usy.doc_id, list(v.id ORDER BY usy.wi, usy.j) AS ids
+        |  FROM usy JOIN uvocab v ON v.piece = usy.piece
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
+        |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
+        |FROM documents d LEFT JOIN uenc e USING (doc_id)
+        |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin)),
 
     // X23d (r14): incremental CCNet-HEAD refresh under a frozen
     // reference LM — the deployment reality of the x108 chain (corpus

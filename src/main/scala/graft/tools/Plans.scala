@@ -37,7 +37,7 @@ object Plans {
     "x107_line_dedup", "x108_ccnet_e2e", "x109_embedding_outliers",
     "x110_assembly_ccnet", "x111_bpe_byte_encode", "x112_ccnet_refresh",
     "x113_html_extract", "x114_assembly_ccnet_refresh",
-    "x115_lm_drift_trigger", "x116_packed_bytes")
+    "x115_lm_drift_trigger", "x116_packed_bytes", "x118_unigram_encode")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

@@ -1791,6 +1791,33 @@ class ExtSpec extends SparkSuite {
       s"new language did not trip the membership leg: $newLang")
   }
 
+  test("X5f-c unigram train: frequent whole words become pieces; encode tiles and round-trips") {
+    import graft.ext.TextStats
+    import spark.implicits._
+    // 'scan' dominates; 'scans' shares the prefix; 'x9' is rare
+    val docs = (1 to 30).map(i =>
+        (i.toLong, "scan scan scans data" + (if (i % 10 == 0) " x9" else "")))
+      .toDF("doc_id", "text")
+    val table = TextStats.unigramTrain(docs, "text",
+      maxPieceLen = 4, minCount = 2, rounds = 3)
+    val byPiece = table.toMap
+    // the dominant 4-char word survives EM as a whole piece with the
+    // bulk of its corpus mass (60 'scan' + the prefix uses in 'scans')
+    assert(byPiece.getOrElse("scan", 0L) >= 60L,
+      s"'scan' did not win its mass: ${table.toSeq.sortBy(-_._2).take(8)}")
+    // single chars are never pruned from the candidate table
+    for (c <- "scandatx9".map(_.toString).distinct)
+      assert(byPiece.contains(c), s"char '$c' missing from the table")
+    // encode: ids decode back to the exact token stream (pieces tile)
+    val ids = docs.select(
+        TextStats.unigramEncodeIds(col("text"), table).as("ids"))
+      .head().getSeq[Long](0)
+    val vocab = table.map(_._1)
+    val decoded = ids.map(i => vocab(i.toInt)).mkString
+    assert(decoded == "scanscanscansdata",
+      s"round-trip drifted: $decoded")
+  }
+
   test("X23b incrementalClusters: merge-on-add, split-on-retire, carry untouched — equals full recompute") {
     import graft.ext.{Dedup, Refresh}
     // standing v1 graph: components {1,2,3} (chain), {10,11}, {20,21},

@@ -27,7 +27,10 @@ class PlanSpec extends SparkSuite {
   private val mapOnly = Seq("x06_quality_score", "x07_fingerprint",
     "x18_pii_redact", "x19_repetition", "x21_hash_sample", "x26_url_strip",
     "x34_media_probe", "x35_chunk_overlap", "x37_split_assign",
-    "x70_random_projection")
+    "x70_random_projection",
+    // r15: unigram Viterbi encode — codegen'd segmenter + literal-map
+    // id lookup; the model rides as reference objects, never a join
+    "x118_unigram_encode")
 
   test("map-only queries shuffle only for the presentation sort") {
     for (q <- mapOnly) {

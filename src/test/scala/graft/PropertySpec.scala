@@ -757,4 +757,56 @@ class PropertySpec extends SparkSuite {
       assert(graft.functions.DeterministicBase64.gen(seed, id, n).toString == a)
     }
   }
+
+  test("unigram Viterbi DP equals brute-force enumeration on random models") {
+    // the DP's layered (cost, pieces, path) argmin vs a plain-JVM
+    // exhaustive enumeration of every segmentation — the declared
+    // decode rule, independent of Spark AND of the oracle's SQL form
+    def bruteForce(w: String, pieces: Map[String, Double], unk: Double,
+                   maxLen: Int): Array[String] = {
+      def all(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(maxLen, w.length - i)).flatMap { l =>
+          val sub = w.substring(i, i + l)
+          if (pieces.contains(sub) || l == 1)
+            all(i + l).map(sub :: _)
+          else Seq.empty
+        }
+      def costOf(p: List[String]): Double =
+        p.foldLeft(0.0)((a, x) => a + pieces.getOrElse(x, unk))
+      if (w.isEmpty) Array.empty
+      else all(0).map(p => (costOf(p), p.length, p.mkString("\u0001")))
+        .min(Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Int,
+          Ordering.String))._3.split('\u0001')
+    }
+    val alpha = Gen.choose(0, 3).map(i => "abcd".charAt(i).toString)
+    val wordGen = Gen.choose(1, 9)
+      .flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    val modelGen = for {
+      nPieces <- Gen.choose(3, 12)
+      ps <- Gen.listOfN(nPieces, Gen.choose(1, 3)
+        .flatMap(l => Gen.listOfN(l, alpha).map(_.mkString)))
+      cs <- Gen.listOfN(nPieces, Gen.choose(1, 60))
+    } yield {
+      val t = 200.0
+      ps.distinct.zip(cs).map { case (pc, c) =>
+        pc -> (BigDecimal(math.log(t / (c + 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+    }
+    samples(Gen.zip(modelGen, Gen.listOfN(40, wordGen)), 8)
+      .foreach { case (model, words) =>
+        val unk = BigDecimal(math.log(200.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val sorted = model.keys.toArray.sorted
+        val costs = sorted.map(model)
+        for (w <- words) {
+          val dp = graft.functions.UnigramSegment.viterbi(
+            w, sorted, costs, unk, 3).toSeq
+          val bf = bruteForce(w, model, unk, 3).toSeq
+          assert(dp == bf, s"word '$w' model $model: dp=$dp bf=$bf")
+          assert(dp.mkString == w, s"pieces do not tile '$w': $dp")
+        }
+      }
+  }
 }
