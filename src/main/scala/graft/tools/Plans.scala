@@ -275,6 +275,9 @@ object Plans {
       .replaceAll("@[0-9a-f]{6,}", "@<ref>")
       // checkpoint-backed frames: session-global RDD counters
       .replaceAll("RDD\\[\\d+\\]", "RDD[<n>]")
+      // higher-order-function lambda variables carry a session-global
+      // name counter next to the (already renumbered) expression id
+      .replaceAll("lambda ([A-Za-z0-9]+)_\\d+#", "lambda $1_<n>#")
   }
 
   private def fileName(name: String): String =
