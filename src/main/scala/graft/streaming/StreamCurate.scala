@@ -241,6 +241,26 @@ object StreamCurate {
         sequence(lit(0), nCopies - 1)).otherwise(array().cast("array<int>"))))
   }
 
+  /** X26 streaming twin (r15): HTML → clean-text extraction on live
+    * ingest — [[graft.ext.Extract]] is pure column-expression work
+    * (noise strip, block segmentation, anchor-share keep rule), so the
+    * stream applies the EXACT batch operator: map-only per micro-batch,
+    * no state, no join, and the extracted text of any document is
+    * bit-identical to the batch pass (StreamingSpec-pinned). The
+    * deployment shape of step 0: pages extract at the wire and only
+    * clean text enters the stateful dedup/gate stages downstream.
+    */
+  def applyExtract(docs: DataFrame, htmlCol: String = "html",
+                   outCol: String = "clean_text"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.Extract
+    docs.withColumn("_bf", Extract.blockFeatures(col(htmlCol)))
+      .withColumn(outCol, Extract.textOf(col("_bf")))
+      .withColumn("n_blocks", Extract.blockCountOf(col("_bf")).cast("long"))
+      .withColumn("n_kept", Extract.keptCountOf(col("_bf")).cast("long"))
+      .drop("_bf")
+  }
+
   /** X7i streaming twin (r12): the gate-funnel JOURNAL — per
     * micro-batch, append the slim (stage, n_docs, n_tokens) delta
     * ([[Curation.funnelCounts]], the SAME classification expression as

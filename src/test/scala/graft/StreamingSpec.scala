@@ -1310,4 +1310,33 @@ class StreamingSpec extends SparkSuite {
           s"batch-only=${(batchSide -- got).take(3)}")
     } finally q.stop()
   }
+
+  test("X26 streaming extraction == batch Extract over micro-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.Extract
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        Extract.htmlWrap(col("doc_id"), col("text")).as("html"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .agg(count(lit(1)),
+        sum(col("n_blocks")), sum(col("n_kept")),
+        bit_xor(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("clean_text"))), 1, 15), 16, 10).cast("long")))
+      .head().toSeq
+    val want = agg(StreamCurate.applyExtract(docs))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.applyExtract(
+        input.toDF().toDF("doc_id", "html"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("xtr").start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = agg(spark.table("xtr"))
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
 }
