@@ -458,6 +458,60 @@ object Declared {
       |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
       |  FROM ncorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2)""".stripMargin
 
+  /** x113/x119's shared EXTRACTION replay over `documents` with CTE
+    * prefix `p`: the deterministic page wrap, noise strip, block
+    * segmentation, per-block features and the keep rule — the final
+    * per-(doc, block) frame is what the consumers aggregate (x113
+    * into its report, x119 into the extracted corpus feeding the
+    * CCNet head). No trailing comma — the single-consumer tail
+    * follows directly; compositions append their own separator.
+    */
+  private def htmlExtractCtes(p: String): String =
+    s"""${p}h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id::varchar ||
+      |    '</title><style>p{margin:0;color:#222}</style><script>var a=1;if(a<2){a=a+1;}</script></head><body>' ||
+      |    '<nav><a href="/h">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>' ||
+      |    '<div><h1>Doc ' || doc_id::varchar || ' heading</h1></div>' ||
+      |    '<div><p>Q&amp;A &lt;notes&gt; ' || coalesce(text, '') || '</p></div>' ||
+      |    CASE WHEN doc_id % 7 = 2
+      |      THEN '<div><p><a href="/x">one two three four five six seven</a> ok</p></div>'
+      |      WHEN doc_id % 11 = 3
+      |      THEN '<div><p>second body paragraph with seven plain words here</p></div>'
+      |      ELSE '' END ||
+      |    '<!-- build ' || doc_id::varchar || ' -->' ||
+      |    '<footer>Copyright 2026 <a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>' AS html
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |${p}s AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+      |    '(?is)<script.*?</script>', ' ', 'g'),
+      |    '(?is)<style.*?</style>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g') AS x
+      |  FROM ${p}h),
+      |${p}bl AS (
+      |  SELECT doc_id, string_split(regexp_replace(x,
+      |    '(?i)</(p|div|h1|nav|footer|title|li)>', chr(10), 'g'), chr(10)) AS bs
+      |  FROM ${p}s),
+      |${p}bx AS (
+      |  SELECT doc_id, i AS pos, bs[i] AS b
+      |  FROM ${p}bl, unnest(range(1, len(bs)+1)) AS t(i)),
+      |${p}feat AS (
+      |  SELECT doc_id, pos,
+      |    trim(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(b, '<[^>]*>', ' ', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\\s+', ' ', 'g')) AS txt,
+      |    coalesce(list_aggregate(list_transform(
+      |      regexp_extract_all(b, '(?s)<a[^>]*>(.*?)</a>', 1),
+      |      s2 -> length(s2)), 'sum'), 0) AS lnk
+      |  FROM ${p}bx),
+      |${p}tok AS (
+      |  SELECT doc_id, pos, txt, lnk,
+      |    len(list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '')) AS n_tok
+      |  FROM ${p}feat)""".stripMargin
+
   /** x110/x114's shared ASSEMBLY HEAD replay over relation `rel` with
     * CTE prefix `p`: three-source union + sha256 precedence merge
     * ({p}u/{p}msv/{p}m), line-level keep-first rewrite ({p}lct via the
@@ -5992,6 +6046,122 @@ object Declared {
         |FROM documents d LEFT JOIN uenc e USING (doc_id)
         |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin)),
 
+    // X26+X25 (r15): the WEB pipeline end-to-end — raw markup pages →
+    // HTML extraction (X26) → the full CCNet head (x108's chain,
+    // VERBATIM code, over the EXTRACTED text): line-level keep-first
+    // dedup → langid → reference-LM trained on the curated slice →
+    // per-language perplexity tertiles. This is the composition the
+    // published pipelines actually are (CCNet/C4/RefinedWeb start from
+    // markup, not clean text — the step-0 gap closed as an operator in
+    // x113 now proves it COMPOSES): extraction is one more map-only
+    // stage in front, the extracted text flows through ccnetCleaned
+    // unchanged, and the x108 output contract holds over the derived
+    // corpus. DuckDB replays extraction (shared x113 blocks) AND every
+    // head stage independently; output columns identical to x108.
+    "x119_web_ccnet_e2e" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val web = spreadIfStarved(s, docs, docs)
+          .withColumn("html",
+            graft.ext.Extract.htmlWrap(col("doc_id"), col("text")))
+          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("html")))
+          .select(col("doc_id"), col("source"),
+            graft.ext.Extract.textOf(col("_bf")).as("text"))
+        val cleaned = ccnetCleaned(web)
+        val lm = artifact(s, "reflm_webccnet_1024", dir) {
+          viaStore(s, "reflm_webccnet_1024") {
+            TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
+              col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+              numBuckets = 1024)
+          }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+            graft.ext.Artifacts.loadRefLm)
+        }
+        TextStats.perplexityTiers(cleaned, "clean_text", "lang_pred",
+            "doc_id", lm)
+          .withColumn("kept", col("tier") =!= "tail")
+          .select(col("lang"), col("tier"), col("kept"), col("thr_lo"),
+            col("thr_hi"), col("n_docs"), col("n_bigrams"), col("avg_ppl"),
+            col("doc_xor"))
+          .orderBy("lang", "tier")
+      },
+      Some(s"""WITH ${htmlExtractCtes("w")},
+        |wdocs AS MATERIALIZED (
+        |  SELECT t.doc_id, d.source,
+        |    coalesce(string_agg(CASE WHEN n_tok >= 6 AND 5*lnk < 2*length(txt) THEN txt END,
+        |      chr(10) ORDER BY pos), '') AS text
+        |  FROM wtok t JOIN documents d USING (doc_id)
+        |  GROUP BY t.doc_id, d.source),
+        |${lineDedupCtesFor("wdocs", "g")},
+        |gct AS (
+        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+        |  FROM gtoks t LEFT JOIN (
+        |    SELECT doc_id, string_agg(
+        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+        |      chr(10) ORDER BY pos) AS ctext
+        |    FROM gmarked GROUP BY 1) a USING (doc_id)),
+        |glt AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+        |  FROM wdocs WHERE doc_id IS NOT NULL),
+        |glid AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, source, has_cjk,
+        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM glt)),
+        |gcorp AS (
+        |  SELECT c.doc_id, l.lang_pred AS lang, l.source,
+        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM gct c JOIN glid l USING (doc_id)
+        |  WHERE l.lang_pred <> 'und'),
+        |gbg AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+        |  FROM gcorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |gcb AS (
+        |  SELECT lang, b2, count(*)::double AS c FROM gbg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |gcu AS (
+        |  SELECT lang, b1, count(*)::double AS c FROM gbg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |gsc AS (
+        |  SELECT g.doc_id, g.lang, count(*)::bigint AS n_bigrams,
+        |    round(avg(ln((coalesce(gcb.c, 0) + 1) / (coalesce(gcu.c, 0) + 1024))), 6) AS lp
+        |  FROM gbg g
+        |  LEFT JOIN gcb ON gcb.lang = g.lang AND gcb.b2 = g.b2
+        |  LEFT JOIN gcu ON gcu.lang = g.lang AND gcu.b1 = g.b1
+        |  GROUP BY 1, 2),
+        |gthr AS (
+        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo,
+        |    round(quantile_cont(lp, ${2.0 / 3}), 4) AS thr_hi
+        |  FROM gsc GROUP BY 1),
+        |gtiers AS (
+        |  SELECT s2.lang,
+        |    CASE WHEN s2.lp >= t.thr_hi THEN 'head'
+        |         WHEN s2.lp >= t.thr_lo THEN 'middle'
+        |         ELSE 'tail' END AS tier,
+        |    t.thr_lo, t.thr_hi, s2.doc_id, s2.n_bigrams,
+        |    round(exp(-s2.lp), 4) AS ppl
+        |  FROM gsc s2 JOIN gthr t USING (lang))
+        |SELECT lang, tier, tier <> 'tail' AS kept,
+        |  thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
+        |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
+        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
+        |    / count(*), 4) AS avg_ppl,
+        |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
+        |FROM gtiers GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY lang, tier""".stripMargin)),
+
     // X23d (r14): incremental CCNet-HEAD refresh under a frozen
     // reference LM — the deployment reality of the x108 chain (corpus
     // v2 arrives; CCNet-style pipelines freeze the LM + per-language
@@ -6567,50 +6737,7 @@ object Declared {
             graft.ext.Extract.textOf(col("_bf")).as("clean_text"))
           .orderBy("doc_id")
       },
-      Some("""WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc ' || doc_id::varchar ||
-        |    '</title><style>p{margin:0;color:#222}</style><script>var a=1;if(a<2){a=a+1;}</script></head><body>' ||
-        |    '<nav><a href="/h">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>' ||
-        |    '<div><h1>Doc ' || doc_id::varchar || ' heading</h1></div>' ||
-        |    '<div><p>Q&amp;A &lt;notes&gt; ' || coalesce(text, '') || '</p></div>' ||
-        |    CASE WHEN doc_id % 7 = 2
-        |      THEN '<div><p><a href="/x">one two three four five six seven</a> ok</p></div>'
-        |      WHEN doc_id % 11 = 3
-        |      THEN '<div><p>second body paragraph with seven plain words here</p></div>'
-        |      ELSE '' END ||
-        |    '<!-- build ' || doc_id::varchar || ' -->' ||
-        |    '<footer>Copyright 2026 <a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>' AS html
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |s AS (
-        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-        |    '(?is)<script.*?</script>', ' ', 'g'),
-        |    '(?is)<style.*?</style>', ' ', 'g'),
-        |    '(?s)<!--.*?-->', ' ', 'g') AS x
-        |  FROM h),
-        |bl AS (
-        |  SELECT doc_id, string_split(regexp_replace(x,
-        |    '(?i)</(p|div|h1|nav|footer|title|li)>', chr(10), 'g'), chr(10)) AS bs
-        |  FROM s),
-        |bx AS (
-        |  SELECT doc_id, i AS pos, bs[i] AS b
-        |  FROM bl, unnest(range(1, len(bs)+1)) AS t(i)),
-        |feat AS (
-        |  SELECT doc_id, pos,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(replace(
-        |        regexp_replace(b, '<[^>]*>', ' ', 'g'),
-        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
-        |      '\s+', ' ', 'g')) AS txt,
-        |    coalesce(list_aggregate(list_transform(
-        |      regexp_extract_all(b, '(?s)<a[^>]*>(.*?)</a>', 1),
-        |      s2 -> length(s2)), 'sum'), 0) AS lnk
-        |  FROM bx),
-        |tok AS (
-        |  SELECT doc_id, pos, txt, lnk,
-        |    len(list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '')) AS n_tok
-        |  FROM feat)
+      Some(s"""WITH ${htmlExtractCtes("")}
         |SELECT doc_id,
         |  count(CASE WHEN txt <> '' THEN 1 END)::bigint AS n_blocks,
         |  count(CASE WHEN n_tok >= 6 AND 5*lnk < 2*length(txt) THEN 1 END)::bigint AS n_kept,

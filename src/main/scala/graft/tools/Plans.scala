@@ -37,7 +37,8 @@ object Plans {
     "x107_line_dedup", "x108_ccnet_e2e", "x109_embedding_outliers",
     "x110_assembly_ccnet", "x111_bpe_byte_encode", "x112_ccnet_refresh",
     "x113_html_extract", "x114_assembly_ccnet_refresh",
-    "x115_lm_drift_trigger", "x116_packed_bytes", "x118_unigram_encode")
+    "x115_lm_drift_trigger", "x116_packed_bytes", "x118_unigram_encode",
+    "x119_web_ccnet_e2e")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -154,6 +155,23 @@ object Plans {
           numBuckets = 256)
         graft.ext.TextStats.perplexityTiers(docs, "text", "lang", "doc_id",
           m, materialize = false)
+      },
+      // r15: x119's extraction-fed head — the x108 twin over the
+      // extracted corpus (plan-shape model trained small)
+      "x119_web_ccnet_e2e (lazy form)" -> {
+        val web = docs.filter(col("doc_id").isNotNull)
+          .withColumn("html",
+            graft.ext.Extract.htmlWrap(col("doc_id"), col("text")))
+          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("html")))
+          .select(col("doc_id"), col("source"),
+            graft.ext.Extract.textOf(col("_bf")).as("text"))
+        val cleaned = graft.queries.Declared.ccnetCleaned(web)
+        val m = graft.ext.TextStats.refLmTrain(cleaned, "clean_text",
+          "lang_pred",
+          col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+          numBuckets = 256)
+        graft.ext.TextStats.perplexityTiers(cleaned, "clean_text",
+          "lang_pred", "doc_id", m, materialize = false)
       },
       "x108_ccnet_e2e (lazy form)" -> {
         val cleaned = graft.queries.Declared.ccnetCleaned(docs)

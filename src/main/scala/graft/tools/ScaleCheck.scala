@@ -124,6 +124,12 @@ object ScaleCheck {
       .agg(sum(size(graft.ext.Dedup.tokens(coalesce(col("text"), lit("")))))
         .cast("long")).head.getLong(0)
 
+    // x117's 1x anchor: the trained unigram table (the n-fold witness
+    // scales minCount with n so the candidate floor tracks the corpus)
+    val unigram1x: Array[(String, Long)] =
+      graft.ext.TextStats.unigramTrain(docs0, "text",
+        maxPieceLen = 4, minCount = 2, rounds = 3)
+
     val scales = Seq(1, 4, 16)
     // (name, per-scale runnable built on the scaled frame)
     val cases: Seq[(String, Int => Unit)] = Seq(
@@ -533,6 +539,46 @@ object ScaleCheck {
         assert(t.getLong(0) == n * scoreable1x,
           s"tier mass: ${t.getLong(0)} vs ${n * scoreable1x}")
         assert(t.getLong(1) >= 3L, s"degenerate tier rows: ${t.getLong(1)}")
+      },
+      "x113 html extraction (documents, wrapped pages)" -> { n =>
+        // extraction is pure per-row expression work: every replica page
+        // extracts independently at scan parallelism. Invariants at any
+        // scale: one row per page, every page keeps its content
+        // paragraph (decoded marker prefix intact) and at most the one
+        // deterministic extra paragraph — boilerplate (title, nav,
+        // script, comment, footer, link farm) never leaks through
+        val ext = replicate(docs0, "doc_id", n)
+          .filter(col("doc_id").isNotNull)
+          .withColumn("html", graft.ext.Extract.htmlWrap(col("doc_id"),
+            col("text")))
+          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("html")))
+          .select(graft.ext.Extract.keptCountOf(col("_bf")).as("k"),
+            graft.ext.Extract.textOf(col("_bf")).as("ct"))
+        val r = ext.agg(count(lit(1)).as("rows"),
+          min(col("k")).as("kmin"), max(col("k")).as("kmax"),
+          min(col("ct").startsWith("Q&A <notes> ")).as("pfx")).head
+        assert(r.getLong(0) == n * nDocs0, s"rows: ${r.getLong(0)}")
+        assert(r.getInt(1) >= 1 && r.getInt(2) <= 2,
+          s"kept-block band broke: ${r.getInt(1)}..${r.getInt(2)}")
+        assert(r.getBoolean(3), "a page lost its decoded content prefix")
+      },
+      "x117 unigram training (documents, replication invariance)" -> { n =>
+        // plain replication multiplies every word frequency by n, so
+        // seed counts scale by exactly n and the Viterbi argmins are
+        // preserved (piece costs shift only by the +1/+V smoothing
+        // perturbation, far from any fixture tie) — the final table
+        // must be the 1x table with counts scaled by n, which exercises
+        // the whole train loop (seeding, three distributed segmentation
+        // passes, count folds) at scale and pins its determinism
+        val t = graft.ext.TextStats.unigramTrain(
+          replicate(docs0, "doc_id", n), "text",
+          maxPieceLen = 4, minCount = 2L * n, rounds = 3)
+        assert(t.length == unigram1x.length,
+          s"vocab size moved: ${t.length} vs ${unigram1x.length}")
+        t.zip(unigram1x).foreach { case ((p, c), (p1, c1)) =>
+          assert(p == p1 && c == n * c1,
+            s"table drifted at ${n}x: ($p,$c) vs ($p1,${n * c1})")
+        }
       },
       "x106 epoch upsample (documents, budget 2x corpus tokens)" -> { n =>
         // repeats = w*B/T is scale-invariant when the budget tracks the

@@ -107,6 +107,9 @@ class PlanSpec extends SparkSuite {
     // r14: stage-checkpointed CCNet-extended assembly — composed lazy
     // prefix gated below (the x78 convention)
     "x110_assembly_ccnet",
+    // r15: extraction-fed CCNet head — scored-frame persist (the x105
+    // discipline); lazy twin gated below
+    "x119_web_ccnet_e2e",
     // r15: the x110 refresh twin runs BOTH paths eagerly (artifact
     // state + budget fills); its stage plans are the x110 composed
     // prefix + the Refresh machinery gated via ExtSpec/ScaleCheck
@@ -1030,6 +1033,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"tertile join must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in ccnet e2e:\n$p")
     assert(!p.contains("Window"), s"window in ccnet e2e:\n$p")
+  }
+
+  // x119: the web pipeline keeps x108's shape with extraction fused
+  // into the scan-side projection — the native LM scorer in-plan, the
+  // lang-sized tertile frame broadcast, and no NEW exchange for the
+  // extraction stage (it is pure per-row expression work)
+  test("web ccnet e2e: extraction fused map-side, scorer in-plan, tertiles broadcast") {
+    val p = lazyPlans("x119_web_ccnet_e2e (lazy form)")
+    assert(p.contains("ref_lm_score"), s"codegen'd LM scorer not in-plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"tertile join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in web ccnet:\n$p")
+    assert(!p.contains("Window"), s"window in web ccnet:\n$p")
   }
 
   // x109: centroid and threshold frames are group-sized — both reach
