@@ -1757,6 +1757,14 @@ class ExtSpec extends SparkSuite {
     // the changed doc was re-derived, not carried
     assert(metaRow(st2.docMeta, 13L) == metaRow(fullSt.docMeta, 13L),
       "changed doc's meta row drifted from the rebuild")
+    // the tail state is slim BY SCHEMA: corpus text never enters any
+    // refresh frame except the shingle table (which carries hashed
+    // shingle sets, not text — asserted too)
+    for ((nm, df) <- Seq("docMeta" -> st2.docMeta, "pairs" -> st2.pairs,
+        "clusters" -> st2.clusters, "bandIdx" -> st2.bandIdx,
+        "shingles" -> st2.shingles))
+      assert(!df.columns.contains("text") && !df.columns.contains("clean_text"),
+        s"$nm carries corpus text: ${df.columns.toSeq}")
   }
 
   test("X5e re-baseline trigger: stable stays quiet, vocabulary drift trips KL, new language trips membership") {
