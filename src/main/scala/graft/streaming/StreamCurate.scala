@@ -261,6 +261,23 @@ object StreamCurate {
       .drop("_bf")
   }
 
+  /** X5f-c streaming twin (r15): unigram-LM Viterbi ENCODE on live
+    * ingest — the segmentation is one codegen'd expression with the
+    * trained table frozen into the plan as reference objects
+    * ([[graft.functions.UnigramSegment]]), so the stream applies the
+    * EXACT batch encoder: map-only per micro-batch, no state, no join,
+    * ids bit-identical to the batch pass (StreamingSpec-pinned). The
+    * wire-speed tokenization shape: documents encode as they arrive
+    * and only slim id sequences flow downstream.
+    */
+  def applyUnigramEncode(docs: DataFrame, table: Array[(String, Long)],
+                         textCol: String = "text",
+                         outCol: String = "ids"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.withColumn(outCol,
+      graft.ext.TextStats.unigramEncodeIds(col(textCol), table))
+  }
+
   /** X7i streaming twin (r12): the gate-funnel JOURNAL — per
     * micro-batch, append the slim (stage, n_docs, n_tokens) delta
     * ([[Curation.funnelCounts]], the SAME classification expression as
