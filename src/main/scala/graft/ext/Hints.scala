@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
+
+/** Size-gated broadcast hints for unbounded id lists.
+  *
+  * The election/decontamination tails of the assembly pipelines join a
+  * slim `(doc_id)` list (non-survivor cluster members, contaminated
+  * ids, retired versions) left_anti against a corpus-sized frame. On
+  * the fixtures those lists are tiny and the broadcast hint is exactly
+  * right — without it the planner (blind to checkpoint-backed stats)
+  * falls back to a SortMergeJoin that shuffles the whole corpus on
+  * doc_id just to subtract a few thousand ids. But the list's size is
+  * a property of the DATA, not the plan: on a real web crawl the
+  * duplicate-drop side is 30–50 % of all documents (CCNet-class
+  * corpora dedup away most of their input) — billions of ids, far
+  * over the broadcast cap, a guaranteed driver OOM if hinted
+  * unconditionally. So every such site routes through this gate:
+  * verifiably small → hint; otherwise leave the join unhinted and let
+  * AQE pick the strategy from runtime statistics.
+  */
+object Hints {
+
+  /** Session-conf override for the gate — tests drive the
+    * over-threshold fallback path by lowering it instead of crafting
+    * multi-million-row fixtures.
+    */
+  val GateConfKey = "graft.hints.broadcastIdRows"
+
+  /** Default gate: ~4 M packed longs ≈ 32 MB on the driver — far
+    * under the 8 GB broadcast hard cap and a trivial collect, yet
+    * large enough that every delta-sized refresh list on a healthy
+    * corpus stays hinted.
+    */
+  val DefaultBroadcastIdRows: Long = 4L << 20
+
+  def gate(spark: SparkSession): Long =
+    spark.conf.getOption(GateConfKey).map(_.toLong)
+      .getOrElse(DefaultBroadcastIdRows)
+
+  /** True when the id frame is verifiably under the gate. Counting is
+    * an action — callers pass MATERIALIZED (localCheckpoint'ed or
+    * artifact-backed) frames so the count is a cached-partition scan,
+    * not a plan replay.
+    */
+  def isSlim(ids: DataFrame): Boolean = ids.count() <= gate(ids.sparkSession)
+
+  /** Hint the frame for broadcast only when [[isSlim]]. */
+  def hintIfSlim(ids: DataFrame): DataFrame =
+    if (isSlim(ids)) broadcast(ids) else ids
+
+  /** For LAZILY-derived id lists (an election tail, a contamination
+    * scan): materialize once, so the gate count AND every downstream
+    * join read the checkpoint instead of re-running the derivation.
+    */
+  def checkpointAndHint(ids: DataFrame): DataFrame =
+    hintIfSlim(ids.localCheckpoint(eager = true))
+}

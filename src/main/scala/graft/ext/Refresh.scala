@@ -67,7 +67,8 @@ object Refresh {
       TextStats.tokenCount(col("text")).cast("long").as("n_toks"))
 
   /** Broadcast-hint an id-list join side only when it is verifiably
-    * small. The refresh id frames are usually delta-sized, but the
+    * small ([[Hints.hintIfSlim]] — shared with the Declared assembly
+    * tails). The refresh id frames are usually delta-sized, but the
     * [[ccnetRefresh]] scaladoc's boilerplate-line case makes the
     * affected set CORPUS-sized — an unconditional hint would then push
     * a corpus-sized build through the driver (and into the 8 GB
@@ -76,9 +77,7 @@ object Refresh {
     * above the bound the join is left unhinted and AQE picks the
     * strategy from runtime stats.
     */
-  private val BroadcastIdRows = 4L << 20 // ~32 MB of packed longs
-  private def hintIfSlim(ids: DataFrame): DataFrame =
-    if (ids.count() <= BroadcastIdRows) broadcast(ids) else ids
+  private def hintIfSlim(ids: DataFrame): DataFrame = Hints.hintIfSlim(ids)
 
   /** Build the standing state from scratch (corpus version 1, or any
     * periodic full re-baseline).
@@ -125,7 +124,12 @@ object Refresh {
           .select(col("survivor_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       .select("doc_id")
-    val standing = metaDf.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    // the drop side is "cluster members minus survivors" — on a
+    // dedup-heavy corpus that is a large fraction of ALL documents, so
+    // the hint must be size-gated; the checkpoint makes the gate count
+    // and the join read one materialization of the election
+    val standing = metaDf.join(Hints.checkpointAndHint(drop),
+      Seq("doc_id"), "left_anti")
     TrainSet.exportManifest(standing, "doc_id", col("n_toks"), seed, numShards)
   }
 
@@ -172,9 +176,14 @@ object Refresh {
     val newGated = Curation.standardGates(newDocs)
       .localCheckpoint(true) // consumed by meta, band, shingle, 2 pair legs
 
+    // touched is delta-sized on a healthy refresh but corpus-sized on a
+    // mass retirement (a full re-crawl replacing most rows) — gate the
+    // hint once on the checkpointed list, reuse the decision per column
+    val touchedSlim = Hints.isSlim(touched)
     def retire(df: DataFrame, idCols: String*): DataFrame =
       idCols.foldLeft(df) { (acc, c) =>
-        acc.join(broadcast(touched.withColumnRenamed("doc_id", c)), Seq(c), "left_anti")
+        val side = touched.withColumnRenamed("doc_id", c)
+        acc.join(if (touchedSlim) broadcast(side) else side, Seq(c), "left_anti")
       }
 
     val meta2 = retire(state.meta, "doc_id").unionByName(meta(newGated))
@@ -234,18 +243,22 @@ object Refresh {
     */
   def incrementalClusters(standing: DataFrame, pairs2: DataFrame,
                           seeds: DataFrame): DataFrame = {
+    // delta-component-sized on a healthy refresh, but a delta touching
+    // a giant component (or a mass retirement) blows these up to
+    // corpus scale — every hint is size-gated on its checkpointed list
     val seedIds = seeds.select("doc_id").distinct().localCheckpoint(true)
     val touchedClusters = standing
-      .join(broadcast(seedIds), Seq("doc_id"), "left_semi")
+      .join(Hints.hintIfSlim(seedIds), Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct().localCheckpoint(true)
+    val touchedH = Hints.hintIfSlim(touchedClusters)
     val region = standing
-      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_semi")
+      .join(touchedH, Seq("cluster_id"), "left_semi")
       .select("doc_id").unionByName(seedIds).distinct().localCheckpoint(true)
     val sub = pairs2.join(
-      broadcast(region.withColumnRenamed("doc_id", "id_a")),
+      Hints.hintIfSlim(region.withColumnRenamed("doc_id", "id_a")),
       Seq("id_a"), "left_semi") // region is edge-closed: one endpoint test suffices
     val carried = standing
-      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
+      .join(touchedH, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id")
     carried.unionByName(
       Dedup.dupClusters(sub).select("doc_id", "cluster_id"))
@@ -641,7 +654,10 @@ object Refresh {
           .select(col("survivor_id").as("doc_id")),
         Seq("doc_id"), "left_anti")
       .select("doc_id")
-    val standing = docMeta.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    // same dedup-heavy-corpus hazard as [[manifestFromClusters]]: gate
+    // the drop-side hint, materializing the election exactly once
+    val standing = docMeta.join(Hints.checkpointAndHint(drop),
+        Seq("doc_id"), "left_anti")
       .filter(col("gate_pass") && !col("contam"))
     val mixed = Curation.mixtureSampleBy(standing, "src", col("n_toks"),
       "doc_id", Seq("curated" -> 0.5, "web" -> 0.3, "mirror" -> 0.2), 8000L)

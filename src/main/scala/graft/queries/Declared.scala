@@ -129,15 +129,14 @@ object Declared {
     */
   private[graft] def curationGates(docs: DataFrame, dropDups: DataFrame): DataFrame =
     Curation.standardGates(docs)
-      // broadcast hint: dropDups is the non-survivor id list — orders of
-      // magnitude smaller than the corpus (slim longs, only duplicate
-      // cluster members), but it arrives as a checkpoint-backed frame
-      // whose stats Spark doesn't know, so without the hint the planner
-      // falls back to SortMergeJoin and shuffles the whole gated corpus
-      // on doc_id. If a corpus ever has broadcast-breaking duplicate
-      // volume (drop list ≳ executor memory), remove the hint and let
-      // the SMJ shuffle pay for itself.
-      .join(broadcast(dropDups), Seq("doc_id"), "left_anti")
+      // size-gated broadcast hint: dropDups is the non-survivor id
+      // list — slim longs on the fixtures, but 30–50 % of ALL documents
+      // on a dedup-heavy web crawl. It arrives as a checkpoint-backed /
+      // lazily-derived frame whose stats Spark doesn't know, so below
+      // the gate the hint prevents a pointless corpus shuffle (SMJ on
+      // doc_id); above it the join stays unhinted and AQE picks the
+      // strategy from runtime stats (Hints scaladoc).
+      .join(graft.ext.Hints.checkpointAndHint(dropDups), Seq("doc_id"), "left_anti")
       .select("doc_id", "quality", "rep_ratio")
       .orderBy("doc_id")
 
@@ -895,13 +894,16 @@ object Declared {
     */
   private[graft] def assemblyMixed(docs: DataFrame, merged: DataFrame,
                                    dropDups: DataFrame): DataFrame = {
+    // both anti-join sides size-gated (Hints scaladoc): dropDups is
+    // checkpoint-backed (assemblyDropDups), contam is lazily derived so
+    // it is materialized once for the gate count and the join
     val gated = Curation.standardGates(
-      merged.join(broadcast(dropDups), Seq("doc_id"), "left_anti"))
+      merged.join(graft.ext.Hints.hintIfSlim(dropDups), Seq("doc_id"), "left_anti"))
     val contam = Curation.contaminationOverlap(
       gated, docs.filter(col("doc_id") % 37 === 0),
       "text", "doc_id", k = 3, minOverlap = 5).select("doc_id")
     Curation.mixtureSample(
-      gated.join(broadcast(contam), Seq("doc_id"), "left_anti"),
+      gated.join(graft.ext.Hints.checkpointAndHint(contam), Seq("doc_id"), "left_anti"),
       "src", "text", "doc_id",
       Seq("curated" -> 0.5, "web" -> 0.3, "mirror" -> 0.2), 8000L)
   }

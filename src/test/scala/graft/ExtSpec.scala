@@ -1537,6 +1537,46 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("Hints: over-threshold drop lists fall back to unhinted joins, identical output") {
+    import graft.ext.{Dedup, Hints, Refresh}
+    // drive the OVER-threshold path by collapsing the gate to 0 — every
+    // id list is then "too big to broadcast" and the election tails must
+    // produce the same manifests through AQE-chosen join strategies
+    val st = Refresh.buildState(Tables.load(spark, sf(), "documents"))
+    val clusters = Dedup.dupClusters(st.pairs).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val hinted = rows(Refresh.manifestFromClusters(clusters, st.meta, "gate-spec", 4))
+    spark.conf.set(Hints.GateConfKey, "0")
+    try {
+      val m = Refresh.manifestFromClusters(clusters, st.meta, "gate-spec", 4)
+      // no broadcast HINT above the gate (AQE may still pick a broadcast
+      // strategy from runtime stats — that is the point of the fallback)
+      assert(!m.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "over-threshold drop list still carries a broadcast hint")
+      assert(rows(m) == hinted, "unhinted manifest drifted from hinted")
+      // the x78 assembly prefix through the same gate: crafted drop list
+      import spark.implicits._
+      val docs = Tables.load(spark, sf(), "documents")
+      val union = graft.queries.Declared.assemblyUnion(docs)
+      val merged = graft.queries.Declared.assemblyMerged(union)
+      val drop = Seq(20002L).toDF("doc_id").localCheckpoint(true)
+      val unhintedMix = graft.queries.Declared.assemblyMixed(docs, merged, drop)
+      // the drop/contam ANTI-join sides must be unhinted above the gate;
+      // the mixture's group-sized rates join keeps its (bounded) hint
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+      val hintedAnti = unhintedMix.queryExecution.analyzed.collect {
+        case j: Join if j.joinType == LeftAnti =>
+          j.right.collectFirst { case h: ResolvedHint => h }
+      }.flatten
+      assert(hintedAnti.isEmpty, "over-threshold assembly anti-join sides still hinted")
+      val got = rows(unhintedMix)
+      spark.conf.unset(Hints.GateConfKey)
+      assert(got == rows(graft.queries.Declared.assemblyMixed(docs, merged, drop)),
+        "assembly mixed drifted between hinted and unhinted paths")
+    } finally spark.conf.unset(Hints.GateConfKey)
+  }
+
   test("X23 manifestFromClusters == manifestOf for equal cluster frames") {
     import graft.ext.{Dedup, Refresh}
     val st = Refresh.buildState(Tables.load(spark, sf(), "documents"))
