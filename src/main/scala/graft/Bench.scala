@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *    with one long ALU task per core: contention that collapses
   *    many-way throughput while single-task latency stays quiet (the
   *    r13/r14 driver boxes) is visible here and invisible above.
+  *  - `load_sentinel_bw_*` (r16) probe parallel memory BANDWIDTH (one
+  *    thread per core streaming a shared >LLC array): the contention
+  *    mode that inflated wall AND cpu through three rounds while both
+  *    probes above read quiet is visible only on the memory bus.
+  *  - `retimed` (r16): any query whose wall exceeded 2x its committed
+  *    quiet baseline is re-timed ONCE at the end of the run and both
+  *    figures reported — re-times-at-baseline self-adjudicates as
+  *    contention (bench_compare.py consumes it).
   *  - `queries_cpu_sec` records per-query process-CPU seconds next to
   *    the wall figures: a wall spike without a matching CPU spike marks
   *    that single query as externally contended (BASELINE.md rule) —
@@ -115,6 +123,45 @@ object Bench {
         .select(sum(bit_count(col("id")))).collect())
     }
 
+    // BANDWIDTH sentinel (r16, per the r15 verdict): the par probe above
+    // is pure in-cache ALU, so it read in-band through a window where
+    // the memory-bus-bound gen_8m_wire_p2 ran 5.4x over quiet (the
+    // r13/r14/r15 contention mode — three rounds of false REGRESSION
+    // flags). This probe runs one thread per core, each streaming a
+    // shared 256 MB long array (>> LLC) at one-load-per-cache-line
+    // stride: the wall is set by DRAM bandwidth, the resource the wire
+    // generator and the shuffle-heavy queries actually contend on.
+    // Plain JVM threads, not Spark tasks: the probe measures the BOX,
+    // and scheduling noise would only blur it. Quiet band: BASELINE.md.
+    // Each thread streams its OWN 64 MB slice of a 2 GB array (stride =
+    // one load per cache line): disjoint slices keep threads from
+    // hitting lines a sibling just pulled into shared L3, and the 2 GB
+    // combined working set is far over any LLC — the probe reads DRAM.
+    lazy val bwArray: Array[Long] = Array.tabulate(256 << 20)(_.toLong)
+    def sentinelBw(): Double = {
+      val p = spark.sparkContext.defaultParallelism
+      val slice = bwArray.length / p
+      val sink = new java.util.concurrent.atomic.AtomicLong
+      timed2 {
+        val threads = (0 until p).map { t =>
+          new Thread(() => {
+            val lo = t * slice
+            val hi = lo + slice
+            var s = 0L
+            var pass = 0
+            while (pass < 8) {
+              var i = lo
+              while (i < hi) { s += bwArray(i); i += 8 }
+              pass += 1
+            }
+            sink.addAndGet(s) // defeat dead-code elimination
+            ()
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+      }
+    }
+
     // Steady-state methodology (JMH-style): one untimed warm-up pass over
     // the target dir compiles all whole-stage-codegen classes and JITs the
     // hot paths (cold-vs-warm is ~7x on the expression-heavy dedup
@@ -137,6 +184,7 @@ object Bench {
 
     val sentinelStart = sentinel()
     val sentinelParStart = sentinelPar()
+    val sentinelBwStart = sentinelBw()
 
     val names = SparkEntry.queries.keys.toSeq.filter(included).sorted
     val (firstHalf, secondHalf) = names.splitAt(names.length / 2)
@@ -150,6 +198,7 @@ object Bench {
     val t1 = run(firstHalf)
     val sentinelMid = sentinel()
     val sentinelParMid = sentinelPar()
+    val sentinelBwMid = sentinelBw()
     val t2 = run(secondHalf)
     val queryTimes = (t1 ++ t2).sortBy(_._1)
 
@@ -171,6 +220,40 @@ object Bench {
     val gen8p2 = if (only.isEmpty) genScale(2) else -1.0
     val sentinelEnd = sentinel()
     val sentinelParEnd = sentinelPar()
+    val sentinelBwEnd = sentinelBw()
+
+    // AUTO RE-TIME (r16, per the r15 verdict): any query whose wall
+    // exceeded 2x its committed quiet baseline gets ONE retry at the
+    // end of the run, and BOTH figures are reported — a flagged query
+    // that re-times at baseline is self-adjudicating contention (the
+    // r13/r14/r15 pattern) and needs no judge rerun; one that stays
+    // slow is a real regression with two witnesses. Baseline walls come
+    // from the committed BENCH_BASELINE.json (override:
+    // SPARK_GRAFT_BENCH_BASELINE); no file -> no retries.
+    val baseWalls: Map[String, Double] = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
+      try {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(new java.io.File(p)) \ "queries" match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    val retimed = queryTimes.collect {
+      case (name, (w, _)) if w >= 0 &&
+          baseWalls.get(name).exists(b => b >= 0.2 && w > 2 * b) =>
+        val (rw, rc) = try timed2Cpu(drain(SparkEntry.queries(name)(spark, sfDir)))
+          catch { case _: Throwable => (-1.0, -1.0) }
+        name -> (w, rw, rc)
+    }
+    val retimedJson = retimed.map { case (k, (w, rw, rc)) =>
+      "\"" + k + "\":[" + f"$w%.3f,$rw%.3f,$rc%.3f]"
+    }.mkString("{", ",", "}")
 
     val all = queryTimes :+ ("gen_1m_wire" -> (genSec, genCpu))
     val qs = all.map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.3f" }
@@ -213,12 +296,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL.json")
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"load_sentinel_par_start":$sentinelParStart%.3f,"load_sentinel_par_mid":$sentinelParMid%.3f,"load_sentinel_par_end":$sentinelParEnd%.3f,"queries":$qs,"queries_cpu_sec":$qsCpu}"""
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"load_sentinel_par_start":$sentinelParStart%.3f,"load_sentinel_par_mid":$sentinelParMid%.3f,"load_sentinel_par_end":$sentinelParEnd%.3f,"load_sentinel_bw_start":$sentinelBwStart%.3f,"load_sentinel_bw_mid":$sentinelBwMid%.3f,"load_sentinel_bw_end":$sentinelBwEnd%.3f,"retimed":$retimedJson,"queries":$qs,"queries_cpu_sec":$qsCpu}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
       fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] full-map write failed: ${e.getMessage}") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","full_map":"$fullPath","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qsByCost,"hot_wall_cpu":$hot,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"load_sentinel_par_start":$sentinelParStart%.3f,"load_sentinel_par_mid":$sentinelParMid%.3f,"load_sentinel_par_end":$sentinelParEnd%.3f,"total_sec":$total%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","drain":"xxhash64_all_columns","full_map":"$fullPath","driver_max_heap_mb":$heapMb,"storage_mem_mb":$storageMb,"gen_8m_wire_p2":$gen8p2%.3f,"gen_8m_wire_p32":$gen8p32%.3f,"queries_cpu_sec":$qsCpu,"queries":$qsByCost,"hot_wall_cpu":$hot,"load_sentinel_start":$sentinelStart%.3f,"load_sentinel_mid":$sentinelMid%.3f,"load_sentinel_end":$sentinelEnd%.3f,"load_sentinel_par_start":$sentinelParStart%.3f,"load_sentinel_par_mid":$sentinelParMid%.3f,"load_sentinel_par_end":$sentinelParEnd%.3f,"load_sentinel_bw_start":$sentinelBwStart%.3f,"load_sentinel_bw_mid":$sentinelBwMid%.3f,"load_sentinel_bw_end":$sentinelBwEnd%.3f,"retimed":$retimedJson,"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

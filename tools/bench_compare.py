@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Bench regression triage (r10): diff a fresh BENCH_FULL.json against the
-committed quiet baseline (BENCH_BASELINE.json) and apply the BASELINE.md
-adjudication rule automatically:
+"""Bench regression triage (r10, extended r15/r16): diff a fresh
+BENCH_FULL.json against the committed quiet baseline
+(BENCH_BASELINE.json) and apply the BASELINE.md adjudication rule
+automatically:
 
   - wall > 2x baseline AND cpu > 1.5x baseline  -> REGRESSION (real work
     appeared: investigate the plan/source)
@@ -9,18 +10,27 @@ adjudication rule automatically:
     load stole cores; re-time quiet, do not chase)
   - new query (no baseline)                     -> NEW (becomes baseline
     next time the baseline file is refreshed)
-  - load_sentinel_par_* out of band             -> the box's PARALLEL
-    capacity is collapsed even if single-task sentinels are quiet
-    (r13/r14: 7 false REGRESSION flags — bandwidth contention inflates
-    cpu along with wall, so the cpu>1.5x rule cannot tell it from real
-    work); every would-be REGRESSION prints CONTENTION(capacity)
-    instead and does not fail the gate. ERROR rows still fail.
+  - load_sentinel_par_* out of band             -> PARALLEL capacity
+    collapsed even if single-task sentinels are quiet (r13/r14).
+  - load_sentinel_bw_* out of band, or the gen_8m_wire legs >3x their
+    baseline -> memory BANDWIDTH collapsed (r15: the pure-ALU par probe
+    is structurally blind to bus contention; the bus-bound wire
+    generator doubles as an in-run witness, which also lets this rule
+    replay on pre-r16 JSON that lacks bw sentinels).
+  - `retimed` (r16): Bench re-times every >2x-wall query once at the
+    end of the run. A flagged query whose RETRY lands within 2x of
+    baseline is self-adjudicating contention — cleared here with no
+    judge rerun. A retry that stays slow on a quiet box is a confirmed
+    regression with two witnesses.
+
+Exit codes: 0 clean; 1 any confirmed REGRESSION; 2 would-be regressions
+downgraded by a collapsed sentinel but NOT cleared by a retime —
+unadjudicated, re-run on a quiet box before the result counts (the r15
+advice: a genuine regression landing on a loaded box must not pass
+silently).
 
 Usage: python3 tools/bench_compare.py [current] [baseline]
        (defaults: BENCH_FULL.json vs BENCH_BASELINE.json in repo root)
-
-Exit code 1 iff any REGRESSION row exists — contention and new queries
-do not fail the gate.
 """
 import json, sys, os
 
@@ -38,31 +48,47 @@ if any(s is not None and s > 0.5 for s in sent):
           "re-run on a quiet box before reading per-query deltas")
     sys.exit(0)
 
-# parallel-capacity band (r15): one long ALU task per core — quiet band
-# documented in BASELINE.md. Bound = 3x the baseline's own worst par
-# sample when the baseline carries one (same box class), else the
-# absolute documented bound. Out of band does NOT make the run
-# unreadable (walls of map-only queries may still be fine); it
-# downgrades REGRESSION verdicts to CONTENTION(capacity) below.
-par = [cur.get(f"load_sentinel_par_{k}") for k in ("start", "mid", "end")]
-base_par = [base.get(f"load_sentinel_par_{k}") for k in ("start", "mid", "end")]
-base_par_max = max((s for s in base_par if s is not None), default=None)
-par_bound = max(1.8, 3 * base_par_max) if base_par_max else 1.8
-capacity_collapsed = any(s is not None and s > par_bound for s in par)
+def band(prefix, abs_bound):
+    """samples, bound = 3x the baseline's own worst sample (same box
+    class) when present, else the absolute documented bound."""
+    samples = [cur.get(f"{prefix}_{k}") for k in ("start", "mid", "end")]
+    bmax = max((s for s in [base.get(f"{prefix}_{k}")
+                            for k in ("start", "mid", "end")]
+                if s is not None), default=None)
+    bound = max(abs_bound, 3 * bmax) if bmax else abs_bound
+    return samples, bound, any(s is not None and s > bound for s in samples)
+
+# parallel-capacity band (r15): one long ALU task per core
+par, par_bound, capacity_collapsed = band("load_sentinel_par", 1.8)
 if capacity_collapsed:
     print(f"CAPACITY SUSPECT: parallel sentinels {par} above the "
-          f"{par_bound:.1f} s band — wall>2x rows print as "
-          f"CONTENTION(capacity), re-time on a quiet box to adjudicate")
+          f"{par_bound:.1f} s band")
 
-cw, bw = cur["queries"], base["queries"]
+# bandwidth band (r16): per-core DRAM streaming — the mode the ALU
+# probes cannot see. The gen_8m_wire legs are bus-bound real work and
+# serve as a second witness (the ONLY witness on pre-r16 JSON).
+bw, bw_bound, bw_collapsed = band("load_sentinel_bw", 1.0)
+for leg in ("gen_8m_wire_p2", "gen_8m_wire_p32"):
+    c, b = cur.get(leg), base.get(leg)
+    if c and b and c > 0 and b > 0 and c > 3 * b:
+        print(f"BANDWIDTH SUSPECT: {leg} {b:.1f} -> {c:.1f} s (>3x)")
+        bw_collapsed = True
+if bw_collapsed and any(s is not None for s in bw):
+    print(f"BANDWIDTH SUSPECT: bw sentinels {bw} vs the {bw_bound:.2f} s band")
+collapsed = capacity_collapsed or bw_collapsed
+
+# retimed[q] = [orig_wall, retry_wall, retry_cpu] (r16 Bench)
+retimed = cur.get("retimed", {})
+
+cw, bw_q = cur["queries"], base["queries"]
 cc, bc = cur.get("queries_cpu_sec", {}), base.get("queries_cpu_sec", {})
-regressions = []
+regressions, unadjudicated = [], []
 for q, w in sorted(cw.items()):
     if w < 0:
         print(f"ERROR      {q}: errored in current run")
         regressions.append(q)
         continue
-    b = bw.get(q)
+    b = bw_q.get(q)
     if b is None or b < 0:
         print(f"new        {q}: {w:.2f} s (no baseline)")
         continue
@@ -70,6 +96,12 @@ for q, w in sorted(cw.items()):
         continue  # sub-noise rows
     ratio = w / max(b, 1e-9)
     if ratio > 2.0:
+        rt = retimed.get(q)
+        if rt and rt[1] >= 0 and rt[1] <= 2 * b:
+            print(f"CONTENTION(retimed-clear) {q}: wall {b:.2f} -> {w:.2f} s "
+                  f"({ratio:.1f}x) but end-of-run retry {rt[1]:.2f} s is at "
+                  f"baseline — self-adjudicated, no rerun needed")
+            continue
         # a missing current-cpu entry is UNADJUDICABLE, not evidence of
         # contention: defaulting it to 0 would classify every >2x wall
         # regression from a cpu-less run as "contended" and exit 0 — the
@@ -81,11 +113,19 @@ for q, w in sorted(cw.items()):
             regressions.append(q)
             continue
         cpu_ratio = cc.get(q, 0) / max(bc.get(q, 1e-9), 1e-9)
+        retry_note = (f"; retry stayed slow ({rt[1]:.2f} s)" if rt else "")
         if cpu_ratio > 1.5:
-            if capacity_collapsed:
-                print(f"CONTENTION(capacity) {q}: wall {b:.2f} -> {w:.2f} s "
-                      f"({ratio:.1f}x), cpu {cpu_ratio:.1f}x — par sentinel "
-                      f"out of band, not adjudicable as a regression")
+            if collapsed:
+                kind = "capacity" if capacity_collapsed else "bandwidth"
+                print(f"CONTENTION({kind}) {q}: wall {b:.2f} -> {w:.2f} s "
+                      f"({ratio:.1f}x), cpu {cpu_ratio:.1f}x — sentinel out "
+                      f"of band, NOT adjudicable{retry_note}")
+                unadjudicated.append(q)
+            elif rt:
+                print(f"REGRESSION {q}: wall {b:.2f} -> {w:.2f} s ({ratio:.1f}x), "
+                      f"cpu {cpu_ratio:.1f}x, retry confirms ({rt[1]:.2f} s) "
+                      f"on a quiet box — two witnesses")
+                regressions.append(q)
             else:
                 print(f"REGRESSION {q}: wall {b:.2f} -> {w:.2f} s ({ratio:.1f}x), "
                       f"cpu {bc.get(q, 0):.1f} -> {cc.get(q, 0):.1f} s ({cpu_ratio:.1f}x)")
@@ -94,5 +134,12 @@ for q, w in sorted(cw.items()):
             print(f"contended  {q}: wall {b:.2f} -> {w:.2f} s but cpu flat "
                   f"({bc.get(q, 0):.1f} -> {cc.get(q, 0):.1f} s) — external load")
 print(f"\ntotal {base['value']:.1f} -> {cur['value']:.1f} s; "
-      f"{len(regressions)} regression(s)")
-sys.exit(1 if regressions else 0)
+      f"{len(regressions)} regression(s), {len(unadjudicated)} unadjudicated")
+if regressions:
+    sys.exit(1)
+if unadjudicated:
+    print("UNADJUDICATED: collapsed-sentinel window hid would-be regressions "
+          "that no retime cleared — re-run on a quiet box before this "
+          "result counts as clean")
+    sys.exit(2)
+sys.exit(0)
