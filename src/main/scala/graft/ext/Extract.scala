@@ -39,8 +39,20 @@ import org.apache.spark.sql.functions._
   */
 object Extract {
 
-  /** Declared keep-rule constants (shared with the oracle SQL). */
+  /** Declared keep-rule constants. The integer anchor-share form is
+    * `AnchorNum·link_len < AnchorDen·length(txt)` (< 40% anchor text,
+    * no float edge cross-engine).
+    */
   val MinKeepTokens = 6
+  val AnchorNum = 5
+  val AnchorDen = 2
+
+  /** The keep rule as oracle SQL over per-block columns — interpolated
+    * into the DuckDB oracles (x113/x119/x120) so the Scala constants
+    * above and the oracle can never desync (the r15 advice).
+    */
+  def keepSql(nTok: String, lnk: String, txt: String): String =
+    s"$nTok >= $MinKeepTokens AND $AnchorNum*$lnk < $AnchorDen*length($txt)"
 
   private val BlockClose = "(?i)</(p|div|h1|nav|footer|title|li)>"
 
@@ -86,10 +98,12 @@ object Extract {
           linkLen.as("link_len"))
       })
 
-  /** Stage 5 on a precomputed [[blockFeatures]] column. */
+  /** Stage 5 on a precomputed [[blockFeatures]] column (same constants
+    * as [[keepSql]]).
+    */
   def keptOf(bf: Column): Column =
     filter(bf, a => a.getField("n_tok") >= MinKeepTokens &&
-      a.getField("link_len") * 5 < length(a.getField("txt")) * 2)
+      a.getField("link_len") * AnchorNum < length(a.getField("txt")) * AnchorDen)
 
   /** The extracted clean text: kept blocks joined with newlines (empty
     * string when nothing survives — matches the oracle's coalesce).

@@ -90,6 +90,40 @@ object Declared {
     load(s, p)
   }
 
+  /** The WARC container fixture for x120: every document HTML-wrapped
+    * (the x113 fixture page), framed as a WARC `response` record whose
+    * payload is an HTTP/1.1 200 block, and WRITTEN as real container
+    * files (4 of them) through [[graft.sources.FileSources.writeWarc]].
+    * One write per (session, fixture dir) — the declared query then
+    * exercises the actual on-disk read path every invocation. Headers
+    * are pure doc_id arithmetic so the DuckDB oracle replays them
+    * without touching the files.
+    */
+  private val HttpHead =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+  private val HttpHeadChars = HttpHead.length
+
+  private def warcStoreArtifact(s: SparkSession, dir: String): String =
+    artifact(s, "warc_store_v1", dir) {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val page = graft.ext.Extract.htmlWrap(col("doc_id"), col("text"))
+      val http = concat(lit(HttpHead), page)
+      val url = concat(lit("https://fixture.graft/doc/"),
+        col("doc_id").cast("string"))
+      val date = concat(lit("2026-01-"),
+        lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        lit("T00:00:"), lpad((col("doc_id") % 60).cast("string"), 2, "0"),
+        lit("Z"))
+      val p = java.nio.file.Files.createTempDirectory("graft-warc-fix").toString
+      graft.sources.FileSources.writeWarc(
+        docs.select(graft.sources.FileSources.warcRecord(
+          lit("response"), url, date,
+          lit("application/http; msgtype=response"), http).as("value"))
+          .repartition(4),
+        p)
+      p
+    }
+
   /** The (doc_id, cluster_id) duplicate-cluster frame shared by x23
     * (the clustering row) and x75 (the survivor election): one
     * per-refresh artifact, computed once per fixture dir — a pipeline
@@ -6089,7 +6123,7 @@ object Declared {
       Some(s"""WITH ${htmlExtractCtes("w")},
         |wdocs AS MATERIALIZED (
         |  SELECT t.doc_id, d.source,
-        |    coalesce(string_agg(CASE WHEN n_tok >= 6 AND 5*lnk < 2*length(txt) THEN txt END,
+        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
         |      chr(10) ORDER BY pos), '') AS text
         |  FROM wtok t JOIN documents d USING (doc_id)
         |  GROUP BY t.doc_id, d.source),
@@ -6742,10 +6776,61 @@ object Declared {
       Some(s"""WITH ${htmlExtractCtes("")}
         |SELECT doc_id,
         |  count(CASE WHEN txt <> '' THEN 1 END)::bigint AS n_blocks,
-        |  count(CASE WHEN n_tok >= 6 AND 5*lnk < 2*length(txt) THEN 1 END)::bigint AS n_kept,
-        |  coalesce(string_agg(CASE WHEN n_tok >= 6 AND 5*lnk < 2*length(txt) THEN txt END,
+        |  count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
+        |  coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
         |    chr(10) ORDER BY pos), '') AS clean_text
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // WARC container ingest (r16, the r15 verdict's missing #1): the
+    // published web pipelines START from WARC/WET files, not HTML
+    // strings — record framing + headers (URL, date, MIME) are
+    // themselves curation inputs. The fixture WRITES real container
+    // files once per session (warcStoreArtifact: every document's x113
+    // page framed as a WARC response record with an HTTP/1.1 200
+    // payload, 4 files); the query then runs the actual on-disk path:
+    // container read (custom-lineSep record split — splittable) ->
+    // header parse -> len_ok integrity gate -> HTTP block strip ->
+    // x113's extraction on the recovered markup. The oracle replays
+    // the header arithmetic (URL/date/Content-Length are pure doc_id +
+    // page-length expressions) and the extraction from `documents`
+    // directly — so a round-trip corruption ANYWHERE (framing, split,
+    // header regex, payload offsets) hash-mismatches the row.
+    "x120_warc_ingest" -> Q(
+      (s, dir) => {
+        val recs = graft.sources.FileSources.readWarc(s, warcStoreArtifact(s, dir))
+        val docs = graft.sources.FileSources.warcDocs(recs)
+        spreadIfStarved(s, docs, docs)
+          .withColumn("doc_id",
+            regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("body")))
+          .select(col("doc_id"), col("url"), col("warc_date"),
+            // the PARSED header value — the oracle recomputes it as
+            // page length + the HTTP head's char count, so the header
+            // regex, the len_ok gate and the payload offsets all feed
+            // the hash
+            col("content_length"),
+            length(col("body")).cast("long").as("body_len"),
+            graft.ext.Extract.keptCountOf(col("_bf")).cast("long").as("n_kept"),
+            graft.ext.Extract.textOf(col("_bf")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${htmlExtractCtes("")},
+        |wmeta AS (
+        |  SELECT doc_id,
+        |    'https://fixture.graft/doc/' || doc_id::varchar AS url,
+        |    '2026-01-' || lpad(((doc_id % 28) + 1)::varchar, 2, '0') ||
+        |      'T00:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z' AS warc_date,
+        |    (length(html) + $HttpHeadChars)::bigint AS content_length,
+        |    length(html)::bigint AS body_len
+        |  FROM h),
+        |ext AS (
+        |  SELECT doc_id,
+        |    count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
+        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos), '') AS clean_text
+        |  FROM tok GROUP BY doc_id)
+        |SELECT w.doc_id, url, warc_date, content_length, body_len, n_kept, clean_text
+        |FROM wmeta w JOIN ext USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** File-format interchange (SURVEY §2.1 surface beyond the parquet
@@ -88,6 +89,118 @@ object FileSources {
     * all-null. Cost: one footer read per file on the driver — metadata
     * only, and opt-in via the schema pin.
     */
+  /** WARC record boundary: CRLF CRLF then the next record's version
+    * line (ISO 28500 frames records with two CRLFs; every record opens
+    * `WARC/1.0`).
+    */
+  private[sources] val WarcRecSep = "\r\n\r\nWARC/1.0\r\n"
+
+  /** WARC/WET container ingest (r16 — the step-0 source gap: CCNet, C4
+    * and RefinedWeb start from WARC/WET *files*, whose headers — URL,
+    * date, MIME — are themselves curation inputs for the domain-cap /
+    * compaction stages).
+    *
+    * Record split: the reader hands the boundary byte sequence
+    * ("\r\n\r\nWARC/1.0\r\n") to the text datasource as a custom
+    * `lineSep` — Hadoop's line reader handles arbitrary delimiters
+    * ACROSS input-split boundaries, so a multi-GB WARC fans out to
+    * normal splits instead of one task per file (what makes this a
+    * container READER, not a whole-file slurp; .gz crawls stay
+    * one-task-per-file — prefer uncompressed/recompressed shards at
+    * scale, per this module's header note). A payload that itself
+    * contains the boundary sequence would false-split — the parser
+    * DETECTS that instead of corrupting silently: the record's declared
+    * Content-Length no longer matches its payload (`len_ok=false` →
+    * `malformed=true` → quarantine row, never a crash).
+    *
+    * Output (one row per record, NOTHING dropped):
+    * `rec_type` (WARC-Type), `url` (WARC-Target-URI), `warc_date`,
+    * `mime` (Content-Type), `content_length` (declared), `len_ok`,
+    * `malformed`, `payload` (raw record body — HTTP block for response
+    * records, plain text for WET conversion records). All parsing is
+    * built-in expressions: map-only, codegen'd, scan parallelism.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("lineSep", WarcRecSep).text(path)
+    // the first record of each file keeps its own magic (no preceding
+    // separator to consume it); the file's last record keeps the
+    // trailing frame CRLFs — normalize both
+    val rec = regexp_replace(
+      regexp_replace(col("value"), lit("^WARC/1\\.0\r\n"), lit("")),
+      lit("(\r\n)+$"), lit(""))
+    def hdr(rc: org.apache.spark.sql.Column, name: String) =
+      regexp_extract(rc, s"(?im)^$name: ([^\r\n]*)", 1)
+    raw.select(rec.as("_rec"))
+      .withColumn("_hdr", substring_index(col("_rec"), "\r\n\r\n", 1))
+      .withColumn("payload",
+        col("_rec").substr(length(col("_hdr")) + lit(5), length(col("_rec"))))
+      .withColumn("rec_type", hdr(col("_hdr"), "WARC-Type"))
+      .withColumn("url", hdr(col("_hdr"), "WARC-Target-URI"))
+      .withColumn("warc_date", hdr(col("_hdr"), "WARC-Date"))
+      .withColumn("mime", hdr(col("_hdr"), "Content-Type"))
+      .withColumn("_cl_raw",
+        regexp_extract(col("_hdr"), "(?im)^Content-Length: ([0-9]+)", 1))
+      .withColumn("content_length",
+        when(col("_cl_raw") === "", lit(null).cast("long"))
+          .otherwise(col("_cl_raw").cast("long")))
+      .withColumn("len_ok", col("content_length") === length(col("payload")))
+      .withColumn("malformed",
+        col("rec_type") === "" || col("content_length").isNull ||
+          !coalesce(col("len_ok"), lit(false)))
+      .select("rec_type", "url", "warc_date", "mime", "content_length",
+        "len_ok", "malformed", "payload")
+  }
+
+  /** Well-formed document bodies from a [[readWarc]] frame: `response`
+    * records must be HTTP 200 and have their HTTP header block stripped
+    * (the body is what follows the first blank line); WET `conversion`
+    * records ARE the body. warcinfo/request/metadata records and
+    * quarantined (`malformed`) rows drop here — after the caller has
+    * had the chance to count/inspect them.
+    */
+  def warcDocs(warc: DataFrame): DataFrame =
+    warc.filter(!col("malformed"))
+      .withColumn("http_status",
+        when(col("rec_type") === "response",
+          regexp_extract(col("payload"), "^HTTP/1\\.[01] ([0-9]{3})", 1))
+          .otherwise(lit("")))
+      .withColumn("body",
+        when(col("rec_type") === "conversion", col("payload"))
+          .otherwise(col("payload").substr(
+            length(substring_index(col("payload"), "\r\n\r\n", 1)) + lit(5),
+            length(col("payload")))))
+      .filter(col("rec_type") === "conversion" ||
+        (col("rec_type") === "response" && col("http_status") === "200"))
+      .select("rec_type", "url", "warc_date", "mime", "content_length", "body")
+
+  /** Frame one WARC record (version line, headers, blank line, payload)
+    * as a single string column — the write side of [[readWarc]]'s
+    * round trip. `Content-Length` is computed from the payload, so the
+    * reader's `len_ok` integrity bit holds by construction. (Char
+    * length, not bytes: the engine's string columns are char-addressed
+    * on both the Spark and oracle sides; a byte-exact exporter would
+    * measure the encoded payload instead.)
+    */
+  def warcRecord(recType: org.apache.spark.sql.Column,
+                 url: org.apache.spark.sql.Column,
+                 date: org.apache.spark.sql.Column,
+                 mime: org.apache.spark.sql.Column,
+                 payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: "), recType,
+      lit("\r\nWARC-Target-URI: "), url,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nContent-Type: "), mime,
+      lit("\r\nContent-Length: "), length(payload).cast("string"),
+      lit("\r\n\r\n"), payload)
+
+  /** Write a frame of [[warcRecord]] strings (single column) as WARC
+    * container files: the text sink's custom `lineSep` supplies the
+    * inter-record CRLF CRLF frame that [[WarcRecSep]] splits on.
+    */
+  def writeWarc(records: DataFrame, path: String): Unit =
+    records.write.mode("overwrite").option("lineSep", "\r\n\r\n").text(path)
+
   def readOrc(spark: SparkSession, path: String,
               schema: Option[StructType] = None): DataFrame = {
     schema.foreach { s =>

@@ -1086,6 +1086,22 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"join in the extraction plan:\n$p")
   }
 
+  // x120: container ingest + extraction is scan-side expression work —
+  // no join/window anywhere; the only exchanges allowed are the guarded
+  // fixture spread (round-robin) and the presentation sort's range
+  // partition. A hash exchange here would mean record parsing stopped
+  // running at scan parallelism.
+  test("warc ingest plans no join; only spread + presentation-sort exchanges") {
+    val p = planOf("x120_warc_ingest")
+    assert(!p.contains("Join"), s"join in the warc ingest plan:\n$p")
+    assert(!p.contains("Window"), s"window in the warc ingest plan:\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    val allowed = "Exchange rangepartitioning".r.findAllIn(p).size +
+      "(?i)Exchange roundrobin".r.findAllIn(p).size
+    assert(exchanges == allowed,
+      s"unexpected exchange in the warc ingest plan:\n$p")
+  }
+
   // x98: the distilled student's report aggregates AFTER the map-only
   // scoring fold — exactly one hash exchange (the partial-agg'd slim
   // (teacher, student) rows) plus the presentation sort; corpus text is

@@ -184,4 +184,119 @@ class SourcesSpec extends SparkSuite {
     assert(msgs(err).exists(m => m.contains("Malformed") || m.contains("FAILFAST")),
       s"unexpected error chain: ${msgs(err)}")
   }
+
+  // --- WARC/WET container ingest (r16) ---
+
+  private def writeWarcFile(name: String, content: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-warc-$name")
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.writeString(d.resolve("part-0.warc"), content)
+    d.toString
+  }
+
+  private val crlf = "\r\n"
+  private def rec(headers: Seq[(String, String)], payload: String): String =
+    "WARC/1.0" + crlf +
+      headers.map { case (k, v) => s"$k: $v$crlf" }.mkString +
+      s"Content-Length: ${payload.length}$crlf" + crlf + payload
+
+  test("WARC: multi-record file parses every record, headers intact") {
+    val http = s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf" +
+      "<html><body><p>hello world one two three four five six</p></body></html>"
+    val content = Seq(
+      rec(Seq("WARC-Type" -> "warcinfo"), "software: graft-fixture"),
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.org/a",
+        "WARC-Date" -> "2026-01-02T00:00:03Z",
+        "Content-Type" -> "application/http; msgtype=response"), http),
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "https://example.org/b",
+        "WARC-Date" -> "2026-01-02T00:00:04Z",
+        "Content-Type" -> "text/plain"), "already clean wet text")
+    ).mkString(crlf + crlf) + crlf + crlf
+    val got = FileSources.readWarc(spark, writeWarcFile("multi", content))
+      .orderBy("url").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[String]("rec_type")).toSet ==
+      Set("warcinfo", "response", "conversion"))
+    assert(got.forall(_.getAs[Boolean]("len_ok")), "Content-Length mismatch")
+    assert(got.forall(!_.getAs[Boolean]("malformed")))
+    val resp = got.find(_.getAs[String]("rec_type") == "response").get
+    assert(resp.getAs[String]("url") == "https://example.org/a")
+    assert(resp.getAs[String]("warc_date") == "2026-01-02T00:00:03Z")
+    assert(resp.getAs[String]("payload") == http,
+      "payload (incl. its interior blank line) not preserved")
+  }
+
+  test("WARC: warcDocs keeps 200 responses + conversions, strips HTTP headers, skips the rest") {
+    val body = "<html><body><p>kept body</p></body></html>"
+    val content = Seq(
+      rec(Seq("WARC-Type" -> "warcinfo"), "software: graft-fixture"),
+      rec(Seq("WARC-Type" -> "request",
+        "WARC-Target-URI" -> "https://example.org/a"),
+        s"GET /a HTTP/1.1${crlf}Host: example.org$crlf"),
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.org/a",
+        "WARC-Date" -> "2026-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf$body"),
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.org/gone",
+        "Content-Type" -> "application/http; msgtype=response"),
+        s"HTTP/1.1 404 Not Found$crlf$crlf<html>nope</html>"),
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "https://example.org/wet",
+        "Content-Type" -> "text/plain"), "wet text body")
+    ).mkString(crlf + crlf) + crlf + crlf
+    val docs = FileSources.warcDocs(
+        FileSources.readWarc(spark, writeWarcFile("docs", content)))
+      .orderBy("url").collect()
+    assert(docs.length == 2, s"expected 200-response + conversion only: ${docs.toSeq}")
+    assert(docs(0).getAs[String]("url") == "https://example.org/a")
+    assert(docs(0).getAs[String]("body") == body, "HTTP header block not stripped")
+    assert(docs(1).getAs[String]("body") == "wet text body")
+  }
+
+  test("WARC: malformed records quarantine (flag), never crash, never reach warcDocs") {
+    val content = Seq(
+      // missing Content-Length entirely (hand-built, not via rec())
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: https://example.org/nolen" + crlf + crlf + "body",
+      // declared length disagrees with actual payload (truncation /
+      // false-split shape)
+      "WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: https://example.org/short" + crlf +
+        "Content-Length: 9999" + crlf + crlf + "tiny",
+      rec(Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "https://example.org/ok",
+        "Content-Type" -> "text/plain"), "good record")
+    ).mkString(crlf + crlf) + crlf + crlf
+    val all = FileSources.readWarc(spark, writeWarcFile("bad", content))
+    assert(all.count() == 3, "malformed rows must be kept (quarantined), not dropped")
+    val bad = all.filter(col("malformed")).collect()
+    assert(bad.length == 2)
+    assert(bad.map(_.getAs[String]("url")).toSet ==
+      Set("https://example.org/nolen", "https://example.org/short"))
+    val kept = FileSources.warcDocs(all).collect()
+    assert(kept.length == 1 && kept(0).getAs[String]("body") == "good record")
+  }
+
+  test("WARC: writeWarc/readWarc round-trip across multiple files") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha body one"), (2L, "beta body two"), (3L, "gamma body three"),
+      (4L, "delta body four"), (5L, "epsilon body five"))
+      .toDF("doc_id", "text")
+    val recs = docs.select(FileSources.warcRecord(
+      lit("conversion"),
+      concat(lit("https://fixture.graft/doc/"), col("doc_id")),
+      lit("2026-01-01T00:00:00Z"), lit("text/plain"),
+      col("text")).as("value")).repartition(3)
+    val path = tmp("warc-rt")
+    FileSources.writeWarc(recs, path)
+    val back = FileSources.warcDocs(FileSources.readWarc(spark, path))
+      .select(regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("body").as("text"))
+    assert(sig(back) == sig(docs), "container round-trip lost content")
+  }
 }
