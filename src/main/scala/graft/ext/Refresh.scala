@@ -453,6 +453,40 @@ object Refresh {
       cleanedDelta, scoredDelta)
   }
 
+  /** The web twin's step 0 (r16): maintain the EXTRACTED corpus
+    * incrementally when raw-HTML v2 arrives. Extraction
+    * ([[Extract.htmlToText]]) is a pure per-document function of the
+    * markup, so html-unchanged ⇒ extracted-text-unchanged: diffing the
+    * RAW markup over-approximates the text diff (conservative and
+    * exact — a changed page whose extraction happens to coincide is
+    * merely re-extracted to the identical row), and ONLY added/changed
+    * pages pay extraction. Returns the v2 extracted corpus: carried v1
+    * rows minus touched, plus the freshly-extracted delta — feed it to
+    * [[ccnetRefreshDelta]] with the standing extracted v1 and the
+    * whole x112 delta argument composes unchanged.
+    *
+    * SCALE: the markup diff is one hash-compare join (what every
+    * refresh already pays on its text column — here paid on the html
+    * column instead); extraction cost ∝ delta; the carried side is a
+    * size-gated anti-join ([[Hints]]).
+    */
+  def webExtractRefresh(extractedV1: DataFrame, htmlV1: DataFrame,
+                        htmlV2: DataFrame, htmlCol: String = "html",
+                        carry: Seq[String] = Seq("source")): DataFrame = {
+    val d = CorpusDiff.diff(htmlV1, htmlV2, "doc_id", htmlCol)
+      .select("doc_id", "status")
+    val touched = d.filter(col("status").isin("removed", "changed"))
+      .select("doc_id").localCheckpoint(true)
+    val fresh = d.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val freshExtracted = htmlV2.join(Hints.hintIfSlim(fresh.localCheckpoint(true)),
+        Seq("doc_id"), "left_semi")
+      .withColumn("text", Extract.htmlToText(col(htmlCol)))
+      .select((Seq("doc_id") ++ carry ++ Seq("text")).map(col): _*)
+    extractedV1.join(Hints.hintIfSlim(touched), Seq("doc_id"), "left_anti")
+      .unionByName(freshExtracted)
+  }
+
   /** The frozen per-language tail thresholds of a baseline scored
     * frame (round-4dp lower tertile — [[TextStats.perplexityTiers]]'
     * thr_lo), collected at language-count size.

@@ -362,6 +362,57 @@ object Declared {
       (reloaded, lm, graft.ext.Refresh.ccnetTailThr(reloaded.head.scored))
     }
 
+  /** The r16 web-twin carves: the x112 corpora re-expressed as RAW
+    * MARKUP — each version's carved text wrapped in the deterministic
+    * x113 page. The twin's whole claim is that extraction composes in
+    * front of the x112 delta machinery, so the downstream chain must
+    * see exactly the same shape.
+    */
+  private def webHtmlOf(carve: DataFrame): DataFrame =
+    carve.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.ext.Extract.htmlWrap(col("doc_id"), col("text")).as("html"))
+
+  /** From-scratch extraction of a markup corpus — the rebuild leg (and
+    * the v1 state build); [[graft.ext.Refresh.webExtractRefresh]] is
+    * the delta-bound form.
+    */
+  private def webExtractAll(html: DataFrame): DataFrame =
+    html.withColumn("text", graft.ext.Extract.htmlToText(col("html")))
+      .select("doc_id", "source", "text")
+
+  /** x121's standing v1 WEB state — the extracted v1 corpus persisted
+    * through the parquet index store (the standing clean-text corpus a
+    * web pipeline keeps between crawls) alongside x112's frozen LM,
+    * head frames and thresholds: the hand-off discipline with
+    * extraction composed in front.
+    */
+  private def webRefreshArtifact(s: SparkSession, dir: String)
+    : (DataFrame, graft.ext.Refresh.CcnetState, TextStats.RefLm, Map[String, Double]) =
+    artifact(s, "web_refresh_state_v1", dir) {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-web-refresh").toString
+      graft.ext.Artifacts.saveIndex(
+        webExtractAll(webHtmlOf(ccnetV1(t(s, dir, "documents")))),
+        s"$base/extracted")
+      val ex1 = graft.ext.Artifacts.loadIndex(s, s"$base/extracted")
+      val lm = viaStore(s, "reflm_webref_1024") {
+        TextStats.refLmTrain(ccnetCleaned(ex1), "clean_text", "lang_pred",
+          col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+          numBuckets = 1024)
+      }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+        graft.ext.Artifacts.loadRefLm)
+      val st = graft.ext.Refresh.ccnetBuildState(ex1, tokenLines12, lm)
+      graft.ext.Artifacts.saveIndex(st.lf, s"$base/lf")
+      graft.ext.Artifacts.saveIndex(st.hist, s"$base/hist")
+      graft.ext.Artifacts.saveIndex(st.scored, s"$base/scored")
+      val reloaded = graft.ext.Refresh.CcnetState(
+        graft.ext.Artifacts.loadIndex(s, s"$base/lf"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/hist"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/scored"))
+      (ex1, reloaded, lm, graft.ext.Refresh.ccnetTailThr(reloaded.scored))
+    }
+
   /** Shared DuckDB CTE block replaying [[tokenLines12]] +
     * [[graft.ext.Dedup.lineDrops]]' keep-first marking — one
     * definition for the x107 rewrite oracle and the x108 e2e oracle
@@ -394,23 +445,77 @@ object Declared {
     * curated-slice LM histograms (ocb/ocu). x112 appends scoring +
     * threshold + kept-report CTEs; x115 appends the KL drift fold.
     */
-  private def ccnetRefreshHeadCtes: String =
-    s"""v1 AS MATERIALIZED (
-      |  SELECT doc_id,
+  /** The x112 fixture carves as standalone SELECTs (shared verbatim by
+    * the raw chain and the r16 web twin, which wraps them in markup
+    * before extraction — one definition, two consumers).
+    */
+  private val ccnetCarveV1Sql: String =
+    """SELECT doc_id,
       |    CASE WHEN doc_id % 23 = 1
       |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
       |      ELSE text END AS text, source
-      |  FROM documents WHERE doc_id % 17 <> 5),
-      |v2 AS MATERIALIZED (
-      |  SELECT doc_id,
+      |  FROM documents WHERE doc_id % 17 <> 5""".stripMargin
+  private val ccnetCarveV2Sql: String =
+    """SELECT doc_id,
       |    CASE WHEN doc_id % 23 = 1
       |      THEN repeat('der die das und ist nicht mit ein ', 6) || 'marke ' || doc_id::varchar
       |      WHEN doc_id % 23 = 2
       |      THEN repeat('le la les et est que pour dans ', 6) || 'delta ' || doc_id::varchar
       |      WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
       |      ELSE text END AS text, source
-      |  FROM documents WHERE doc_id % 19 <> 7),
-      |${lineDedupCtesFor("v1", "o")},
+      |  FROM documents WHERE doc_id % 19 <> 7""".stripMargin
+
+  /** The x112/x121 oracle tail over the chain's obg/ocb/ocu/nbg frames:
+    * v1 scores → frozen tertile thresholds → v2 scores under the SAME
+    * (frozen) LM tables → per-language kept report. Shared verbatim —
+    * the raw and web chains must roll up identically.
+    */
+  private def ccnetRefreshTailSql: String =
+    s"""osc AS MATERIALIZED (
+      |  SELECT g.doc_id, g.lang,
+      |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
+      |  FROM obg g
+      |  LEFT JOIN ocb ON ocb.lang = g.lang AND ocb.b2 = g.b2
+      |  LEFT JOIN ocu ON ocu.lang = g.lang AND ocu.b1 = g.b1
+      |  GROUP BY 1, 2),
+      |othr AS MATERIALIZED (
+      |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo
+      |  FROM osc GROUP BY 1),
+      |nsc AS MATERIALIZED (
+      |  SELECT g.doc_id, g.lang,
+      |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
+      |  FROM nbg g
+      |  LEFT JOIN ocb ON ocb.lang = g.lang AND ocb.b2 = g.b2
+      |  LEFT JOIN ocu ON ocu.lang = g.lang AND ocu.b1 = g.b1
+      |  GROUP BY 1, 2),
+      |rep AS (
+      |  SELECT s.lang, t.thr_lo, s.doc_id,
+      |    t.thr_lo IS NOT NULL AND s.lp >= t.thr_lo AS k
+      |  FROM nsc s LEFT JOIN othr t USING (lang))
+      |SELECT lang, thr_lo::double AS thr, count(*)::bigint AS n_docs,
+      |  sum(CASE WHEN k THEN 1 ELSE 0 END)::bigint AS n_kept,
+      |  bit_xor(CASE WHEN k
+      |    THEN ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint
+      |    ELSE 0 END)::bigint AS kept_xor,
+      |  true AS incr_match
+      |FROM rep GROUP BY 1, 2 ORDER BY lang""".stripMargin
+
+  private def ccnetRefreshHeadCtes: String =
+    s"""v1 AS MATERIALIZED (
+      |  $ccnetCarveV1Sql),
+      |v2 AS MATERIALIZED (
+      |  $ccnetCarveV2Sql),
+      |$ccnetRefreshChainCtes""".stripMargin
+
+  /** The x112 replay chain over ALREADY-DEFINED `v1`/`v2` relations
+    * (doc_id, text, source): line election + rewrite per version,
+    * langid, the v1-trained LM's hashed uni/bigram tables — everything
+    * the x112/x121 oracle tails score against. Factored so the web
+    * twin can substitute EXTRACTED v1/v2 definitions and reuse the
+    * chain verbatim.
+    */
+  private def ccnetRefreshChainCtes: String =
+    s"""${lineDedupCtesFor("v1", "o")},
       |oct AS MATERIALIZED (
       |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
       |  FROM otoks t LEFT JOIN (
@@ -499,7 +604,7 @@ object Declared {
     * CCNet head). No trailing comma — the single-consumer tail
     * follows directly; compositions append their own separator.
     */
-  private def htmlExtractCtes(p: String): String =
+  private def htmlExtractCtes(p: String, rel: String = "documents"): String =
     s"""${p}h AS (
       |  SELECT doc_id,
       |    '<html><head><title>Doc ' || doc_id::varchar ||
@@ -514,7 +619,7 @@ object Declared {
       |      ELSE '' END ||
       |    '<!-- build ' || doc_id::varchar || ' -->' ||
       |    '<footer>Copyright 2026 <a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>' AS html
-      |  FROM documents WHERE doc_id IS NOT NULL),
+      |  FROM $rel WHERE doc_id IS NOT NULL),
       |${p}s AS (
       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
       |    '(?is)<script.*?</script>', ' ', 'g'),
@@ -6236,34 +6341,68 @@ object Declared {
           .orderBy("lang")
       },
       Some(s"""WITH ${ccnetRefreshHeadCtes},
-        |osc AS MATERIALIZED (
-        |  SELECT g.doc_id, g.lang,
-        |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
-        |  FROM obg g
-        |  LEFT JOIN ocb ON ocb.lang = g.lang AND ocb.b2 = g.b2
-        |  LEFT JOIN ocu ON ocu.lang = g.lang AND ocu.b1 = g.b1
-        |  GROUP BY 1, 2),
-        |othr AS MATERIALIZED (
-        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo
-        |  FROM osc GROUP BY 1),
-        |nsc AS MATERIALIZED (
-        |  SELECT g.doc_id, g.lang,
-        |    round(avg(ln((coalesce(ocb.c, 0) + 1) / (coalesce(ocu.c, 0) + 1024))), 6) AS lp
-        |  FROM nbg g
-        |  LEFT JOIN ocb ON ocb.lang = g.lang AND ocb.b2 = g.b2
-        |  LEFT JOIN ocu ON ocu.lang = g.lang AND ocu.b1 = g.b1
-        |  GROUP BY 1, 2),
-        |rep AS (
-        |  SELECT s.lang, t.thr_lo, s.doc_id,
-        |    t.thr_lo IS NOT NULL AND s.lp >= t.thr_lo AS k
-        |  FROM nsc s LEFT JOIN othr t USING (lang))
-        |SELECT lang, thr_lo::double AS thr, count(*)::bigint AS n_docs,
-        |  sum(CASE WHEN k THEN 1 ELSE 0 END)::bigint AS n_kept,
-        |  bit_xor(CASE WHEN k
-        |    THEN ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint
-        |    ELSE 0 END)::bigint AS kept_xor,
-        |  true AS incr_match
-        |FROM rep GROUP BY 1, 2 ORDER BY lang""".stripMargin)),
+        |$ccnetRefreshTailSql""".stripMargin)),
+
+    // X26+X23d (r16): the WEB pipeline's refresh twin — x119 closed the
+    // batch composition (markup -> extraction -> CCNet head) and this
+    // closes its DEPLOYMENT form: crawl v2 arrives as RAW MARKUP under
+    // the frozen-LM contract. Extraction is a pure per-document
+    // function, so diffing the markup over-approximates the text diff
+    // exactly (webExtractRefresh): only added/changed pages pay
+    // extraction, the standing extracted corpus carries forward, and
+    // the x112 delta argument composes unchanged behind it. The
+    // declared claim is the established duality: BOTH paths run from
+    // the persisted+reloaded v1 state (incremental: markup diff ->
+    // delta extraction -> ccnetRefresh; rebuild: full v2 extraction ->
+    // ccnetBuildState), the readout is the rebuild's kept report with
+    // per-language incr_match booleans, and DuckDB independently
+    // replays the REBUILD (carve -> page wrap -> extraction -> line
+    // election -> langid -> frozen-LM scores -> kept rollup).
+    "x121_web_ccnet_refresh" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val htmlV1 = webHtmlOf(ccnetV1(docs))
+        val htmlV2 = webHtmlOf(ccnetV2(docs))
+        val (ex1, st1, lm, thr) = webRefreshArtifact(s, dir)
+        val ex2 = graft.ext.Refresh.webExtractRefresh(ex1, htmlV1, htmlV2)
+        val inc = graft.ext.Refresh.ccnetKeptReport(
+          graft.ext.Refresh.ccnetRefresh(st1, ex1, ex2, tokenLines12, lm)
+            .scored, thr)
+        val full = graft.ext.Refresh.ccnetKeptReport(
+          graft.ext.Refresh.ccnetBuildState(webExtractAll(htmlV2),
+            tokenLines12, lm).scored, thr)
+        full.as("f").join(inc.as("i"), Seq("lang"), "full_outer")
+          .select(col("lang"), col("f.thr").as("thr"),
+            col("f.n_docs").as("n_docs"), col("f.n_kept").as("n_kept"),
+            col("f.kept_xor").as("kept_xor"),
+            (col("f.thr") <=> col("i.thr") &&
+              col("f.n_docs") <=> col("i.n_docs") &&
+              col("f.n_kept") <=> col("i.n_kept") &&
+              col("f.kept_xor") <=> col("i.kept_xor")).as("incr_match"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH wc1 AS MATERIALIZED (
+        |  $ccnetCarveV1Sql),
+        |wc2 AS MATERIALIZED (
+        |  $ccnetCarveV2Sql),
+        |${htmlExtractCtes("e1", "wc1")},
+        |${htmlExtractCtes("e2", "wc2")},
+        |v1 AS MATERIALIZED (
+        |  SELECT c.doc_id, coalesce(a.text, '') AS text, c.source
+        |  FROM wc1 c LEFT JOIN (
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos) AS text
+        |    FROM e1tok GROUP BY doc_id) a USING (doc_id)
+        |  WHERE c.doc_id IS NOT NULL),
+        |v2 AS MATERIALIZED (
+        |  SELECT c.doc_id, coalesce(a.text, '') AS text, c.source
+        |  FROM wc2 c LEFT JOIN (
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos) AS text
+        |    FROM e2tok GROUP BY doc_id) a USING (doc_id)
+        |  WHERE c.doc_id IS NOT NULL),
+        |$ccnetRefreshChainCtes,
+        |$ccnetRefreshTailSql""".stripMargin)),
 
     // X22+X1e+X5k (r14): the CCNet stages folded into the STANDING
     // assembly — the r13 verdict's composition ask. Published order

@@ -50,6 +50,18 @@ object ScaleCheck {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // per-scale temp stores (merged corpora, persisted refresh states)
+    // are deleted as soon as their timed comparison has collected — at
+    // 16x they are a sizable parquet footprint, and a ScaleCheck run
+    // must not leak it into /tmp (r15 advice)
+    def rmTree(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
     // x68's fixed train-once artifact (built on the 1x corpus, strictly
     // BEFORE any timed region so the 1x datum isn't flattered by
     // carrying the train cost — the deployment shape)
@@ -1324,6 +1336,7 @@ object ScaleCheck {
         val tReb = (System.nanoTime() - t1) / 1e9
         assert(inc == full,
           s"x112 scale: refresh != rebuild at ${n}x\n inc: $inc\n reb: $full")
+        rmTree(base)
         (n, tRef, tReb)
       }
       val (_, ref16, reb16) = timedC(2)
@@ -1427,6 +1440,7 @@ object ScaleCheck {
         val tReb = (System.nanoTime() - t1) / 1e9
         assert(inc == full,
           s"x114 scale: refresh != rebuild at ${n}x\n inc: $inc\n reb: $full")
+        rmTree(base)
         (n, tRef, tReb)
       }
       val (_, ref16a, reb16a) = timedA(2)
@@ -1445,6 +1459,113 @@ object ScaleCheck {
         f"${timedA(1)._3}%.2f | ${timedA(2)._3}%.2f |\n")
       println(f"SCALE x114 assembly refresh " +
         timedA.map { case (_, a, b) => f"$a%.2f/$b%.2f" }.mkString(" "))
+    }
+
+    // --- x121 web-pipeline refresh at scale ----------------------------
+    // The x112 witness with EXTRACTION composed in front: corpora stored
+    // as RAW MARKUP (each token-permuted doc wrapped in the
+    // deterministic x113 page), the whole v1→v2 delta in replica 0.
+    // Witnesses: (a) markup-diff refresh kept report == full-extraction
+    // rebuild kept report at EVERY scale (webExtractRefresh's purity
+    // argument, asserted); (b) with the delta constant, refresh wall <
+    // rebuild wall at 16x — the rebuild re-extracts and re-scores the
+    // whole corpus while the refresh extracts only the delta pages.
+    locally {
+      import graft.ext.{Extract, Refresh, TextStats}
+      val R0 = 100000000L
+      val lines12: org.apache.spark.sql.Column = {
+        val toks = graft.ext.Dedup.tokens(coalesce(col("text"), lit("")))
+        when(size(toks) > 0,
+          transform(sequence(lit(0),
+            floor((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+            i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+      def permuted(n: Int): DataFrame =
+        (0 until n).map { i =>
+          val base = docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * R0))
+          if (i == 0) base
+          else base.withColumn("text", concat_ws(" ",
+            transform(array_sort(transform(
+              filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+              (tok, pos) => struct(
+                md5(concat(tok, lit(s"#$i#"), pos.cast("string"))).as("k"),
+                tok.as("t")))),
+              s => s.getField("t"))))
+        }.reduce(_ union _)
+      def v1(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 17 === 5 && col("doc_id") < R0))
+      def v2(n: Int) = permuted(n)
+        .filter(!(col("doc_id") % 19 === 7 && col("doc_id") < R0))
+        .withColumn("text",
+          when(col("doc_id") % 13 === 4 && col("doc_id") < R0,
+            concat(col("text"), lit(" spark refresh delta")))
+            .otherwise(col("text")))
+      def wrapped(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("source"),
+          Extract.htmlWrap(col("doc_id"), col("text")).as("html"))
+      def extractAll(html: DataFrame): DataFrame =
+        html.withColumn("text", Extract.htmlToText(col("html")))
+          .select("doc_id", "source", "text")
+      val timedW = scales.map { n =>
+        // deployment shape, setup untimed: stored MARKUP corpora, the
+        // standing extracted corpus, persisted head state, frozen LM
+        val base = java.nio.file.Files
+          .createTempDirectory(s"x121-scale-$n").toString
+        wrapped(v1(n)).write.mode("overwrite").parquet(s"$base/h1")
+        wrapped(v2(n)).write.mode("overwrite").parquet(s"$base/h2")
+        val h1 = spark.read.parquet(s"$base/h1")
+        val h2 = spark.read.parquet(s"$base/h2")
+        extractAll(h1).write.mode("overwrite").parquet(s"$base/ex1")
+        val ex1 = spark.read.parquet(s"$base/ex1")
+        val lm = TextStats.refLmTrain(
+          ex1.withColumn("lang_pred", TextStats.langId(col("text"))),
+          "text", "lang_pred",
+          col("lang_pred") =!= "und" && col("doc_id").isNotNull,
+          numBuckets = 1024)
+        val st0 = Refresh.ccnetBuildState(ex1, lines12, lm)
+        graft.ext.Artifacts.saveIndex(st0.lf, s"$base/lf")
+        graft.ext.Artifacts.saveIndex(st0.hist, s"$base/hist")
+        graft.ext.Artifacts.saveIndex(st0.scored, s"$base/scored")
+        val st = Refresh.CcnetState(
+          graft.ext.Artifacts.loadIndex(spark, s"$base/lf"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/hist"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/scored"))
+        val thr = Refresh.ccnetTailThr(st.scored)
+        val t0 = System.nanoTime()
+        val ex2 = Refresh.webExtractRefresh(ex1, h1, h2)
+        val inc = Refresh.ccnetKeptReport(
+            Refresh.ccnetRefresh(st, ex1, ex2, lines12, lm).scored, thr)
+          .collect().map(_.toSeq).toSet
+        val tRef = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val full = Refresh.ccnetKeptReport(
+            Refresh.ccnetBuildState(extractAll(h2), lines12, lm).scored, thr)
+          .collect().map(_.toSeq).toSet
+        val tReb = (System.nanoTime() - t1) / 1e9
+        assert(inc == full,
+          s"x121 scale: web refresh != rebuild at ${n}x\n inc: $inc\n reb: $full")
+        rmTree(base)
+        (n, tRef, tReb)
+      }
+      val (_, ref16w, reb16w) = timedW(2)
+      assert(ref16w < reb16w,
+        f"x121 scale: constant-delta web refresh ($ref16w%.2f s) not cheaper " +
+          f"than extract-everything rebuild ($reb16w%.2f s) at 16x")
+      sb.append("\n## Web-pipeline refresh at scale (x121, constant delta)\n\n")
+      sb.append("The x112 witness with extraction composed in front: markup corpora\n")
+      sb.append("stored, the delta in replica 0. Refresh (markup diff -> delta-only\n")
+      sb.append("extraction -> head fold) kept report asserted == full-extraction\n")
+      sb.append("rebuild at every scale; constant-delta refresh asserted cheaper than\n")
+      sb.append("the rebuild at 16x.\n\n")
+      sb.append("| case | 1x (s) | 4x (s) | 16x (s) |\n|---|---|---|---|\n")
+      sb.append(f"| x121 web refresh (delta fixed) | ${timedW(0)._2}%.2f | " +
+        f"${timedW(1)._2}%.2f | ${timedW(2)._2}%.2f |\n")
+      sb.append(f"| x121 full re-extract rebuild | ${timedW(0)._3}%.2f | " +
+        f"${timedW(1)._3}%.2f | ${timedW(2)._3}%.2f |\n")
+      println(f"SCALE x121 web refresh " +
+        timedW.map { case (_, a, b) => f"$a%.2f/$b%.2f" }.mkString(" "))
     }
 
     // --- x79 BPE training at scale ------------------------------------
@@ -1586,6 +1707,7 @@ object ScaleCheck {
           broadcast(region.withColumnRenamed("doc_id", "id_a")),
           Seq("id_a"), "left_semi").count()
         val totEdges = pairs2.count()
+        rmTree(base)
         (n, tRef, tReb, tIncCl, tFullCl, subEdges, totEdges)
       }
       val (_, ref16, reb16, incCl16, fullCl16, sub16, tot16) = timedR.last

@@ -1577,6 +1577,29 @@ class ExtSpec extends SparkSuite {
     } finally spark.conf.unset(Hints.GateConfKey)
   }
 
+  test("X26+X23d webExtractRefresh == full extraction of v2 (purity composition)") {
+    import graft.ext.{Extract, Refresh}
+    // a different carve than the declared x121 (no artifact reuse):
+    // adds, removes AND changes pages, so all three diff statuses
+    // exercise the carried/retired/fresh legs
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull)
+    def html(carve: org.apache.spark.sql.DataFrame) =
+      carve.select(col("doc_id"), col("source"),
+        Extract.htmlWrap(col("doc_id"), col("text")).as("html"))
+    val h1 = html(docs.filter(col("doc_id") % 7 =!= 2))
+    val h2 = html(docs.filter(col("doc_id") % 11 =!= 3)
+      .withColumn("text", when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" crafted web delta"))).otherwise(col("text"))))
+    def extractAll(h: org.apache.spark.sql.DataFrame) =
+      h.withColumn("text", Extract.htmlToText(col("html")))
+        .select("doc_id", "source", "text")
+    val got = Refresh.webExtractRefresh(extractAll(h1), h1, h2)
+      .collect().map(_.toSeq).toSet
+    val want = extractAll(h2).collect().map(_.toSeq).toSet
+    assert(got == want, "delta-extracted corpus drifted from full extraction")
+  }
+
   test("X23 manifestFromClusters == manifestOf for equal cluster frames") {
     import graft.ext.{Dedup, Refresh}
     val st = Refresh.buildState(Tables.load(spark, sf(), "documents"))
