@@ -373,11 +373,16 @@ object TextStats {
     */
   def unigramTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
                    maxPieceLen: Int = 4, minCount: Long = 2L,
-                   rounds: Int = 3): Array[(String, Long)] = {
+                   rounds: Int = 3,
+                   wordsCol: Option[Column] = None): Array[(String, Long)] = {
     require(maxPieceLen >= 1 && rounds >= 1 && minCount >= 1,
       s"bad unigram params ($maxPieceLen, $minCount, $rounds)")
+    // default word view: the [a-z0-9] tokenizer; byte-level training
+    // passes wordsCol = Some(byteWords(col(textCol))) — the bpeTrain
+    // seam, so the unigram path gets the same totality surface
     val wf = docs
-      .select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .select(explode(wordsCol.getOrElse(
+        Dedup.tokens(coalesce(col(textCol), lit(""))))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .localCheckpoint(true) // distinct words: slim, reused every round
     val seeds = wf.select(col("freq"), explode(expr(
@@ -422,16 +427,37 @@ object TextStats {
     * map-only at any scale.
     */
   def unigramEncodeIds(text: Column, table: Array[(String, Long)],
-                       maxPieceLen: Int = 4): Column = {
+                       maxPieceLen: Int = 4,
+                       wordsCol: Option[Column] = None): Column = {
     val byPiece = table.sortBy(_._1)
     val candidates = byPiece.map(_._1)
     val (cs, unk) = unigramCosts(candidates, table.toMap)
     val idOf: Map[String, Int] = table.map(_._1).zipWithIndex.toMap
     val pieces = graft.functions.UnigramSegment.unigram_pieces(
-      Dedup.tokens(coalesce(text, lit(""))), candidates, cs, unk,
-      maxPieceLen)
+      wordsCol.getOrElse(Dedup.tokens(coalesce(text, lit("")))),
+      candidates, cs, unk, maxPieceLen)
     transform(pieces, p =>
       coalesce(element_at(typedLit(idOf), p), lit(table.length)).cast("long"))
+  }
+
+  /** X5f-c byte edition (r16 — the unigram twin of [[bpeVocabBytes]]):
+    * a trained byte-level unigram table extended with every base byte
+    * symbol it didn't learn, at count 0 — production SentencePiece's
+    * byte-fallback rule. With all 256 single-byte symbols in the
+    * candidate set the Viterbi DP always has a path (any word is a
+    * sequence of mapped byte chars), so encoding is TOTAL: the unk id
+    * (`table.length` after extension) is reserved and provably dead,
+    * and the declared row asserts n_unk == 0 on planted multi-byte
+    * UTF-8 exactly as x111 does for BPE. Count-0 entries cost the
+    * smoothed maximum ([[unigramCosts]]' add-one floor) — the trained
+    * pieces still win wherever they apply.
+    */
+  def unigramTableBytes(table: Array[(String, Long)]): Array[(String, Long)] = {
+    val have = table.map(_._1).toSet
+    val extras = (0 until 256)
+      .map(b => String.valueOf(graft.functions.ByteMapTokens.byteToChar(b)))
+      .filterNot(have).map(_ -> 0L)
+    (table ++ extras).sortBy { case (p, c) => (-c, p) }
   }
 
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,

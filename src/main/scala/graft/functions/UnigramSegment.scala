@@ -139,12 +139,24 @@ object UnigramSegment {
 
   /** Column API: Viterbi pieces of `tokens` under the (sorted-piece,
     * cost) model; `pieces` MUST arrive sorted ascending (binary search).
+    *
+    * PRECONDITION (r16, per the r15 advice): the DP segments UTF-16
+    * CODE UNITS (`substring`/`length`), so tokens must be BMP-only — an
+    * astral-plane character would split across its surrogate pair into
+    * invalid half-surrogate pieces. Both shipped token views satisfy
+    * this by construction ([a-z0-9] tokens are ASCII; byte-mapped
+    * tokens use BMP chars ≤ U+0143), and the model side is enforced
+    * here: a piece containing a surrogate cannot have been seeded from
+    * a conforming view.
     */
   def unigram_pieces(tokens: Column, pieces: Array[String],
                      costs: Array[Double], unkCost: Double,
                      maxPieceLen: Int): Column = {
     require(pieces.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
       "pieces must be strictly sorted ascending")
+    require(pieces.forall(p => !p.exists(Character.isSurrogate)),
+      "unigram_pieces segments UTF-16 code units: pieces (and tokens) " +
+        "must be BMP-only — feed an ASCII or byte-mapped word view")
     GraftColumns.column(UnigramSegment(GraftColumns.expression(tokens),
       pieces, costs, unkCost, maxPieceLen))
   }

@@ -1577,6 +1577,31 @@ class ExtSpec extends SparkSuite {
     } finally spark.conf.unset(Hints.GateConfKey)
   }
 
+  test("X5f-c byte-fallback unigram encode is total on arbitrary unicode") {
+    import graft.ext.TextStats
+    import spark.implicits._
+    // train on plain ASCII only — the byte-fallback extension must
+    // still cover text whose BYTES the trainer never saw
+    val train = Seq("the quick brown fox", "pack my box with jugs",
+      "the lazy dog jumps").toDF("text")
+    val table = TextStats.unigramTrain(train, "text",
+      maxPieceLen = 4, minCount = 2, rounds = 2,
+      wordsCol = Some(TextStats.byteWords(col("text"))))
+    val ext = TextStats.unigramTableBytes(table)
+    assert(ext.length >= table.length + 100, "byte fallback not appended")
+    val unk = ext.length.toLong
+    val wild = Seq("café 世界 🚀  ctl",
+      "tab\tand\nnewline", "", "plain ascii words").toDF("text")
+    val got = wild.select(
+        TextStats.unigramEncodeIds(col("text"), ext,
+          wordsCol = Some(TextStats.byteWords(col("text")))).as("ids"))
+      .select(size(filter(col("ids"), x => x === lit(unk))).as("n_unk"),
+        size(col("ids")).as("n_ids"))
+      .collect()
+    assert(got.forall(_.getInt(0) == 0), s"unk ids leaked: ${got.toSeq}")
+    assert(got.map(_.getInt(1)).sum > 0, "nothing encoded")
+  }
+
   test("X26+X23d webExtractRefresh == full extraction of v2 (purity composition)") {
     import graft.ext.{Extract, Refresh}
     // a different carve than the declared x121 (no artifact reuse):
