@@ -41,20 +41,39 @@ object Extract {
 
   /** Declared keep-rule constants. The integer anchor-share form is
     * `AnchorNum·link_len < AnchorDen·length(txt)` (< 40% anchor text,
-    * no float edge cross-engine).
+    * no float edge cross-engine); the stopword-density rescue (r16 —
+    * the jusText "good short paragraph" leg) keeps a block BELOW the
+    * token floor when it is clearly prose: ≥ [[MinRescueTokens]] tokens
+    * and stopword share ≥ 30% (`StopNum·n_stop ≥ StopDen·n_tok`). The
+    * rescue can only ADD blocks (monotone over the r15 rule), and uses
+    * [[TextStats.englishStopwords]] — the declared language-specific
+    * list of the jusText family, shared verbatim with the oracles.
     */
   val MinKeepTokens = 6
   val AnchorNum = 5
   val AnchorDen = 2
+  val MinRescueTokens = 3
+  val StopNum = 10
+  val StopDen = 3
 
   /** The keep rule as oracle SQL over per-block columns — interpolated
-    * into the DuckDB oracles (x113/x119/x120) so the Scala constants
-    * above and the oracle can never desync (the r15 advice).
+    * into the DuckDB oracles (x113/x119/x120/x121) so the Scala
+    * constants above and the oracle can never desync (the r15 advice).
     */
-  def keepSql(nTok: String, lnk: String, txt: String): String =
-    s"$nTok >= $MinKeepTokens AND $AnchorNum*$lnk < $AnchorDen*length($txt)"
+  def keepSql(nTok: String, nStop: String, lnk: String, txt: String): String =
+    s"($nTok >= $MinKeepTokens OR ($nTok >= $MinRescueTokens AND " +
+      s"$StopNum*$nStop >= $StopDen*$nTok)) AND " +
+      s"$AnchorNum*$lnk < $AnchorDen*length($txt)"
 
-  private val BlockClose = "(?i)</(p|div|h1|nav|footer|title|li)>"
+  /** Block boundaries (r16 fidelity pass): closing block-level tags —
+    * paragraphs, divs, ALL heading levels, list items, table cells and
+    * rows, nav/footer/title — plus `<br>` in its void forms. A `<br>`
+    * is an OPENING tag acting as a separator, hence the alternation
+    * instead of forcing it into the close-tag class.
+    */
+  val BlockCloseRe: String =
+    "(?i)(</(p|div|h[1-6]|nav|footer|title|li|td|tr|th)>|<br\\s*/?>)"
+  private def BlockClose = BlockCloseRe
 
   /** Stage 1: remove script/style/comment spans wholesale. */
   def stripNoise(html: Column): Column =
@@ -76,9 +95,6 @@ object Extract {
   private def normWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  private def tokCount(c: Column): Column =
-    size(filter(split(lower(c), "[^a-z0-9]+"), x => x =!= lit("")))
-
   /** Stages 1–4 fused: one `array<struct<txt, n_tok, link_len>>` per
     * document, block order preserved. Compute this ONCE per row into a
     * projection column and derive counts/text from it with the `*Of`
@@ -94,7 +110,10 @@ object Extract {
           regexp_extract_all(b, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
           lit(0), (acc, s) => acc + length(s))
         val txt = normWs(entityDecode(regexp_replace(b, "<[^>]*>", " ")))
-        struct(txt.as("txt"), tokCount(txt).as("n_tok"),
+        val toks = filter(split(lower(txt), "[^a-z0-9]+"), x => x =!= lit(""))
+        struct(txt.as("txt"), size(toks).as("n_tok"),
+          size(filter(toks, t =>
+            t.isin(TextStats.englishStopwords: _*))).as("n_stop"),
           linkLen.as("link_len"))
       })
 
@@ -102,7 +121,10 @@ object Extract {
     * as [[keepSql]]).
     */
   def keptOf(bf: Column): Column =
-    filter(bf, a => a.getField("n_tok") >= MinKeepTokens &&
+    filter(bf, a =>
+      (a.getField("n_tok") >= MinKeepTokens ||
+        (a.getField("n_tok") >= MinRescueTokens &&
+          a.getField("n_stop") * StopNum >= a.getField("n_tok") * StopDen)) &&
       a.getField("link_len") * AnchorNum < length(a.getField("txt")) * AnchorDen)
 
   /** The extracted clean text: kept blocks joined with newlines (empty

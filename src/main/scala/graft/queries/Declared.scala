@@ -628,7 +628,7 @@ object Declared {
       |  FROM ${p}h),
       |${p}bl AS (
       |  SELECT doc_id, string_split(regexp_replace(x,
-      |    '(?i)</(p|div|h1|nav|footer|title|li)>', chr(10), 'g'), chr(10)) AS bs
+      |    '${graft.ext.Extract.BlockCloseRe}', chr(10), 'g'), chr(10)) AS bs
       |  FROM ${p}s),
       |${p}bx AS (
       |  SELECT doc_id, i AS pos, bs[i] AS b
@@ -646,9 +646,12 @@ object Declared {
       |      s2 -> length(s2)), 'sum'), 0) AS lnk
       |  FROM ${p}bx),
       |${p}tok AS (
-      |  SELECT doc_id, pos, txt, lnk,
-      |    len(list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '')) AS n_tok
-      |  FROM ${p}feat)""".stripMargin
+      |  SELECT doc_id, pos, txt, lnk, len(toks) AS n_tok,
+      |    len(list_filter(toks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x))) AS n_stop
+      |  FROM (
+      |    SELECT doc_id, pos, txt, lnk,
+      |      list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |    FROM ${p}feat))""".stripMargin
 
   /** x110/x114's shared ASSEMBLY HEAD replay over relation `rel` with
     * CTE prefix `p`: three-source union + sha256 precedence merge
@@ -6376,7 +6379,7 @@ object Declared {
       Some(s"""WITH ${htmlExtractCtes("w")},
         |wdocs AS MATERIALIZED (
         |  SELECT t.doc_id, d.source,
-        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
         |      chr(10) ORDER BY pos), '') AS text
         |  FROM wtok t JOIN documents d USING (doc_id)
         |  GROUP BY t.doc_id, d.source),
@@ -6538,14 +6541,14 @@ object Declared {
         |v1 AS MATERIALIZED (
         |  SELECT c.doc_id, coalesce(a.text, '') AS text, c.source
         |  FROM wc1 c LEFT JOIN (
-        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
         |      chr(10) ORDER BY pos) AS text
         |    FROM e1tok GROUP BY doc_id) a USING (doc_id)
         |  WHERE c.doc_id IS NOT NULL),
         |v2 AS MATERIALIZED (
         |  SELECT c.doc_id, coalesce(a.text, '') AS text, c.source
         |  FROM wc2 c LEFT JOIN (
-        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
         |      chr(10) ORDER BY pos) AS text
         |    FROM e2tok GROUP BY doc_id) a USING (doc_id)
         |  WHERE c.doc_id IS NOT NULL),
@@ -7063,8 +7066,8 @@ object Declared {
       Some(s"""WITH ${htmlExtractCtes("")}
         |SELECT doc_id,
         |  count(CASE WHEN txt <> '' THEN 1 END)::bigint AS n_blocks,
-        |  count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
-        |  coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |  count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
+        |  coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
         |    chr(10) ORDER BY pos), '') AS clean_text
         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
@@ -7112,8 +7115,8 @@ object Declared {
         |  FROM h),
         |ext AS (
         |  SELECT doc_id,
-        |    count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
-        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "lnk", "txt")} THEN txt END,
+        |    count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
+        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
         |      chr(10) ORDER BY pos), '') AS clean_text
         |  FROM tok GROUP BY doc_id)
         |SELECT w.doc_id, url, warc_date, content_length, body_len, n_kept, clean_text

@@ -99,4 +99,62 @@ class ExtractSpec extends SparkSuite {
     assert(out.getString(1) ==
       "Q&A <notes> some body words that keep the paragraph alive")
   }
+
+  // --- r16 fidelity pass: new boundaries + stopword-density rescue ---
+
+  test("table cells and rows are block boundaries") {
+    val (_, kept, txt) = extract(
+      "<table><tr><td>the first cell is a long prose sentence kept here</td>" +
+        "<td>x1</td></tr><tr><td>the second row also carries enough prose " +
+        "words to keep</td></tr></table>")
+    // each cell is its own block: two prose cells keep, the 'x1' cell
+    // drops on the token floor — one undivided table would have kept
+    // everything as a single blob
+    assert(kept == 2L)
+    assert(txt == "the first cell is a long prose sentence kept here\n" +
+      "the second row also carries enough prose words to keep")
+  }
+
+  test("consecutive <br> variants split blocks without manufacturing content") {
+    val (_, kept, txt) = extract(
+      "<div>the first line of the pair has its words<br><br/>and the " +
+        "second line of the pair keeps too<br />short</div>")
+    assert(kept == 2L, s"got $kept: $txt")
+    assert(txt == "the first line of the pair has its words\n" +
+      "and the second line of the pair keeps too")
+  }
+
+  test("all heading levels are boundaries; heading text still drops on the floor") {
+    val (_, kept, txt) = extract(
+      "<h2>About</h2><p>the body paragraph after the heading keeps " +
+        "with plenty of words</p><h6>fine print</h6>")
+    assert(kept == 1L)
+    assert(txt.startsWith("the body paragraph"))
+  }
+
+  test("entity-bearing anchors: decoded text, anchor share counts the raw anchor") {
+    // the anchor text is entity-escaped; the link farm must still drop
+    // (anchor share is computed while inline tags are intact)
+    val (_, kept, _) = extract(
+      "<p><a href=\"/x\">Q&amp;A &lt;one&gt; two three four five six</a> ok</p>")
+    assert(kept == 0L, "entity-heavy link farm slipped past the anchor rule")
+    // and a prose block with one entity-bearing anchor keeps, decoded
+    val (_, k2, t2) = extract(
+      "<p>plenty of ordinary prose words surround <a href=\"/y\">Q&amp;A</a> " +
+        "the single tiny link</p>")
+    assert(k2 == 1L)
+    assert(t2.contains("Q&A"))
+  }
+
+  test("stopword-dense short blocks rescue; short non-prose still drops") {
+    // 4 tokens, 2 stopwords (50% >= 30%) -> rescued below the 6-token floor
+    val (_, k1, t1) = extract("<p>this is body prose</p>")
+    assert(k1 == 1L, s"stopword-dense short block not rescued: $t1")
+    // 4 tokens, 0 stopwords -> still drops (nav-ish labels)
+    val (_, k2, _) = extract("<p>Home Products Pricing Contact</p>")
+    assert(k2 == 0L, "non-prose short block slipped past the rescue leg")
+    // under the rescue floor entirely (2 tokens, both stopwords)
+    val (_, k3, _) = extract("<p>of the</p>")
+    assert(k3 == 0L, "sub-floor block kept")
+  }
 }
