@@ -1039,14 +1039,22 @@ object TextStats {
         ((coalesce(col("c"), lit(0L)) + 1) / (col("tg") + nb)).as("p"),
         ((coalesce(col("qc"), lit(0.0)) + 1) / (tq + nb)).as("qp"))
     val frozenLang = col("lang").isin(lm.langs.toIndexedSeq: _*)
-    terms.groupBy("lang")
+    val klAgg = terms.groupBy("lang")
       .agg(sum(col("p") * log(col("p") / col("qp"))).as("kl"),
         max(col("tg")).as("n_bigrams"))
-      .join(nd, Seq("lang"))
-      .select(col("lang"), col("n_docs"), col("n_bigrams"),
+    // LEFT join FROM nd (r16, per the r15 advice): a language whose
+    // docs ALL have < 2 tokens emits no bigram row — exactly the
+    // brand-new tiny-doc language the membership leg exists to catch.
+    // It must surface (kl null, n_bigrams 0) and FAIL CLOSED
+    // (rebaseline true: unknown language, or a frozen one whose drift
+    // is unmeasurable), never vanish from the report.
+    nd.join(klAgg, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("kl"), 6).as("kl_vs_frozen"),
         frozenLang.as("frozen_lang"),
-        (!frozenLang || round(col("kl"), 6) > klThreshold).as("rebaseline"))
+        (!frozenLang || col("kl").isNull ||
+          round(col("kl"), 6) > klThreshold).as("rebaseline"))
   }
 
   /** X5k report: per-language head/middle/tail perplexity tiers under

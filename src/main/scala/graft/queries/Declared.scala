@@ -6717,10 +6717,12 @@ object Declared {
         |    max(tg)::bigint AS n_bigrams
         |  FROM terms GROUP BY 1),
         |froz AS (SELECT DISTINCT lang FROM ocb)
-        |SELECT k.lang, nd.n_docs, k.n_bigrams, k.kl AS kl_vs_frozen,
-        |  k.lang IN (SELECT lang FROM froz) AS frozen_lang,
-        |  (k.lang NOT IN (SELECT lang FROM froz)) OR k.kl > 0.25 AS rebaseline
-        |FROM klr k JOIN ndoc nd USING (lang) ORDER BY k.lang""".stripMargin)),
+        |SELECT nd.lang, nd.n_docs, coalesce(k.n_bigrams, 0)::bigint AS n_bigrams,
+        |  k.kl AS kl_vs_frozen,
+        |  nd.lang IN (SELECT lang FROM froz) AS frozen_lang,
+        |  (nd.lang NOT IN (SELECT lang FROM froz)) OR k.kl IS NULL
+        |    OR k.kl > 0.25 AS rebaseline
+        |FROM ndoc nd LEFT JOIN klr k USING (lang) ORDER BY nd.lang""".stripMargin)),
 
     // X5g: PMI collocation mining — top-30 sequential bigrams by
     // pointwise mutual information (pairs seen >= 3 times; the classic

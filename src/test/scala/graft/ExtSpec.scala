@@ -1867,7 +1867,8 @@ class ExtSpec extends SparkSuite {
       TextStats.refLmDriftReport(rows.toDF("doc_id", "text", "lang"),
           "text", "lang", lm, klThreshold = 0.5)
         .collect().map(r => r.getString(0) ->
-          (r.getDouble(3), r.getBoolean(4), r.getBoolean(5))).toMap
+          (if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+            r.getBoolean(4), r.getBoolean(5))).toMap
     // (a) same distribution: quiet
     val stable = report((1L to 20L).map(i => (i, stableTxt + s" tail$i", "en")))
     assert(stable("en")._2 && !stable("en")._3,
@@ -1885,6 +1886,18 @@ class ExtSpec extends SparkSuite {
     val newLang = report(Seq((1L, "der die das und ist", "de")))
     assert(!newLang("de")._2 && newLang("de")._3,
       s"new language did not trip the membership leg: $newLang")
+    // (d) r16, per the r15 advice: a brand-new language whose docs ALL
+    // have < 2 tokens emits NO bigram — it must still surface (null kl
+    // -> NaN here, n_bigrams 0) and fail closed, not vanish from the
+    // report; and a FROZEN language reduced to tiny docs fails closed
+    // too (drift unmeasurable)
+    val tiny = report(Seq((1L, "bonjour", "fr"), (2L, "oui", "fr"),
+      (3L, "the", "en")))
+    assert(tiny.contains("fr"), s"tiny-doc language vanished: $tiny")
+    assert(tiny("fr")._1.isNaN && !tiny("fr")._2 && tiny("fr")._3,
+      s"tiny-doc new language did not fail closed: $tiny")
+    assert(tiny("en")._1.isNaN && tiny("en")._2 && tiny("en")._3,
+      s"frozen language with unmeasurable drift did not fail closed: $tiny")
   }
 
   test("X5f-c unigram train: frequent whole words become pieces; encode tiles and round-trips") {
