@@ -374,7 +374,8 @@ object TextStats {
   def unigramTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
                    maxPieceLen: Int = 4, minCount: Long = 2L,
                    rounds: Int = 3,
-                   wordsCol: Option[Column] = None): Array[(String, Long)] = {
+                   wordsCol: Option[Column] = None,
+                   targetVocab: Option[Int] = None): Array[(String, Long)] = {
     require(maxPieceLen >= 1 && rounds >= 1 && minCount >= 1,
       s"bad unigram params ($maxPieceLen, $minCount, $rounds)")
     // default word view: the [a-z0-9] tokenizer; byte-level training
@@ -392,7 +393,7 @@ object TextStats {
       .groupBy("piece").agg(sum(col("freq")).as("c"))
       .filter(length(col("piece")) === 1 || col("c") >= minCount)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    val candidates = seeds.map(_._1).sorted // the fixed candidate set
+    var candidates = seeds.map(_._1).sorted // fixed unless targetVocab prunes
     var counts: Map[String, Long] = seeds.toMap
     for (_ <- 1 to rounds) {
       val (cs, unk) = unigramCosts(candidates, counts)
@@ -402,8 +403,66 @@ object TextStats {
         .groupBy("piece").agg(sum(col("freq")).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       counts = candidates.iterator.map(p => p -> used.getOrElse(p, 0L)).toMap
+      // prune schedule (r16, the r15 stretch — Kudo 2018's actual loop,
+      // declared form): under the freshly recounted model, each
+      // multi-char piece's EM-loss contribution is its use mass times
+      // (best self-free segmentation cost − its own cost); keep the
+      // top max(targetVocab − singles, ⌊3·multis/4⌋) multis by
+      // (6dp loss desc, piece asc) — ≤25% shrink per round, converging
+      // toward targetVocab. Single chars are never pruned (the
+      // published rule — also what keeps every alt path alive).
+      targetVocab.foreach { tv =>
+        val (cs2, _) = unigramCosts(candidates, counts)
+        val costOf = candidates.zip(cs2).toMap
+        val (singles, multis) = candidates.partition(_.length == 1)
+        val keepN = math.max(math.max(tv - singles.length, 0),
+          multis.length * 3 / 4)
+        if (multis.length > keepN) {
+          val loss: Map[String, Double] = multis.iterator.map { p =>
+            p -> BigDecimal(counts(p) *
+                (altSegCost(p, costOf, maxPieceLen) - costOf(p)))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }.toMap
+          // + 0.0 normalizes -0.0 to 0.0: the SQL replay's ORDER BY
+          // treats them as one tie-class, so the Scala sort must too
+          val kept = multis.sortBy(p => (-loss(p) + 0.0, p))(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String))
+            .take(keepN)
+          candidates = (singles ++ kept).sorted
+          counts = candidates.iterator.map(p => p -> counts(p)).toMap
+        }
+      }
     }
     counts.toArray.sortBy { case (p, c) => (-c, p) }
+  }
+
+  /** The cheapest segmentation of `w` under `costOf` with the
+    * single-piece path (w itself) EXCLUDED — the prune schedule's loss
+    * approximation: what the corpus would pay per use of `w` if the
+    * piece were dropped. Always finite when every single char of `w`
+    * is in the model (seeded single chars are never pruned).
+    */
+  private[graft] def altSegCost(w: String, costOf: Map[String, Double],
+                                maxPieceLen: Int): Double = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.PositiveInfinity)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var l = 1
+      val lMax = math.min(maxPieceLen, j)
+      while (l <= lMax) {
+        val i = j - l
+        if (!(i == 0 && j == n) && best(i) < Double.PositiveInfinity) {
+          costOf.get(w.substring(i, j)).foreach { c =>
+            if (best(i) + c < best(j)) best(j) = best(i) + c
+          }
+        }
+        l += 1
+      }
+      j += 1
+    }
+    best(n)
   }
 
   /** The add-one-smoothed 6dp-rounded piece costs of a count table over

@@ -1321,6 +1321,22 @@ object Declared {
           .sortBy { case (pc, c) => (-c, pc) })
     }
 
+  /** x123's pruned table (r16 stretch): the unigram trainer under the
+    * targetVocab prune schedule — persisted and RELOADED.
+    */
+  private def unigramPrunedTableArtifact(s: SparkSession, dir: String): Array[(String, Long)] =
+    artifact(s, "unigram_pruned_table_l4_r3_t64", dir) {
+      viaStore(s, "unigram_pruned_table_l4_r3_t64") {
+        TextStats.unigramTrain(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, minCount = 2, rounds = 3,
+          targetVocab = Some(64))
+      }((ss, tbl, p) => graft.ext.Artifacts.saveIndex(
+          ss.createDataFrame(tbl.toSeq).toDF("piece", "c"), p),
+        (ss, p) => graft.ext.Artifacts.loadIndex(ss, p)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (pc, c) => (-c, pc) })
+    }
+
   private def bpeMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long)] =
     artifact(s, "bpe_merges_8", dir) {
       viaStore(s, "bpe_merges_8") {
@@ -1420,14 +1436,18 @@ object Declared {
       |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY cost, np, path) = 1)""".stripMargin
   }
 
-  private def unigramCntCte(r: Int): String = s""",
-      |cnt$r AS MATERIALIZED (
+  private def unigramCntCte(r: Int, candRel: String = "cand",
+                            outName: String = ""): String = {
+    val out = if (outName.isEmpty) s"cnt$r" else outName
+    s""",
+      |$out AS MATERIALIZED (
       |  SELECT cand.piece, coalesce(u.c, 0)::bigint AS c
-      |  FROM cand LEFT JOIN (
+      |  FROM $candRel cand LEFT JOIN (
       |    SELECT pl[j] AS piece, sum(freq)::bigint AS c FROM (
       |      SELECT freq, string_split(path, chr(1)) AS pl FROM b$r),
       |      unnest(range(1, len(pl) + 1)) AS s(j)
       |    GROUP BY 1) u USING (piece))""".stripMargin
+  }
 
   /** The substring seeding + candidate filter over an already-defined
     * `wfq` (w, freq). Seeds weigh TRAIN words only — a freq-0 rider
@@ -1457,6 +1477,66 @@ object Declared {
       |${unigramSeedCtes(maxLen, minCount)}""".stripMargin
     val rounds = (1 to k).map(r => unigramSegPassCte(r) + unigramCntCte(r)).mkString
     base + rounds + (if (withEncodePass) unigramSegPassCte(k + 1) else "")
+  }
+
+  /** x123's PRUNED-schedule replay (r16 stretch — Kudo 2018's actual
+    * loop): per round, after the recount, each multi-char piece's
+    * EM-loss contribution is its use mass × (best SELF-FREE
+    * segmentation cost − its own cost) under the recounted model —
+    * the alt cost is one more recursive-CTE Viterbi over the (≤ 4
+    * char) piece strings themselves with the single-piece path
+    * excluded — and the round keeps the top
+    * max(targetVocab − singles, ⌊3·multis/4⌋) multis by (6dp loss
+    * desc, piece asc). Singles never prune (which also keeps every
+    * alt path alive).
+    */
+  private def unigramPrunedStagesCte(k: Int, targetVocab: Int,
+                                     maxLen: Int = 4,
+                                     minCount: Long = 2L): String = {
+    val base = s"""wfq AS MATERIALIZED (
+      |  SELECT u.x AS w, count(*)::bigint AS freq
+      |  FROM (SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |    FROM documents), unnest(ws) AS u(x)
+      |  GROUP BY 1),
+      |${unigramSeedCtes(maxLen, minCount)},
+      |candq0 AS (SELECT piece, c FROM cnt0),
+      |vq0 AS (SELECT count(*)::bigint AS v FROM candq0)""".stripMargin
+    def pruneBlocks(r: Int): String = s""",
+      |m2q$r AS MATERIALIZED (
+      |  SELECT piece, round(ln((tt.t + vq${r - 1}.v)::double / (c + 1)), 6) AS cost
+      |  FROM rcq$r CROSS JOIN (SELECT sum(c)::double AS t FROM rcq$r) tt
+      |  CROSS JOIN vq${r - 1}),
+      |aq$r AS (
+      |  SELECT piece AS w, 0::bigint AS pos, 0.0::double AS cost
+      |  FROM rcq$r WHERE length(piece) >= 2
+      |  UNION ALL
+      |  SELECT p.w, p.pos + length(m.piece), p.cost + m.cost
+      |  FROM aq$r p JOIN m2q$r m
+      |    ON m.piece = substring(p.w, (p.pos + 1)::int, length(m.piece))
+      |  WHERE p.pos < length(p.w) AND NOT (p.pos = 0 AND m.piece = p.w)),
+      |altq$r AS MATERIALIZED (
+      |  SELECT w, min(cost) AS alt FROM aq$r WHERE pos = length(w) GROUP BY 1),
+      |lsq$r AS MATERIALIZED (
+      |  SELECT r.piece, r.c, round(r.c * (a.alt - m.cost), 6) AS loss
+      |  FROM rcq$r r JOIN m2q$r m USING (piece) JOIN altq$r a ON a.w = r.piece
+      |  WHERE length(r.piece) >= 2),
+      |kq$r AS (
+      |  SELECT greatest(
+      |    greatest($targetVocab - (SELECT count(*) FROM rcq$r WHERE length(piece) = 1), 0),
+      |    (3 * (SELECT count(*) FROM lsq$r)) // 4)::bigint AS k),
+      |candq$r AS MATERIALIZED (
+      |  SELECT piece, c FROM rcq$r WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, c FROM (
+      |    SELECT piece, c, row_number() OVER (ORDER BY loss DESC, piece) AS rn
+      |    FROM lsq$r) WHERE rn <= (SELECT k FROM kq$r)),
+      |vq$r AS (SELECT count(*)::bigint AS v FROM candq$r)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      unigramSegPassCte(r, cntRel = s"candq${r - 1}", vRel = s"vq${r - 1}") +
+        unigramCntCte(r, candRel = s"candq${r - 1}", outName = s"rcq$r") +
+        pruneBlocks(r)
+    }.mkString
+    base + rounds
   }
 
   /** x122's byte-edition replay (r16): the SAME hard-EM stages over the
@@ -6337,6 +6417,38 @@ object Declared {
         |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
         |FROM documents d LEFT JOIN uenc e USING (doc_id)
         |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin)),
+
+    // X5f-c prune schedule (r16 stretch — the r15 verdict's #8): the
+    // r15 trainer used the declared fixed-candidate-set variant; Kudo
+    // 2018's actual loop PRUNES the candidate set toward a target
+    // vocabulary by EM-loss contribution. Declared schedule: per round,
+    // under the freshly recounted model, loss(piece) = use-mass ×
+    // (best self-free segmentation cost − own cost); keep the top
+    // max(targetVocab − singles, ⌊3·multis/4⌋) multis by (6dp loss
+    // desc, piece asc) — ≤ 25% shrink per round converging toward the
+    // target; singles never prune. DuckDB re-runs the ENTIRE loop:
+    // seeding, each round's exhaustive-path Viterbi, the recount, the
+    // self-free alt-cost Viterbi over the piece strings, the loss
+    // ranking and the keep rule — so a drifted prune decision anywhere
+    // flips the final table's hash.
+    "x123_unigram_pruned_train" -> Q(
+      (s, dir) => {
+        val table = unigramPrunedTableArtifact(s, dir)
+        val candidates = table.map(_._1).sorted
+        val (costs, _) = TextStats.unigramCosts(candidates, table.toMap)
+        val costOf = candidates.zip(costs).toMap
+        val rows = table.zipWithIndex.map { case ((p, c), i) =>
+          (i.toLong, p, c, costOf(p)) }
+        s.createDataFrame(rows.toSeq)
+          .toDF("id", "piece", "n_uses", "cost").orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${unigramPrunedStagesCte(3, 64)}
+        |SELECT row_number() OVER (ORDER BY c DESC, piece) - 1 AS id,
+        |  piece, c AS n_uses,
+        |  round(ln((tt.t + vq3.v)::double / (c + 1)), 6) AS cost
+        |FROM candq3 CROSS JOIN (SELECT sum(c)::double AS t FROM candq3) tt
+        |CROSS JOIN vq3
+        |ORDER BY id""".stripMargin)),
 
     // X26+X25 (r15): the WEB pipeline end-to-end — raw markup pages →
     // HTML extraction (X26) → the full CCNet head (x108's chain,

@@ -39,7 +39,7 @@ object Plans {
     "x113_html_extract", "x114_assembly_ccnet_refresh",
     "x115_lm_drift_trigger", "x116_packed_bytes", "x118_unigram_encode",
     "x119_web_ccnet_e2e", "x120_warc_ingest", "x121_web_ccnet_refresh",
-    "x122_unigram_byte_encode")
+    "x122_unigram_byte_encode", "x123_unigram_pruned_train")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

@@ -809,4 +809,41 @@ class PropertySpec extends SparkSuite {
         }
       }
   }
+
+  test("unigram prune loss DP (altSegCost) equals brute-force self-free enumeration") {
+    // the r16 prune schedule's loss approximation: cheapest
+    // segmentation of a piece EXCLUDING its own single-piece path —
+    // vs a plain-JVM exhaustive enumeration of >=2-piece tilings
+    // (only model pieces may tile: the trainer's candidate sets always
+    // carry every single char, which the generator mirrors)
+    def bruteAlt(w: String, costOf: Map[String, Double], maxLen: Int): Double = {
+      def all(i: Int): Seq[List[String]] =
+        if (i == w.length) Seq(Nil)
+        else (1 to math.min(maxLen, w.length - i)).flatMap { l =>
+          val sub = w.substring(i, i + l)
+          if (costOf.contains(sub)) all(i + l).map(sub :: _) else Seq.empty
+        }
+      val alts = all(0).filterNot(p => p.length == 1 && p.head == w)
+      if (alts.isEmpty) Double.PositiveInfinity
+      else alts.map(_.foldLeft(0.0)((a, x) => a + costOf(x))).min
+    }
+    val alpha = Gen.choose(0, 3).map(i => "abcd".charAt(i).toString)
+    val modelGen = for {
+      nPieces <- Gen.choose(2, 10)
+      ps <- Gen.listOfN(nPieces, Gen.choose(2, 4)
+        .flatMap(l => Gen.listOfN(l, alpha).map(_.mkString)))
+      cs <- Gen.listOfN(nPieces + 4, Gen.choose(1, 60))
+    } yield (Seq("a", "b", "c", "d") ++ ps.distinct).distinct.zip(cs).map {
+      case (pc, c) => pc -> (BigDecimal(math.log(300.0 / (c + 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    samples(modelGen, 40).foreach { costOf =>
+      for (w <- costOf.keys if w.length >= 2) {
+        val dp = graft.ext.TextStats.altSegCost(w, costOf, 4)
+        val bf = bruteAlt(w, costOf, 4)
+        assert(dp == bf, s"piece '$w' model $costOf: dp=$dp bf=$bf")
+        assert(!dp.isInfinite, s"alt path missing for '$w' despite singles")
+      }
+    }
+  }
 }
