@@ -6450,6 +6450,111 @@ object Declared {
         |CROSS JOIN vq3
         |ORDER BY id""".stripMargin)),
 
+    // X26b (r16): URL canonicalization + URL-level dedup — the C4 /
+    // RefinedWeb step between container ingest (x120's WARC headers
+    // carry the URL) and content dedup: canonicalize (scheme/host
+    // lowercase, www-strip, default-port drop, fragment drop,
+    // tracking-param filter with original order kept, trailing-slash
+    // normalize), keep ONE page per canonical URL (keeper = smallest
+    // id — fetch order), and report the registered domain under the
+    // simplified public-suffix rule (last 2 labels, 3 under the
+    // multi-part second-level set). The fixture URLs are pure doc_id
+    // arithmetic exercising every rule — case variants, www, default
+    // :443 under https vs NON-default :443 under http, :8080 kept,
+    // trailing slash, utm_*/fbclid params around a surviving id param,
+    // fragments, a co.uk multi-part domain, and a non-URL leg proving
+    // the declared never-crash pass-through class. DuckDB replays the
+    // same component regexes (shared constants) + list ops
+    // independently; collisions are real at every SF by construction
+    // (the arithmetic's period is far below the corpus size).
+    "x124_url_dedup" -> Q(
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = when(d % 13 === 11, lit("not a url")).otherwise(concat(
+          when(d % 2 === 0, lit("https")).otherwise(lit("Http")),
+          lit("://"),
+          when(d % 5 === 0, lit("example.com"))
+            .when(d % 5 === 1, lit("www.Example.com"))
+            .when(d % 5 === 2, lit("news.example.co.uk"))
+            .when(d % 5 === 3, lit("blog.sample.org"))
+            .otherwise(lit("WWW.news.example.co.uk")),
+          when(d % 7 === 1, lit(":443"))
+            .when(d % 7 === 2, lit(":8080")).otherwise(lit("")),
+          lit("/A/"), (d % 20).cast("string"),
+          when(d % 3 === 0, lit("/")).otherwise(lit("")),
+          when(d % 4 === 0,
+            concat(lit("?utm_source=feed&id="), (d % 6).cast("string")))
+            .when(d % 4 === 1,
+              concat(lit("?id="), (d % 6).cast("string"),
+                lit("&utm_campaign=x")))
+            .when(d % 4 === 2, lit("?fbclid=abc")).otherwise(lit("")),
+          when(d % 6 === 5, concat(lit("#sec"), (d % 3).cast("string")))
+            .otherwise(lit(""))))
+        graft.ext.Urls.urlDedup(
+          t(s, dir, "documents").filter(d.isNotNull)
+            .select(d.as("doc_id"), url.as("url")),
+          "url", "doc_id")
+          .orderBy("canonical_url")
+      },
+      Some(s"""WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 11 THEN 'not a url' ELSE
+        |      (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'Http' END) || '://' ||
+        |      (CASE doc_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'www.Example.com'
+        |        WHEN 2 THEN 'news.example.co.uk' WHEN 3 THEN 'blog.sample.org'
+        |        ELSE 'WWW.news.example.co.uk' END) ||
+        |      (CASE WHEN doc_id % 7 = 1 THEN ':443' WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END) ||
+        |      '/A/' || (doc_id % 20)::varchar ||
+        |      (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |      (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || (doc_id % 6)::varchar
+        |        WHEN doc_id % 4 = 1 THEN '?id=' || (doc_id % 6)::varchar || '&utm_campaign=x'
+        |        WHEN doc_id % 4 = 2 THEN '?fbclid=abc' ELSE '' END) ||
+        |      (CASE WHEN doc_id % 6 = 5 THEN '#sec' || (doc_id % 3)::varchar ELSE '' END)
+        |    END AS url
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |uparts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '${graft.ext.Urls.SchemeRe}', 1)) AS sch,
+        |    regexp_extract(url, '${graft.ext.Urls.AuthorityRe}', 1) AS auth,
+        |    regexp_extract(url, '${graft.ext.Urls.PathRe}', 1) AS pth,
+        |    regexp_extract(url, '${graft.ext.Urls.QueryRe}', 1) AS qry
+        |  FROM u),
+        |ucomp AS (
+        |  SELECT doc_id, sch,
+        |    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)), '^www\\.', '') AS hst,
+        |    regexp_extract(auth, ':([0-9]+)$$', 1) AS prt,
+        |    CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
+        |      ELSE regexp_replace(pth, '/+$$', '') END AS cpath,
+        |    list_filter(string_split(qry, '&'), p -> p <> ''
+        |      AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+        |      AND NOT list_contains(${graft.ext.Urls.TrackingParams.mkString("['", "','", "']")}, string_split(p, '=')[1])) AS qkeep
+        |  FROM uparts),
+        |ucanon AS (
+        |  SELECT doc_id,
+        |    sch || '://' || hst ||
+        |    (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+        |      OR (sch = 'https' AND prt = '443') THEN '' ELSE ':' || prt END) ||
+        |    cpath ||
+        |    (CASE WHEN len(qkeep) = 0 THEN '' ELSE '?' || array_to_string(qkeep, '&') END)
+        |      AS canonical_url
+        |  FROM ucomp),
+        |uagg AS (
+        |  SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_dups
+        |  FROM ucanon GROUP BY 1),
+        |udom AS (
+        |  SELECT canonical_url, keeper_id, n_dups,
+        |    regexp_replace(lower(regexp_extract(
+        |      regexp_extract(canonical_url, '${graft.ext.Urls.AuthorityRe}', 1),
+        |      '^([^:]*)', 1)), '^www\\.', '') AS hst
+        |  FROM uagg)
+        |SELECT canonical_url,
+        |  CASE WHEN len(string_split(hst, '.')) <= 2 THEN hst
+        |    WHEN list_contains(${graft.ext.Urls.MultiPartTlds.mkString("['", "','", "']")}, string_split(hst, '.')[-2])
+        |      THEN array_to_string(string_split(hst, '.')[-3:], '.')
+        |    ELSE array_to_string(string_split(hst, '.')[-2:], '.') END AS reg_domain,
+        |  keeper_id, n_dups
+        |FROM udom ORDER BY canonical_url""".stripMargin)),
+
     // X26+X25 (r15): the WEB pipeline end-to-end — raw markup pages →
     // HTML extraction (X26) → the full CCNet head (x108's chain,
     // VERBATIM code, over the EXTRACTED text): line-level keep-first

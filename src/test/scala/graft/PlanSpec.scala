@@ -1102,6 +1102,26 @@ class PlanSpec extends SparkSuite {
       s"unexpected exchange in the warc ingest plan:\n$p")
   }
 
+  // x124: URL dedup is one partial-agg'd groupBy over slim
+  // (canonical_url, id) rows — canonicalization is scan-side expression
+  // work, so exactly one hash exchange (the dedup groupBy) plus the
+  // presentation sort's range partition; no join, no window, and
+  // document text never enters the plan (the projection is built
+  // before the operator sees the frame)
+  test("url dedup exchanges only the slim canonical-url agg rows") {
+    val p = planOf("x124_url_dedup")
+    assert(!p.contains("Join"), s"join in the url dedup plan:\n$p")
+    assert(!p.contains("Window"), s"window in the url dedup plan:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"$hashEx hash exchanges (one dedup groupBy expected):\n$p")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(exchanges == hashEx + rangeEx,
+      s"unexpected exchange class in the url dedup plan:\n$p")
+    assert(!p.contains("text#"), s"document text in the url dedup plan:\n$p")
+  }
+
   // x98: the distilled student's report aggregates AFTER the map-only
   // scoring fold — exactly one hash exchange (the partial-agg'd slim
   // (teacher, student) rows) plus the presentation sort; corpus text is

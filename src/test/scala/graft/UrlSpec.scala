@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Urls
+
+/** Crafted cases for the X26b URL canonicalizer + URL-level dedup:
+  * each test pins one declared rule (case, www, default ports,
+  * fragments, tracking params, trailing slashes, the registered-domain
+  * public-suffix core, the never-crash pass-through class) on inputs
+  * built to decide exactly that rule.
+  */
+class UrlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(Urls.canonicalUrl(col("u"))).head().getString(0)
+
+  private def regDom(host: String): String =
+    Seq(host).toDF("h")
+      .select(Urls.registeredDomain(col("h"))).head().getString(0)
+
+  test("scheme and host lowercase; path and query case preserved") {
+    assert(canon("HTTPS://WWW.Example.COM/Path/X?Id=Ab") ===
+      "https://example.com/Path/X?Id=Ab")
+  }
+
+  test("default ports drop, non-default ports stay") {
+    assert(canon("http://h.com:80/a") === "http://h.com/a")
+    assert(canon("https://h.com:443/a") === "https://h.com/a")
+    assert(canon("http://h.com:443/a") === "http://h.com:443/a")
+    assert(canon("https://h.com:8080/a") === "https://h.com:8080/a")
+  }
+
+  test("fragment drops, even when it contains a question mark") {
+    assert(canon("https://h.com/a#sec") === "https://h.com/a")
+    // the ? inside the fragment is not a query
+    assert(canon("https://h.com/a#x?y=1") === "https://h.com/a")
+  }
+
+  test("tracking params drop; survivors keep original order; empty query drops its ?") {
+    assert(canon("https://h.com/a?utm_source=f&b=2&a=1&fbclid=z") ===
+      "https://h.com/a?b=2&a=1")
+    assert(canon("https://h.com/a?utm_campaign=x&gclid=1") ===
+      "https://h.com/a")
+    // 'ref' is exact-match: 'referrer' is NOT a tracking key
+    assert(canon("https://h.com/a?ref=x&referrer=y") ===
+      "https://h.com/a?referrer=y")
+  }
+
+  test("trailing slashes strip; bare host normalizes to /") {
+    assert(canon("https://h.com") === "https://h.com/")
+    assert(canon("https://h.com/") === "https://h.com/")
+    assert(canon("https://h.com/a/") === "https://h.com/a")
+    assert(canon("https://h.com/a//") === "https://h.com/a")
+  }
+
+  test("one leading www strips; an inner www label stays") {
+    assert(canon("https://www.h.com/a") === "https://h.com/a")
+    assert(canon("https://news.www.h.com/a") === "https://news.www.h.com/a")
+  }
+
+  test("non-URL input passes through to the declared empty-component form") {
+    assert(canon("not a url") === ":///")
+    assert(canon("") === ":///")
+  }
+
+  test("registered domain: two labels, deep subdomains, multi-part TLDs") {
+    assert(regDom("h.com") === "h.com")
+    assert(regDom("a.b.h.com") === "h.com")
+    assert(regDom("news.example.co.uk") === "example.co.uk")
+    assert(regDom("x.ac.jp") === "x.ac.jp")
+    assert(regDom("deep.x.com.au") === "x.com.au")
+    assert(regDom("localhost") === "localhost")
+  }
+
+  test("canonicalization is idempotent on already-canonical urls") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/?utm_source=f&id=3#frag",
+      "Http://news.example.co.uk:8080/a//?fbclid=z&q=1",
+      "https://h.com", "not a url")
+    val df = urls.toDF("u").select(Urls.canonicalUrl(col("u")).as("c"))
+    val twice = df.select(Urls.canonicalUrl(col("c")).as("c2"), col("c"))
+    assert(twice.filter(col("c2") =!= col("c")).count() === 0L)
+  }
+
+  test("urlDedup: one survivor per canonical url, keeper is the smallest id") {
+    val rows = Seq(
+      (1L, "https://WWW.h.com/a?utm_source=x"),
+      (2L, "https://h.com/a/"),
+      (3L, "https://h.com/a#frag"),
+      (4L, "https://h.com/b"),
+      (5L, "http://h.com/a")) // scheme differs: NOT a duplicate of 1-3
+      .toDF("doc_id", "url")
+    val out = Urls.urlDedup(rows, "url", "doc_id")
+      .orderBy("canonical_url").collect()
+    assert(out.length === 3)
+    val byUrl = out.map(r => r.getString(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byUrl("https://h.com/a") === (("h.com", 1L, 3L)))
+    assert(byUrl("https://h.com/b") === (("h.com", 4L, 1L)))
+    assert(byUrl("http://h.com/a") === (("h.com", 5L, 1L)))
+  }
+}
