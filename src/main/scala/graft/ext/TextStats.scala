@@ -575,6 +575,166 @@ object TextStats {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** X5f-e (r16): WORDPIECE tokenizer training — the THIRD published
+    * subword family next to BPE (x79) and unigram-LM (x117): Schuster &
+    * Nakajima 2012's likelihood-gain merge rule, the algorithm behind
+    * BERT's vocabulary. Identical loop discipline to [[bpeTrain]]
+    * (ONE corpus scan builds the distinct-word frame; each round is one
+    * partial-agg'd count pass + a 1-row argmax collect + a map-only
+    * greedy left-to-right rebuild), with two DECLARED differences:
+    *
+    *  - symbols carry the word-position distinction: a word's first
+    *    character is the bare symbol, every later character is
+    *    `##`-prefixed (BERT's continuation convention), and merging
+    *    (l, r) yields l + r-without-its-`##` — the prefix marks
+    *    position, not content;
+    *  - the winning pair maximizes the LIKELIHOOD GAIN
+    *    `round(ln c(l,r) − ln c(l) − ln c(r), 6)` (pair count
+    *    normalized by both symbols' occurrence mass — the published
+    *    criterion; BPE's raw-count argmax is the degenerate
+    *    unnormalized form), 6dp-rounded so the argmax never hinges on
+    *    a last-ulp ln difference (the [[unigramCosts]] discipline);
+    *    ties break (l asc, r asc). Pairs still need `minCount` raw
+    *    occurrences — a pure-ratio rule would promote hapax pairs of
+    *    hapax symbols (score 0, the ratio maximum) over every real
+    *    collocation.
+    *
+    * Returns the merge table in step order: (left, right, pair_count,
+    * score). Training state is the slim distinct-word frame; the
+    * per-round symbol-count side is vocabulary-sized and broadcast.
+    */
+  def wordPieceTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     numMerges: Int, minCount: Long = 2L,
+                     wordsCol: Option[Column] = None): Array[(String, String, Long, Double)] = {
+    require(numMerges > 0, s"numMerges must be positive (got $numMerges)")
+    import org.apache.spark.sql.DataFrame
+    // default word view: the [a-z0-9] tokenizer; byte-level training
+    // passes wordsCol = Some(byteWords(col(textCol))) — the bpeTrain
+    // seam, so the WordPiece path gets the same totality surface
+    val wordFreq = docs
+      .select(explode(wordsCol.getOrElse(
+        Dedup.tokens(coalesce(col(textCol), lit(""))))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    var words: DataFrame = wordFreq.select(col("freq"), expr(
+      "transform(sequence(1, length(w)), i -> CASE WHEN i = 1 " +
+        "THEN substring(w, 1, 1) ELSE '##' || substring(w, i, 1) END)")
+      .as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
+    var done = false
+    var step = 0
+    while (!done && step < numMerges) {
+      val symCounts = words
+        .select(col("freq"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum(col("freq")).as("sc"))
+      val best = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .filter(col("c") >= minCount)
+        .join(broadcast(symCounts.select(col("sym").as("l"),
+          col("sc").as("cl"))), Seq("l"))
+        .join(broadcast(symCounts.select(col("sym").as("r"),
+          col("sc").as("cr"))), Seq("r"))
+        .select(col("l"), col("r"), col("c"),
+          round(log(col("c")) - log(col("cl")) - log(col("cr")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b, best(0).getLong(2), best(0).getDouble(3)))
+        words = words.select(col("freq"),
+          wpMergeStep(col("syms"), a, b).as("syms")).localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toArray
+  }
+
+  /** One WordPiece merge applied to a symbol array: [[bpeMergeStep]]'s
+    * greedy left-to-right non-overlapping fold, with the merged symbol
+    * being `a + b-without-its-##` (position prefixes mark position,
+    * not content).
+    */
+  def wpMergeStep(syms: Column, a: String, b: String): Column = {
+    val merged = a + b.stripPrefix("##")
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** The WordPiece vocabulary as a rank-ordered token list (ids are
+    * positions — the [[bpeVocab]] construction adapted to the
+    * position-prefix alphabet):
+    *  1. the distinct single characters of the tokenized corpus,
+    *     ascending, as word-initial pieces;
+    *  2. the same characters `##`-prefixed, ascending (every character
+    *     can continue a word — the HF WordPiece alphabet rule);
+    *  3. each merge's output in step order;
+    *  4. first-occurrence dedup (two merges can produce one string).
+    */
+  def wordPieceVocab(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     merges: Seq[(String, String, Long, Double)]): Seq[String] = {
+    val chars = docs
+      .select(explode(Dedup.tokens(coalesce(col(textCol), lit("")))).as("w"))
+      .select(explode(regexp_extract_all(col("w"), lit("."), lit(0))).as("c"))
+      .distinct().orderBy("c").collect().map(_.getString(0))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    chars.foreach(seen += _)
+    chars.foreach(c => seen += ("##" + c))
+    merges.foreach(m => seen += (m._1 + m._2.stripPrefix("##")))
+    seen.toSeq
+  }
+
+  /** Greedy-encode `text` to WordPiece piece ids under a trained
+    * vocabulary — one codegen'd maximal-munch segmentation
+    * ([[graft.functions.WordPieceSegment]], vocabulary as a reference
+    * object) + a literal-map id lookup; map-only at any scale. A word
+    * the vocabulary cannot cover emits the single reserved id
+    * `vocab.length` (BERT's whole-word [UNK] rule).
+    */
+  def wordPieceEncodeIds(text: Column, vocab: Seq[String],
+                         wordsCol: Option[Column] = None): Column = {
+    val sortedVocab = vocab.toArray.sorted
+    val maxLen = vocab.iterator
+      .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+    val idOf: Map[String, Int] = vocab.zipWithIndex.toMap
+    val pieces = graft.functions.WordPieceSegment.wordpiece_pieces(
+      wordsCol.getOrElse(Dedup.tokens(coalesce(text, lit("")))),
+      sortedVocab, maxLen)
+    transform(pieces, p =>
+      coalesce(element_at(typedLit(idOf), p), lit(vocab.length)).cast("long"))
+  }
+
+  /** X5f-e byte edition (r16 — the WordPiece twin of [[bpeVocabBytes]]
+    * and [[unigramTableBytes]]): ids 0..255 are the 256 base symbols in
+    * BYTE order as word-initial pieces, 256..511 their `##` continuation
+    * forms, then the merge outputs in step order (first-occurrence
+    * dedup — a merge output has ≥ 2 content chars, so it can never
+    * collide with a base form). With BOTH forms of every base byte in
+    * the vocabulary, greedy maximal munch can always take a single-byte
+    * piece at any position — encoding is TOTAL, the whole-word [UNK]
+    * branch (and its reserved id `vocab.length`) is provably dead, and
+    * the declared row asserts `n_unk == 0` on planted multi-byte UTF-8
+    * exactly as x111 (BPE) and x122 (unigram) do.
+    */
+  def wordPieceVocabBytes(merges: Seq[(String, String, Long, Double)]): Seq[String] = {
+    val base = (0 until 256).map(b =>
+      String.valueOf(graft.functions.ByteMapTokens.byteToChar(b)))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    base.foreach(seen += _)
+    base.foreach(c => seen += ("##" + c))
+    merges.foreach(m => seen += (m._1 + m._2.stripPrefix("##")))
+    seen.toSeq
+  }
+
   /** Map-only BPE application: per-document (n_words, n_subwords) under
     * an ordered merge list — the merge rules ride as codegen reference
     * objects and the whole per-word segmentation runs as ONE codegen'd

@@ -68,10 +68,29 @@ object Declared {
   private def sessionKey(s: SparkSession): String =
     org.apache.spark.sql.GraftColumns.sessionUUID(s)
       .getOrElse(String.valueOf(System.identityHashCode(s)))
+  /** NOT computeIfAbsent: artifact builders nest (a vocab artifact
+    * resolves its merges artifact, the refresh family chains through
+    * its state artifact), and a nested computeIfAbsent on the same
+    * ConcurrentHashMap throws "Recursive update" whenever the inner
+    * key is still absent — which key is absent first depends on map
+    * iteration order of the query catalog, so the failure is
+    * order-dependent (first observed when x126 ran before x125). The
+    * get/compute/putIfAbsent form holds no map lock during `train`;
+    * the benign cost is that two CONCURRENT first callers could both
+    * train (callers are the sequential Verify/Bench driver loops —
+    * putIfAbsent keeps the first, the duplicate is discarded).
+    */
   private def artifact[T <: AnyRef](s: SparkSession, name: String,
-                                    dir: String)(train: => T): T =
-    artifactMemo.computeIfAbsent((sessionKey(s), name, dir),
-      _ => train).asInstanceOf[T]
+                                    dir: String)(train: => T): T = {
+    val key = (sessionKey(s), name, dir)
+    val existing = artifactMemo.get(key)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val v = train
+      val prev = artifactMemo.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   /** Train → SAVE to parquet → RELOAD → score (r10): the declared
     * trained-artifact queries that use this helper exercise the
@@ -1265,6 +1284,395 @@ object Declared {
       |FROM documents d LEFT JOIN enc e USING (doc_id)
       |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
 
+  /** x125/x126's DuckDB replay: the WordPiece training stages as a CTE
+    * chain — the [[bpeStageBlocks]] discipline with the two declared
+    * deltas (position-prefixed `##` alphabet in `wa0`; per-stage
+    * symbol-count CTE + the 6dp likelihood-gain argmax in `wpb\$s`,
+    * merged output stripping the continuation prefix). Early stop
+    * replays for free: a stage whose best pair misses `minCount` has an
+    * empty `wpb\$s` and `wa\$s` passes the words through unchanged.
+    */
+  private def wpStagesCte(k: Int, minCount: Long = 2L,
+                          recursive: Boolean = false): String = {
+    val head = if (recursive) "WITH RECURSIVE " else "WITH "
+    val base = head + s"""wa0 AS MATERIALIZED (
+      |  SELECT w, freq, list_transform(range(1, length(w) + 1),
+      |    i -> CASE WHEN i = 1 THEN substring(w, 1, 1)
+      |         ELSE '##' || substring(w, i::int, 1) END) AS syms
+      |  FROM (
+      |    SELECT u.x AS w, count(*)::bigint AS freq FROM (
+      |      SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |      FROM documents), unnest(ws) AS u(x)
+      |    GROUP BY 1))""".stripMargin
+    (base +: wpStageBlocks(k, minCount)).mkString(",\n")
+  }
+
+  private def wpStageBlocks(k: Int, minCount: Long): Seq[String] = {
+    (1 to k).map { s =>
+      s"""|wpp$s AS MATERIALIZED (
+      |  SELECT l, r, sum(freq)::bigint AS c FROM (
+      |    SELECT freq, syms[i] AS l, syms[i+1] AS r
+      |    FROM wa${s - 1}, unnest(range(1, len(syms))) AS t(i))
+      |  GROUP BY 1, 2),
+      |wps$s AS MATERIALIZED (
+      |  SELECT sym, sum(freq)::bigint AS sc FROM (
+      |    SELECT freq, syms[i] AS sym
+      |    FROM wa${s - 1}, unnest(range(1, len(syms) + 1)) AS t(i))
+      |  GROUP BY 1),
+      |wpb$s AS MATERIALIZED (
+      |  SELECT p.l, p.r, p.c,
+      |    round(ln(p.c) - ln(sl.sc) - ln(sr.sc), 6) AS score,
+      |    p.l || CASE WHEN starts_with(p.r, '##') THEN substring(p.r, 3) ELSE p.r END AS merged
+      |  FROM wpp$s p JOIN wps$s sl ON sl.sym = p.l JOIN wps$s sr ON sr.sym = p.r
+      |  WHERE p.c >= $minCount
+      |  ORDER BY score DESC, p.l, p.r LIMIT 1),
+      |wpx$s AS MATERIALIZED (
+      |  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+      |  FROM (
+      |    SELECT a.w, t.i FROM wa${s - 1} a, wpb$s b, unnest(range(1, len(a.syms))) AS t(i)
+      |    WHERE a.syms[i] = b.l AND a.syms[i+1] = b.r)),
+      |wpsel$s AS MATERIALIZED (
+      |  SELECT w, i FROM (
+      |    SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS m0 FROM wpx$s)
+      |  WHERE (i - m0) % 2 = 0),
+      |wa$s AS MATERIALIZED (
+      |  SELECT p.w, p.freq,
+      |    list(CASE WHEN sm.i IS NOT NULL THEN b.merged ELSE p.sym END
+      |      ORDER BY p.i) AS syms
+      |  FROM (
+      |    SELECT w, freq, syms[i] AS sym, i
+      |    FROM wa${s - 1}, unnest(range(1, len(syms) + 1)) AS t(i)) p
+      |  CROSS JOIN wpb$s b
+      |  LEFT JOIN wpsel$s sm ON sm.w = p.w AND sm.i = p.i
+      |  LEFT JOIN wpsel$s sp ON sp.w = p.w AND sp.i = p.i - 1
+      |  WHERE sp.i IS NULL
+      |  GROUP BY p.w, p.freq
+      |  UNION ALL
+      |  SELECT w, freq, syms FROM wa${s - 1}
+      |  WHERE (SELECT count(*) FROM wpb$s) = 0)""".stripMargin
+    }
+  }
+
+  private def wpMergesOracle(k: Int): String =
+    wpStagesCte(k) + "\n" + (1 to k).map(s =>
+      s"SELECT $s::bigint AS step, l AS left_sym, r AS right_sym, " +
+        s"c AS pair_count, score FROM wpb$s")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** x126's encode replay: vocabulary rebuild (word-initial chars asc,
+    * `##`-chars asc, merge outputs by step, first-occurrence dedup),
+    * then GREEDY longest-match segmentation of every distinct encode
+    * word by exhaustive complete-path enumeration + the
+    * lexicographically-maximal length-key selection (greedy never
+    * dead-ends when a complete path exists — every position can fall
+    * back to a matching single — so max-lenkey IS the greedy path; a
+    * word with an out-of-alphabet character has no complete path on
+    * either side and becomes the whole-word [UNK], BERT's rule).
+    */
+  private def wpEncodeOracle(k: Int): String =
+    wpStagesCte(k, recursive = true) + s""",
+      |wpch AS MATERIALIZED (
+      |  SELECT DISTINCT substring(w, i::int, 1) AS c
+      |  FROM (SELECT w FROM wa0), unnest(range(1, length(w) + 1)) AS t(i)),
+      |wpmrg AS MATERIALIZED (
+      |  ${(1 to k).map(s => s"SELECT $s AS step, merged FROM wpb$s")
+           .mkString("\n      |  UNION ALL\n      |  ")}),
+      |wpv0 AS MATERIALIZED (
+      |  SELECT c AS token, 0 AS grp, row_number() OVER (ORDER BY c) AS ord FROM wpch
+      |  UNION ALL
+      |  SELECT '##' || c, 1, row_number() OVER (ORDER BY c) FROM wpch
+      |  UNION ALL
+      |  SELECT merged, 2, step FROM wpmrg),
+      |wpvocab AS MATERIALIZED (
+      |  SELECT token, row_number() OVER (ORDER BY grp, ord) - 1 AS id
+      |  FROM (SELECT token, grp, ord,
+      |      row_number() OVER (PARTITION BY token ORDER BY grp, ord) AS kk
+      |    FROM wpv0)
+      |  WHERE kk = 1),
+      |wdtext AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN coalesce(text, '') || ' zx9q jqw' ELSE text END AS text
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |wdws AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS ws
+      |  FROM wdtext),
+      |wdt AS MATERIALIZED (
+      |  SELECT doc_id, t.i AS wi, ws[i] AS w
+      |  FROM wdws, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |wew AS MATERIALIZED (SELECT DISTINCT w FROM wdt),
+      |wgr AS (
+      |  SELECT w, 0::bigint AS pos, CAST('' AS VARCHAR) AS path,
+      |    CAST('' AS VARCHAR) AS lk FROM wew
+      |  UNION ALL
+      |  SELECT g.w,
+      |    g.pos + CASE WHEN g.pos = 0 THEN length(v.token)
+      |      ELSE length(v.token) - 2 END,
+      |    CASE WHEN g.pos = 0 THEN v.token
+      |      ELSE g.path || chr(1) || v.token END,
+      |    g.lk || chr((64 + CASE WHEN g.pos = 0 THEN length(v.token)
+      |      ELSE length(v.token) - 2 END)::int)
+      |  FROM wgr g JOIN wpvocab v ON (
+      |    (g.pos = 0 AND NOT starts_with(v.token, '##')
+      |      AND v.token = substring(g.w, 1, length(v.token)))
+      |    OR (g.pos > 0 AND starts_with(v.token, '##')
+      |      AND length(v.token) > 2
+      |      AND substring(v.token, 3) = substring(g.w, (g.pos + 1)::int, length(v.token) - 2)))
+      |  WHERE g.pos < length(g.w)),
+      |wseg AS MATERIALIZED (
+      |  SELECT w, string_split(path, chr(1)) AS pl
+      |  FROM wgr WHERE pos = length(w)
+      |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY lk DESC) = 1),
+      |wsy AS MATERIALIZED (
+      |  SELECT wdt.doc_id, wdt.wi, u.j, ws2.pl[j] AS piece
+      |  FROM wdt JOIN wseg ws2 USING (w),
+      |    unnest(range(1, len(ws2.pl) + 1)) AS u(j)
+      |  UNION ALL
+      |  SELECT wdt.doc_id, wdt.wi, 1 AS j, '[UNK]' AS piece
+      |  FROM wdt LEFT JOIN wseg ws2 USING (w) WHERE ws2.w IS NULL),
+      |wenc AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list(coalesce(v.id, (SELECT count(*) FROM wpvocab)) ORDER BY wi, j) AS ids,
+      |    sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::bigint AS n_unk
+      |  FROM wsy LEFT JOIN wpvocab v ON v.token = wsy.piece
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
+      |  coalesce(e.n_unk, 0)::bigint AS n_unk,
+      |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
+      |FROM documents d LEFT JOIN wenc e USING (doc_id)
+      |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
+
+  /** x128's byte-level twin of [[wpStagesCte]]: the shared byte-map
+    * base (`bmapc`'s exact CASE arithmetic, `wmap`'s
+    * hex(encode()) byte extraction — the x111/x122 blocks), a
+    * position-prefixed `wa0` over the byte words, then the SAME
+    * WordPiece stage blocks.
+    */
+  private def wpByteStagesCte(k: Int, minCount: Long = 2L): String = {
+    val base = s"""WITH RECURSIVE bmapc AS MATERIALIZED (
+      |  SELECT b, chr((CASE
+      |      WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |        OR (b BETWEEN 174 AND 255) THEN b
+      |      WHEN b <= 32 THEN 256 + b
+      |      WHEN b = 173 THEN 323
+      |      ELSE 289 + (b - 127) END)::int) AS mc
+      |  FROM unnest(range(0, 256)) t(b)),
+      |rocc AS MATERIALIZED (
+      |  SELECT u.x AS rw FROM (
+      |    SELECT string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+') AS ws
+      |    FROM documents), unnest(ws) AS u(x) WHERE u.x <> ''),
+      |wmap AS MATERIALIZED (
+      |  SELECT rw, string_agg(mc, '' ORDER BY i) AS w
+      |  FROM (
+      |    SELECT rw, i, ('0x' || substr(hex(encode(rw)), i * 2 + 1, 2))::int AS b
+      |    FROM (SELECT DISTINCT rw FROM rocc),
+      |      unnest(range(0, octet_length(encode(rw)))) t(i))
+      |  JOIN bmapc USING (b)
+      |  GROUP BY rw),
+      |wa0 AS MATERIALIZED (
+      |  SELECT w, count(*)::bigint AS freq,
+      |    list_transform(range(1, length(w) + 1),
+      |      i -> CASE WHEN i = 1 THEN substring(w, 1, 1)
+      |           ELSE '##' || substring(w, i::int, 1) END) AS syms
+      |  FROM rocc JOIN wmap USING (rw)
+      |  GROUP BY w)""".stripMargin
+    (base +: wpStageBlocks(k, minCount)).mkString(",\n")
+  }
+
+  /** x128's encode replay: byte-fallback vocabulary (ids 0..255 the
+    * base symbols in byte order as word-initial pieces, 256..511 their
+    * `##` forms, then merge outputs by step, first-occurrence dedup),
+    * the marked corpus byte-mapped word-for-word, and the x126 greedy
+    * complete-path enumeration — total by construction, so no [UNK]
+    * branch exists and the final projection PROVES it by counting
+    * vocabulary misses (must be 0).
+    */
+  private def wpByteEncodeOracle(k: Int): String =
+    wpByteStagesCte(k) + s""",
+      |wpmrg AS MATERIALIZED (
+      |  ${(1 to k).map(s => s"SELECT $s AS step, merged FROM wpb$s")
+           .mkString("\n      |  UNION ALL\n      |  ")}),
+      |wpv0 AS MATERIALIZED (
+      |  SELECT mc AS token, 0 AS grp, b AS ord FROM bmapc
+      |  UNION ALL
+      |  SELECT '##' || mc, 1, b FROM bmapc
+      |  UNION ALL
+      |  SELECT merged, 2, step FROM wpmrg),
+      |wpvocab AS MATERIALIZED (
+      |  SELECT token, row_number() OVER (ORDER BY grp, ord) - 1 AS id
+      |  FROM (SELECT token, grp, ord,
+      |      row_number() OVER (PARTITION BY token ORDER BY grp, ord) AS kk
+      |    FROM wpv0)
+      |  WHERE kk = 1),
+      |wdtext AS MATERIALIZED (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |    THEN coalesce(text, '') || ' ' || $byteMarkerSql
+      |    ELSE text END AS text
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |wdws AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS ws
+      |  FROM wdtext),
+      |wdt AS MATERIALIZED (
+      |  SELECT doc_id, t.i AS wi, ws[i] AS rw
+      |  FROM wdws, unnest(range(1, len(ws) + 1)) AS t(i)),
+      |wmapE AS MATERIALIZED (
+      |  SELECT rw, string_agg(mc, '' ORDER BY i) AS w
+      |  FROM (
+      |    SELECT rw, i, ('0x' || substr(hex(encode(rw)), i * 2 + 1, 2))::int AS b
+      |    FROM (SELECT DISTINCT rw FROM wdt),
+      |      unnest(range(0, octet_length(encode(rw)))) t(i))
+      |  JOIN bmapc USING (b)
+      |  GROUP BY rw),
+      |wew AS MATERIALIZED (SELECT DISTINCT w FROM wmapE),
+      |wgr AS (
+      |  SELECT w, 0::bigint AS pos, CAST('' AS VARCHAR) AS path,
+      |    CAST('' AS VARCHAR) AS lk FROM wew
+      |  UNION ALL
+      |  SELECT g.w,
+      |    g.pos + CASE WHEN g.pos = 0 THEN length(v.token)
+      |      ELSE length(v.token) - 2 END,
+      |    CASE WHEN g.pos = 0 THEN v.token
+      |      ELSE g.path || chr(1) || v.token END,
+      |    g.lk || chr((64 + CASE WHEN g.pos = 0 THEN length(v.token)
+      |      ELSE length(v.token) - 2 END)::int)
+      |  FROM wgr g JOIN wpvocab v ON (
+      |    (g.pos = 0 AND NOT starts_with(v.token, '##')
+      |      AND v.token = substring(g.w, 1, length(v.token)))
+      |    OR (g.pos > 0 AND starts_with(v.token, '##')
+      |      AND length(v.token) > 2
+      |      AND substring(v.token, 3) = substring(g.w, (g.pos + 1)::int, length(v.token) - 2)))
+      |  WHERE g.pos < length(g.w)),
+      |wseg AS MATERIALIZED (
+      |  SELECT w, string_split(path, chr(1)) AS pl
+      |  FROM wgr WHERE pos = length(w)
+      |  QUALIFY row_number() OVER (PARTITION BY w ORDER BY lk DESC) = 1),
+      |wsy AS MATERIALIZED (
+      |  SELECT wdt.doc_id, wdt.wi, u.j, ws2.pl[j] AS piece
+      |  FROM wdt JOIN wmapE USING (rw) JOIN wseg ws2 ON ws2.w = wmapE.w,
+      |    unnest(range(1, len(ws2.pl) + 1)) AS u(j)),
+      |wenc AS MATERIALIZED (
+      |  SELECT wsy.doc_id, list(v.id ORDER BY wsy.wi, wsy.j) AS ids,
+      |    sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::bigint AS n_miss
+      |  FROM wsy LEFT JOIN wpvocab v ON v.token = wsy.piece
+      |  GROUP BY 1)
+      |SELECT d.doc_id, coalesce(len(e.ids), 0)::bigint AS n_ids,
+      |  coalesce(e.n_miss, 0)::bigint AS n_unk,
+      |  coalesce(array_to_string(e.ids, ' '), '') AS ids_str
+      |FROM documents d LEFT JOIN wenc e USING (doc_id)
+      |WHERE d.doc_id IS NOT NULL ORDER BY d.doc_id""".stripMargin
+
+  /** x119/x127's SHARED oracle: extraction -> line dedup -> langid
+    * -> frozen-LM scores -> per-language tertiles, replayed from the
+    * documents table. Shared by construction (the x25/x30
+    * discipline): both declared pipelines derive the same extracted
+    * corpus -- x119 from in-memory page wrap, x127 from the on-disk
+    * WARC container -- so one replay hashes both.
+    */
+  private def webCcnetOracle: String = s"""WITH ${htmlExtractCtes("w")},
+        |wdocs AS MATERIALIZED (
+        |  SELECT t.doc_id, d.source,
+        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos), '') AS text
+        |  FROM wtok t JOIN documents d USING (doc_id)
+        |  GROUP BY t.doc_id, d.source),
+        |${lineDedupCtesFor("wdocs", "g")},
+        |gct AS (
+        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
+        |  FROM gtoks t LEFT JOIN (
+        |    SELECT doc_id, string_agg(
+        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
+        |      chr(10) ORDER BY pos) AS ctext
+        |    FROM gmarked GROUP BY 1) a USING (doc_id)),
+        |glt AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
+        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+        |  FROM wdocs WHERE doc_id IS NOT NULL),
+        |glid AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN has_cjk THEN 'zh'
+        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
+        |      WHEN s_de > 0 THEN 'de'
+        |      ELSE 'und' END AS lang_pred
+        |  FROM (SELECT doc_id, source, has_cjk,
+        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
+        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
+        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
+        |    FROM glt)),
+        |gcorp AS (
+        |  SELECT c.doc_id, l.lang_pred AS lang, l.source,
+        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM gct c JOIN glid l USING (doc_id)
+        |  WHERE l.lang_pred <> 'und'),
+        |gbg AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
+        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
+        |  FROM gcorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |gcb AS (
+        |  SELECT lang, b2, count(*)::double AS c FROM gbg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |gcu AS (
+        |  SELECT lang, b1, count(*)::double AS c FROM gbg
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |gsc AS (
+        |  SELECT g.doc_id, g.lang, count(*)::bigint AS n_bigrams,
+        |    round(avg(ln((coalesce(gcb.c, 0) + 1) / (coalesce(gcu.c, 0) + 1024))), 6) AS lp
+        |  FROM gbg g
+        |  LEFT JOIN gcb ON gcb.lang = g.lang AND gcb.b2 = g.b2
+        |  LEFT JOIN gcu ON gcu.lang = g.lang AND gcu.b1 = g.b1
+        |  GROUP BY 1, 2),
+        |gthr AS (
+        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo,
+        |    round(quantile_cont(lp, ${2.0 / 3}), 4) AS thr_hi
+        |  FROM gsc GROUP BY 1),
+        |gtiers AS (
+        |  SELECT s2.lang,
+        |    CASE WHEN s2.lp >= t.thr_hi THEN 'head'
+        |         WHEN s2.lp >= t.thr_lo THEN 'middle'
+        |         ELSE 'tail' END AS tier,
+        |    t.thr_lo, t.thr_hi, s2.doc_id, s2.n_bigrams,
+        |    round(exp(-s2.lp), 4) AS ppl
+        |  FROM gsc s2 JOIN gthr t USING (lang))
+        |SELECT lang, tier, tier <> 'tail' AS kept,
+        |  thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
+        |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
+        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
+        |    / count(*), 4) AS avg_ppl,
+        |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
+        |FROM gtiers GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY lang, tier""".stripMargin
+
+  /** x119/x127's shared tail: the full CCNet head over an EXTRACTED
+    * web corpus (line-level keep-first dedup -> langid -> reference
+    * LM trained on the curated carve -> per-language perplexity
+    * tertiles). The LM artifact is shared BY NAME across both entry
+    * points: they derive the same cleaned corpus (x120 proves
+    * container-extraction equality), and a pipeline trains one
+    * reference LM per corpus version.
+    */
+  private def webCcnetTiers(s: SparkSession, dir: String,
+                            web: DataFrame): DataFrame = {
+    val cleaned = ccnetCleaned(web)
+    val lm = artifact(s, "reflm_webccnet_1024", dir) {
+      viaStore(s, "reflm_webccnet_1024") {
+        TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
+          col("source").isin("src0", "src1") && col("doc_id").isNotNull,
+          numBuckets = 1024)
+      }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+        graft.ext.Artifacts.loadRefLm)
+    }
+    TextStats.perplexityTiers(cleaned, "clean_text", "lang_pred",
+        "doc_id", lm)
+      .withColumn("kept", col("tier") =!= "tail")
+      .select(col("lang"), col("tier"), col("kept"), col("thr_lo"),
+        col("thr_hi"), col("n_docs"), col("n_bigrams"), col("avg_ppl"),
+        col("doc_xor"))
+      .orderBy("lang", "tier")
+  }
+
   private def bpeMergesOracle(k: Int): String =
     bpeStagesCte(k) + "\n" + (1 to k).map(s =>
       s"SELECT $s::bigint AS step, l AS left_sym, r AS right_sym, c AS pair_count FROM b$s")
@@ -1335,6 +1743,53 @@ object Declared {
         (ss, p) => graft.ext.Artifacts.loadIndex(ss, p)
           .collect().map(r => (r.getString(0), r.getLong(1)))
           .sortBy { case (pc, c) => (-c, pc) })
+    }
+
+  /** x125/x126's trained WordPiece merge table (24 likelihood-gain
+    * steps) — persisted as a slim parquet index and RELOADED (the
+    * trained-artifact discipline: the driver's hash gate re-proves
+    * persisted-artifact behavior every round).
+    */
+  private def wordPieceMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long, Double)] =
+    artifact(s, "wp_merges_24", dir) {
+      viaStore(s, "wp_merges_24") {
+        TextStats.wordPieceTrain(t(s, dir, "documents"), "text",
+          numMerges = 24)
+      }((ss, m, p) => graft.ext.Artifacts.saveIndex(
+          ss.createDataFrame(m.toSeq.zipWithIndex.map {
+            case ((l, r, c, sc), i) => (i + 1L, l, r, c, sc) })
+            .toDF("step", "l", "r", "c", "score"), p),
+        (ss, p) => graft.ext.Artifacts.loadIndex(ss, p).orderBy("step")
+          .collect().map(r => (r.getString(1), r.getString(2),
+            r.getLong(3), r.getDouble(4))))
+    }
+
+  private def wordPieceVocabArtifact(s: SparkSession, dir: String): Seq[String] =
+    artifact(s, "wp_vocab_24", dir) {
+      viaStore(s, "wp_vocab_24") {
+        TextStats.wordPieceVocab(t(s, dir, "documents"), "text",
+          wordPieceMergesArtifact(s, dir).toSeq)
+      }(graft.ext.Artifacts.saveVocab,
+        (ss, p) => graft.ext.Artifacts.loadVocab(ss, p).toSeq)
+    }
+
+  /** x128's byte-level WordPiece merge table (r16): trained over the
+    * byte-mapped whitespace word view through [[TextStats.wordPieceTrain]]'s
+    * wordsCol seam — persisted and RELOADED like every trained model.
+    */
+  private def wordPieceByteMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long, Double)] =
+    artifact(s, "wp_byte_merges_24", dir) {
+      viaStore(s, "wp_byte_merges_24") {
+        TextStats.wordPieceTrain(t(s, dir, "documents"), "text",
+          numMerges = 24,
+          wordsCol = Some(TextStats.byteWords(col("text"))))
+      }((ss, m, p) => graft.ext.Artifacts.saveIndex(
+          ss.createDataFrame(m.toSeq.zipWithIndex.map {
+            case ((l, r, c, sc), i) => (i + 1L, l, r, c, sc) })
+            .toDF("step", "l", "r", "c", "score"), p),
+        (ss, p) => graft.ext.Artifacts.loadIndex(ss, p).orderBy("step")
+          .collect().map(r => (r.getString(1), r.getString(2),
+            r.getLong(3), r.getDouble(4))))
     }
 
   private def bpeMergesArtifact(s: SparkSession, dir: String): Array[(String, String, Long)] =
@@ -6555,6 +7010,90 @@ object Declared {
         |  keeper_id, n_dups
         |FROM udom ORDER BY canonical_url""".stripMargin)),
 
+    // X5f-e (r16): WORDPIECE tokenizer training — the third published
+    // subword family next to BPE (x79) and unigram-LM (x117): Schuster
+    // & Nakajima 2012's likelihood-gain criterion, BERT's vocabulary
+    // algorithm. Position-prefixed `##` alphabet, winning pair =
+    // argmax of round(ln c(l,r) − ln c(l) − ln c(r), 6) with (l, r)
+    // tiebreak, merge output strips the continuation prefix. The
+    // trained table persists + RELOADS through the artifact store;
+    // DuckDB re-runs all 24 stages independently (pair counts, symbol
+    // counts, the 6dp score argmax, the greedy L2R rebuild) — a drifted
+    // merge decision anywhere flips that step's row.
+    "x125_wordpiece_train" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        wordPieceMergesArtifact(s, dir).toSeq.zipWithIndex
+          .map { case ((l, r, c, sc), i) => (i + 1L, l, r, c, sc) }
+          .toDF("step", "left_sym", "right_sym", "pair_count", "score")
+          .orderBy("step")
+      },
+      Some(wpMergesOracle(24))),
+
+    // X5f-e apply (r16): greedy longest-match WordPiece encoding under
+    // the persisted 24-merge vocabulary — one codegen'd maximal-munch
+    // segmentation (WordPieceSegment, vocabulary as a reference
+    // object) + a literal-map id lookup; map-only, the x84/x118 claim
+    // shape. The planted ` zx9q jqw` marker (x86's device) forces both
+    // out-of-vocabulary paths driver-visibly: z/x/9 are outside the
+    // corpus alphabet, so `zx9q` becomes the whole-word [UNK]
+    // (reserved id = vocab size, BERT's no-backtrack rule), while
+    // `jqw` is an unseen word of known characters and segments
+    // normally. DuckDB re-trains the 24 stages, rebuilds the
+    // vocabulary, replays greedy matching by exhaustive complete-path
+    // enumeration + max-length-key selection (provably greedy — see
+    // wpEncodeOracle), and re-derives every id sequence.
+    "x126_wordpiece_encode" -> Q(
+      (s, dir) => {
+        val vocab = wordPieceVocabArtifact(s, dir)
+        val unk = vocab.length.toLong
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" zx9q jqw")))
+            .otherwise(col("text")))
+          .select(col("doc_id"),
+            TextStats.wordPieceEncodeIds(col("text"), vocab).as("ids"))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+            size(filter(col("ids"), x => x === lit(unk)))
+              .cast("long").as("n_unk"),
+            concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"))
+          .orderBy("doc_id")
+      },
+      Some(wpEncodeOracle(24))),
+
+    // X5f-e byte edition (r16 — the WordPiece leg of the totality
+    // triptych: x111 proved it for BPE, x122 for unigram; production
+    // BERT-family tokenizers ship a byte/char fallback for the same
+    // reason). The model trains over the BYTE-MAPPED whitespace word
+    // view (wordPieceTrain's wordsCol seam — x111's alphabet), the
+    // encode vocabulary carries BOTH forms of all 256 base symbols
+    // (wordPieceVocabBytes — greedy can always take a single-byte
+    // piece, so the whole-word [UNK] branch is provably dead), and the
+    // marked corpus (x111's planted 2/3/4-byte UTF-8) encodes with
+    // n_unk ASSERTED 0 driver-visibly. DuckDB re-trains the byte model
+    // (shared byte-map blocks + the shared WordPiece stage blocks),
+    // builds the extended vocabulary, replays greedy matching and
+    // re-derives every id sequence.
+    "x128_wordpiece_byte_encode" -> Q(
+      (s, dir) => {
+        val merges = wordPieceByteMergesArtifact(s, dir)
+        val vocab = TextStats.wordPieceVocabBytes(merges.toSeq)
+        val unk = vocab.length.toLong
+        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(coalesce(col("text"), lit("")), lit(" "),
+              lit(byteMarkerScala))).otherwise(col("text")))
+          .select(col("doc_id"),
+            TextStats.wordPieceEncodeIds(col("text"), vocab,
+              wordsCol = Some(TextStats.byteWords(col("text")))).as("ids"))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
+            size(filter(col("ids"), x => x === lit(unk)))
+              .cast("long").as("n_unk"),
+            concat_ws(" ", col("ids").cast("array<string>")).as("ids_str"))
+          .orderBy("doc_id")
+      },
+      Some(wpByteEncodeOracle(24))),
+
     // X26+X25 (r15): the WEB pipeline end-to-end — raw markup pages →
     // HTML extraction (X26) → the full CCNet head (x108's chain,
     // VERBATIM code, over the EXTRACTED text): line-level keep-first
@@ -6576,100 +7115,41 @@ object Declared {
           .withColumn("_bf", graft.ext.Extract.blockFeatures(col("html")))
           .select(col("doc_id"), col("source"),
             graft.ext.Extract.textOf(col("_bf")).as("text"))
-        val cleaned = ccnetCleaned(web)
-        val lm = artifact(s, "reflm_webccnet_1024", dir) {
-          viaStore(s, "reflm_webccnet_1024") {
-            TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
-              col("source").isin("src0", "src1") && col("doc_id").isNotNull,
-              numBuckets = 1024)
-          }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
-            graft.ext.Artifacts.loadRefLm)
-        }
-        TextStats.perplexityTiers(cleaned, "clean_text", "lang_pred",
-            "doc_id", lm)
-          .withColumn("kept", col("tier") =!= "tail")
-          .select(col("lang"), col("tier"), col("kept"), col("thr_lo"),
-            col("thr_hi"), col("n_docs"), col("n_bigrams"), col("avg_ppl"),
-            col("doc_xor"))
-          .orderBy("lang", "tier")
+        webCcnetTiers(s, dir, web)
       },
-      Some(s"""WITH ${htmlExtractCtes("w")},
-        |wdocs AS MATERIALIZED (
-        |  SELECT t.doc_id, d.source,
-        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
-        |      chr(10) ORDER BY pos), '') AS text
-        |  FROM wtok t JOIN documents d USING (doc_id)
-        |  GROUP BY t.doc_id, d.source),
-        |${lineDedupCtesFor("wdocs", "g")},
-        |gct AS (
-        |  SELECT t.doc_id, coalesce(a.ctext, '') AS ctext
-        |  FROM gtoks t LEFT JOIN (
-        |    SELECT doc_id, string_agg(
-        |      CASE WHEN nd >= 2 AND rn > 1 THEN NULL ELSE line END,
-        |      chr(10) ORDER BY pos) AS ctext
-        |    FROM gmarked GROUP BY 1) a USING (doc_id)),
-        |glt AS (
-        |  SELECT doc_id, source,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS rt,
-        |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
-        |  FROM wdocs WHERE doc_id IS NOT NULL),
-        |glid AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN has_cjk THEN 'zh'
-        |      WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |      WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de THEN 'es'
-        |      WHEN s_en > 0 AND s_en >= s_de THEN 'en'
-        |      WHEN s_de > 0 THEN 'de'
-        |      ELSE 'und' END AS lang_pred
-        |  FROM (SELECT doc_id, source, has_cjk,
-        |      len(list_filter(rt, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
-        |      len(list_filter(rt, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de,
-        |      len(list_filter(rt, x -> list_contains(['le','la','les','et','est','que','pour','dans'], x))) AS s_fr,
-        |      len(list_filter(rt, x -> list_contains(['el','la','los','que','es','para','con','una'], x))) AS s_es
-        |    FROM glt)),
-        |gcorp AS (
-        |  SELECT c.doc_id, l.lang_pred AS lang, l.source,
-        |    list_filter(string_split_regex(lower(c.ctext), '[^a-z0-9]+'), x -> x <> '') AS w
-        |  FROM gct c JOIN glid l USING (doc_id)
-        |  WHERE l.lang_pred <> 'und'),
-        |gbg AS (
-        |  SELECT doc_id, lang, source,
-        |    ('0x' || substr(md5(w[i]), 1, 8))::bigint % 1024 AS b1,
-        |    ('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 8))::bigint % 1024 AS b2
-        |  FROM gcorp, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
-        |gcb AS (
-        |  SELECT lang, b2, count(*)::double AS c FROM gbg
-        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
-        |gcu AS (
-        |  SELECT lang, b1, count(*)::double AS c FROM gbg
-        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
-        |gsc AS (
-        |  SELECT g.doc_id, g.lang, count(*)::bigint AS n_bigrams,
-        |    round(avg(ln((coalesce(gcb.c, 0) + 1) / (coalesce(gcu.c, 0) + 1024))), 6) AS lp
-        |  FROM gbg g
-        |  LEFT JOIN gcb ON gcb.lang = g.lang AND gcb.b2 = g.b2
-        |  LEFT JOIN gcu ON gcu.lang = g.lang AND gcu.b1 = g.b1
-        |  GROUP BY 1, 2),
-        |gthr AS (
-        |  SELECT lang, round(quantile_cont(lp, ${1.0 / 3}), 4) AS thr_lo,
-        |    round(quantile_cont(lp, ${2.0 / 3}), 4) AS thr_hi
-        |  FROM gsc GROUP BY 1),
-        |gtiers AS (
-        |  SELECT s2.lang,
-        |    CASE WHEN s2.lp >= t.thr_hi THEN 'head'
-        |         WHEN s2.lp >= t.thr_lo THEN 'middle'
-        |         ELSE 'tail' END AS tier,
-        |    t.thr_lo, t.thr_hi, s2.doc_id, s2.n_bigrams,
-        |    round(exp(-s2.lp), 4) AS ppl
-        |  FROM gsc s2 JOIN gthr t USING (lang))
-        |SELECT lang, tier, tier <> 'tail' AS kept,
-        |  thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
-        |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
-        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
-        |    / count(*), 4) AS avg_ppl,
-        |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
-        |FROM gtiers GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY lang, tier""".stripMargin)),
+      Some(webCcnetOracle)),
+
+    // X26b+X26+X25 (r16): the WHOLE chain from the CRAWL CONTAINER —
+    // x127 is x119 entered at step 0: real on-disk WARC files (x120's
+    // fixture store) → record split → header parse → len_ok gate →
+    // HTTP-block strip → HTML extraction → the full CCNet head. The
+    // extracted corpus is bit-identical to x119's (x120's hash row
+    // proves container-extraction equality), so both pipelines train
+    // ONE reference LM per corpus version (shared artifact — the
+    // deployment contract) and both hash against ONE oracle (the
+    // x25/x30 shared-oracle discipline: any drift anywhere in the
+    // container path — framing, splits, header offsets, HTTP strip —
+    // diverges the corpus and flips this row, independently of x120).
+    // The source column is metadata enrichment joined from the
+    // catalog by the doc id the URL carries (the header-as-curation-
+    // input claim, exercised end-to-end).
+    "x127_warc_ccnet_e2e" -> Q(
+      (s, dir) => {
+        val recs = graft.sources.FileSources.readWarc(s,
+          warcStoreArtifact(s, dir))
+        val pages = graft.sources.FileSources.warcDocs(recs)
+          .withColumn("doc_id",
+            regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+        val docs = pages.join(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        val web = spreadIfStarved(s, docs, docs)
+          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("body")))
+          .select(col("doc_id"), col("source"),
+            graft.ext.Extract.textOf(col("_bf")).as("text"))
+        webCcnetTiers(s, dir, web)
+      },
+      Some(webCcnetOracle)),
 
     // X23d (r14): incremental CCNet-HEAD refresh under a frozen
     // reference LM — the deployment reality of the x108 chain (corpus

@@ -39,7 +39,9 @@ object Plans {
     "x113_html_extract", "x114_assembly_ccnet_refresh",
     "x115_lm_drift_trigger", "x116_packed_bytes", "x118_unigram_encode",
     "x119_web_ccnet_e2e", "x120_warc_ingest", "x121_web_ccnet_refresh",
-    "x122_unigram_byte_encode", "x123_unigram_pruned_train")
+    "x122_unigram_byte_encode", "x123_unigram_pruned_train",
+    "x124_url_dedup", "x126_wordpiece_encode", "x127_warc_ccnet_e2e",
+    "x128_wordpiece_byte_encode")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

@@ -30,7 +30,9 @@ class PlanSpec extends SparkSuite {
     "x70_random_projection",
     // r15: unigram Viterbi encode — codegen'd segmenter + literal-map
     // id lookup; the model rides as reference objects, never a join
-    "x118_unigram_encode")
+    "x118_unigram_encode",
+    // r16: WordPiece greedy encode — same claim shape as x118
+    "x126_wordpiece_encode", "x128_wordpiece_byte_encode")
 
   test("map-only queries shuffle only for the presentation sort") {
     for (q <- mapOnly) {
@@ -110,6 +112,11 @@ class PlanSpec extends SparkSuite {
     // r15: extraction-fed CCNet head — scored-frame persist (the x105
     // discipline); lazy twin gated below
     "x119_web_ccnet_e2e",
+    // r16: the container-entry twin of x119 — same scored-frame
+    // persist tail (shared helper); its container-specific prefix
+    // (WARC scan + metadata-enrichment join) is gated via the x120
+    // no-join scan-parallel test and the x119 lazy twin
+    "x127_warc_ccnet_e2e",
     // r15: the x110 refresh twin runs BOTH paths eagerly (artifact
     // state + budget fills); its stage plans are the x110 composed
     // prefix + the Refresh machinery gated via ExtSpec/ScaleCheck

@@ -810,6 +810,62 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("wordpiece greedy equals max-length-key complete-path enumeration (oracle form)") {
+    // the x126 oracle replays greedy maximal munch as "complete path
+    // with the lexicographically-maximal length key" — an equivalence
+    // that needs the x126 vocabulary SHAPE (every alphabet char present
+    // in both word-initial and ## form, so greedy never dead-ends on
+    // in-alphabet words; out-of-alphabet words have no complete path on
+    // either side). Fuzz exactly that shape, with words over a LARGER
+    // alphabet so the no-complete-path -> [UNK] leg fires too.
+    def bruteForce(w: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+      def all(pos: Int): Seq[List[String]] =
+        if (pos == w.length) Seq(Nil)
+        else (1 to math.min(maxLen, w.length - pos)).flatMap { l =>
+          val cand = if (pos == 0) w.substring(0, l)
+            else "##" + w.substring(pos, pos + l)
+          if (vocab.contains(cand)) all(pos + l).map(cand :: _) else Seq.empty
+        }
+      if (w.isEmpty) return Seq.empty
+      val paths = all(0)
+      if (paths.isEmpty) Seq(graft.functions.WordPieceSegment.Unk)
+      else paths.map { p =>
+        val lk = p.map(x => (64 + (if (x.startsWith("##")) x.length - 2
+          else x.length)).toChar).mkString
+        (lk, p)
+      }.maxBy(_._1)._2
+    }
+    val vocabAlpha = "abcd"
+    val wordAlpha = "abcde" // e is out-of-alphabet: forces the UNK leg
+    val wordGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, wordAlpha.length - 1).map(wordAlpha.charAt(_).toString))
+      .map(_.mkString))
+    val pieceGen = for {
+      cont <- Gen.oneOf(true, false)
+      l <- Gen.choose(2, 4)
+      s <- Gen.listOfN(l, Gen.choose(0, vocabAlpha.length - 1)
+        .map(vocabAlpha.charAt(_).toString)).map(_.mkString)
+    } yield if (cont) "##" + s else s
+    val vocabGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, pieceGen))
+      .map(ms => (vocabAlpha.map(_.toString) ++
+        vocabAlpha.map("##" + _) ++ ms).toSet)
+    samples(Gen.zip(vocabGen, Gen.listOfN(40, wordGen)), 8)
+      .foreach { case (vocab, words) =>
+        val sorted = vocab.toArray.sorted
+        val maxLen = vocab.iterator
+          .map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+        for (w <- words) {
+          val g = graft.functions.WordPieceSegment.greedy(w, sorted, maxLen)
+            .toSeq
+          val bf = bruteForce(w, vocab, maxLen)
+          assert(g == bf, s"word '$w' vocab $vocab: greedy=$g bf=$bf")
+          if (g != Seq(graft.functions.WordPieceSegment.Unk))
+            assert(g.map(_.stripPrefix("##")).mkString == w,
+              s"pieces do not tile '$w': $g")
+        }
+      }
+  }
+
   test("unigram prune loss DP (altSegCost) equals brute-force self-free enumeration") {
     // the r16 prune schedule's loss approximation: cheapest
     // segmentation of a piece EXCLUDING its own single-piece path —
