@@ -120,8 +120,31 @@ object FileSources {
     * records, plain text for WET conversion records). All parsing is
     * built-in expressions: map-only, codegen'd, scan parallelism.
     */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("lineSep", WarcRecSep).text(path)
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseWarcRecords(spark.read.option("lineSep", WarcRecSep).text(path))
+
+  /** Streaming landing-zone WARC ingest (r16): crawl shards dropped
+    * under `path` become micro-batches — [[readJsonlStream]]'s pattern
+    * for the container format. The record split rides the SAME custom
+    * `lineSep` and the parse is the SAME expressions as the batch
+    * reader ([[parseWarcRecords]]), so a batch backfill and the
+    * continuous ingest produce identical rows by construction
+    * (SourcesSpec proves the parity). `maxFilesPerTrigger` bounds
+    * micro-batch size — one giant crawl drop cannot stall the trigger
+    * cadence.
+    */
+  def readWarcStream(spark: SparkSession, path: String,
+                     maxFilesPerTrigger: Int = 100): DataFrame =
+    parseWarcRecords(spark.readStream
+      .option("lineSep", WarcRecSep)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(path))
+
+  /** The per-record parse shared by the batch and streaming readers:
+    * pure built-in expressions over the raw record column — map-only,
+    * codegen'd, applies unchanged per micro-batch.
+    */
+  private def parseWarcRecords(raw: DataFrame): DataFrame = {
     // the first record of each file keeps its own magic (no preceding
     // separator to consume it); the file's last record keeps the
     // trailing frame CRLFs — normalize both

@@ -50,6 +50,28 @@ object StreamDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("norm_hash")
 
+  /** X26c streaming form (r16): first page per CANONICAL URL within
+    * the horizon — the C4/RefinedWeb URL-dedup rule at crawl-ingest
+    * time. Canonicalization (and the registered domain, carried for
+    * downstream domain caps) is the SAME pure expression set as the
+    * batch [[graft.ext.Urls]] path — map-only per micro-batch; the
+    * keep-first streams via the bounded-state watermark dedup keyed on
+    * the canonical string. Batch [[graft.ext.Urls.urlDedup]] keeps the
+    * SMALLEST id per canonical URL; the stream keeps the FIRST ARRIVAL
+    * inside the horizon — identical when ids follow fetch order (the
+    * crawl contract, StreamingSpec-pinned), and the at-the-horizon
+    * approximation otherwise (the StreamCurate near-dup note: periodic
+    * batch sweeps reconcile across horizons).
+    */
+  def firstPerCanonicalUrl(docs: DataFrame, urlCol: String, tsCol: String,
+                           watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("canonical_url",
+        graft.ext.Urls.canonicalUrl(col(urlCol)))
+      .withColumn("reg_domain", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.host(col("canonical_url"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Cross-corpus NEAR-dup at ingest (x41's streaming form — the
     * [[StreamSimilarity]] batch-index / stream-probe split): "is this
     * new document a near-duplicate of anything already in the corpus?"

@@ -164,6 +164,50 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming WARC ingest: container drops parse identically to the batch reader") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+      .limit(40)
+    import org.apache.spark.sql.functions._
+    val recs = docs.select(FileSources.warcRecord(
+      lit("response"),
+      concat(lit("https://fixture.graft/doc/"), col("doc_id").cast("string")),
+      lit("2026-01-01T00:00:00Z"),
+      lit("application/http; msgtype=response"),
+      concat(lit("HTTP/1.1 200 OK\r\n\r\n"),
+        coalesce(col("text"), lit("")))).as("value"))
+      .collect().map(_.getString(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    dir.toFile.deleteOnExit()
+    def drop(name: String, batch: Seq[String]): Unit = {
+      val tmpF = java.nio.file.Files.createTempFile("graft-wdrop", ".warc")
+      // record + terminator after every row — the writeWarc sink frame
+      java.nio.file.Files.writeString(tmpF,
+        batch.mkString("", "\r\n\r\n", "\r\n\r\n"))
+      java.nio.file.Files.move(tmpF, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val stream = FileSources.warcDocs(
+      FileSources.readWarcStream(spark, dir.toString))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("swarc").start()
+    try {
+      val (b1, b2) = recs.splitAt(recs.length / 2)
+      drop("b1.warc", b1.toSeq); q.processAllAvailable()
+      assert(spark.table("swarc").count() == b1.length)
+      drop("b2.warc", b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("swarc")
+        .select("url", "content_length", "body").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val batch = FileSources.warcDocs(FileSources.readWarc(spark, dir.toString))
+        .select("url", "content_length", "body").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch, "stream and batch WARC parses must agree")
+      assert(streamed.size == recs.length)
+    } finally q.stop()
+  }
+
   test("FAILFAST: malformed JSONL fails loudly instead of nulling rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-src-bad")
     dir.toFile.deleteOnExit()

@@ -285,6 +285,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming url dedup: canonical twins drop in arrival order, batch keepers match") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "url", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val q = StreamDedup.firstPerCanonicalUrl(docs, "url", "ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("udedup").start()
+    try {
+      val rows = Seq(
+        (1L, "https://WWW.h.com/a?utm_source=x", 10L),
+        (2L, "https://h.com/a/", 11L),       // canonical twin of 1
+        (3L, "http://h.com/a", 12L),          // scheme differs: survives
+        (4L, "https://h.com/a#frag", 13L),    // canonical twin of 1
+        (5L, "https://news.h.co.uk/b", 14L))
+      val (b1, b2) = rows.splitAt(3)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("udedup")
+        .select("doc_id", "canonical_url", "reg_domain").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set(
+        (1L, "https://h.com/a", "h.com"),
+        (3L, "http://h.com/a", "h.com"),
+        (5L, "https://news.h.co.uk/b", "h.co.uk")))
+      // ids follow arrival order here, so the stream's keep-first equals
+      // the batch rule (keeper = smallest id)
+      val batchKeepers = graft.ext.Urls.urlDedup(
+        rows.toDF("doc_id", "url", "secs"), "url", "doc_id")
+        .select("keeper_id").collect().map(_.getLong(0)).toSet
+      assert(got.map(_._1) == batchKeepers)
+    } finally q.stop()
+  }
+
   test("streaming normalized dedup: variant twins drop, different text survives") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long)]
