@@ -143,6 +143,32 @@ object Declared {
       p
     }
 
+  /** x129's WET container fixture: every document framed as a
+    * `conversion` record whose payload IS the plain text — the WET
+    * shape (CCNet's actual published input is WET, not WARC), written
+    * as real container files through the same write path. Headers are
+    * the same doc_id arithmetic as [[warcStoreArtifact]]; no HTTP
+    * block, so `content_length` equals the text length directly.
+    */
+  private def wetStoreArtifact(s: SparkSession, dir: String): String =
+    artifact(s, "wet_store_v1", dir) {
+      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+      val url = concat(lit("https://fixture.graft/doc/"),
+        col("doc_id").cast("string"))
+      val date = concat(lit("2026-01-"),
+        lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        lit("T00:00:"), lpad((col("doc_id") % 60).cast("string"), 2, "0"),
+        lit("Z"))
+      val p = java.nio.file.Files.createTempDirectory("graft-wet-fix").toString
+      graft.sources.FileSources.writeWarc(
+        docs.select(graft.sources.FileSources.warcRecord(
+          lit("conversion"), url, date, lit("text/plain"),
+          coalesce(col("text"), lit(""))).as("value"))
+          .repartition(4),
+        p)
+      p
+    }
+
   /** The (doc_id, cluster_id) duplicate-cluster frame shared by x23
     * (the clustering row) and x75 (the survivor election): one
     * per-refresh artifact, computed once per fixture dir — a pipeline
@@ -7820,6 +7846,60 @@ object Declared {
         |  FROM tok GROUP BY doc_id)
         |SELECT w.doc_id, url, warc_date, content_length, body_len, n_kept, clean_text
         |FROM wmeta w JOIN ext USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // X26b WET leg (r16): the `conversion`-record class driver-visible
+    // — x120's fixture is all `response` records (HTTP block to
+    // strip), while the published CCNet input is WET: pre-extracted
+    // plain text as conversion records, passed through warcDocs
+    // body-verbatim. A dedicated all-conversion container store keeps
+    // x120/x127's fixture untouched; the same reader, framing and
+    // len_ok gate run against the second record class, and extraction
+    // over a tag-free body must degenerate to the single-block keep
+    // rule (anchor share 0). DuckDB replays header arithmetic +
+    // the one-block cleanup/keep chain from `documents` directly.
+    "x129_wet_ingest" -> Q(
+      (s, dir) => {
+        val recs = graft.sources.FileSources.readWarc(s,
+          wetStoreArtifact(s, dir))
+        val docs = graft.sources.FileSources.warcDocs(recs)
+        spreadIfStarved(s, docs, docs)
+          .withColumn("doc_id",
+            regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("body")))
+          .select(col("doc_id"), col("url"), col("mime"),
+            col("content_length"),
+            graft.ext.Extract.keptCountOf(col("_bf")).cast("long").as("n_kept"),
+            graft.ext.Extract.textOf(col("_bf")).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH wsrc AS (
+        |  SELECT doc_id,
+        |    'https://fixture.graft/doc/' || doc_id::varchar AS url,
+        |    'text/plain' AS mime,
+        |    length(coalesce(text, ''))::bigint AS content_length,
+        |    coalesce(text, '') AS body
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |wfeat AS (
+        |  SELECT doc_id, url, mime, content_length,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(body, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\\s+', ' ', 'g')) AS txt
+        |  FROM wsrc),
+        |wtok2 AS (
+        |  SELECT doc_id, url, mime, content_length, txt, 0 AS lnk,
+        |    len(toks) AS n_tok,
+        |    len(list_filter(toks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x))) AS n_stop
+        |  FROM (
+        |    SELECT doc_id, url, mime, content_length, txt,
+        |      list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    FROM wfeat))
+        |SELECT doc_id, url, mime, content_length,
+        |  (CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN 1 ELSE 0 END)::bigint AS n_kept,
+        |  CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt ELSE '' END AS clean_text
+        |FROM wtok2 ORDER BY doc_id""".stripMargin)),
 
     // S1-S3/P1-P7: generator pipeline round-trip (wire encode -> parse),
     // oracled (r7): the (topic, partition, cnt) distribution is pure

@@ -1099,14 +1099,16 @@ class PlanSpec extends SparkSuite {
   // partition. A hash exchange here would mean record parsing stopped
   // running at scan parallelism.
   test("warc ingest plans no join; only spread + presentation-sort exchanges") {
-    val p = planOf("x120_warc_ingest")
-    assert(!p.contains("Join"), s"join in the warc ingest plan:\n$p")
-    assert(!p.contains("Window"), s"window in the warc ingest plan:\n$p")
-    val exchanges = "Exchange ".r.findAllIn(p).size
-    val allowed = "Exchange rangepartitioning".r.findAllIn(p).size +
-      "(?i)Exchange roundrobin".r.findAllIn(p).size
-    assert(exchanges == allowed,
-      s"unexpected exchange in the warc ingest plan:\n$p")
+    for (q <- Seq("x120_warc_ingest", "x129_wet_ingest")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q: join in the container ingest plan:\n$p")
+      assert(!p.contains("Window"), s"$q: window in the container ingest plan:\n$p")
+      val exchanges = "Exchange ".r.findAllIn(p).size
+      val allowed = "Exchange rangepartitioning".r.findAllIn(p).size +
+        "(?i)Exchange roundrobin".r.findAllIn(p).size
+      assert(exchanges == allowed,
+        s"$q: unexpected exchange in the container ingest plan:\n$p")
+    }
   }
 
   // x124: URL dedup is one partial-agg'd groupBy over slim
