@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * length-sequence characterization of greedy, PropertySpec fuzzes the
   * loop against a plain-JVM brute force):
   *  - at position 0 the piece is the longest vocabulary entry NOT
-  *    prefixed `##` that prefixes the word; at every later position it
+  *    prefixed `##` that prefixes the word (enforced even when the
+  *    word's raw text itself starts "##" — position type, not string
+  *    shape, decides admissibility); at every later position it
   *    is the longest `##`-prefixed entry whose content matches;
   *  - if NO entry matches at some position, the WHOLE word becomes one
   *    `[UNK]` sentinel (BERT's rule — no backtracking, no partial
@@ -108,7 +110,13 @@ object WordPieceSegment {
         val cand =
           if (pos == 0) w.substring(0, l)
           else "##" + w.substring(pos, pos + l)
-        if (java.util.Arrays.binarySearch(
+        // pos-0 pieces must be WORD-INITIAL vocabulary entries: a word
+        // whose raw text starts "##" (reachable via the byte-level
+        // word view on '#'-bearing corpora) must not match a
+        // ##-continuation entry here — the oracle's
+        // NOT starts_with(token, '##') condition, mirrored exactly
+        if ((pos > 0 || !cand.startsWith("##")) &&
+          java.util.Arrays.binarySearch(
             vocab.asInstanceOf[Array[AnyRef]], cand) >= 0) hit = cand
         else l -= 1
       }

@@ -278,6 +278,23 @@ object StreamCurate {
       graft.ext.TextStats.unigramEncodeIds(col(textCol), table))
   }
 
+  /** X5f-e streaming twin (r17): greedy WordPiece ENCODE on live
+    * ingest — the segmentation is one codegen'd maximal-munch
+    * expression with the trained vocabulary frozen into the plan as a
+    * reference object ([[graft.functions.WordPieceSegment]]), so the
+    * stream applies the EXACT batch encoder: map-only per micro-batch,
+    * no state, no join, ids bit-identical to the batch pass
+    * (StreamingSpec-pinned) — [[applyUnigramEncode]]'s shape for the
+    * third tokenizer family.
+    */
+  def applyWordPieceEncode(docs: DataFrame, vocab: Seq[String],
+                           textCol: String = "text",
+                           outCol: String = "ids"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.withColumn(outCol,
+      graft.ext.TextStats.wordPieceEncodeIds(col(textCol), vocab))
+  }
+
   /** X7i streaming twin (r12): the gate-funnel JOURNAL — per
     * micro-batch, append the slim (stage, n_docs, n_tokens) delta
     * ([[Curation.funnelCounts]], the SAME classification expression as

@@ -824,7 +824,12 @@ class PropertySpec extends SparkSuite {
         else (1 to math.min(maxLen, w.length - pos)).flatMap { l =>
           val cand = if (pos == 0) w.substring(0, l)
             else "##" + w.substring(pos, pos + l)
-          if (vocab.contains(cand)) all(pos + l).map(cand :: _) else Seq.empty
+          // pos-0 admissibility is by position TYPE (the oracle's
+          // NOT starts_with(token,'##')): a word starting "##" may not
+          // take a continuation entry as its word-initial piece
+          if (vocab.contains(cand) && (pos > 0 || !cand.startsWith("##")))
+            all(pos + l).map(cand :: _)
+          else Seq.empty
         }
       if (w.isEmpty) return Seq.empty
       val paths = all(0)
@@ -835,8 +840,10 @@ class PropertySpec extends SparkSuite {
         (lk, p)
       }.maxBy(_._1)._2
     }
-    val vocabAlpha = "abcd"
-    val wordAlpha = "abcde" // e is out-of-alphabet: forces the UNK leg
+    val vocabAlpha = "abc#" // '#' in-alphabet: words can START "##",
+    // exercising the pos-0 position-type rule (byte-level corpora
+    // reach it through ByteMapTokens' '#' mapping)
+    val wordAlpha = "abc#e" // e is out-of-alphabet: forces the UNK leg
     val wordGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
       Gen.choose(0, wordAlpha.length - 1).map(wordAlpha.charAt(_).toString))
       .map(_.mkString))

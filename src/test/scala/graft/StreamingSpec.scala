@@ -1403,4 +1403,34 @@ class StreamingSpec extends SparkSuite {
       assert(got == want, s"stream $got vs batch $want")
     } finally q.stop()
   }
+
+  test("X5f-e streaming wordpiece encode == batch over micro-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ext.TextStats
+    val docs = Tables.load(spark, sf(), "documents")
+      .filter(col("doc_id").isNotNull).select("doc_id", "text")
+    val merges = TextStats.wordPieceTrain(docs, "text", numMerges = 8)
+    val vocab = TextStats.wordPieceVocab(docs, "text", merges.toSeq)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        concat_ws(" ", col("ids").cast("array<string>")).as("istr"))
+      .agg(count(lit(1)),
+        bit_xor(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("istr"))), 1, 15), 16, 10).cast("long")))
+      .head().toSeq
+    val want = agg(StreamCurate.applyWordPieceEncode(docs, vocab))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.applyWordPieceEncode(
+        input.toDF().toDF("doc_id", "text"), vocab)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wpenc").start()
+    try {
+      rows.grouped(rows.length / 3 + 1).foreach { b =>
+        input.addData(b.toSeq: _*); q.processAllAvailable() }
+      val got = agg(spark.table("wpenc"))
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
 }

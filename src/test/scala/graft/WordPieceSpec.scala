@@ -55,6 +55,22 @@ class WordPieceSpec extends SparkSuite {
     assert(enc("") == Seq.empty)
   }
 
+  test("a word whose raw text starts '##' never takes a continuation entry at pos 0") {
+    // reachable via the byte-level word view on '#'-bearing corpora:
+    // the candidate at pos 0 is the raw substring, which can EQUAL a
+    // ##-continuation vocab string — position type must win (the
+    // oracle's NOT starts_with(token, '##') pos-0 condition)
+    val vocab = Array("#", "a", "##", "##a", "###", "##b").sorted
+    def enc(w: String) = WordPieceSegment.greedy(w, vocab, 2).toSeq
+    // "##a": pos 0 may NOT match "##a" (continuation form) nor "##";
+    // it must take word-initial "#", then continuations "###", "##a"
+    assert(enc("##a") == Seq("#", "###", "##a"))
+    // "##b": same prefix path; "b" exists only as continuation "##b"
+    assert(enc("##b") == Seq("#", "###", "##b"))
+    // word-initial "#" still matches normally
+    assert(enc("#a") == Seq("#", "##a"))
+  }
+
   test("byte-level vocabulary makes encoding total: arbitrary unicode, zero unk") {
     // ASCII-only training corpus; encode text with 2/3/4-byte UTF-8 —
     // both forms of all 256 base symbols are in the vocabulary, so the
