@@ -46,8 +46,10 @@ object Extract {
     * token floor when it is clearly prose: ≥ [[MinRescueTokens]] tokens
     * and stopword share ≥ 30% (`StopNum·n_stop ≥ StopDen·n_tok`). The
     * rescue can only ADD blocks (monotone over the r15 rule), and uses
-    * [[TextStats.englishStopwords]] — the declared language-specific
-    * list of the jusText family, shared verbatim with the oracles.
+    * the [[pageLang]]-keyed list from [[TextStats.stopwordLists]]
+    * (r17 — the jusText family is language-specific BY DESIGN; the
+    * English list is the declared fallback), shared with the oracles
+    * via [[TextStats.stopwordListSql]].
     */
   val MinKeepTokens = 6
   val AnchorNum = 5
@@ -95,14 +97,50 @@ object Extract {
   private def normWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
+  /** The page-level language pre-pass (r17 — the multilingual rescue
+    * seam): [[graft.ext.TextStats.langId]] over the noise-stripped,
+    * tag-stripped, entity-decoded WHOLE page. CCNet is multilingual;
+    * the stopword-density rescue leg keys its list by this language
+    * ([[TextStats.stopwordLists]], English fallback), so short German/
+    * French/Spanish prose rescues against its own function words
+    * instead of being silently mis-dropped by an English list.
+    */
+  def pageLang(html: Column): Column =
+    TextStats.langId(entityDecode(
+      regexp_replace(stripNoise(html), "<[^>]*>", " ")))
+
+  /** The stopword list for a page language — map literal + English
+    * fallback, the exact rule [[TextStats.stopwordListSql]] emits for
+    * the oracles.
+    */
+  def stopwordsFor(lang: Column): Column =
+    coalesce(element_at(typedLit(TextStats.stopwordLists), lang),
+      typedLit(TextStats.stopwordLists("en")))
+
   /** Stages 1–4 fused: one `array<struct<txt, n_tok, link_len>>` per
     * document, block order preserved. Compute this ONCE per row into a
     * projection column and derive counts/text from it with the `*Of`
     * accessors — higher-order lambdas are not whole-stage-codegen'd, so
     * re-deriving the array per output column would triple the hot-path
-    * work.
+    * work. The per-block stopword count runs against the
+    * [[pageLang]]-keyed list (r17) — one extra whole-page strip pass,
+    * still map-only at scan parallelism. The list is BOUND once per
+    * row through a 1-element `transform` lambda variable: an inlined
+    * `stopwordsFor(pageLang(html))` inside the per-token filter would
+    * re-run the whole-page strip + langid PER TOKEN (measured: ~6x on
+    * the extraction-heavy queries before the binding).
     */
   def blockFeatures(html: Column): Column =
+    element_at(
+      transform(array(stopwordsFor(pageLang(html))),
+        sw => blockFeaturesWith(html, sw)),
+      1)
+
+  /** [[blockFeatures]] under an explicit stopword-list column (the
+    * language-keyed form's core; also the hook for caller-supplied
+    * lists).
+    */
+  def blockFeaturesWith(html: Column, stopwords: Column): Column =
     transform(
       split(regexp_replace(stripNoise(html), BlockClose, "\n"), "\n"),
       b => {
@@ -113,7 +151,7 @@ object Extract {
         val toks = filter(split(lower(txt), "[^a-z0-9]+"), x => x =!= lit(""))
         struct(txt.as("txt"), size(toks).as("n_tok"),
           size(filter(toks, t =>
-            t.isin(TextStats.englishStopwords: _*))).as("n_stop"),
+            array_contains(stopwords, t))).as("n_stop"),
           linkLen.as("link_len"))
       })
 
@@ -170,6 +208,13 @@ object Extract {
         "four five six seven</a> ok</p></div>"))
       .when(docId % 11 === 3, lit("<div><p>second body paragraph " +
         "with seven plain words here</p></div>"))
+      .otherwise(lit("")),
+    // r17: a short German prose block in the rescue band (4 tokens,
+    // 3 of them German function words) — kept ONLY when the page-level
+    // langid keys the rescue list to 'de', so the multilingual seam is
+    // hash-visible wherever the page language is German (the x121
+    // carves) and visibly dropped elsewhere
+    when(docId % 13 === 6, lit("<div><p>und das ist gut</p></div>"))
       .otherwise(lit("")),
     lit("<!-- build "), docId.cast("string"),
     lit(" --><footer>Copyright 2026 <a href=\"/t\">Terms</a> " +

@@ -487,6 +487,45 @@ object Refresh {
       .unionByName(freshExtracted)
   }
 
+  /** The crawl twin's step 0 (r17): maintain the EXTRACTED keeper
+    * corpus incrementally when a crawl-v2 CONTAINER drop arrives,
+    * keyed by the URL index instead of a markup diff. Where
+    * [[webExtractRefresh]] must read all of v2's markup to find the
+    * delta, the URL-index fold ([[Urls.urlDedupRefresh]]) already
+    * knows it: a canonical URL's extracted text can change ONLY when
+    * its keeper id changed (extraction is a pure function of the
+    * keeper's page), so the delta = {new canonical URLs} ∪ {URLs whose
+    * keeper moved} — an INDEX-sized computation, with extraction paid
+    * only for the new keepers' bodies and every other row carried
+    * forward.
+    *
+    * Column contract: `extractedV1(doc_id, text)` keyed by v1 keeper
+    * fetch ids; `idx1`/`idx2` are [[Urls.urlDedup]]-shaped standing
+    * indexes (v1, and v1 folded with v2); `pages2(fetch_id, body,
+    * ...)` the parsed v2 container pages.
+    */
+  def crawlExtractRefresh(extractedV1: DataFrame, idx1: DataFrame,
+                          idx2: DataFrame, pages2: DataFrame): DataFrame = {
+    val d = idx2.select(col("canonical_url"), col("keeper_id"))
+      .join(idx1.select(col("canonical_url"),
+        col("keeper_id").as("_old_keeper")), Seq("canonical_url"), "left")
+      .filter(col("_old_keeper").isNull ||
+        col("keeper_id") =!= col("_old_keeper"))
+      .localCheckpoint(true) // index-delta-sized; read by both legs
+    val touched = d.filter(col("_old_keeper").isNotNull)
+      .select(col("_old_keeper").as("doc_id"))
+    val fresh = d.select(col("keeper_id").as("fetch_id"))
+    val freshExtracted = pages2
+      .join(Hints.hintIfSlim(fresh.localCheckpoint(true)),
+        Seq("fetch_id"), "left_semi")
+      .select(col("fetch_id").as("doc_id"),
+        Extract.htmlToText(col("body")).as("text"))
+    extractedV1
+      .join(Hints.hintIfSlim(touched.localCheckpoint(true)),
+        Seq("doc_id"), "left_anti")
+      .unionByName(freshExtracted)
+  }
+
   /** The frozen per-language tail thresholds of a baseline scored
     * frame (round-4dp lower tertile — [[TextStats.perplexityTiers]]'
     * thr_lo), collected at language-count size.

@@ -56,11 +56,68 @@ object TextStats {
     round(lenScore + stopScore + lit(0.2d) - punctPenalty, 6)
   }
 
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  private[graft] val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour", "dans"),
     "es" -> Seq("el", "la", "los", "que", "es", "para", "con", "una"))
+
+  /** Per-language stopword lists (r17 — the multilingual extraction
+    * seam: CCNet is multilingual, so the jusText-style stopword-density
+    * rescue leg must key its list by the page language, not assume
+    * English). ASCII-only by construction: the engine's token view is
+    * `[a-z0-9]+`, so accented function words (für, où, más) never
+    * survive tokenization and would be dead weight in the lists.
+    * Languages without a shipped list (zh — stopword density over
+    * a-z0-9 tokens is meaningless there — and 'und') fall back to the
+    * English list, which preserves the pre-r17 behavior exactly.
+    */
+  val stopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> englishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "oder", "zu", "in", "ist",
+      "es", "dass", "auf", "mit", "als", "bei", "von", "nicht", "ein",
+      "eine", "aus"),
+    "fr" -> Seq("le", "la", "les", "et", "ou", "de", "a", "en", "est",
+      "il", "que", "pour", "sur", "avec", "par", "ce", "dans", "ne",
+      "pas"),
+    "es" -> Seq("el", "la", "los", "las", "y", "o", "de", "a", "en",
+      "es", "que", "para", "con", "por", "un", "una", "no", "se", "al"))
+
+  /** [[langId]] as oracle SQL over a token-list expression `toks` and
+    * the raw-text expression `txt` (the CJK probe) — GENERATED from
+    * [[langMarkers]] so Scala and SQL can never desync (the keepSql
+    * discipline). Tie semantics mirror `greatest(struct(score, lang))`:
+    * ties break toward the lexicographically greatest language, which
+    * the CASE encodes by testing languages in descending name order
+    * with >= against every later one.
+    */
+  def langIdSql(toks: String, txt: String): String = {
+    val langs = langMarkers.keys.toSeq.sorted.reverse
+    val score = langs.map(l => l ->
+      (s"len(list_filter($toks, x -> list_contains(" +
+        langMarkers(l).mkString("['", "','", "']") + ", x)))")).toMap
+    val whens = langs.zipWithIndex.map { case (l, i) =>
+      val geLater = langs.drop(i + 1)
+        .map(m => s"AND ${score(l)} >= ${score(m)} ").mkString
+      s"WHEN ${score(l)} > 0 $geLater THEN '$l'"
+    }
+    s"CASE WHEN regexp_matches($txt, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' " +
+      whens.mkString(" ") + " ELSE 'und' END"
+  }
+
+  /** The language-keyed stopword list as oracle SQL over a language
+    * expression `lang` — generated from [[stopwordLists]] (missing
+    * language → the English list, matching the Scala fallback).
+    */
+  def stopwordListSql(lang: String): String = {
+    val whens = stopwordLists.toSeq.sortBy(_._1)
+      .filter(_._1 != "en")
+      .map { case (l, ws) =>
+        s"WHEN $lang = '$l' THEN ${ws.mkString("['", "','", "']")}"
+      }
+    s"CASE ${whens.mkString(" ")} ELSE " +
+      s"${englishStopwords.mkString("['", "','", "']")} END"
+  }
 
   /** Heuristic language ID: CJK codepoint presence, else the language
     * whose stopword marker set scores highest on the token list
@@ -716,9 +773,17 @@ object TextStats {
   /** X5f-e byte edition (r16 — the WordPiece twin of [[bpeVocabBytes]]
     * and [[unigramTableBytes]]): ids 0..255 are the 256 base symbols in
     * BYTE order as word-initial pieces, 256..511 their `##` continuation
-    * forms, then the merge outputs in step order (first-occurrence
-    * dedup — a merge output has ≥ 2 content chars, so it can never
-    * collide with a base form). With BOTH forms of every base byte in
+    * forms, then the merge outputs in step order, first-occurrence
+    * dedup. On '#'-free corpora a merge output (≥ 2 content chars)
+    * can never collide with a base form; over '#'-bearing byte corpora
+    * a merge chain CAN emit a "##"+basechar string (e.g. l="#",
+    * r="###c" → "##c") or even a bare "##" — those dedup to the
+    * earlier base-form id (ids stay consistent), and the pos-0
+    * position-type rule in [[graft.functions.WordPieceSegment.greedy]]
+    * keeps the encoder and the oracle agreeing on which entries are
+    * admissible where (a bare "##" entry is dead on both sides: pos 0
+    * rejects the `##` shape, pos > 0 requires non-empty content).
+    * With BOTH forms of every base byte in
     * the vocabulary, greedy maximal munch can always take a single-byte
     * piece at any position — encoding is TOTAL, the whole-word [UNK]
     * branch (and its reserved id `vocab.length`) is provably dead, and
@@ -1340,8 +1405,14 @@ object TextStats {
             .as("_ppl_sum"),
           bit_xor(conv(substring(md5(col("_id").cast("string")), 1, 15),
             16, 10).cast("long")).as("doc_xor"))
-        .withColumn("avg_ppl", round(
-          (col("_ppl_sum").cast("double") / 10000.0) / col("n_docs"), 4))
+        // the 4dp round of S/(10^4·n) is EXACTLY round(S/n)/10^4, so
+        // compute the half-up integer round in exact long arithmetic —
+        // a double round() here lands on a true ….5 boundary whenever
+        // 2n | S·2, and engines then disagree on the inexact double's
+        // last digit (found at r17 when the de-corpus average hit one)
+        .withColumn("avg_ppl",
+          expr("(2 * _ppl_sum + n_docs) div (2 * n_docs)")
+            .cast("double") / 10000.0)
         .select(col("lang"), col("tier"), col("thr_lo").cast("double"),
           col("thr_hi").cast("double"), col("n_docs"), col("n_bigrams"),
           col("avg_ppl"), col("doc_xor"))

@@ -122,26 +122,279 @@ object Declared {
     "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
   private val HttpHeadChars = HttpHead.length
 
+  /** The x120/x132 fixture record frame (one `response` record per
+    * document — headers are pure doc_id arithmetic, payload = HTTP 200
+    * block around the x113 page), shared by the plain-container and
+    * per-record-gzip stores so the two readers are pinned against
+    * byte-identical record content.
+    */
+  private def warcFixtureRecords(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+    val page = graft.ext.Extract.htmlWrap(col("doc_id"), col("text"))
+    val http = concat(lit(HttpHead), page)
+    val url = concat(lit("https://fixture.graft/doc/"),
+      col("doc_id").cast("string"))
+    val date = concat(lit("2026-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:"), lpad((col("doc_id") % 60).cast("string"), 2, "0"),
+      lit("Z"))
+    docs.select(graft.sources.FileSources.warcRecord(
+      lit("response"), url, date,
+      lit("application/http; msgtype=response"), http).as("value"))
+      .repartition(4)
+  }
+
   private def warcStoreArtifact(s: SparkSession, dir: String): String =
     artifact(s, "warc_store_v1", dir) {
-      val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
-      val page = graft.ext.Extract.htmlWrap(col("doc_id"), col("text"))
-      val http = concat(lit(HttpHead), page)
-      val url = concat(lit("https://fixture.graft/doc/"),
-        col("doc_id").cast("string"))
-      val date = concat(lit("2026-01-"),
-        lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
-        lit("T00:00:"), lpad((col("doc_id") % 60).cast("string"), 2, "0"),
-        lit("Z"))
       val p = java.nio.file.Files.createTempDirectory("graft-warc-fix").toString
+      graft.sources.FileSources.writeWarc(warcFixtureRecords(s, dir), p)
+      p
+    }
+
+  /** The same records as PER-RECORD-GZIP members (x132): written
+    * through the distributed recompression sink, read back through the
+    * member-aware split reader.
+    */
+  private def warcGzStoreArtifact(s: SparkSession, dir: String): String =
+    artifact(s, "warc_gz_store_v1", dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft-warcgz-fix").toString
+      graft.sources.FileSources.writeWarcGz(warcFixtureRecords(s, dir), p)
+      p
+    }
+
+  /** The x130/x131 crawl-container URL: three consecutive fetch ids
+    * form one PAGE (the canonical URL collapses their variants —
+    * scheme case, www, default :443, trailing slash, utm params,
+    * fragment — onto `https://crawl.graft/p/<3k>`), so URL-level dedup
+    * inside the composition is real at every SF. Pure id arithmetic,
+    * replayed verbatim by [[crawlUrlSql]].
+    */
+  private[graft] def crawlUrl(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    when(d % 3 === 1, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+    when(d % 3 === 2, lit("www.Crawl.graft")).otherwise(lit("crawl.graft")),
+    when(d % 3 === 2, lit(":443")).otherwise(lit("")),
+    lit("/p/"), (d - d % 3).cast("string"),
+    when(d % 3 === 1, lit("/")).otherwise(lit("")),
+    when(d % 3 === 2, lit("?utm_source=crawl")).otherwise(lit("")),
+    when(d % 3 === 0, lit("#top")).otherwise(lit("")))
+
+  private def crawlUrlSql(d: String): String =
+    s"""(CASE WHEN $d % 3 = 1 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+      |      (CASE WHEN $d % 3 = 2 THEN 'www.Crawl.graft' ELSE 'crawl.graft' END) ||
+      |      (CASE WHEN $d % 3 = 2 THEN ':443' ELSE '' END) ||
+      |      '/p/' || ($d - $d % 3)::varchar ||
+      |      (CASE WHEN $d % 3 = 1 THEN '/' ELSE '' END) ||
+      |      (CASE WHEN $d % 3 = 2 THEN '?utm_source=crawl' ELSE '' END) ||
+      |      (CASE WHEN $d % 3 = 0 THEN '#top' ELSE '' END)""".stripMargin
+
+  /** One crawl-container record per document row of `docs`: fetch
+    * identity in `WARC-Record-ID` (`<urn:graft:<fetch id>>` — the ISO
+    * 28500 mandatory record id), the duplicate-group URL above, an
+    * HTTP 200 payload around the x113 page OF THE FETCH ID. `fetchId`
+    * lets the refresh twin offset crawl-v2 fetch ids past v1's.
+    */
+  private[graft] def crawlRecords(docs: DataFrame,
+                           fetchId: org.apache.spark.sql.Column,
+                           url: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val page = graft.ext.Extract.htmlWrap(fetchId, col("text"))
+    docs.select(graft.sources.FileSources.warcRecord(
+      lit("response"), url.getOrElse(crawlUrl(col("doc_id"))),
+      concat(lit("2026-02-"),
+        lpad(((col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+        lit("T00:00:00Z")),
+      lit("application/http; msgtype=response"),
+      concat(lit(HttpHead), page),
+      recordId = Some(concat(lit("<urn:graft:"), fetchId.cast("string"),
+        lit(">")))).as("value"))
+      .repartition(4)
+  }
+
+  private[graft] def crawlStoreArtifact(s: SparkSession, dir: String): String =
+    artifact(s, "crawl_store_v1", dir) {
+      val p = java.nio.file.Files.createTempDirectory("graft-crawl-fix").toString
       graft.sources.FileSources.writeWarc(
-        docs.select(graft.sources.FileSources.warcRecord(
-          lit("response"), url, date,
-          lit("application/http; msgtype=response"), http).as("value"))
-          .repartition(4),
+        crawlRecords(t(s, dir, "documents").filter(col("doc_id").isNotNull),
+          col("doc_id")),
         p)
       p
     }
+
+  /** x131's crawl-snapshot carves: v1 = the crawl minus a slice; v2 =
+    * re-crawls of the CHANGED pages (text delta on %13), re-crawls
+    * with UNCHANGED content (%11 — the keeper moves, the text does
+    * not), and NEW canonical URLs (%23, under the `/q/` path). v2
+    * fetch ids sit 1e8 past v1's (fetches are later — what makes
+    * latest-wins deterministic).
+    */
+  private[graft] val CrawlV2Offset = 100000000L
+  private[graft] def crawlV1Docs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull && col("doc_id") % 17 =!= 5)
+  private[graft] def crawlV2Docs(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull &&
+        (col("doc_id") % 13 === 4 || col("doc_id") % 11 === 9 ||
+          col("doc_id") % 23 === 3))
+      .withColumn("text", when(col("doc_id") % 13 === 4,
+        concat(coalesce(col("text"), lit("")), lit(" spark refresh delta")))
+        .otherwise(col("text")))
+  private[graft] def crawlV2Url: org.apache.spark.sql.Column =
+    when(col("doc_id") % 23 === 3,
+      concat(lit("https://crawl.graft/q/"), col("doc_id").cast("string")))
+      .otherwise(crawlUrl(col("doc_id")))
+
+  /** x131's standing v1 CRAWL state — container store paths for both
+    * snapshots, the persisted+RELOADED URL keeper index and extracted
+    * keeper corpus (the crawl pipeline's standing frames), and the
+    * frozen assembly machinery over the v1 merge (the x114 hand-off
+    * discipline: LM save→reload, every AsmState frame through the
+    * parquet index store).
+    */
+  private def crawlRefreshArtifact(s: SparkSession, dir: String)
+    : (String, String, DataFrame, DataFrame, graft.ext.Refresh.AsmState,
+       TextStats.RefLm, Map[String, Double]) =
+    artifact(s, "crawl_refresh_state_v1", dir) {
+      val docs = t(s, dir, "documents")
+      val v1Store = java.nio.file.Files
+        .createTempDirectory("graft-crawl-v1").toString
+      graft.sources.FileSources.writeWarc(
+        crawlRecords(crawlV1Docs(docs), col("doc_id")), v1Store)
+      val v2Store = java.nio.file.Files
+        .createTempDirectory("graft-crawl-v2").toString
+      graft.sources.FileSources.writeWarc(
+        crawlRecords(crawlV2Docs(docs), col("doc_id") + CrawlV2Offset,
+          Some(crawlV2Url)), v2Store)
+      val pages1 = crawlPages(graft.sources.FileSources.readWarc(s, v1Store))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-crawl-refresh").toString
+      graft.ext.Artifacts.saveIndex(
+        graft.ext.Urls.urlDedup(pages1.select(col("url"), col("fetch_id")),
+          "url", "fetch_id", latestWins = true),
+        s"$base/idx1")
+      val idx1 = graft.ext.Artifacts.loadIndex(s, s"$base/idx1")
+      graft.ext.Artifacts.saveIndex(
+        crawlKeeperCorpus(pages1,
+          idx1.select(col("keeper_id").as("fetch_id"))),
+        s"$base/ex1")
+      val ex1 = graft.ext.Artifacts.loadIndex(s, s"$base/ex1")
+      val merged1 = assemblyMerged(assemblyUnion(ex1)).localCheckpoint(true)
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val lm = viaStore(s, "reflm_crawlref_1024") {
+        TextStats.refLmTrain(ccnetCleanedOfMerged(merged1), "clean_text",
+          "lang_pred", col("src") === "curated" && col("doc_id").isNotNull,
+          numBuckets = 1024)
+      }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+        graft.ext.Artifacts.loadRefLm)
+      val thr = graft.ext.Refresh.ccnetTailThr(
+        graft.ext.Refresh.ccnetBuildState(merged1, tokenLines12, lm).scored)
+      val st = graft.ext.Refresh.asmBuildState(merged1, tokenLines12, lm,
+        thr, bench)
+      graft.ext.Artifacts.saveIndex(st.head.lf, s"$base/lf")
+      graft.ext.Artifacts.saveIndex(st.head.hist, s"$base/hist")
+      graft.ext.Artifacts.saveIndex(st.head.scored, s"$base/scored")
+      graft.ext.Artifacts.saveIndex(st.docMeta, s"$base/meta")
+      graft.ext.Artifacts.saveIndex(st.bandIdx, s"$base/band")
+      graft.ext.Artifacts.saveIndex(st.shingles, s"$base/shingles")
+      graft.ext.Artifacts.saveIndex(st.pairs, s"$base/pairs")
+      graft.ext.Artifacts.saveIndex(st.clusters, s"$base/clusters")
+      def ld(n: String) = graft.ext.Artifacts.loadIndex(s, s"$base/$n")
+      val reloaded = graft.ext.Refresh.AsmState(
+        graft.ext.Refresh.CcnetState(ld("lf"), ld("hist"), ld("scored")),
+        ld("meta"), ld("band"), ld("shingles"), ld("pairs"), ld("clusters"))
+      (v1Store, v2Store, idx1, ex1, reloaded, lm,
+        graft.ext.Refresh.ccnetTailThr(reloaded.head.scored))
+    }
+
+  /** Container pages → URL-deduped keeper corpus of extracted clean
+    * text (doc_id = keeper fetch id) — x130/x131's shared front door:
+    * record split → header parse → len_ok gate → HTTP strip → fetch id
+    * from WARC-Record-ID → canonical-URL dedup (keeper per page) →
+    * extraction of ONLY keeper bodies.
+    */
+  private[graft] def crawlKeeperCorpus(pages: DataFrame,
+                                keepers: DataFrame): DataFrame =
+    pages.join(keepers, Seq("fetch_id"), "left_semi")
+      .select(col("fetch_id").as("doc_id"),
+        graft.ext.Extract.htmlToText(col("body")).as("text"))
+
+  private[graft] def crawlPages(recs: DataFrame): DataFrame =
+    graft.sources.FileSources.warcDocs(recs)
+      .withColumn("fetch_id",
+        regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long"))
+
+  /** x120/x132's shared readout over a parsed container frame: doc id
+    * from the URL, the PARSED Content-Length header (the oracle
+    * recomputes it as page length + the HTTP head's char count, so the
+    * header regex, the len_ok gate and the payload offsets all feed
+    * the hash), body length, and the x113 extraction of the recovered
+    * markup.
+    */
+  private def warcIngestReport(s: SparkSession, recs: DataFrame): DataFrame = {
+    val docs = graft.sources.FileSources.warcDocs(recs)
+    spreadIfStarved(s, docs, docs)
+      .withColumn("doc_id",
+        regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+      .withColumn("_bf", graft.ext.Extract.blockFeatures(col("body")))
+      .select(col("doc_id"), col("url"), col("warc_date"),
+        col("content_length"),
+        length(col("body")).cast("long").as("body_len"),
+        graft.ext.Extract.keptCountOf(col("_bf")).cast("long").as("n_kept"),
+        graft.ext.Extract.textOf(col("_bf")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The x124 canonicalization replay parameterized by CTE prefix and
+    * the source relation `src(doc_id, url)` → `${p}canon(doc_id,
+    * canonical_url)` — ONE definition for the solo dedup oracle (x124)
+    * and the crawl-composition oracles (x130/x131), so a rule change
+    * reaches all of them or none (the keepSql discipline, at CTE
+    * granularity).
+    */
+  private def urlCanonCtes(p: String, src: String): String =
+    s"""${p}parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '${graft.ext.Urls.SchemeRe}', 1)) AS sch,
+      |    regexp_extract(url, '${graft.ext.Urls.AuthorityRe}', 1) AS auth,
+      |    regexp_extract(url, '${graft.ext.Urls.PathRe}', 1) AS pth,
+      |    regexp_extract(url, '${graft.ext.Urls.QueryRe}', 1) AS qry
+      |  FROM $src),
+      |${p}comp AS (
+      |  SELECT doc_id, sch,
+      |    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)), '^www\\.', '') AS hst,
+      |    regexp_extract(auth, ':([0-9]+)$$', 1) AS prt,
+      |    CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
+      |      ELSE regexp_replace(pth, '/+$$', '') END AS cpath,
+      |    list_filter(string_split(qry, '&'), p -> p <> ''
+      |      AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+      |      AND NOT list_contains(${graft.ext.Urls.TrackingParams.mkString("['", "','", "']")}, string_split(p, '=')[1])) AS qkeep
+      |  FROM ${p}parts),
+      |${p}canon AS (
+      |  SELECT doc_id,
+      |    sch || '://' || hst ||
+      |    (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+      |      OR (sch = 'https' AND prt = '443') THEN '' ELSE ':' || prt END) ||
+      |    cpath ||
+      |    (CASE WHEN len(qkeep) = 0 THEN '' ELSE '?' || array_to_string(qkeep, '&') END)
+      |      AS canonical_url
+      |  FROM ${p}comp)""".stripMargin
+
+  private def warcIngestOracle: String =
+    s"""WITH ${htmlExtractCtes("")},
+      |wmeta AS (
+      |  SELECT doc_id,
+      |    'https://fixture.graft/doc/' || doc_id::varchar AS url,
+      |    '2026-01-' || lpad(((doc_id % 28) + 1)::varchar, 2, '0') ||
+      |      'T00:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z' AS warc_date,
+      |    (length(html) + $HttpHeadChars)::bigint AS content_length,
+      |    length(html)::bigint AS body_len
+      |  FROM h),
+      |ext AS (
+      |  SELECT doc_id,
+      |    count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
+      |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+      |      chr(10) ORDER BY pos), '') AS clean_text
+      |  FROM tok GROUP BY doc_id)
+      |SELECT w.doc_id, url, warc_date, content_length, body_len, n_kept, clean_text
+      |FROM wmeta w JOIN ext USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** x129's WET container fixture: every document framed as a
     * `conversion` record whose payload IS the plain text — the WET
@@ -662,6 +915,8 @@ object Declared {
       |      WHEN doc_id % 11 = 3
       |      THEN '<div><p>second body paragraph with seven plain words here</p></div>'
       |      ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 6
+      |      THEN '<div><p>und das ist gut</p></div>' ELSE '' END ||
       |    '<!-- build ' || doc_id::varchar || ' -->' ||
       |    '<footer>Copyright 2026 <a href="/t">Terms</a> <a href="/p">Privacy</a></footer></body></html>' AS html
       |  FROM $rel WHERE doc_id IS NOT NULL),
@@ -671,6 +926,19 @@ object Declared {
       |    '(?is)<style.*?</style>', ' ', 'g'),
       |    '(?s)<!--.*?-->', ' ', 'g') AS x
       |  FROM ${p}h),
+      |${p}plang AS MATERIALIZED (
+      |  SELECT doc_id, ${TextStats.langIdSql(s"${p}ptoks", s"${p}ptxt")} AS plang
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_filter(string_split_regex(lower(${p}ptxt), '[^a-z0-9]+'), x -> x <> '') AS ${p}ptoks,
+      |      ${p}ptxt
+      |    FROM (
+      |      SELECT doc_id,
+      |        replace(replace(replace(replace(replace(replace(
+      |          regexp_replace(x, '<[^>]*>', ' ', 'g'),
+      |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |          '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS ${p}ptxt
+      |      FROM ${p}s))),
       |${p}bl AS (
       |  SELECT doc_id, string_split(regexp_replace(x,
       |    '${graft.ext.Extract.BlockCloseRe}', chr(10), 'g'), chr(10)) AS bs
@@ -692,11 +960,11 @@ object Declared {
       |  FROM ${p}bx),
       |${p}tok AS (
       |  SELECT doc_id, pos, txt, lnk, len(toks) AS n_tok,
-      |    len(list_filter(toks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x))) AS n_stop
+      |    len(list_filter(toks, x -> list_contains(${TextStats.stopwordListSql("plang")}, x))) AS n_stop
       |  FROM (
-      |    SELECT doc_id, pos, txt, lnk,
+      |    SELECT doc_id, pos, txt, lnk, plang,
       |      list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '') AS toks
-      |    FROM ${p}feat))""".stripMargin
+      |    FROM ${p}feat JOIN ${p}plang USING (doc_id)))""".stripMargin
 
   /** x110/x114's shared ASSEMBLY HEAD replay over relation `rel` with
     * CTE prefix `p`: three-source union + sha256 precedence merge
@@ -1665,8 +1933,8 @@ object Declared {
         |SELECT lang, tier, tier <> 'tail' AS kept,
         |  thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
         |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
-        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
-        |    / count(*), 4) AS avg_ppl,
+        |  ((2*sum(round(ppl * 10000)::bigint) + count(*)) // (2*count(*)))::double
+        |    / 10000.0 AS avg_ppl,
         |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
         |FROM gtiers GROUP BY 1, 2, 3, 4, 5
         |ORDER BY lang, tier""".stripMargin
@@ -6446,8 +6714,8 @@ object Declared {
         |  FROM sc s JOIN thr t USING (lang))
         |SELECT lang, tier, thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
         |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
-        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
-        |    / count(*), 4) AS avg_ppl,
+        |  ((2*sum(round(ppl * 10000)::bigint) + count(*)) // (2*count(*)))::double
+        |    / 10000.0 AS avg_ppl,
         |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
         |FROM tiers GROUP BY 1, 2, 3, 4
         |ORDER BY lang, tier""".stripMargin)),
@@ -6635,8 +6903,8 @@ object Declared {
         |SELECT lang, tier, tier <> 'tail' AS kept,
         |  thr_lo::double AS thr_lo, thr_hi::double AS thr_hi,
         |  count(*)::bigint AS n_docs, sum(n_bigrams)::bigint AS n_bigrams,
-        |  round((sum(round(ppl * 10000)::bigint)::double / 10000.0)
-        |    / count(*), 4) AS avg_ppl,
+        |  ((2*sum(round(ppl * 10000)::bigint) + count(*)) // (2*count(*)))::double
+        |    / 10000.0 AS avg_ppl,
         |  bit_xor(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint)::bigint AS doc_xor
         |FROM tiers GROUP BY 1, 2, 3, 4, 5
         |ORDER BY lang, tier""".stripMargin)),
@@ -6944,17 +7212,35 @@ object Declared {
     // :443 under https vs NON-default :443 under http, :8080 kept,
     // trailing slash, utm_*/fbclid params around a surviving id param,
     // fragments, a co.uk multi-part domain, and a non-URL leg proving
-    // the declared never-crash pass-through class. DuckDB replays the
-    // same component regexes (shared constants) + list ops
+    // the declared never-crash pass-through class. r17: the registered
+    // domain runs off the PSL-as-data table (persisted + reloaded
+    // through the vocab artifact store — the seam a full
+    // publicsuffix.org list ships through), and the fixture adds
+    // github.io / co.jp / s3.amazonaws.com hosts — the classes where
+    // the old last-2/3-labels heuristic gets the registrant WRONG
+    // (all of GitHub Pages is one "domain" under it). DuckDB replays
+    // the same component regexes (shared constants) + list ops + the
+    // SAME interpolated rule table (registeredDomainSql)
     // independently; collisions are real at every SF by construction
     // (the arithmetic's period is far below the corpus size).
     "x124_url_dedup" -> Q(
       (s, dir) => {
+        // the PSL rule table is DATA (r17): persist + reload the
+        // shipped core through the vocab artifact store — the
+        // deployment seam a full publicsuffix.org list ships through
+        val psl = artifact(s, "psl_core_v1", dir) {
+          viaStore(s, "psl_core")(graft.ext.Urls.PublicSuffixes.toArray)(
+            (ss, v, p) => graft.ext.Artifacts.saveVocab(ss, v.toSeq, p),
+            (ss, p) => graft.ext.Artifacts.loadVocab(ss, p))
+        }
         val d = col("doc_id")
         val url = when(d % 13 === 11, lit("not a url")).otherwise(concat(
           when(d % 2 === 0, lit("https")).otherwise(lit("Http")),
           lit("://"),
-          when(d % 5 === 0, lit("example.com"))
+          when(d % 11 === 4, lit("Pages.github.io"))
+            .when(d % 11 === 7, lit("media.shop.co.jp"))
+            .when(d % 11 === 9, lit("Assets.s3.amazonaws.com"))
+            .when(d % 5 === 0, lit("example.com"))
             .when(d % 5 === 1, lit("www.Example.com"))
             .when(d % 5 === 2, lit("news.example.co.uk"))
             .when(d % 5 === 3, lit("blog.sample.org"))
@@ -6974,15 +7260,18 @@ object Declared {
         graft.ext.Urls.urlDedup(
           t(s, dir, "documents").filter(d.isNotNull)
             .select(d.as("doc_id"), url.as("url")),
-          "url", "doc_id")
+          "url", "doc_id", psl = psl.toSeq)
           .orderBy("canonical_url")
       },
       Some(s"""WITH u AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 13 = 11 THEN 'not a url' ELSE
         |      (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'Http' END) || '://' ||
-        |      (CASE doc_id % 5 WHEN 0 THEN 'example.com' WHEN 1 THEN 'www.Example.com'
-        |        WHEN 2 THEN 'news.example.co.uk' WHEN 3 THEN 'blog.sample.org'
+        |      (CASE WHEN doc_id % 11 = 4 THEN 'Pages.github.io'
+        |        WHEN doc_id % 11 = 7 THEN 'media.shop.co.jp'
+        |        WHEN doc_id % 11 = 9 THEN 'Assets.s3.amazonaws.com'
+        |        WHEN doc_id % 5 = 0 THEN 'example.com' WHEN doc_id % 5 = 1 THEN 'www.Example.com'
+        |        WHEN doc_id % 5 = 2 THEN 'news.example.co.uk' WHEN doc_id % 5 = 3 THEN 'blog.sample.org'
         |        ELSE 'WWW.news.example.co.uk' END) ||
         |      (CASE WHEN doc_id % 7 = 1 THEN ':443' WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END) ||
         |      '/A/' || (doc_id % 20)::varchar ||
@@ -6993,32 +7282,7 @@ object Declared {
         |      (CASE WHEN doc_id % 6 = 5 THEN '#sec' || (doc_id % 3)::varchar ELSE '' END)
         |    END AS url
         |  FROM documents WHERE doc_id IS NOT NULL),
-        |uparts AS (
-        |  SELECT doc_id,
-        |    lower(regexp_extract(url, '${graft.ext.Urls.SchemeRe}', 1)) AS sch,
-        |    regexp_extract(url, '${graft.ext.Urls.AuthorityRe}', 1) AS auth,
-        |    regexp_extract(url, '${graft.ext.Urls.PathRe}', 1) AS pth,
-        |    regexp_extract(url, '${graft.ext.Urls.QueryRe}', 1) AS qry
-        |  FROM u),
-        |ucomp AS (
-        |  SELECT doc_id, sch,
-        |    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)), '^www\\.', '') AS hst,
-        |    regexp_extract(auth, ':([0-9]+)$$', 1) AS prt,
-        |    CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
-        |      ELSE regexp_replace(pth, '/+$$', '') END AS cpath,
-        |    list_filter(string_split(qry, '&'), p -> p <> ''
-        |      AND NOT starts_with(string_split(p, '=')[1], 'utm_')
-        |      AND NOT list_contains(${graft.ext.Urls.TrackingParams.mkString("['", "','", "']")}, string_split(p, '=')[1])) AS qkeep
-        |  FROM uparts),
-        |ucanon AS (
-        |  SELECT doc_id,
-        |    sch || '://' || hst ||
-        |    (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
-        |      OR (sch = 'https' AND prt = '443') THEN '' ELSE ':' || prt END) ||
-        |    cpath ||
-        |    (CASE WHEN len(qkeep) = 0 THEN '' ELSE '?' || array_to_string(qkeep, '&') END)
-        |      AS canonical_url
-        |  FROM ucomp),
+        |${urlCanonCtes("u", "u")},
         |uagg AS (
         |  SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS n_dups
         |  FROM ucanon GROUP BY 1),
@@ -7027,14 +7291,15 @@ object Declared {
         |    regexp_replace(lower(regexp_extract(
         |      regexp_extract(canonical_url, '${graft.ext.Urls.AuthorityRe}', 1),
         |      '^([^:]*)', 1)), '^www\\.', '') AS hst
-        |  FROM uagg)
+        |  FROM uagg),
+        |udoml AS (
+        |  SELECT canonical_url, keeper_id, n_dups, hst,
+        |    string_split(hst, '.') AS ls
+        |  FROM udom)
         |SELECT canonical_url,
-        |  CASE WHEN len(string_split(hst, '.')) <= 2 THEN hst
-        |    WHEN list_contains(${graft.ext.Urls.MultiPartTlds.mkString("['", "','", "']")}, string_split(hst, '.')[-2])
-        |      THEN array_to_string(string_split(hst, '.')[-3:], '.')
-        |    ELSE array_to_string(string_split(hst, '.')[-2:], '.') END AS reg_domain,
+        |  ${graft.ext.Urls.registeredDomainSql("ls", "hst")} AS reg_domain,
         |  keeper_id, n_dups
-        |FROM udom ORDER BY canonical_url""".stripMargin)),
+        |FROM udoml ORDER BY canonical_url""".stripMargin)),
 
     // X5f-e (r16): WORDPIECE tokenizer training — the third published
     // subword family next to BPE (x79) and unigram-LM (x117): Schuster
@@ -7176,6 +7441,197 @@ object Declared {
         webCcnetTiers(s, dir, web)
       },
       Some(webCcnetOracle)),
+
+    // X26b+X26c+X26+X22 (r17, the r16 verdict's #1): the CRAWL FRONT
+    // DOOR composed into the FULL eleven-stage assembly — the published
+    // front-to-back order (C4: URL dedup BEFORE any text pass;
+    // RefinedWeb: exact-URL dedup, then extraction, then the content
+    // pipeline): real on-disk WARC containers (three fetch ids per
+    // page, canonicalization-variant URLs, fetch identity in the
+    // mandatory WARC-Record-ID header) → record split → header parse →
+    // len_ok gate → HTTP strip → canonical-URL dedup (keeper =
+    // earliest fetch) → HTML extraction of ONLY keeper bodies → the
+    // x110 chain VERBATIM over the extracted crawl corpus (three-source
+    // union/precedence merge → line dedup → langid → curated-slice LM →
+    // perplexity gate → near-dup clusters/election → gates → decontam
+    // (benchmark = the frozen documents carve) → mixture → budget fill
+    // → epoch shuffle → manifest). Output identical in shape to x110.
+    // DuckDB replays EVERY stage independently: the URL arithmetic +
+    // canonicalization (urlCanonCtes — shared verbatim with x124), the
+    // keeper election, the extraction (htmlExtractCtes) and all eleven
+    // assembly stages (the shared x110 CTE blocks). The container
+    // framing itself is pinned by x120's own row (the x127 argument).
+    "x130_crawl_assembly_e2e" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pages = crawlPages(graft.sources.FileSources.readWarc(s,
+          crawlStoreArtifact(s, dir)))
+        val keepers = graft.ext.Urls.urlDedup(
+            pages.select(col("url"), col("fetch_id")), "url", "fetch_id")
+          .select(col("keeper_id").as("fetch_id"))
+        val crawl = crawlKeeperCorpus(spreadIfStarved(s, docs, pages), keepers)
+        val cleaned = ccnetAssemblyCleaned(crawl).localCheckpoint(true)
+        val lm = artifact(s, "reflm_crawl_asm_1024", dir) {
+          viaStore(s, "reflm_crawl_asm_1024") {
+            TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
+              col("src") === "curated" && col("doc_id").isNotNull,
+              numBuckets = 1024)
+          }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+            graft.ext.Artifacts.loadRefLm)
+        }
+        val kept = TextStats.perplexityKeep(
+          spreadIfStarved(s, docs, cleaned), "clean_text", "lang_pred",
+          "doc_id", lm)
+        val corpus = cleaned.join(kept.select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("clean_text").as("text"), col("src"))
+        val dropDups = artifact(s, "crawl_asm_drop_k3_t02", dir) {
+          viaStore(s, "crawl_asm_drop")(assemblyDropDups(corpus))(
+            (ss, d2, p) => graft.ext.Artifacts.saveIndex(d2, p),
+            graft.ext.Artifacts.loadIndex)
+        }
+        assemblyResult(assemblyMixed(docs, corpus, dropDups))
+      },
+      Some(s"""WITH RECURSIVE cwu AS (
+        |  SELECT doc_id,
+        |    ${crawlUrlSql("doc_id")}
+        |    AS url
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |${urlCanonCtes("cw", "cwu")},
+        |cwkeep AS MATERIALIZED (
+        |  SELECT min(doc_id) AS doc_id FROM cwcanon GROUP BY canonical_url),
+        |cwdocs AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text FROM documents d JOIN cwkeep USING (doc_id)),
+        |${htmlExtractCtes("cx", "cwdocs")},
+        |crawl AS MATERIALIZED (
+        |  SELECT c.doc_id, coalesce(a.text, '') AS text
+        |  FROM cwdocs c LEFT JOIN (
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos) AS text
+        |    FROM cxtok GROUP BY doc_id) a USING (doc_id)),
+        |${assemblyHeadCtes("crawl", "")},
+        |${assemblyLmCtes("")},
+        |${assemblyScoreCte("", "")},
+        |${assemblyThrCte("")},
+        |${assemblyKeptCorpusCte("", "", "")},
+        |${assemblyTailSql("")}""".stripMargin)),
+
+    // X26c+X23e (r17, the r16 verdict's #1 refresh twin + stretch #8):
+    // the crawl composition's DEPLOYMENT form — crawl v2 arrives as a
+    // CONTAINER DROP under the frozen-LM/threshold contract, and the
+    // whole chain refreshes delta-bound, keyed by the STANDING URL
+    // INDEX: urlDedupRefresh folds v2's slim (url, fetch) rows into
+    // the persisted keeper index (fold == rebuild by min/max/count
+    // associativity — UrlSpec pins it), the fold's keeper-moved set IS
+    // the extraction delta (crawlExtractRefresh: a canonical URL's
+    // text changes only when its keeper moved, so no markup diff is
+    // read at all — the sharpening over x121's corpus-sized diff), and
+    // the refreshed extracted corpus feeds x114's asmRefresh verbatim.
+    // v2 exercises all three crawl-delta classes: changed pages
+    // (re-crawl with new text), unchanged re-crawls (keeper moves,
+    // content does not — latest-wins still rewrites the id), and new
+    // canonical URLs. The declared claim is the x85/x112/x114 duality:
+    // BOTH paths run from the persisted+reloaded v1 state (incremental:
+    // index fold → extraction delta → asmRefresh; rebuild: cumulative
+    // v1 ∪ v2 container history → urlDedup → full extraction →
+    // asmBuildState), the readout is the rebuild's manifest with
+    // per-shard incr_match booleans, and DuckDB independently replays
+    // the REBUILD front to back (fetch carves → canonicalization →
+    // latest-wins keepers → extraction → frozen v1 LM + thresholds →
+    // the full eleven-stage tail).
+    "x131_crawl_assembly_refresh" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val (v1Store, v2Store, idx1, ex1, st1, lm, thr) =
+          crawlRefreshArtifact(s, dir)
+        val bench = docs.filter(col("doc_id") % 37 === 0)
+        val merged1 = assemblyMerged(assemblyUnion(ex1))
+        val pages2 = crawlPages(graft.sources.FileSources.readWarc(s, v2Store))
+          .localCheckpoint(true) // read by the fold, the delta extract, the rebuild
+        val idx2 = graft.ext.Urls.urlDedupRefresh(idx1,
+          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id")
+        val ex2 = graft.ext.Refresh.crawlExtractRefresh(ex1, idx1, idx2,
+          pages2)
+        val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
+        val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
+          tokenLines12, lm, thr, bench)
+        val inc = graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
+        val pagesAll = crawlPages(graft.sources.FileSources.readWarc(s, v1Store))
+          .unionByName(pages2)
+        val keepAll = graft.ext.Urls.urlDedup(
+            pagesAll.select(col("url"), col("fetch_id")), "url", "fetch_id",
+            latestWins = true)
+          .select(col("keeper_id").as("fetch_id"))
+        val mergedF = assemblyMerged(assemblyUnion(
+          crawlKeeperCorpus(pagesAll, keepAll))).localCheckpoint(true)
+        val fullSt = graft.ext.Refresh.asmBuildState(mergedF, tokenLines12,
+          lm, thr, bench)
+        val full = graft.ext.Refresh.asmManifestFrom(fullSt.docMeta,
+          fullSt.clusters)
+        full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
+          .select(col("shard"), col("f.n_docs").as("n_docs"),
+            col("f.token_mass").as("token_mass"),
+            col("f.id_xor").as("id_xor"),
+            col("f.lead_doc").as("lead_doc"),
+            (col("f.n_docs") <=> col("i.n_docs") &&
+              col("f.token_mass") <=> col("i.token_mass") &&
+              col("f.id_xor") <=> col("i.id_xor") &&
+              col("f.lead_doc") <=> col("i.lead_doc")).as("incr_match"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH RECURSIVE cf1 AS MATERIALIZED (
+        |  SELECT doc_id AS fid, doc_id AS sdoc, text
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 17 <> 5),
+        |cf2 AS MATERIALIZED (
+        |  SELECT doc_id + $CrawlV2Offset AS fid, doc_id AS sdoc,
+        |    CASE WHEN doc_id % 13 = 4 THEN coalesce(text, '') || ' spark refresh delta'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |    AND (doc_id % 13 = 4 OR doc_id % 11 = 9 OR doc_id % 23 = 3)),
+        |cu1 AS MATERIALIZED (
+        |  SELECT fid AS doc_id,
+        |    ${crawlUrlSql("sdoc")}
+        |    AS url, text
+        |  FROM cf1),
+        |cu2 AS MATERIALIZED (
+        |  SELECT fid AS doc_id,
+        |    CASE WHEN sdoc % 23 = 3 THEN 'https://crawl.graft/q/' || sdoc::varchar
+        |      ELSE ${crawlUrlSql("sdoc")}
+        |    END AS url, text
+        |  FROM cf2),
+        |${urlCanonCtes("ca", "cu1")},
+        |cakeep AS MATERIALIZED (
+        |  SELECT max(doc_id) AS doc_id FROM cacanon GROUP BY canonical_url),
+        |cadocs AS MATERIALIZED (
+        |  SELECT u2.doc_id, u2.text FROM cu1 u2 JOIN cakeep USING (doc_id)),
+        |${htmlExtractCtes("ce", "cadocs")},
+        |crawl1 AS MATERIALIZED (
+        |  SELECT c.doc_id, coalesce(a.text, '') AS text
+        |  FROM cadocs c LEFT JOIN (
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos) AS text
+        |    FROM cetok GROUP BY doc_id) a USING (doc_id)),
+        |cuall AS MATERIALIZED (
+        |  SELECT * FROM cu1 UNION ALL SELECT * FROM cu2),
+        |${urlCanonCtes("cb", "cuall")},
+        |cbkeep AS MATERIALIZED (
+        |  SELECT max(doc_id) AS doc_id FROM cbcanon GROUP BY canonical_url),
+        |cbdocs AS MATERIALIZED (
+        |  SELECT u2.doc_id, u2.text FROM cuall u2 JOIN cbkeep USING (doc_id)),
+        |${htmlExtractCtes("cg", "cbdocs")},
+        |crawl2 AS MATERIALIZED (
+        |  SELECT c.doc_id, coalesce(a.text, '') AS text
+        |  FROM cbdocs c LEFT JOIN (
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos) AS text
+        |    FROM cgtok GROUP BY doc_id) a USING (doc_id)),
+        |${assemblyHeadCtes("crawl1", "o")},
+        |${assemblyLmCtes("o")},
+        |${assemblyScoreCte("o", "o")},
+        |${assemblyThrCte("o")},
+        |${assemblyHeadCtes("crawl2", "n")},
+        |${assemblyScoreCte("n", "o")},
+        |${assemblyKeptCorpusCte("n", "o", "n")},
+        |${assemblyTailSql(", true AS incr_match")}""".stripMargin)),
 
     // X23d (r14): incremental CCNet-HEAD refresh under a frozen
     // reference LM — the deployment reality of the x108 chain (corpus
@@ -7771,6 +8227,14 @@ object Declared {
     // keep rule (>=6 tokens AND anchor share < 40%). Map-only built-in
     // expressions end to end — no UDF, no shuffle (the guarded fixture
     // spread aside); DuckDB replays every stage with the same regexes.
+    // r17: the stopword-density rescue leg keys its list by the
+    // page-level langid pre-pass (TextStats.stopwordLists, English
+    // fallback — CCNet is multilingual), the fixture page plants a
+    // 4-token German prose block that ONLY the 'de'-keyed list
+    // rescues, and the output carries `page_lang` so the pre-pass is
+    // hash-checked; the oracle replays langid + the keyed list through
+    // the generated langIdSql/stopwordListSql blocks (shared
+    // constants).
     "x113_html_extract" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
@@ -7781,6 +8245,7 @@ object Declared {
           // from it (HOF lambdas are not codegen'd — see Extract doc)
           .withColumn("_bf", graft.ext.Extract.blockFeatures(col("html")))
           .select(col("doc_id"),
+            graft.ext.Extract.pageLang(col("html")).as("page_lang"),
             graft.ext.Extract.blockCountOf(col("_bf")).cast("long")
               .as("n_blocks"),
             graft.ext.Extract.keptCountOf(col("_bf")).cast("long")
@@ -7789,12 +8254,13 @@ object Declared {
           .orderBy("doc_id")
       },
       Some(s"""WITH ${htmlExtractCtes("")}
-        |SELECT doc_id,
+        |SELECT doc_id, plang AS page_lang,
         |  count(CASE WHEN txt <> '' THEN 1 END)::bigint AS n_blocks,
         |  count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
         |  coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
         |    chr(10) ORDER BY pos), '') AS clean_text
-        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+        |FROM tok JOIN plang USING (doc_id)
+        |GROUP BY doc_id, plang ORDER BY doc_id""".stripMargin)),
 
     // WARC container ingest (r16, the r15 verdict's missing #1): the
     // published web pipelines START from WARC/WET files, not HTML
@@ -7811,41 +8277,27 @@ object Declared {
     // directly — so a round-trip corruption ANYWHERE (framing, split,
     // header regex, payload offsets) hash-mismatches the row.
     "x120_warc_ingest" -> Q(
-      (s, dir) => {
-        val recs = graft.sources.FileSources.readWarc(s, warcStoreArtifact(s, dir))
-        val docs = graft.sources.FileSources.warcDocs(recs)
-        spreadIfStarved(s, docs, docs)
-          .withColumn("doc_id",
-            regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
-          .withColumn("_bf", graft.ext.Extract.blockFeatures(col("body")))
-          .select(col("doc_id"), col("url"), col("warc_date"),
-            // the PARSED header value — the oracle recomputes it as
-            // page length + the HTTP head's char count, so the header
-            // regex, the len_ok gate and the payload offsets all feed
-            // the hash
-            col("content_length"),
-            length(col("body")).cast("long").as("body_len"),
-            graft.ext.Extract.keptCountOf(col("_bf")).cast("long").as("n_kept"),
-            graft.ext.Extract.textOf(col("_bf")).as("clean_text"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH ${htmlExtractCtes("")},
-        |wmeta AS (
-        |  SELECT doc_id,
-        |    'https://fixture.graft/doc/' || doc_id::varchar AS url,
-        |    '2026-01-' || lpad(((doc_id % 28) + 1)::varchar, 2, '0') ||
-        |      'T00:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z' AS warc_date,
-        |    (length(html) + $HttpHeadChars)::bigint AS content_length,
-        |    length(html)::bigint AS body_len
-        |  FROM h),
-        |ext AS (
-        |  SELECT doc_id,
-        |    count(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN 1 END)::bigint AS n_kept,
-        |    coalesce(string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
-        |      chr(10) ORDER BY pos), '') AS clean_text
-        |  FROM tok GROUP BY doc_id)
-        |SELECT w.doc_id, url, warc_date, content_length, body_len, n_kept, clean_text
-        |FROM wmeta w JOIN ext USING (doc_id) ORDER BY doc_id""".stripMargin)),
+      (s, dir) => warcIngestReport(s,
+        graft.sources.FileSources.readWarc(s, warcStoreArtifact(s, dir))),
+      Some(warcIngestOracle)),
+
+    // X26b-gz (r17, the r16 verdict's missing #2): the SAME ingest
+    // through the PER-RECORD-GZIP container path — Common Crawl's
+    // actual delivery format. The fixture recompresses x120's record
+    // frame into one-gzip-member-per-record shards (writeWarcGz, the
+    // distributed recompression sink); the query reads them back
+    // through the member-aware SPLIT reader (GzipMemberInputFormat:
+    // scan to member magic, validate by full decompress + RFC 1952
+    // trailer, read members independently — gz crawls fan out across
+    // tasks instead of one-task-per-file). Same records, same parse,
+    // same extraction, same oracle as x120 (the x127 shared-oracle
+    // discipline: x120's own row pins the uncompressed path, so x132
+    // drifts independently iff member framing, the split resync or
+    // decompression corrupts anything).
+    "x132_warcgz_ingest" -> Q(
+      (s, dir) => warcIngestReport(s,
+        graft.sources.FileSources.readWarcGz(s, warcGzStoreArtifact(s, dir))),
+      Some(warcIngestOracle)),
 
     // X26b WET leg (r16): the `conversion`-record class driver-visible
     // — x120's fixture is all `response` records (HTTP block to
@@ -7891,11 +8343,15 @@ object Declared {
         |wtok2 AS (
         |  SELECT doc_id, url, mime, content_length, txt, 0 AS lnk,
         |    len(toks) AS n_tok,
-        |    len(list_filter(toks, x -> list_contains(${TextStats.englishStopwords.mkString("['", "','", "']")}, x))) AS n_stop
+        |    len(list_filter(toks, x -> list_contains(${TextStats.stopwordListSql("plang")}, x))) AS n_stop
         |  FROM (
         |    SELECT doc_id, url, mime, content_length, txt,
-        |      list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '') AS toks
-        |    FROM wfeat))
+        |      ${TextStats.langIdSql("toks", "txt")} AS plang,
+        |      toks
+        |    FROM (
+        |      SELECT doc_id, url, mime, content_length, txt,
+        |        list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |      FROM wfeat)))
         |SELECT doc_id, url, mime, content_length,
         |  (CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN 1 ELSE 0 END)::bigint AS n_kept,
         |  CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt ELSE '' END AS clean_text

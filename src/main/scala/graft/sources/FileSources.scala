@@ -105,9 +105,11 @@ object FileSources {
     * `lineSep` — Hadoop's line reader handles arbitrary delimiters
     * ACROSS input-split boundaries, so a multi-GB WARC fans out to
     * normal splits instead of one task per file (what makes this a
-    * container READER, not a whole-file slurp; .gz crawls stay
-    * one-task-per-file — prefer uncompressed/recompressed shards at
-    * scale, per this module's header note). A payload that itself
+    * container READER, not a whole-file slurp; per-record-gzip
+    * `.warc.gz` crawls split too via [[readWarcGz]] — r17; only
+    * WHOLE-FILE-gzip legacy containers stay one-task-per-file, and
+    * [[writeWarcGz]] is the recompression step that fixes them). A
+    * payload that itself
     * contains the boundary sequence would false-split — the parser
     * DETECTS that instead of corrupting silently: the record's declared
     * Content-Length no longer matches its payload (`len_ok=false` →
@@ -159,6 +161,7 @@ object FileSources {
         col("_rec").substr(length(col("_hdr")) + lit(5), length(col("_rec"))))
       .withColumn("rec_type", hdr(col("_hdr"), "WARC-Type"))
       .withColumn("url", hdr(col("_hdr"), "WARC-Target-URI"))
+      .withColumn("record_id", hdr(col("_hdr"), "WARC-Record-ID"))
       .withColumn("warc_date", hdr(col("_hdr"), "WARC-Date"))
       .withColumn("mime", hdr(col("_hdr"), "Content-Type"))
       .withColumn("_cl_raw",
@@ -170,8 +173,79 @@ object FileSources {
       .withColumn("malformed",
         col("rec_type") === "" || col("content_length").isNull ||
           !coalesce(col("len_ok"), lit(false)))
-      .select("rec_type", "url", "warc_date", "mime", "content_length",
-        "len_ok", "malformed", "payload")
+      .select("rec_type", "url", "record_id", "warc_date", "mime",
+        "content_length", "len_ok", "malformed", "payload")
+  }
+
+  /** Per-record-gzip container ingest (r17 — the format Common Crawl
+    * actually ships: `.warc.gz`, one gzip MEMBER per record, members
+    * concatenated): [[GzipMemberInputFormat]] restores SPLIT
+    * parallelism to gzip crawls — any split scans to the next member
+    * magic, validates by full decompress + RFC 1952 trailer, and reads
+    * its members independently — so a multi-GB `.warc.gz` fans out
+    * across tasks instead of decompressing single-threaded (the
+    * one-task-per-file penalty this module's header note documents for
+    * plain gzip). Truncated members surface their partial plaintext
+    * and quarantine through the same `len_ok` gate as every other
+    * malformed record. The per-record parse is [[readWarc]]'s,
+    * verbatim — the two paths produce identical rows on identical
+    * content (SourcesSpec round-trips; the declared x132 row pins it
+    * against x120's oracle).
+    *
+    * `maxSplitBytes` bounds split size (the knob tests use to force
+    * many splits over one file; production leaves the 128 MB default).
+    */
+  def readWarcGz(spark: SparkSession, path: String,
+                 maxSplitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setLong(
+      org.apache.hadoop.mapreduce.lib.input.FileInputFormat.SPLIT_MAXSIZE,
+      maxSplitBytes)
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[GzipMemberInputFormat],
+        classOf[org.apache.hadoop.io.LongWritable],
+        classOf[org.apache.hadoop.io.Text], conf)
+      .map(_._2.toString) // materialize: Hadoop reuses the Text object
+    parseWarcRecords(rdd.toDF("value"))
+  }
+
+  /** The write side of [[readWarcGz]]: each record string becomes its
+    * own gzip member (record + the inter-record CRLF CRLF frame,
+    * compressed independently), members concatenated per task file —
+    * the Common Crawl delivery layout, and the recompression step that
+    * turns a legacy whole-file-gzip crawl into splittable shards. Runs
+    * distributed: one container file per partition, written through
+    * the Hadoop filesystem API.
+    */
+  def writeWarcGz(records: DataFrame, path: String): Unit = {
+    val sc = records.sparkSession.sparkContext
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.mkdirs(target)
+    val colName = records.columns.head
+    records.select(col(colName).cast("string")).rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val part = new org.apache.hadoop.fs.Path(
+          path, f"part-$i%05d.warc.gz")
+        val out = part.getFileSystem(conf).create(part, true)
+        var n = 0L
+        it.foreach { row =>
+          val bytes = (row.getString(0) + "\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(bytes)
+          gz.close()
+          out.write(bos.toByteArray)
+          n += 1
+        }
+        out.close()
+        Iterator(n)
+      }.count(): Unit
   }
 
   /** Well-formed document bodies from a [[readWarc]] frame: `response`
@@ -194,7 +268,8 @@ object FileSources {
             length(col("payload")))))
       .filter(col("rec_type") === "conversion" ||
         (col("rec_type") === "response" && col("http_status") === "200"))
-      .select("rec_type", "url", "warc_date", "mime", "content_length", "body")
+      .select("rec_type", "url", "record_id", "warc_date", "mime",
+        "content_length", "body")
 
   /** Frame one WARC record (version line, headers, blank line, payload)
     * as a single string column — the write side of [[readWarc]]'s
@@ -208,10 +283,17 @@ object FileSources {
                  url: org.apache.spark.sql.Column,
                  date: org.apache.spark.sql.Column,
                  mime: org.apache.spark.sql.Column,
-                 payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+                 payload: org.apache.spark.sql.Column,
+                 recordId: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.Column =
     concat(
       lit("WARC/1.0\r\nWARC-Type: "), recType,
       lit("\r\nWARC-Target-URI: "), url,
+      // WARC-Record-ID is MANDATORY per ISO 28500 §5.2; older fixture
+      // stores omit it (the parser nulls the column), new stores pass
+      // a `<urn:...>` id — the identity the crawl pipeline's URL-index
+      // stage keys fetches by
+      recordId.map(r => concat(lit("\r\nWARC-Record-ID: "), r))
+        .getOrElse(lit("")),
       lit("\r\nWARC-Date: "), date,
       lit("\r\nContent-Type: "), mime,
       lit("\r\nContent-Length: "), length(payload).cast("string"),

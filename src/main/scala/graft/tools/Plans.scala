@@ -41,7 +41,9 @@ object Plans {
     "x119_web_ccnet_e2e", "x120_warc_ingest", "x121_web_ccnet_refresh",
     "x122_unigram_byte_encode", "x123_unigram_pruned_train",
     "x124_url_dedup", "x125_wordpiece_train", "x126_wordpiece_encode",
-    "x127_warc_ccnet_e2e", "x128_wordpiece_byte_encode", "x129_wet_ingest")
+    "x127_warc_ccnet_e2e", "x128_wordpiece_byte_encode", "x129_wet_ingest",
+    "x130_crawl_assembly_e2e", "x131_crawl_assembly_refresh",
+    "x132_warcgz_ingest")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

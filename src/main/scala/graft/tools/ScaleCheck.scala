@@ -1657,6 +1657,156 @@ object ScaleCheck {
         timedW.map { case (_, a, b) => f"$a%.2f/$b%.2f" }.mkString(" "))
     }
 
+    // --- x131 crawl-assembly refresh at scale --------------------------
+    // The r17 composition's duality under the standing witness shape:
+    // token-permuted replicas (replica-local line structure), real
+    // on-disk WARC containers for both snapshots, the v2 delta (changed
+    // pages + new URLs) confined to replica 0, URL index + extracted
+    // corpus + full AsmState persisted untimed (the cross-job
+    // hand-off). Witnesses: (a) refresh manifest == rebuild manifest at
+    // EVERY scale; (b) with the delta constant, the index-fold refresh
+    // stays under the read-everything rebuild at 16x — the rebuild
+    // re-reads BOTH containers, re-dedups every URL, re-extracts every
+    // keeper and rebuilds the assembly state, while the refresh pays a
+    // v2-container read, an index-sized fold and delta-bound
+    // extraction/assembly work.
+    locally {
+      import graft.ext.{Refresh, TextStats, Urls}
+      import graft.queries.Declared
+      import graft.sources.FileSources
+      val R0 = 100000000L
+      val V2Off = 1000000000000L // past every replica's v1 fetch ids
+      val lines12: org.apache.spark.sql.Column = {
+        val toks = graft.ext.Dedup.tokens(coalesce(col("text"), lit("")))
+        when(size(toks) > 0,
+          transform(sequence(lit(0),
+            floor((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+            i => array_join(slice(toks, i * lit(12) + 1, lit(12)), " ")))
+          .otherwise(array().cast("array<string>"))
+      }
+      def permuted(n: Int): DataFrame =
+        (0 until n).map { i =>
+          val base = docs0.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * R0))
+          if (i == 0) base
+          else base.withColumn("text", concat_ws(" ",
+            transform(array_sort(transform(
+              filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""),
+              (tok, pos) => struct(
+                md5(concat(tok, lit(s"#c$i#"), pos.cast("string"))).as("k"),
+                tok.as("t")))),
+              s => s.getField("t"))))
+        }.reduce(_ union _)
+      def v1docs(n: Int): DataFrame = permuted(n)
+        .filter(!(col("doc_id") % 17 === 5 && col("doc_id") < R0))
+      def v2docs(): DataFrame = permuted(1)
+        .filter(col("doc_id") % 13 === 4 || col("doc_id") % 23 === 3)
+        .withColumn("text", when(col("doc_id") % 13 === 4,
+          concat(coalesce(col("text"), lit("")), lit(" crawl refresh delta")))
+          .otherwise(col("text")))
+      def runX(n: Int): (Int, Double, Double) = {
+        val base = java.nio.file.Files
+          .createTempDirectory(s"x131-scale-$n").toString
+        FileSources.writeWarc(
+          Declared.crawlRecords(v1docs(n), col("doc_id")), s"$base/v1")
+        FileSources.writeWarc(
+          Declared.crawlRecords(v2docs(), col("doc_id") + V2Off,
+            Some(Declared.crawlV2Url)), s"$base/v2")
+        val pages1 = Declared.crawlPages(
+          FileSources.readWarc(spark, s"$base/v1"))
+        graft.ext.Artifacts.saveIndex(
+          Urls.urlDedup(pages1.select(col("url"), col("fetch_id")),
+            "url", "fetch_id", latestWins = true), s"$base/idx1")
+        val idx1 = graft.ext.Artifacts.loadIndex(spark, s"$base/idx1")
+        graft.ext.Artifacts.saveIndex(
+          Declared.crawlKeeperCorpus(pages1,
+            idx1.select(col("keeper_id").as("fetch_id"))), s"$base/ex1")
+        val ex1 = graft.ext.Artifacts.loadIndex(spark, s"$base/ex1")
+        val merged1 = Declared.assemblyMerged(Declared.assemblyUnion(ex1))
+          .localCheckpoint(true)
+        val bench = docs0.filter(col("doc_id") % 37 === 0)
+        val lm = TextStats.refLmTrain(Declared.ccnetCleanedOfMerged(merged1),
+          "clean_text", "lang_pred",
+          col("src") === "curated" && col("doc_id").isNotNull,
+          numBuckets = 1024)
+        val thr = Refresh.ccnetTailThr(
+          Refresh.ccnetBuildState(merged1, lines12, lm).scored)
+        val st0 = Refresh.asmBuildState(merged1, lines12, lm, thr, bench)
+        graft.ext.Artifacts.saveIndex(st0.head.lf, s"$base/lf")
+        graft.ext.Artifacts.saveIndex(st0.head.hist, s"$base/hist")
+        graft.ext.Artifacts.saveIndex(st0.head.scored, s"$base/scored")
+        graft.ext.Artifacts.saveIndex(st0.docMeta, s"$base/meta")
+        graft.ext.Artifacts.saveIndex(st0.bandIdx, s"$base/band")
+        graft.ext.Artifacts.saveIndex(st0.shingles, s"$base/shingles")
+        graft.ext.Artifacts.saveIndex(st0.pairs, s"$base/pairs")
+        graft.ext.Artifacts.saveIndex(st0.clusters, s"$base/clusters")
+        def ld(nm: String) = graft.ext.Artifacts.loadIndex(spark, s"$base/$nm")
+        val st = Refresh.AsmState(
+          Refresh.CcnetState(ld("lf"), ld("hist"), ld("scored")),
+          ld("meta"), ld("band"), ld("shingles"), ld("pairs"), ld("clusters"))
+        val t0 = System.nanoTime()
+        val pages2 = Declared.crawlPages(
+            FileSources.readWarc(spark, s"$base/v2"))
+          .localCheckpoint(true)
+        val idx2 = Urls.urlDedupRefresh(idx1,
+          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id")
+        val ex2 = Refresh.crawlExtractRefresh(ex1, idx1, idx2, pages2)
+        val merged2 = Declared.assemblyMerged(Declared.assemblyUnion(ex2))
+          .localCheckpoint(true)
+        val st2 = Refresh.asmRefresh(st, merged1, merged2, lines12, lm,
+          thr, bench)
+        val inc = Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
+          .collect().map(_.toSeq).toSet
+        val tRef = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pagesAll = Declared.crawlPages(
+            FileSources.readWarc(spark, s"$base/v1"))
+          .unionByName(pages2)
+        val keepAll = Urls.urlDedup(
+            pagesAll.select(col("url"), col("fetch_id")), "url", "fetch_id",
+            latestWins = true)
+          .select(col("keeper_id").as("fetch_id"))
+        val mergedF = Declared.assemblyMerged(Declared.assemblyUnion(
+            Declared.crawlKeeperCorpus(pagesAll, keepAll)))
+          .localCheckpoint(true)
+        val fullSt = Refresh.asmBuildState(mergedF, lines12, lm, thr, bench)
+        val full = Refresh.asmManifestFrom(fullSt.docMeta, fullSt.clusters)
+          .collect().map(_.toSeq).toSet
+        val tReb = (System.nanoTime() - t1) / 1e9
+        assert(inc == full,
+          s"x131 scale: crawl refresh != rebuild at ${n}x\n inc: $inc\n reb: $full")
+        rmTree(base)
+        (n, tRef, tReb)
+      }
+      val timedX = scales.map(runX)
+      val (_, ref16xa, reb16xa) = timedX(2)
+      // the x112/x121 retry discipline: a single-sample ordering
+      // violation re-times the 16x pair once, assert + print per-path
+      // minima (the refresh == rebuild hard gate is unconditional)
+      val (ref16x, reb16x) =
+        if (ref16xa < reb16xa) (ref16xa, reb16xa)
+        else {
+          val (_, r2, b2) = runX(16)
+          (math.min(ref16xa, r2), math.min(reb16xa, b2))
+        }
+      assert(ref16x < reb16x,
+        f"x131 scale: constant-delta crawl refresh ($ref16x%.2f s) not cheaper " +
+          f"than cumulative-history rebuild ($reb16x%.2f s) at 16x")
+      sb.append("\n## Crawl-assembly refresh at scale (x131, constant delta)\n\n")
+      sb.append("The x114 witness with the crawl front door composed in: WARC\n")
+      sb.append("containers for both snapshots, the v2 delta in replica 0. Refresh\n")
+      sb.append("(URL-index fold -> delta-only extraction -> asmRefresh) manifest\n")
+      sb.append("asserted == cumulative-history rebuild at every scale;\n")
+      sb.append("constant-delta refresh asserted cheaper than the rebuild at 16x.\n\n")
+      sb.append("| case | 1x (s) | 4x (s) | 16x (s) |\n|---|---|---|---|\n")
+      sb.append(f"| x131 crawl refresh (delta fixed) | ${timedX(0)._2}%.2f | " +
+        f"${timedX(1)._2}%.2f | $ref16x%.2f |\n")
+      sb.append(f"| x131 cumulative rebuild | ${timedX(0)._3}%.2f | " +
+        f"${timedX(1)._3}%.2f | $reb16x%.2f |\n")
+      println(f"SCALE x131 crawl refresh " +
+        timedX.map { case (_, a, b) => f"$a%.2f/$b%.2f" }.mkString(" "))
+    }
+
     // --- x79 BPE training at scale ------------------------------------
     // Plain replication (same texts, shifted ids) multiplies every word
     // frequency by n, so every pair count scales by exactly n and the

@@ -157,4 +157,28 @@ class ExtractSpec extends SparkSuite {
     val (_, k3, _) = extract("<p>of the</p>")
     assert(k3 == 0L, "sub-floor block kept")
   }
+
+  test("rescue list keys by page language: German prose the English list would mis-drop") {
+    // 4 tokens, 3 German function words: the page langid pre-pass
+    // reads 'de', the de-keyed list rescues — under the retired
+    // English-only rule (n_stop would be 0) this prose was dropped
+    val (_, k1, t1) = extract("<p>und das ist gut</p>")
+    assert(k1 == 1L, s"German short prose mis-dropped: $t1")
+    assert(t1 == "und das ist gut")
+    // French twin through the same seam
+    val (_, k2, _) = extract("<p>le chat est dans</p>")
+    assert(k2 == 1L, "French short prose mis-dropped")
+    // the SAME German block inside an English-dominated page keys the
+    // list to 'en' and drops — the list is per page, not per block
+    val (_, k3, t3) = extract(
+      "<div><p>the quick brown fox jumps over the lazy dog for fun " +
+        "with the others and the rest of that crowd</p></div>" +
+        "<div><p>und das ist gut</p></div>")
+    assert(k3 == 1L, s"en-page German block not dropped: $t3")
+    assert(!t3.contains("und das ist gut"))
+    // page language itself is exposed for the pre-pass contract
+    val lang = Seq("<p>und das ist gut</p>").toDF("html")
+      .select(Extract.pageLang(col("html"))).head().getString(0)
+    assert(lang == "de")
+  }
 }

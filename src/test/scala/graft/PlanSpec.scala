@@ -120,7 +120,13 @@ class PlanSpec extends SparkSuite {
     // r15: the x110 refresh twin runs BOTH paths eagerly (artifact
     // state + budget fills); its stage plans are the x110 composed
     // prefix + the Refresh machinery gated via ExtSpec/ScaleCheck
-    "x114_assembly_ccnet_refresh")
+    "x114_assembly_ccnet_refresh",
+    // r17: the crawl-entered assembly + its refresh twin run the x110
+    // machinery eagerly; their container/URL front door is gated
+    // componentwise (the x120 no-join scan gate, the x124 slim-agg
+    // gate — the keeper semi-join is a plain equi-join on fetch_id)
+    // and the assembly stages through the x110 composed prefix
+    "x130_crawl_assembly_e2e", "x131_crawl_assembly_refresh")
 
   // built once: the lazy twins of every eagerly-materializing operator
   // (training the small plan-shape models runs a few fixture jobs)
@@ -1099,7 +1105,9 @@ class PlanSpec extends SparkSuite {
   // partition. A hash exchange here would mean record parsing stopped
   // running at scan parallelism.
   test("warc ingest plans no join; only spread + presentation-sort exchanges") {
-    for (q <- Seq("x120_warc_ingest", "x129_wet_ingest")) {
+    // x132 rides the same gate: the member-aware gz reader surfaces as
+    // an ExistingRDD scan and the parse/extraction stay expression-only
+    for (q <- Seq("x120_warc_ingest", "x129_wet_ingest", "x132_warcgz_ingest")) {
       val p = planOf(q)
       assert(!p.contains("Join"), s"$q: join in the container ingest plan:\n$p")
       assert(!p.contains("Window"), s"$q: window in the container ingest plan:\n$p")

@@ -343,4 +343,84 @@ class SourcesSpec extends SparkSuite {
         col("body").as("text"))
     assert(sig(back) == sig(docs), "container round-trip lost content")
   }
+
+  // --- per-record-gzip containers (r17) ---
+
+  private def gzFixture(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"body text number $i with some words"))
+      .toDF("doc_id", "text")
+  }
+
+  private def gzRecs(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(FileSources.warcRecord(
+      lit("conversion"),
+      concat(lit("https://fixture.graft/doc/"), col("doc_id")),
+      lit("2026-01-01T00:00:00Z"), lit("text/plain"), col("text"),
+      recordId = Some(concat(lit("<urn:graft:"), col("doc_id"), lit(">")))
+    ).as("value"))
+
+  test("WARC-gz: member round-trip matches the uncompressed reader row for row") {
+    val docs = gzFixture(60)
+    val recs = gzRecs(docs).repartition(3)
+    val gzPath = tmp("warcgz-rt")
+    val plainPath = tmp("warc-plain-rt")
+    FileSources.writeWarcGz(recs, gzPath)
+    FileSources.writeWarc(recs, plainPath)
+    val cols = Seq("rec_type", "url", "record_id", "warc_date", "mime",
+      "content_length", "len_ok", "malformed", "payload")
+    val gz = FileSources.readWarcGz(spark, gzPath)
+      .select(cols.map(col): _*)
+    val plain = FileSources.readWarc(spark, plainPath)
+      .select(cols.map(col): _*)
+    assert(sig(gz) == sig(plain), "gz and plain container parses differ")
+    assert(gz.filter(col("malformed")).count() == 0)
+    assert(gz.count() == 60)
+  }
+
+  test("WARC-gz: a forced multi-split read resyncs on member boundaries") {
+    val docs = gzFixture(200)
+    val gzPath = tmp("warcgz-split")
+    FileSources.writeWarcGz(gzRecs(docs).coalesce(1), gzPath)
+    val whole = FileSources.readWarcGz(spark, gzPath)
+    // ~40 KB of members forced into ~1 KB splits: many tasks, same rows
+    val split = FileSources.readWarcGz(spark, gzPath, maxSplitBytes = 1024)
+    assert(split.rdd.getNumPartitions > 4,
+      s"split knob did not fan out (got ${split.rdd.getNumPartitions} partitions)")
+    assert(sig(split.select("url", "payload")) == sig(whole.select("url", "payload")),
+      "member-boundary resync lost or duplicated records across splits")
+    assert(split.count() == 200)
+  }
+
+  test("WARC-gz: a truncated final member quarantines via len_ok, never crashes") {
+    val docs = gzFixture(10)
+    val gzPath = tmp("warcgz-trunc")
+    FileSources.writeWarcGz(gzRecs(docs).coalesce(1), gzPath)
+    // chop the tail off the single part file: the last member loses
+    // its trailer (and likely part of its deflate stream)
+    val dir = new java.io.File(gzPath)
+    val part = dir.listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    java.nio.file.Files.write(part.toPath,
+      java.util.Arrays.copyOf(bytes, bytes.length - 12))
+    // the truncation happened behind Hadoop's back: drop the local
+    // checksum sidecar so the read exercises OUR quarantine path, not
+    // the local filesystem's
+    new java.io.File(dir, "." + part.getName + ".crc").delete()
+    val all = FileSources.readWarcGz(spark, gzPath)
+    assert(all.count() == 10, "truncation must not drop whole-file reads")
+    val bad = all.filter(col("malformed"))
+    assert(bad.count() == 1, "the cut member must surface quarantined")
+    assert(FileSources.warcDocs(all).count() == 9)
+  }
+
+  test("WARC record ids parse and flow through warcDocs") {
+    val docs = gzFixture(5)
+    val path = tmp("warc-recid")
+    FileSources.writeWarc(gzRecs(docs), path)
+    val got = FileSources.warcDocs(FileSources.readWarc(spark, path))
+      .select("record_id", "url").collect()
+    assert(got.forall(r => r.getString(0) ==
+      "<urn:graft:" + r.getString(1).split("/").last + ">"))
+  }
 }

@@ -73,6 +73,64 @@ class UrlSpec extends SparkSuite {
     assert(regDom("localhost") === "localhost")
   }
 
+  test("registered domain: PSL-as-data — platform suffixes group per registrant") {
+    // the r17 ask: github.io/co.jp-class hosts. Under the retired
+    // last-2/3-labels heuristic ALL of GitHub Pages collapsed into
+    // "github.io"; under the PSL table each subdomain is its own
+    // registrant (github.io is a PRIVATE-section public suffix)
+    assert(regDom("alice.github.io") === "alice.github.io")
+    assert(regDom("www2.alice.github.io") === "alice.github.io")
+    assert(regDom("bob.github.io") === "bob.github.io")
+    // a host that IS a public suffix passes through whole
+    assert(regDom("github.io") === "github.io")
+    // 3-label rule: s3.amazonaws.com buckets are per-registrant
+    assert(regDom("mybucket.s3.amazonaws.com") === "mybucket.s3.amazonaws.com")
+    assert(regDom("x.mybucket.s3.amazonaws.com") === "mybucket.s3.amazonaws.com")
+    // co.jp-class (ICANN section)
+    assert(regDom("media.shop.co.jp") === "shop.co.jp")
+    // a swapped-in table wins over the shipped core (data, not code)
+    val custom = Seq("co.example")
+    val got = Seq("a.b.co.example").toDF("h")
+      .select(Urls.registeredDomain(col("h"), custom)).head().getString(0)
+    assert(got === "b.co.example")
+  }
+
+  test("urlDedupRefresh fold equals the from-scratch rebuild over the union") {
+    // v1: three fetches of /a (variants), one of /b; v2: a re-crawl of
+    // /a (later fetch wins under latest-wins), a re-crawl of /b via a
+    // tracking-param variant, and a brand-new /c
+    val v1 = Seq(
+      (1L, "https://WWW.h.com/a?utm_source=x"),
+      (2L, "https://h.com/a/"),
+      (3L, "https://h.com/a#frag"),
+      (4L, "https://h.com/b")).toDF("id", "url")
+    val v2 = Seq(
+      (11L, "https://h.com/a"),
+      (12L, "https://h.com/b?fbclid=z"),
+      (13L, "https://h.com/c")).toDF("id", "url")
+    for (latest <- Seq(true, false)) {
+      val folded = Urls.urlDedupRefresh(
+          Urls.urlDedup(v1, "url", "id", latestWins = latest),
+          v2, "url", "id", latestWins = latest)
+        .orderBy("canonical_url").collect().map(_.toSeq)
+      val rebuilt = Urls.urlDedup(v1.unionByName(v2), "url", "id",
+          latestWins = latest)
+        .orderBy("canonical_url").collect().map(_.toSeq)
+      assert(folded.toSeq == rebuilt.toSeq,
+        s"fold != rebuild under latestWins=$latest")
+    }
+    // latest-wins: the re-crawled /a keeper moves to the v2 fetch; the
+    // v1-only keeper survives untouched for URLs absent from v2
+    val idx2 = Urls.urlDedupRefresh(
+      Urls.urlDedup(v1, "url", "id", latestWins = true),
+      v2, "url", "id")
+    val byUrl = idx2.collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byUrl("https://h.com/a") == ((11L, 4L)))
+    assert(byUrl("https://h.com/b") == ((12L, 2L)))
+    assert(byUrl("https://h.com/c") == ((13L, 1L)))
+  }
+
   test("canonicalization is idempotent on already-canonical urls") {
     val urls = Seq(
       "HTTPS://WWW.Example.COM:443/Path/?utm_source=f&id=3#frag",
