@@ -123,8 +123,17 @@ object TextStats {
     * whose stopword marker set scores highest on the token list
     * (ties -> lexicographic, 'und' = undetermined when nothing matches).
     */
-  def langId(text: Column): Column = {
-    val toks = Dedup.tokens(text)
+  def langId(text: Column): Column = langIdOn(Dedup.tokens(text), text)
+
+  /** [[langId]] split into its two inputs so callers whose text is an
+    * EXPENSIVE expression (not a plain column) can bind the token list
+    * and the text once — the marker scoring references `toks` four
+    * times and the CJK probe references `text` once, and Catalyst
+    * inlines aliased subtrees into each reference (the r17
+    * pageLang lesson: inlining a whole-page strip chain here cost ~5x
+    * on every extraction-heavy query).
+    */
+  def langIdOn(toks: Column, text: Column): Column = {
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(size(filter(toks, t => t.isin(markers: _*))).as("score"),
         lit(lang).as("lang"))
