@@ -241,14 +241,22 @@ object Dedup {
 
   /** (doc_id, shingles, signature) frame — the expensive front half of
     * the LSH pair-finders (numHashes × |shingles| hashing per doc).
+    * `portable = true` swaps the xxhash64 hash family for the md5
+    * [[minhashSignaturePortable]] one, making the banding recall
+    * REPLAYABLE by an oracle engine (same signatures, same band
+    * collisions, same candidate set) — the r18 crawl-family contract;
+    * the xxhash64 default stays the scale path.
     */
   private def sigFrame(docs: DataFrame, textCol: String, idCol: String,
-                       k: Int, numHashes: Int): DataFrame =
+                       k: Int, numHashes: Int,
+                       portable: Boolean = false): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
       shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig",
+        if (portable) minhashSignaturePortable(col("sh"), numHashes)
+        else minhashSignature(col("sh"), numHashes))
 
   /** One SLIM row per (doc, band): the LSH join must shuffle only
     * (band, bucket, id) — shingle arrays are re-joined after the
@@ -596,13 +604,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
                       k: Int, threshold: Double,
                       bands: Int = 16, rowsPerBand: Int = 4,
-                      materialize: Boolean = true): DataFrame = {
+                      materialize: Boolean = true,
+                      portable: Boolean = false): DataFrame = {
     // materialize (id, shingles, signature) once — corpus-sized
     // (shingles + signature per doc): persist with lineage + unpersist
     // in finally; the result pair list is driven eagerly — see
     // jaccardPairs for the materialization policy (and the
     // materialize = false escape hatch)
-    val sig0 = sigFrame(docs, textCol, idCol, k, bands * rowsPerBand)
+    val sig0 = sigFrame(docs, textCol, idCol, k, bands * rowsPerBand,
+      portable)
     val withSig = if (materialize)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
@@ -639,8 +649,10 @@ object Dedup {
                     textCol: String, idCol: String,
                     k: Int, threshold: Double,
                     bands: Int = 16, rowsPerBand: Int = 4,
-                    materialize: Boolean = true): DataFrame = {
-    val oldSig0 = sigFrame(existing, textCol, idCol, k, bands * rowsPerBand)
+                    materialize: Boolean = true,
+                    portable: Boolean = false): DataFrame = {
+    val oldSig0 = sigFrame(existing, textCol, idCol, k, bands * rowsPerBand,
+      portable)
     val oldSig = if (materialize)
       oldSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else oldSig0
@@ -648,7 +660,8 @@ object Dedup {
       crossDupPairsPrebuilt(incoming,
         bandedFrame(oldSig, bands, rowsPerBand),
         oldSig.select("doc_id", "sh"),
-        textCol, idCol, k, threshold, bands, rowsPerBand, materialize)
+        textCol, idCol, k, threshold, bands, rowsPerBand, materialize,
+        portable)
     } finally if (materialize) oldSig.unpersist()
   }
 
@@ -660,9 +673,10 @@ object Dedup {
     * by the streaming probe (graft.streaming.StreamDedup.crossDupProbe).
     */
   def minhashBandIndex(docs: DataFrame, textCol: String, idCol: String,
-                       k: Int, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    bandedFrame(sigFrame(docs, textCol, idCol, k, bands * rowsPerBand),
-      bands, rowsPerBand)
+                       k: Int, bands: Int = 16, rowsPerBand: Int = 4,
+                       portable: Boolean = false): DataFrame =
+    bandedFrame(sigFrame(docs, textCol, idCol, k, bands * rowsPerBand,
+      portable), bands, rowsPerBand)
 
   /** The (doc_id, sh) shingle table — [[minhashBandIndex]]'s verification
     * companion (candidates are exact-Jaccard-verified against it).
@@ -682,8 +696,10 @@ object Dedup {
                             textCol: String, idCol: String,
                             k: Int, threshold: Double,
                             bands: Int = 16, rowsPerBand: Int = 4,
-                            materialize: Boolean = true): DataFrame = {
-    val newSig0 = sigFrame(incoming, textCol, idCol, k, bands * rowsPerBand)
+                            materialize: Boolean = true,
+                            portable: Boolean = false): DataFrame = {
+    val newSig0 = sigFrame(incoming, textCol, idCol, k, bands * rowsPerBand,
+      portable)
     val newSig = if (materialize)
       newSig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else newSig0

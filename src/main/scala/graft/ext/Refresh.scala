@@ -58,9 +58,17 @@ object Refresh {
 
   /** Banding/verification parameters — must be identical across the
     * state build, the refresh and any rebuild being compared.
+    * `portableSig` swaps the minhash family for the md5-portable one
+    * ([[Dedup.minhashSignaturePortable]]) so an oracle engine can
+    * replay the banding recall exactly — required when the corpus has
+    * pairs near the Jaccard threshold, where banded recall < 1 and an
+    * exact-pair replay would silently disagree (the r18 x131 lesson:
+    * crawl-extracted corpora carry boilerplate-induced boundary
+    * pairs; document-sourced fixtures happen not to).
     */
   final case class Params(k: Int = 3, threshold: Double = 0.2,
-                          bands: Int = 16, rowsPerBand: Int = 4)
+                          bands: Int = 16, rowsPerBand: Int = 4,
+                          portableSig: Boolean = false)
 
   private def meta(gated: DataFrame): DataFrame =
     gated.select(col("doc_id"), col("quality"),
@@ -656,9 +664,11 @@ object Refresh {
       .select(col("doc_id"), col("clean_text").as("text"), col("src"))
       .localCheckpoint(true) // consumed by meta, band, shingles, pairs
     val pairs = Dedup.minhashLshPairs(ck, "text", "doc_id", p.k,
-      p.threshold, p.bands, p.rowsPerBand).select("id_a", "id_b")
+      p.threshold, p.bands, p.rowsPerBand, portable = p.portableSig)
+      .select("id_a", "id_b")
     AsmState(CcnetState(lf, hist, scored), asmDocMeta(ck, bench),
-      Dedup.minhashBandIndex(ck, "text", "doc_id", p.k, p.bands, p.rowsPerBand),
+      Dedup.minhashBandIndex(ck, "text", "doc_id", p.k, p.bands,
+        p.rowsPerBand, portable = p.portableSig),
       Dedup.shingleFrame(ck, "text", "doc_id", p.k),
       pairs, Dedup.dupClusters(pairs))
   }
@@ -692,16 +702,18 @@ object Refresh {
       .unionByName(asmDocMeta(freshCk, bench))
     val band2 = retire(st.bandIdx, "doc_id")
       .unionByName(Dedup.minhashBandIndex(freshCk, "text", "doc_id",
-        p.k, p.bands, p.rowsPerBand))
+        p.k, p.bands, p.rowsPerBand, portable = p.portableSig))
     val sh2 = retire(st.shingles, "doc_id")
       .unionByName(Dedup.shingleFrame(freshCk, "text", "doc_id", p.k))
     val cross = Dedup.crossDupPairsPrebuilt(freshCk,
         retire(st.bandIdx, "doc_id"), retire(st.shingles, "doc_id"),
-        "text", "doc_id", p.k, p.threshold, p.bands, p.rowsPerBand)
+        "text", "doc_id", p.k, p.threshold, p.bands, p.rowsPerBand,
+        portable = p.portableSig)
       .select(least(col("id_new"), col("id_old")).as("id_a"),
         greatest(col("id_new"), col("id_old")).as("id_b"))
     val within = Dedup.minhashLshPairs(freshCk, "text", "doc_id",
-        p.k, p.threshold, p.bands, p.rowsPerBand)
+        p.k, p.threshold, p.bands, p.rowsPerBand,
+        portable = p.portableSig)
       .select("id_a", "id_b")
     val added = cross.unionByName(within).localCheckpoint(true)
     val pairs2 = retire(st.pairs, "id_a", "id_b").unionByName(added)

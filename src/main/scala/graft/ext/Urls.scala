@@ -168,7 +168,11 @@ object Urls {
     val default = when(n <= 2, hostCol).otherwise(lastLabels(2))
     (maxK to 2 by -1).flatMap(k => byLen.get(k).map(k -> _))
       .foldRight(default) { case ((k, rules), acc) =>
+        // n == k: the host IS the suffix rule — at-suffix-depth
+        // pass-through (the declared contract) at every rule depth,
+        // not just the n <= 2 default.
         when(n > k && lastLabels(k).isin(rules: _*), lastLabels(k + 1))
+          .when(n === k && hostCol.isin(rules: _*), hostCol)
           .otherwise(acc)
       }
   }
@@ -183,10 +187,11 @@ object Urls {
     val byLen = psl.groupBy(_.count(_ == '.') + 1)
     val maxK = if (byLen.isEmpty) 1 else byLen.keys.max
     val whens = (maxK to 2 by -1).flatMap(k => byLen.get(k).map { rules =>
+      val lst = rules.mkString("['", "','", "']")
       s"WHEN len($ls) > $k AND list_contains(" +
-        rules.mkString("['", "','", "']") +
-        s", array_to_string($ls[-$k:], '.')) " +
-        s"THEN array_to_string($ls[-${k + 1}:], '.')"
+        s"$lst, array_to_string($ls[-$k:], '.')) " +
+        s"THEN array_to_string($ls[-${k + 1}:], '.') " +
+        s"WHEN len($ls) = $k AND list_contains($lst, $hst) THEN $hst"
     })
     s"CASE ${whens.mkString(" ")} WHEN len($ls) <= 2 THEN $hst " +
       s"ELSE array_to_string($ls[-2:], '.') END"
@@ -221,6 +226,11 @@ object Urls {
     * `latestWins = true` = the C4-preprocessing convention where the
     * newest fetch replaces — the policy the x131 composition
     * refreshes under, because it exercises the changed-content path).
+    * The parameter is REQUIRED (no default): the fold == rebuild
+    * exactness below only holds when the standing index was built
+    * under the SAME policy, so the caller must state which one —
+    * a defaulted `true` here against [[urlDedup]]'s defaulted `false`
+    * would silently fold a min-keeper index under max semantics.
     *
     * EXACTNESS (the x85/x112 argument, index-sized): min/max/count are
     * associative-commutative, so
@@ -236,7 +246,7 @@ object Urls {
     */
   def urlDedupRefresh(standing: DataFrame, fresh: DataFrame,
                       urlCol: String, idCol: String,
-                      latestWins: Boolean = true,
+                      latestWins: Boolean,
                       psl: Seq[String] = PublicSuffixes): DataFrame = {
     val f = fresh.select(canonicalUrl(col(urlCol)).as("canonical_url"),
         col(idCol).cast("long").as("id"))

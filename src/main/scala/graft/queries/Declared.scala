@@ -226,6 +226,15 @@ object Declared {
     * fetch ids sit 1e8 past v1's (fetches are later — what makes
     * latest-wins deterministic).
     */
+  /** The crawl-family assembly banding params: same k/threshold/
+    * banding as every other AsmState, but the md5-PORTABLE minhash —
+    * the crawl corpus has boundary-Jaccard pairs where banded recall
+    * < 1, so the x131 oracle must replay the banding itself
+    * ([[asmBandedPairsCtes]]), which needs an engine-portable hash.
+    */
+  private[graft] val CrawlAsmParams =
+    graft.ext.Refresh.Params(portableSig = true)
+
   private[graft] val CrawlV2Offset = 100000000L
   private[graft] def crawlV1Docs(docs: DataFrame): DataFrame =
     docs.filter(col("doc_id").isNotNull && col("doc_id") % 17 =!= 5)
@@ -286,7 +295,7 @@ object Declared {
       val thr = graft.ext.Refresh.ccnetTailThr(
         graft.ext.Refresh.ccnetBuildState(merged1, tokenLines12, lm).scored)
       val st = graft.ext.Refresh.asmBuildState(merged1, tokenLines12, lm,
-        thr, bench)
+        thr, bench, CrawlAsmParams)
       graft.ext.Artifacts.saveIndex(st.head.lf, s"$base/lf")
       graft.ext.Artifacts.saveIndex(st.head.hist, s"$base/hist")
       graft.ext.Artifacts.saveIndex(st.head.scored, s"$base/scored")
@@ -432,7 +441,8 @@ object Declared {
   private def dupClustersArtifact(s: SparkSession, dir: String): DataFrame =
     artifact(s, "dup_clusters_k3_t02_df100", dir) {
       Dedup.dupClusters(Dedup.jaccardPairs(t(s, dir, "documents"),
-        "text", "doc_id", k = 3, threshold = 0.2, maxDocFreq = Some(100)))
+        "text", "doc_id", k = 3, threshold = 0.2,
+        maxDocFreq = Some(AsmDupDfCap)))
     }
 
   /** The semantic (embedding-space) duplicate-cluster frame for x83 —
@@ -1067,25 +1077,32 @@ object Declared {
       |  SELECT c.doc_id, c.ctext AS text, p2.src
       |  FROM ${hp}lct c JOIN ${hp}m p2 USING (doc_id) JOIN pk USING (doc_id))""".stripMargin
 
-  /** x110/x114's shared ASSEMBLY TAIL replay (stages 5-11): exact
-    * shingle pairs, recursive CC clusters, survivor election, gates,
-    * benchmark decontamination, mixture, budget fill, epoch shuffle,
-    * export manifest + lead doc — everything downstream of the kept
-    * cleaned `corpus` CTE (doc_id, text, src). One definition, two
-    * consumers: the x110 composition and the x114 refresh rebuild
-    * (whose final select appends the incr_match literal).
+  /** The Spark-side `maxDocFreq` stop-shingle cap ([[assemblyDropDups]]
+    * / [[dupClustersArtifact]]) — interpolated into every oracle that
+    * replays a capped pair step, so Scala and SQL can never desync
+    * (the keepSql discipline). The r18 lesson: raw `documents` text
+    * never exceeds df 25 at any fixture SF, but crawl-EXTRACTED
+    * corpora carry boilerplate shingles with corpus-sized df — the
+    * un-replayed cap cost x130 its sf0.1 hash.
     */
-  private def assemblyTailSql(extraSelect: String): String =
-    s"""toks AS MATERIALIZED (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
-      |  FROM corpus),
-      |sh AS MATERIALIZED (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  private[graft] val AsmDupDfCap = 100
+
+  /** The capped exact-pair CTE block (sizes/common/prs over the
+    * df-capped shingle frame `shc`) — [[assemblyTailSql]]'s default
+    * pair step, replaying [[Dedup.jaccardPairs]] with
+    * `maxDocFreq = Some(AsmDupDfCap)` (the cap drops hot shingles
+    * BEFORE both the pair index and the Jaccard denominators, exactly
+    * like the Scala path).
+    */
+  private def asmExactPairsCtes: String =
+    s"""shhot AS MATERIALIZED (
+      |  SELECT s FROM sh GROUP BY s HAVING count(*) > $AsmDupDfCap),
+      |shc AS MATERIALIZED (
+      |  SELECT sh.doc_id, sh.s FROM sh ANTI JOIN shhot USING (s)),
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
       |common AS MATERIALIZED (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |prs AS MATERIALIZED (
       |  SELECT id_a, id_b FROM (
@@ -1094,7 +1111,68 @@ object Declared {
       |    FROM common
       |    JOIN sizes sa ON sa.doc_id = id_a
       |    JOIN sizes sb ON sb.doc_id = id_b)
-      |  WHERE jaccard >= 0.2),
+      |  WHERE jaccard >= 0.2)""".stripMargin
+
+  /** The BANDED pair CTE block — replays [[Dedup.minhashLshPairs]]
+    * under `Params(portableSig = true)` signature for signature: the
+    * 64-hash md5-portable minhash (`'0x' || substr(md5(i || ':' || s),
+    * 1, 15)` — the x101 portable family, bit-identical to Spark's
+    * `conv(substring(md5(...), 1, 15), 16, 10)`), 16 bands × 4 rows,
+    * candidates = band-slice equality, then exact-Jaccard verification
+    * at 0.2 on the FULL (uncapped) shingle sets — precision 1, recall
+    * = the banding S-curve, which is exactly what the Spark rebuild
+    * computes. x131's pair step (the crawl corpus has boundary-Jaccard
+    * pairs where banded recall < 1, so an exact replay would diverge).
+    */
+  private def asmBandedPairsCtes: String = {
+    val p = graft.ext.Refresh.Params()
+    val numHashes = p.bands * p.rowsPerBand
+    s"""mh AS MATERIALIZED (
+      |  SELECT doc_id, t.i,
+      |    min(('0x' || substr(md5(t.i::varchar || ':' || s), 1, 15))::bigint) AS v
+      |  FROM sh, unnest(range(0, $numHashes)) AS t(i) GROUP BY doc_id, t.i),
+      |bnd AS MATERIALIZED (
+      |  SELECT doc_id, i // ${p.rowsPerBand} AS band, list(v ORDER BY i) AS slice
+      |  FROM mh GROUP BY doc_id, i // ${p.rowsPerBand}),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bnd a JOIN bnd b
+      |    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id),
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |common AS MATERIALIZED (
+      |  SELECT id_a, id_b, count(*) AS common
+      |  FROM cand JOIN sh a ON a.doc_id = id_a
+      |  JOIN sh b ON b.doc_id = id_b AND a.s = b.s
+      |  GROUP BY 1, 2),
+      |prs AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(common::double / (sa.sz + sb.sz - common), 6) AS jaccard
+      |    FROM common
+      |    JOIN sizes sa ON sa.doc_id = id_a
+      |    JOIN sizes sb ON sb.doc_id = id_b)
+      |  WHERE jaccard >= ${p.threshold})""".stripMargin
+  }
+
+  /** x110/x114's shared ASSEMBLY TAIL replay (stages 5-11): shingle
+    * pairs (the capped exact block by default; x131 swaps in the
+    * banded-minhash replay via `pairsCtes`), recursive CC clusters,
+    * survivor election, gates, benchmark decontamination, mixture,
+    * budget fill, epoch shuffle, export manifest + lead doc —
+    * everything downstream of the kept cleaned `corpus` CTE (doc_id,
+    * text, src). One definition, three consumers: the x110/x130
+    * compositions and the x114/x131 refresh rebuilds (whose final
+    * select appends the incr_match literal).
+    */
+  private def assemblyTailSql(extraSelect: String,
+                              pairsCtes: String = asmExactPairsCtes): String =
+    s"""toks AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      |  FROM corpus),
+      |sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+      |$pairsCtes,
       |edges AS MATERIALIZED (
       |  SELECT id_a AS src, id_b AS dst FROM prs
       |  UNION ALL SELECT id_b, id_a FROM prs),
@@ -1262,10 +1340,14 @@ object Declared {
               |sh AS (
               |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
               |  FROM t0, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              |shhot AS (
+              |  SELECT s FROM sh GROUP BY s HAVING count(*) > $AsmDupDfCap),
+              |shc AS (
+              |  SELECT sh.doc_id, sh.s FROM sh ANTI JOIN shhot USING (s)),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
               |common AS (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
               |  GROUP BY 1, 2),
               |pairs AS (
               |  SELECT id_a, id_b FROM (
@@ -1330,7 +1412,7 @@ object Declared {
   private[graft] def assemblyDropDups(merged: DataFrame): DataFrame = {
     val clusters = Dedup.dupClusters(Dedup.jaccardPairs(
       merged, "text", "doc_id", k = 3, threshold = 0.2,
-      maxDocFreq = Some(100)))
+      maxDocFreq = Some(AsmDupDfCap)))
     clusters.join(
       Dedup.clusterSurvivors(clusters, merged, "doc_id",
           TextStats.qualityScore(col("text")))
@@ -3490,16 +3572,20 @@ object Declared {
     // semantics themselves are proven in ExtSpec's degenerate-corpus test
     "x23_dup_clusters" -> Q(
       (s, dir) => dupClustersArtifact(s, dir).orderBy("doc_id"),
-      Some("""WITH RECURSIVE toks AS (
+      Some(s"""WITH RECURSIVE toks AS (
              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
              |  FROM documents),
              |sh AS (
              |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
              |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-             |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+             |shhot AS (
+             |  SELECT s FROM sh GROUP BY s HAVING count(*) > $AsmDupDfCap),
+             |shc AS (
+             |  SELECT sh.doc_id, sh.s FROM sh ANTI JOIN shhot USING (s)),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
              |common AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2),
              |pairs AS (
              |  SELECT id_a, id_b FROM (
@@ -5543,10 +5629,14 @@ object Declared {
         |sh AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shhot AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) > $AsmDupDfCap),
+        |shc AS (
+        |  SELECT sh.doc_id, sh.s FROM sh ANTI JOIN shhot USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |prs AS (
         |  SELECT id_a, id_b FROM (
@@ -5718,10 +5808,14 @@ object Declared {
         |sh AS MATERIALIZED (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |  FROM toks, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
-        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shhot AS MATERIALIZED (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) > $AsmDupDfCap),
+        |shc AS MATERIALIZED (
+        |  SELECT sh.doc_id, sh.s FROM sh ANTI JOIN shhot USING (s)),
+        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
         |common AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |prs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
@@ -7548,12 +7642,13 @@ object Declared {
         val pages2 = crawlPages(graft.sources.FileSources.readWarc(s, v2Store))
           .localCheckpoint(true) // read by the fold, the delta extract, the rebuild
         val idx2 = graft.ext.Urls.urlDedupRefresh(idx1,
-          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id")
+          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id",
+          latestWins = true)
         val ex2 = graft.ext.Refresh.crawlExtractRefresh(ex1, idx1, idx2,
           pages2)
         val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
         val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
-          tokenLines12, lm, thr, bench)
+          tokenLines12, lm, thr, bench, CrawlAsmParams)
         val inc = graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
         val pagesAll = crawlPages(graft.sources.FileSources.readWarc(s, v1Store))
           .unionByName(pages2)
@@ -7564,7 +7659,7 @@ object Declared {
         val mergedF = assemblyMerged(assemblyUnion(
           crawlKeeperCorpus(pagesAll, keepAll))).localCheckpoint(true)
         val fullSt = graft.ext.Refresh.asmBuildState(mergedF, tokenLines12,
-          lm, thr, bench)
+          lm, thr, bench, CrawlAsmParams)
         val full = graft.ext.Refresh.asmManifestFrom(fullSt.docMeta,
           fullSt.clusters)
         full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
@@ -7631,7 +7726,7 @@ object Declared {
         |${assemblyHeadCtes("crawl2", "n")},
         |${assemblyScoreCte("n", "o")},
         |${assemblyKeptCorpusCte("n", "o", "n")},
-        |${assemblyTailSql(", true AS incr_match")}""".stripMargin)),
+        |${assemblyTailSql(", true AS incr_match", asmBandedPairsCtes)}""".stripMargin)),
 
     // X23d (r14): incremental CCNet-HEAD refresh under a frozen
     // reference LM — the deployment reality of the x108 chain (corpus

@@ -217,7 +217,14 @@ object FileSources {
     * the Common Crawl delivery layout, and the recompression step that
     * turns a legacy whole-file-gzip crawl into splittable shards. Runs
     * distributed: one container file per partition, written through
-    * the Hadoop filesystem API.
+    * the Hadoop filesystem API against the SESSION's Hadoop
+    * configuration (shipped to the executors, so `spark.hadoop.*`
+    * object-store credentials/fs.defaultFS resolve the same
+    * filesystem the driver-side cleanup just touched), under a
+    * task-commit protocol: each attempt writes an attempt-unique
+    * dotfile (invisible to FileInputFormat's hidden-file filter) and
+    * renames into place, so a speculative or retried attempt can
+    * never interleave bytes into the destination container.
     */
   def writeWarcGz(records: DataFrame, path: String): Unit = {
     val sc = records.sparkSession.sparkContext
@@ -225,13 +232,21 @@ object FileSources {
     val fs = target.getFileSystem(sc.hadoopConfiguration)
     if (fs.exists(target)) fs.delete(target, true)
     fs.mkdirs(target)
+    val confB = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        sc.hadoopConfiguration))
     val colName = records.columns.head
     records.select(col(colName).cast("string")).rdd
       .mapPartitionsWithIndex { (i, it) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confB.value.value
         val part = new org.apache.hadoop.fs.Path(
           path, f"part-$i%05d.warc.gz")
-        val out = part.getFileSystem(conf).create(part, true)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(
+          path, f".part-$i%05d-attempt-$attempt.warc.gz.inprogress")
+        val taskFs = part.getFileSystem(conf)
+        val out = taskFs.create(tmp, true)
         var n = 0L
         it.foreach { row =>
           val bytes = (row.getString(0) + "\r\n\r\n")
@@ -244,6 +259,10 @@ object FileSources {
           n += 1
         }
         out.close()
+        // Commit: first attempt to rename wins; a loser (its rename
+        // refused because the destination exists) discards its temp.
+        if (!taskFs.rename(tmp, part) && taskFs.exists(tmp))
+          taskFs.delete(tmp, false): Unit
         Iterator(n)
       }.count(): Unit
   }

@@ -31,7 +31,12 @@ import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
   *    its partial plaintext — the WARC parser's `Content-Length`
   *    integrity gate then quarantines it as a `malformed` row
   *    downstream, never a crash ([[FileSources.readWarc]]'s declared
-  *    contract, held by the gz path too).
+  *    contract, held by the gz path too). Because a false sync can
+  *    ALSO parse as truncated (a garbage stored-block length swallows
+  *    the rest of the file without a deflate error), a truncated
+  *    candidate is held back and emitted only if the scan finds no
+  *    later valid member in the split — a later valid member proves
+  *    the file did not end there and supersedes the candidate.
   *
   * One record per member is the writer contract
   * ([[FileSources.writeWarcGz]]); the emitted value is the member's
@@ -168,25 +173,43 @@ class GzipMemberRecordReader extends RecordReader[LongWritable, Text] {
     } finally inf.end()
   }
 
+  // First Truncated candidate seen while scanning this split, held
+  // back until the scan proves no later valid member exists: Truncated
+  // is genuine ONLY when the file really ends mid-member, but a false
+  // sync whose garbage deflate runs to end-of-file without a
+  // DataFormatException (a stored-block length can swallow arbitrary
+  // trailing bytes) parses Truncated too. A later Valid member in the
+  // same split refutes the candidate (the file did not end there) and
+  // supersedes it; only a scan that exhausts the split emits it.
+  private var heldTruncated: (Long, Array[Byte]) = null
+
   override def nextKeyValue(): Boolean = {
     if (done) return false
     var scanFrom = pos
     while (true) {
       val o = findMagic(scanFrom)
-      if (o < 0) { done = true; return false }
+      if (o < 0) {
+        done = true
+        if (heldTruncated != null) {
+          // end-of-file cut the member short: surface the partial
+          // plaintext so the Content-Length gate quarantines it
+          key.set(heldTruncated._1)
+          value.set(heldTruncated._2)
+          heldTruncated = null
+          return true
+        }
+        return false
+      }
       parseMember(o) match {
         case Valid(bytes, next) =>
+          heldTruncated = null // refuted: a real member follows it
           key.set(o)
           value.set(bytes)
           pos = next
           return true
         case Truncated(bytes) =>
-          // end-of-file cut a member short: surface the partial
-          // plaintext so the Content-Length gate quarantines it
-          key.set(o)
-          value.set(bytes)
-          done = true
-          return true
+          if (heldTruncated == null) heldTruncated = (o, bytes)
+          scanFrom = o + 3 // keep scanning: a later Valid refutes it
         case Invalid =>
           scanFrom = o + 3 // false sync inside compressed data
       }

@@ -1731,7 +1731,7 @@ object ScaleCheck {
           numBuckets = 1024)
         val thr = Refresh.ccnetTailThr(
           Refresh.ccnetBuildState(merged1, lines12, lm).scored)
-        val st0 = Refresh.asmBuildState(merged1, lines12, lm, thr, bench)
+        val st0 = Refresh.asmBuildState(merged1, lines12, lm, thr, bench, Declared.CrawlAsmParams)
         graft.ext.Artifacts.saveIndex(st0.head.lf, s"$base/lf")
         graft.ext.Artifacts.saveIndex(st0.head.hist, s"$base/hist")
         graft.ext.Artifacts.saveIndex(st0.head.scored, s"$base/scored")
@@ -1749,12 +1749,13 @@ object ScaleCheck {
             FileSources.readWarc(spark, s"$base/v2"))
           .localCheckpoint(true)
         val idx2 = Urls.urlDedupRefresh(idx1,
-          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id")
+          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id",
+          latestWins = true)
         val ex2 = Refresh.crawlExtractRefresh(ex1, idx1, idx2, pages2)
         val merged2 = Declared.assemblyMerged(Declared.assemblyUnion(ex2))
           .localCheckpoint(true)
         val st2 = Refresh.asmRefresh(st, merged1, merged2, lines12, lm,
-          thr, bench)
+          thr, bench, Declared.CrawlAsmParams)
         val inc = Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
           .collect().map(_.toSeq).toSet
         val tRef = (System.nanoTime() - t0) / 1e9
@@ -1769,7 +1770,8 @@ object ScaleCheck {
         val mergedF = Declared.assemblyMerged(Declared.assemblyUnion(
             Declared.crawlKeeperCorpus(pagesAll, keepAll)))
           .localCheckpoint(true)
-        val fullSt = Refresh.asmBuildState(mergedF, lines12, lm, thr, bench)
+        val fullSt = Refresh.asmBuildState(mergedF, lines12, lm, thr, bench,
+          Declared.CrawlAsmParams)
         val full = Refresh.asmManifestFrom(fullSt.docMeta, fullSt.clusters)
           .collect().map(_.toSeq).toSet
         val tReb = (System.nanoTime() - t1) / 1e9

@@ -414,6 +414,35 @@ class SourcesSpec extends SparkSuite {
     assert(FileSources.warcDocs(all).count() == 9)
   }
 
+  test("WARC-gz: a false sync that inflates to EOF is refuted by a later valid member") {
+    // r18 (the r17 advice): a `1f 8b 08` triple inside garbage bytes
+    // whose "deflate stream" is a stored block with a length that
+    // swallows the rest of the file parses as Truncated (EOF, no
+    // DataFormatException) — exactly like a genuinely cut member. The
+    // reader must hold it back and, on finding a later VALID member,
+    // refute it: emit only the real records, no spurious partial row.
+    val docs = gzFixture(8)
+    val gzPath = tmp("warcgz-falsesync")
+    FileSources.writeWarcGz(gzRecs(docs).coalesce(1), gzPath)
+    val dir = new java.io.File(gzPath)
+    val part = dir.listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    val real = java.nio.file.Files.readAllBytes(part.toPath)
+    // prepend: gzip header (magic, deflate, no flags, zero MTIME,
+    // XFL 0, OS 3) + a BFINAL=0 stored block claiming 0xFFFF bytes —
+    // far more than the file holds, so inflate runs to EOF unfinished
+    val garbage = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x00, 0x03,
+      0x00, 0xff.toByte, 0xff.toByte, 0x00, 0x00) ++
+      "not a member".getBytes("UTF-8")
+    java.nio.file.Files.write(part.toPath, garbage ++ real)
+    new java.io.File(dir, "." + part.getName + ".crc").delete()
+    val all = FileSources.readWarcGz(spark, gzPath)
+    assert(all.count() == 8, "false sync must not add or drop rows")
+    assert(all.filter(col("malformed")).count() == 0,
+      "the run-to-EOF false sync must be refuted by the real members")
+    assert(FileSources.warcDocs(all).count() == 8)
+  }
+
   test("WARC record ids parse and flow through warcDocs") {
     val docs = gzFixture(5)
     val path = tmp("warc-recid")

@@ -86,6 +86,10 @@ class UrlSpec extends SparkSuite {
     // 3-label rule: s3.amazonaws.com buckets are per-registrant
     assert(regDom("mybucket.s3.amazonaws.com") === "mybucket.s3.amazonaws.com")
     assert(regDom("x.mybucket.s3.amazonaws.com") === "mybucket.s3.amazonaws.com")
+    // a host that IS a depth-3 rule passes through whole too (r18 —
+    // the declared at-or-below-suffix-depth contract at EVERY rule
+    // depth, not just the n <= 2 default branch)
+    assert(regDom("s3.amazonaws.com") === "s3.amazonaws.com")
     // co.jp-class (ICANN section)
     assert(regDom("media.shop.co.jp") === "shop.co.jp")
     // a swapped-in table wins over the shipped core (data, not code)
@@ -123,7 +127,7 @@ class UrlSpec extends SparkSuite {
     // v1-only keeper survives untouched for URLs absent from v2
     val idx2 = Urls.urlDedupRefresh(
       Urls.urlDedup(v1, "url", "id", latestWins = true),
-      v2, "url", "id")
+      v2, "url", "id", latestWins = true)
     val byUrl = idx2.collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
     assert(byUrl("https://h.com/a") == ((11L, 4L)))
