@@ -1348,20 +1348,7 @@ object Curation {
         .select(col("doc_id"), col("pos"))
       // island merge on intervals [pos, pos+n-1]: break when this
       // anchor starts past the running coverage end + 1
-      val byPos = Window.partitionBy("doc_id").orderBy("pos")
-      val prevEnd = max(col("pos") + (n - 1))
-        .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-      val spans = anchors
-        .withColumn("brk",
-          when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
-        .withColumn("island", sum(col("brk")).over(byPos))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("pos")).as("start_pos"),
-          (max(col("pos")) + (n - 1)).as("end_pos"))
-        .select(col("doc_id"), col("island").cast("long").as("span_id"),
-          col("start_pos").cast("long").as("start_pos"),
-          col("end_pos").cast("long").as("end_pos"),
-          (col("end_pos") - col("start_pos") + 1).cast("long").as("span_len"))
+      val spans = mergeAnchorSpans(anchors, n)
       if (materialize) spans.localCheckpoint(true) else spans
     } finally if (materialize) base.unpersist()
   }
@@ -1382,8 +1369,106 @@ object Curation {
     * whole-stage codegen.
     */
   def cutDupSpans(docs: DataFrame, textCol: String, idCol: String,
-                  n: Int = 5): DataFrame = {
-    val spans = dupSpans(docs, textCol, idCol, n)
+                  n: Int = 5): DataFrame =
+    applySpanCut(docs, textCol, idCol, dupSpans(docs, textCol, idCol, n))
+
+  /** X7e-b (r18): cross-document EXACT-SUBSTRING dedup with a KEPT
+    * occurrence — the suffix-array-family rule of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better":
+    * substrings repeated across the corpus are removed until one
+    * occurrence remains), in relational form. An n-token window whose
+    * text occurs >= 2 times anywhere in the corpus is a duplicated
+    * substring; its KEEPER is the lexicographically first occurrence
+    * (min doc_id, then min pos), and every OTHER occurrence marks its
+    * n positions; marked positions merge into maximal per-document
+    * spans (the [[dupSpans]] island rule). The difference from
+    * [[dupSpans]] is the survivor: dupSpans is the no-keeper coverage
+    * REPORT (it feeds quality gates, so every occurrence counts),
+    * this is the destructive dedup transform — exactly one copy of
+    * every repeated substring survives the cut, which is what the
+    * published pipelines apply to the training corpus itself.
+    *
+    * Window identity is the xxhash64 of the window text (the
+    * [[dupSpans]] discipline — the oracle compares window STRINGS, so
+    * a 64-bit collision is the declared, fixture-checked risk); the
+    * keeper tie-break is total because (doc_id, pos) is a key.
+    *
+    * Scale: document text never shuffles — the exploded frame is slim
+    * (hash, doc, pos) rows; keeper election is one partial-agg'd
+    * groupBy on the 64-bit hash; the mark join is a hash-to-hash
+    * equi-join of those slim rows; the island merge is a per-document
+    * window (corpus-partitioned, no global sort). A stop-window df
+    * cap is unnecessary: hot windows cost one grouped count here, not
+    * a quadratic pair join. (No reference citation — the reference
+    * engine has no dedup surface.)
+    */
+  def xdocSubstrSpans(docs: DataFrame, textCol: String, idCol: String,
+                      n: Int = 5, materialize: Boolean = true): DataFrame = {
+    val base0 = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(coalesce(col(textCol), lit(""))).as("w"))
+    val base = if (materialize)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    try {
+      val pos = base.filter(size(col("w")) >= n)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), size(col("w")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+        .toDF("doc_id", "pos", "h")
+      val keep = pos.groupBy("h")
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("pos"))).as("kp"))
+        .filter(col("cnt") >= 2)
+        .select(col("h"), col("kp.doc_id").as("kd"), col("kp.pos").as("kpos"))
+      val anchors = pos.join(keep, Seq("h"))
+        .filter(!(col("doc_id") === col("kd") && col("pos") === col("kpos")))
+        .select(col("doc_id"), col("pos"))
+      val spans = mergeAnchorSpans(anchors, n)
+      if (materialize) spans.localCheckpoint(true) else spans
+    } finally if (materialize) base.unpersist()
+  }
+
+  /** The cut for [[xdocSubstrSpans]] — each document rebuilt with its
+    * NON-KEEPER duplicated spans removed (token-level, the
+    * [[cutDupSpans]] output contract: (doc_id, n_tokens, n_cut,
+    * clean_text)). Keeper occurrences stay in place, so joining the
+    * cut corpus back together still contains every repeated substring
+    * exactly once.
+    */
+  def cutXdocSubstr(docs: DataFrame, textCol: String, idCol: String,
+                    n: Int = 5): DataFrame =
+    applySpanCut(docs, textCol, idCol,
+      xdocSubstrSpans(docs, textCol, idCol, n))
+
+  /** Island-merge a slim (doc_id, pos) anchor frame (each anchor
+    * covering [pos, pos+n-1]) into maximal disjoint spans — shared by
+    * [[dupSpans]] and [[xdocSubstrSpans]].
+    */
+  private def mergeAnchorSpans(anchors: DataFrame, n: Int): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + (n - 1))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    anchors
+      .withColumn("brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byPos))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + (n - 1)).as("end_pos"))
+      .select(col("doc_id"), col("island").cast("long").as("span_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("end_pos").cast("long").as("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).cast("long").as("span_len"))
+  }
+
+  /** Rebuild each document minus a span frame's positions — the shared
+    * cut ([[cutDupSpans]] / [[cutXdocSubstr]]): the slim span frame
+    * aggregates per doc and joins back by doc_id; the cut itself is
+    * one map-side filter-by-index lambda inside whole-stage codegen.
+    */
+  private def applySpanCut(docs: DataFrame, textCol: String, idCol: String,
+                           spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))
     docs.select(col(idCol).as("doc_id"),

@@ -330,6 +330,91 @@ object Declared {
         regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
           .cast("long"))
 
+  /** x130's body downstream of the parsed page frame — URL dedup,
+    * keeper extraction, then the eleven-stage assembly with the
+    * per-corpus LM and drop-list artifacts. Shared by x130 (plain
+    * containers) and x135 (the same records as per-record-gzip
+    * containers read at split parallelism): the artifacts memoize per
+    * fixture dir because both entries derive the SAME corpus — the
+    * one-LM-per-corpus-version contract.
+    */
+  private def crawlAssemblyFrom(s: SparkSession, dir: String,
+                                pages: DataFrame): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val keepers = graft.ext.Urls.urlDedup(
+        pages.select(col("url"), col("fetch_id")), "url", "fetch_id")
+      .select(col("keeper_id").as("fetch_id"))
+    val crawl = crawlKeeperCorpus(spreadIfStarved(s, docs, pages), keepers)
+    val cleaned = ccnetAssemblyCleaned(crawl).localCheckpoint(true)
+    val lm = artifact(s, "reflm_crawl_asm_1024", dir) {
+      viaStore(s, "reflm_crawl_asm_1024") {
+        TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
+          col("src") === "curated" && col("doc_id").isNotNull,
+          numBuckets = 1024)
+      }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
+        graft.ext.Artifacts.loadRefLm)
+    }
+    val kept = TextStats.perplexityKeep(
+      spreadIfStarved(s, docs, cleaned), "clean_text", "lang_pred",
+      "doc_id", lm)
+    val corpus = cleaned.join(kept.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("src"))
+    val dropDups = artifact(s, "crawl_asm_drop_k3_t02", dir) {
+      viaStore(s, "crawl_asm_drop")(assemblyDropDups(corpus))(
+        (ss, d2, p) => graft.ext.Artifacts.saveIndex(d2, p),
+        graft.ext.Artifacts.loadIndex)
+    }
+    assemblyResult(assemblyMixed(docs, corpus, dropDups))
+  }
+
+  /** The x130 crawl store recompressed to per-record-gzip containers —
+    * x135's entry point: `writeWarcGz` over the SAME parsed records,
+    * so the gz chain re-proves framing/resync under the composition
+    * (the x132 argument, lifted to the full assembly).
+    */
+  private def crawlGzStoreArtifact(s: SparkSession, dir: String): String =
+    artifact(s, "crawl_store_gz_v1", dir) {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-crawlgz-asm-fix").toString
+      graft.sources.FileSources.writeWarcGz(
+        crawlRecords(t(s, dir, "documents").filter(col("doc_id").isNotNull),
+          col("doc_id")),
+        p)
+      p
+    }
+
+  /** x130/x135's shared oracle — the DuckDB replay of the crawl
+    * front-to-back order (URL carve → canonicalization → min-id
+    * keepers → extraction → the eleven-stage assembly); container
+    * framing is pinned by x120 (plain) and x132 (gz) on their own
+    * rows, so the two entries legitimately share this replay (the
+    * x127 shared-oracle discipline).
+    */
+  private def crawlAssemblyOracleSql: String =
+    s"""WITH RECURSIVE cwu AS (
+      |  SELECT doc_id,
+      |    ${crawlUrlSql("doc_id")}
+      |    AS url
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |${urlCanonCtes("cw", "cwu")},
+      |cwkeep AS MATERIALIZED (
+      |  SELECT min(doc_id) AS doc_id FROM cwcanon GROUP BY canonical_url),
+      |cwdocs AS MATERIALIZED (
+      |  SELECT d.doc_id, d.text FROM documents d JOIN cwkeep USING (doc_id)),
+      |${htmlExtractCtes("cx", "cwdocs")},
+      |crawl AS MATERIALIZED (
+      |  SELECT c.doc_id, coalesce(a.text, '') AS text
+      |  FROM cwdocs c LEFT JOIN (
+      |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+      |      chr(10) ORDER BY pos) AS text
+      |    FROM cxtok GROUP BY doc_id) a USING (doc_id)),
+      |${assemblyHeadCtes("crawl", "")},
+      |${assemblyLmCtes("")},
+      |${assemblyScoreCte("", "")},
+      |${assemblyThrCte("")},
+      |${assemblyKeptCorpusCte("", "", "")},
+      |${assemblyTailSql("")}""".stripMargin
+
   /** x120/x132's shared readout over a parsed container frame: doc id
     * from the URL, the PARSED Content-Length header (the oracle
     * recomputes it as page length + the HTTP head's char count, so the
@@ -5070,6 +5155,92 @@ object Declared {
         |  LEFT JOIN clean c USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
 
+    // X7e-b (r18): cross-document exact-substring dedup with a KEPT
+    // occurrence — the suffix-array-family Lee et al. 2021 rule in
+    // relational form: any 5-token window occurring >= 2 times in the
+    // corpus keeps its lexicographically first occurrence (min doc_id,
+    // then min pos) and every other occurrence marks its positions;
+    // marks merge into maximal spans (the x63 island rule). x63's
+    // dupSpans is the no-keeper coverage REPORT; this is the
+    // destructive transform the published pipelines apply — exactly
+    // one copy of every repeated substring survives. DuckDB replays
+    // the keeper election on window STRINGS (struct-min over (doc,
+    // pos)) against Spark's xxhash64 window identity — the declared
+    // x63 collision risk, plus the keeper now depends on it, which is
+    // exactly what this hash-vs-string cross-check pins.
+    "x133_xdoc_substr_spans" -> Q(
+      (s, dir) => Curation.xdocSubstrSpans(
+        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        .orderBy("doc_id", "span_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |d AS (
+        |  SELECT s, (min({'d': doc_id, 'p': p})).d AS kd,
+        |    (min({'d': doc_id, 'p': p})).p AS kpos
+        |  FROM shp GROUP BY s HAVING count(*) >= 2),
+        |a AS (
+        |  SELECT shp.doc_id, shp.p FROM shp JOIN d USING (s)
+        |  WHERE NOT (shp.doc_id = d.kd AND shp.p = d.kpos)),
+        |m AS (
+        |  SELECT doc_id, p, max(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM a),
+        |b AS (SELECT doc_id, p,
+        |  CASE WHEN pe IS NULL OR p > pe + 1 THEN 1 ELSE 0 END AS brk FROM m),
+        |isl AS (SELECT doc_id, p,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM b)
+        |SELECT doc_id, island::bigint AS span_id,
+        |  min(p)::bigint AS start_pos, (max(p) + 4)::bigint AS end_pos,
+        |  (max(p) + 4 - min(p) + 1)::bigint AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_id""".stripMargin)),
+
+    // X7e-b cut: the corpus transform — every document rebuilt minus
+    // its non-keeper duplicated spans; keepers stay, so the cut corpus
+    // still contains every repeated substring exactly once. Same
+    // output contract as x63_cut_spans; DuckDB replays the cut with an
+    // independent covered-position set + ordered string_agg.
+    "x134_xdoc_substr_cut" -> Q(
+      (s, dir) => Curation.cutXdocSubstr(
+        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |d AS (
+        |  SELECT s, (min({'d': doc_id, 'p': p})).d AS kd,
+        |    (min({'d': doc_id, 'p': p})).p AS kpos
+        |  FROM shp GROUP BY s HAVING count(*) >= 2),
+        |a AS (
+        |  SELECT shp.doc_id, shp.p FROM shp JOIN d USING (s)
+        |  WHERE NOT (shp.doc_id = d.kd AND shp.p = d.kpos)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, j FROM a, unnest(range(p, p + 5)) AS u(j)),
+        |per AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, i, w[i] AS tok
+        |  FROM toks t, unnest(range(1, len(w) + 1)) AS u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |    WHERE c.doc_id = t.doc_id AND c.j = i - 1)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.w)::bigint AS n_tokens,
+        |  coalesce(p.n_cov, 0)::bigint AS n_cut,
+        |  coalesce(c.ct, '') AS clean_text
+        |FROM toks t LEFT JOIN per p USING (doc_id)
+        |  LEFT JOIN clean c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
     // X8b: hybrid retrieval — RRF fusion of the x24 BM25 ranking and a
     // cosine ranking against a fixture query vector (doc 42's
     // embedding). Both ranks order by the ROUNDED retrieval score
@@ -7556,58 +7727,24 @@ object Declared {
     // assembly stages (the shared x110 CTE blocks). The container
     // framing itself is pinned by x120's own row (the x127 argument).
     "x130_crawl_assembly_e2e" -> Q(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val pages = crawlPages(graft.sources.FileSources.readWarc(s,
-          crawlStoreArtifact(s, dir)))
-        val keepers = graft.ext.Urls.urlDedup(
-            pages.select(col("url"), col("fetch_id")), "url", "fetch_id")
-          .select(col("keeper_id").as("fetch_id"))
-        val crawl = crawlKeeperCorpus(spreadIfStarved(s, docs, pages), keepers)
-        val cleaned = ccnetAssemblyCleaned(crawl).localCheckpoint(true)
-        val lm = artifact(s, "reflm_crawl_asm_1024", dir) {
-          viaStore(s, "reflm_crawl_asm_1024") {
-            TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
-              col("src") === "curated" && col("doc_id").isNotNull,
-              numBuckets = 1024)
-          }((ss, m, p) => graft.ext.Artifacts.saveRefLm(ss, m, p),
-            graft.ext.Artifacts.loadRefLm)
-        }
-        val kept = TextStats.perplexityKeep(
-          spreadIfStarved(s, docs, cleaned), "clean_text", "lang_pred",
-          "doc_id", lm)
-        val corpus = cleaned.join(kept.select("doc_id"), Seq("doc_id"))
-          .select(col("doc_id"), col("clean_text").as("text"), col("src"))
-        val dropDups = artifact(s, "crawl_asm_drop_k3_t02", dir) {
-          viaStore(s, "crawl_asm_drop")(assemblyDropDups(corpus))(
-            (ss, d2, p) => graft.ext.Artifacts.saveIndex(d2, p),
-            graft.ext.Artifacts.loadIndex)
-        }
-        assemblyResult(assemblyMixed(docs, corpus, dropDups))
-      },
-      Some(s"""WITH RECURSIVE cwu AS (
-        |  SELECT doc_id,
-        |    ${crawlUrlSql("doc_id")}
-        |    AS url
-        |  FROM documents WHERE doc_id IS NOT NULL),
-        |${urlCanonCtes("cw", "cwu")},
-        |cwkeep AS MATERIALIZED (
-        |  SELECT min(doc_id) AS doc_id FROM cwcanon GROUP BY canonical_url),
-        |cwdocs AS MATERIALIZED (
-        |  SELECT d.doc_id, d.text FROM documents d JOIN cwkeep USING (doc_id)),
-        |${htmlExtractCtes("cx", "cwdocs")},
-        |crawl AS MATERIALIZED (
-        |  SELECT c.doc_id, coalesce(a.text, '') AS text
-        |  FROM cwdocs c LEFT JOIN (
-        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
-        |      chr(10) ORDER BY pos) AS text
-        |    FROM cxtok GROUP BY doc_id) a USING (doc_id)),
-        |${assemblyHeadCtes("crawl", "")},
-        |${assemblyLmCtes("")},
-        |${assemblyScoreCte("", "")},
-        |${assemblyThrCte("")},
-        |${assemblyKeptCorpusCte("", "", "")},
-        |${assemblyTailSql("")}""".stripMargin)),
+      (s, dir) => crawlAssemblyFrom(s, dir,
+        crawlPages(graft.sources.FileSources.readWarc(s,
+          crawlStoreArtifact(s, dir)))),
+      Some(crawlAssemblyOracleSql)),
+
+    // X26b-gz+X22 (r18): the SAME crawl-to-training-set composition
+    // entered from per-record-gzip containers — Common Crawl's actual
+    // delivery format — read at SPLIT parallelism by the x132
+    // member-aware reader. Shares x130's oracle (the x127/x132
+    // argument, lifted to the full assembly): x132's own row pins
+    // gz == plain record parity, so this row flips INDEPENDENTLY iff
+    // member framing, split resync or decompression corrupts anywhere
+    // under the eleven-stage composition's consumption pattern.
+    "x135_crawlgz_assembly_e2e" -> Q(
+      (s, dir) => crawlAssemblyFrom(s, dir,
+        crawlPages(graft.sources.FileSources.readWarcGz(s,
+          crawlGzStoreArtifact(s, dir)))),
+      Some(crawlAssemblyOracleSql)),
 
     // X26c+X23e (r17, the r16 verdict's #1 refresh twin + stretch #8):
     // the crawl composition's DEPLOYMENT form — crawl v2 arrives as a

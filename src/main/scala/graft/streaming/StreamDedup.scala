@@ -72,6 +72,36 @@ object StreamDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** The crawl FRONT DOOR as a stream (r18 — x130's container → fetch
+    * identity → canonical-URL keep-first → keeper-only extraction, at
+    * landing-zone ingest time). Input is a PARSED container stream
+    * ([[graft.sources.FileSources.readWarcStream]] → the shared header
+    * parse), so batch and stream share one parse/quarantine path;
+    * fetch identity comes from the mandatory WARC-Record-ID header
+    * exactly like the batch `crawlPages`; the URL keep-first is
+    * [[firstPerCanonicalUrl]] (bounded state: one canonical string per
+    * horizon page — never a body); and ONLY kept pages pay extraction,
+    * which is pure expression work per micro-batch. Batch equivalence
+    * is the keep-first contract: identical to `Urls.urlDedup(
+    * latestWins = false)` + keeper extraction when fetch ids follow
+    * arrival order (the crawl contract — StreamingSpec pins stream ==
+    * batch on container drops across micro-batches); across horizons
+    * the periodic batch sweep reconciles (the [[firstPerCanonicalUrl]]
+    * note).
+    */
+  def crawlFrontDoor(warc: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val pages = graft.sources.FileSources.warcDocs(warc)
+      .withColumn("fetch_id",
+        regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long"))
+      .withColumn("ts", to_timestamp(col("warc_date")))
+    firstPerCanonicalUrl(pages, "url", "ts", watermark)
+      .select(col("fetch_id").as("doc_id"),
+        graft.ext.Extract.htmlToText(col("body")).as("text"),
+        col("canonical_url"), col("reg_domain"))
+  }
+
   /** Cross-corpus NEAR-dup at ingest (x41's streaming form — the
     * [[StreamSimilarity]] batch-index / stream-probe split): "is this
     * new document a near-duplicate of anything already in the corpus?"

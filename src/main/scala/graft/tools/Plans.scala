@@ -43,7 +43,8 @@ object Plans {
     "x124_url_dedup", "x125_wordpiece_train", "x126_wordpiece_encode",
     "x127_warc_ccnet_e2e", "x128_wordpiece_byte_encode", "x129_wet_ingest",
     "x130_crawl_assembly_e2e", "x131_crawl_assembly_refresh",
-    "x132_warcgz_ingest")
+    "x132_warcgz_ingest", "x134_xdoc_substr_cut",
+    "x135_crawlgz_assembly_e2e")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization
@@ -73,6 +74,8 @@ object Plans {
       "x27_unigram_logprob (lazy form)" -> graft.ext.Curation.unigramLogProb(
         docs, "text", "doc_id", materialize = false),
       "x63_dup_spans (lazy form)" -> graft.ext.Curation.dupSpans(
+        docs, "text", "doc_id", n = 5, materialize = false),
+      "x133_xdoc_substr_spans (lazy form)" -> graft.ext.Curation.xdocSubstrSpans(
         docs, "text", "doc_id", n = 5, materialize = false),
       "x38_bigram_logprob (lazy form)" -> graft.ext.Curation.bigramLogProb(
         docs, "text", "doc_id", materialize = false),

@@ -863,6 +863,15 @@ object ScaleCheck {
         graft.ext.Curation.dupSpans(replicateDocsPerturbed(n),
           "text", "doc_id", 5)
       }, col("span_len") >= 5),
+      // r18 keeper-preserving variant: disjoint gram spaces per replica
+      // mean each replica elects its own keepers and emits the
+      // fixture's exact NON-KEEPER span set -> span rows track n
+      // exactly; keeper election adds one grouped min-struct to the
+      // same slim-anchor plan
+      ("x133 xdoc substr spans (documents, n=5)", { n: Int =>
+        graft.ext.Curation.xdocSubstrSpans(replicateDocsPerturbed(n),
+          "text", "doc_id", 5)
+      }, col("span_len") >= 5),
       // dup-ngram coverage is a WITHIN-doc metric: verbatim replication
       // (id-remapped) is already interaction-free, every replica's
       // per-doc output is identical -> witness 16x exactly

@@ -829,6 +829,47 @@ class CurationSpec extends SparkSuite {
       (5L, 9L, 9L, "")), got.toSeq)
   }
 
+  test("X7e-b xdoc substr spans: keeper occurrence survives, all others marked") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "x y alpha beta gamma delta q r"),    // repeats d1's 4-token run
+      (3L, "p q r s"),                           // no shared 3-gram
+      (5L, "m n o m n o m n o")                  // within-doc triple repeat
+    ).toDF("doc_id", "text")
+    val got = Curation.xdocSubstrSpans(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id", "span_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // d1 holds the (min doc, min pos) keeper of both shared grams ->
+    // NO span in d1 (the x63 report would flag it); d2's copies mark
+    // [2,5]; d5's first window triple (positions 0..2) are keepers,
+    // repeats at 3..6 merge to [3,8]
+    assert(got.toSeq == Seq(
+      (2L, 1L, 2L, 5L, 4L),
+      (5L, 1L, 3L, 8L, 6L)), got.toSeq)
+  }
+
+  test("X7e-b cut: one copy of every repeated substring remains in the corpus") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "x y alpha beta gamma delta q r"),
+      (3L, "p q r s"),
+      (4L, Option.empty[String].orNull),
+      (5L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val got = Curation.cutXdocSubstr(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // vs cutDupSpans on the same corpus: d1 passes through WHOLE (it
+    // owns the keepers) and d5 keeps exactly one "m n o" — the Lee et
+    // al. contract; the no-keeper cut left d1 truncated and d5 empty
+    assert(got.toSeq == Seq(
+      (1L, 7L, 0L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, 8L, 4L, "x y q r"),
+      (3L, 4L, 0L, "p q r s"),
+      (4L, 0L, 0L, ""),
+      (5L, 9L, 6L, "m n o")), got.toSeq)
+  }
+
   test("X22d packBoundaries: hand-computed offsets; every offset inside [0, capacity)") {
     import spark.implicits._
     // capacity 5: cum = 3,7,9,14 -> chunks 0,0,1,1; offsets 0,3 and 2,4

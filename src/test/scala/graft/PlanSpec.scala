@@ -103,6 +103,9 @@ class PlanSpec extends SparkSuite {
     "x42_boilerplate", "x43_containment", "x46_dup_ngram_coverage",
     "x63_dup_spans", "x63_cut_spans", "x67_dsir_resample",
     "x72_budget_fill",
+    // r18: keeper-preserving cross-doc substring dedup — span frame
+    // checkpointed like x63; lazy twin gated below
+    "x133_xdoc_substr_spans", "x134_xdoc_substr_cut",
     // r14: scored-frame persist + group-sized checkpoint (one scoring
     // scan) — declared plans are ExistingRDD; lazy twins gated below
     "x105_perplexity_tiers", "x108_ccnet_e2e", "x109_embedding_outliers",
@@ -126,7 +129,10 @@ class PlanSpec extends SparkSuite {
     // componentwise (the x120 no-join scan gate, the x124 slim-agg
     // gate — the keeper semi-join is a plain equi-join on fetch_id)
     // and the assembly stages through the x110 composed prefix
-    "x130_crawl_assembly_e2e", "x131_crawl_assembly_refresh")
+    "x130_crawl_assembly_e2e", "x131_crawl_assembly_refresh",
+    // r18: the gz-entered x130 twin — front door gated by the x132
+    // scan-parallel gate, assembly by the x110 composed prefix
+    "x135_crawlgz_assembly_e2e")
 
   // built once: the lazy twins of every eagerly-materializing operator
   // (training the small plan-shape models runs a few fixture jobs)
@@ -179,6 +185,7 @@ class PlanSpec extends SparkSuite {
     hashJoinOn("x42_boilerplate (lazy form)", "h")         // df table join
     hashJoinOn("x46_dup_ngram_coverage (lazy form)", "doc_id", "h")
     hashJoinOn("x63_dup_spans (lazy form)", "h")           // dup-gram mark
+    hashJoinOn("x133_xdoc_substr_spans (lazy form)", "h")  // keeper mark
     hashJoinOn("x09_minhash_pairs (lazy form)", "band", "bucket")
     hashJoinOn("x33_simhash_pairs (lazy form)", "band", "chunk")
     hashJoinOn("x24_bm25 (lazy form)", "term")             // broadcast df

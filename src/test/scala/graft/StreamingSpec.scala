@@ -319,6 +319,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming crawl front door: container drops match the batch front door") {
+    // x130's front door as a landing-zone stream: containers with 3
+    // canonicalization-variant fetches per page (the crawlUrl rule),
+    // fetch ids in arrival order, event time monotone in fetch id —
+    // the declared keep-first == batch-min-id contract
+    val docs = (1 to 12).map(i =>
+      (i.toLong, s"crawl body number $i alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val recs = docs.select(graft.sources.FileSources.warcRecord(
+      lit("conversion"),
+      graft.queries.Declared.crawlUrl(col("doc_id")),
+      concat(lit("2026-03-01T00:00:"),
+        lpad(col("doc_id").cast("string"), 2, "0"), lit("Z")),
+      lit("text/plain"),
+      graft.ext.Extract.htmlWrap(col("doc_id"), col("text")),
+      recordId = Some(concat(lit("<urn:graft:"),
+        col("doc_id").cast("string"), lit(">")))).as("value"))
+      .orderBy(col("value")).collect().map(_.getString(0))
+      .sortBy(s => "urn:graft:([0-9]+)".r.findFirstMatchIn(s).get.group(1).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-stream")
+    dir.toFile.deleteOnExit()
+    def drop(name: String, batch: Seq[String]): Unit = {
+      val tmpF = java.nio.file.Files.createTempFile("graft-cdrop", ".warc")
+      java.nio.file.Files.writeString(tmpF,
+        batch.mkString("", "\r\n\r\n", "\r\n\r\n"))
+      java.nio.file.Files.move(tmpF, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val q = graft.streaming.StreamDedup.crawlFrontDoor(
+        graft.sources.FileSources.readWarcStream(spark, dir.toString))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scrawl").start()
+    try {
+      val (b1, b2) = recs.splitAt(6)
+      drop("b1.warc", b1.toSeq); q.processAllAvailable()
+      drop("b2.warc", b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("scrawl").select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // batch: same containers through the x130 front door
+      val pages = graft.queries.Declared.crawlPages(
+        graft.sources.FileSources.readWarc(spark, dir.toString))
+      val keepers = graft.ext.Urls.urlDedup(
+          pages.select(col("url"), col("fetch_id")), "url", "fetch_id")
+        .select(col("keeper_id").as("fetch_id"))
+      val batch = graft.queries.Declared.crawlKeeperCorpus(pages, keepers)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch,
+        s"stream front door != batch front door\n s: $streamed\n b: $batch")
+      // crawlUrl groups ids by (d - d % 3): pages {0, 3, 6, 9, 12},
+      // keeper = min fetch id of each group
+      assert(streamed.map(_._1) == Set(1L, 3L, 6L, 9L, 12L))
+    } finally q.stop()
+  }
+
   test("streaming normalized dedup: variant twins drop, different text survives") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Long)]
