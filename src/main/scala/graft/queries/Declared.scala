@@ -7926,7 +7926,12 @@ object Declared {
         val htmlV1 = webHtmlOf(ccnetV1(docs))
         val htmlV2 = webHtmlOf(ccnetV2(docs))
         val (ex1, st1, lm, thr) = webRefreshArtifact(s, dir)
+        // materialized once (the x131 merged2 discipline): the fold
+        // consumes the refreshed corpus several times, and each lazy
+        // replay re-runs the corpus-sized markup diff — in deployment
+        // ex2 IS the new standing corpus store, written once
         val ex2 = graft.ext.Refresh.webExtractRefresh(ex1, htmlV1, htmlV2)
+          .localCheckpoint(true)
         val inc = graft.ext.Refresh.ccnetKeptReport(
           graft.ext.Refresh.ccnetRefresh(st1, ex1, ex2, tokenLines12, lm)
             .scored, thr)
