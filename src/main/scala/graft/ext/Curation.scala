@@ -1404,17 +1404,11 @@ object Curation {
     */
   def xdocSubstrSpans(docs: DataFrame, textCol: String, idCol: String,
                       n: Int = 5, materialize: Boolean = true): DataFrame = {
-    val base0 = docs.select(col(idCol).as("doc_id"),
-      Dedup.tokens(coalesce(col(textCol), lit(""))).as("w"))
-    val base = if (materialize)
-      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else base0
+    val pos0 = xdocPosFrame(docs, textCol, idCol, n)
+    val pos = if (materialize)
+      pos0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pos0
     try {
-      val pos = base.filter(size(col("w")) >= n)
-        .select(col("doc_id"), posexplode(transform(
-          sequence(lit(0), size(col("w")) - n),
-          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
-        .toDF("doc_id", "pos", "h")
       val keep = pos.groupBy("h")
         .agg(count(lit(1)).as("cnt"),
           min(struct(col("doc_id"), col("pos"))).as("kp"))
@@ -1425,7 +1419,7 @@ object Curation {
         .select(col("doc_id"), col("pos"))
       val spans = mergeAnchorSpans(anchors, n)
       if (materialize) spans.localCheckpoint(true) else spans
-    } finally if (materialize) base.unpersist()
+    } finally if (materialize) pos.unpersist()
   }
 
   /** The cut for [[xdocSubstrSpans]] — each document rebuilt with its
@@ -1440,11 +1434,29 @@ object Curation {
     applySpanCut(docs, textCol, idCol,
       xdocSubstrSpans(docs, textCol, idCol, n))
 
+  /** The slim positional window frame shared by [[xdocSubstrSpans]]
+    * and its incremental refresh ([[Refresh.xdocRefresh]]): one
+    * (doc_id, pos, h) row per n-token window, h = the xxhash64 of the
+    * window text (the x63/x133 window-identity discipline — the
+    * oracle compares window STRINGS, so a 64-bit collision is the
+    * declared, fixture-checked risk). Documents shorter than n tokens
+    * contribute no rows.
+    */
+  private[ext] def xdocPosFrame(docs: DataFrame, textCol: String,
+                                idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        Dedup.tokens(coalesce(col(textCol), lit(""))).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+      .toDF("doc_id", "pos", "h")
+
   /** Island-merge a slim (doc_id, pos) anchor frame (each anchor
     * covering [pos, pos+n-1]) into maximal disjoint spans — shared by
-    * [[dupSpans]] and [[xdocSubstrSpans]].
+    * [[dupSpans]], [[xdocSubstrSpans]] and [[Refresh.xdocRefresh]].
     */
-  private def mergeAnchorSpans(anchors: DataFrame, n: Int): DataFrame = {
+  private[ext] def mergeAnchorSpans(anchors: DataFrame, n: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + (n - 1))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -1466,8 +1478,8 @@ object Curation {
     * aggregates per doc and joins back by doc_id; the cut itself is
     * one map-side filter-by-index lambda inside whole-stage codegen.
     */
-  private def applySpanCut(docs: DataFrame, textCol: String, idCol: String,
-                           spanFrame: DataFrame): DataFrame = {
+  private[ext] def applySpanCut(docs: DataFrame, textCol: String, idCol: String,
+                                spanFrame: DataFrame): DataFrame = {
     val spans = spanFrame
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("spans"))

@@ -774,4 +774,153 @@ object Refresh {
         col("n.n_docs").as("n_docs"),
         col("n.token_mass").as("token_mass"),
         col("n.id_xor").as("id_xor"))
+
+  // ------------------------------------------------------------ X7e-c
+
+  /** X7e-c (r18): INCREMENTAL cross-document exact-substring dedup —
+    * the deployment form of [[Curation.xdocSubstrSpans]] /
+    * [[Curation.cutXdocSubstr]] (x133/x134): corpus v2 arrives and the
+    * keeper-preserving cut corpus refreshes delta-bound against the
+    * standing slim window index, bit-identical to a from-scratch
+    * rebuild (the declared x136 row asserts it in-query; DuckDB
+    * replays the rebuild independently).
+    *
+    * State frames (all slim, persisted via [[Artifacts.saveIndex]]):
+    *  - `pos` (doc_id, pos, h): the corpus's n-token window view
+    *    ([[Curation.xdocPosFrame]]) — window TEXT is never state;
+    *  - `sig` (doc_id, th): per-document text hashes — the v1→v2 diff
+    *    runs against this standing index, so v1 text is never re-read
+    *    (the x131 no-diff-scan sharpening over x112's corpus diff);
+    *  - `cut` (doc_id, n_tokens, n_cut, clean_text): the standing cut
+    *    corpus — the pipeline's output, carried forward row-for-row
+    *    where nothing changed.
+    *
+    * EXACTNESS: `pos2 = pos − touched + posFrame(changed ∪ fresh)`
+    * equals posFrame(v2) row-for-row (unchanged documents contribute
+    * identical rows). A document's cut depends only on its own window
+    * rows and, per window hash, on (cnt >= 2, keeper) — so the cut of
+    * an UNCHANGED document changes iff the mark bit of one of its
+    * occurrences (duplicated AND not the keeper) flips between the old
+    * and new per-hash stats. Only hashes present in the removed or
+    * added window rows can change stats (`affH`), so comparing old vs
+    * new marks over ALL occurrences of affH captures every unchanged
+    * document whose cut can differ — keeper moves included: removing
+    * the keeper's occurrence re-elects the min remaining (whose mark
+    * flips true→false), and a fresh occurrence below the standing
+    * keeper flips the old keeper's mark false→true. Changed ∪ fresh
+    * documents recompute by definition; every other cut row carries
+    * forward bit-for-bit. The recut span merge runs over the FULL
+    * per-hash stats of the recut documents' windows (`recutH`,
+    * recomputed from pos2), not just affH, so a recut document's
+    * untouched marks are reproduced exactly.
+    *
+    * SCALE (100 TB): the diff is a slim hash-index full-outer join (no
+    * corpus text read); only changed ∪ fresh documents re-tokenize
+    * into windows; the mark compare touches the standing index only
+    * through semi-joins on the delta-sized affH hash list, and re-cuts
+    * read text for exactly the recut ids — every id/hash list rides a
+    * size-gated broadcast hint ([[Hints.hintIfSlim]]; a v2 that
+    * rewrites most of the corpus degrades to rebuild cost, which is
+    * the true cost of that delta). A corpus-wide boilerplate window
+    * touched by the delta makes affH's occurrence set corpus-sized —
+    * that is the rebuild's cost too, not an incremental penalty (the
+    * x112 boilerplate-line argument).
+    */
+  final case class XdocState(pos: DataFrame, sig: DataFrame,
+                             cut: DataFrame)
+
+  /** The refresh's recut delta alongside the updated state: `recut` =
+    * changed ∪ fresh ∪ mark-flipped unchanged ids — the re-cut row
+    * set, what the ScaleCheck witness counts against the rebuild's
+    * corpus-sized cut.
+    */
+  final case class XdocDelta(state2: XdocState, recut: DataFrame)
+
+  /** Build the standing state from scratch (corpus v1, or a periodic
+    * re-baseline). The frames are LAZY — the deployment contract is
+    * [[Artifacts.saveIndex]] → reload (what the declared x136
+    * artifact does); a refresh fed raw lazy frames re-tokenizes the
+    * corpus on every consumption (the [[buildState]] warning).
+    */
+  def xdocBuildState(docs: DataFrame, textCol: String, idCol: String,
+                     n: Int = 5): XdocState =
+    XdocState(
+      Curation.xdocPosFrame(docs, textCol, idCol, n),
+      docs.select(col(idCol).as("doc_id"),
+        xxhash64(coalesce(col(textCol), lit(""))).as("th")),
+      Curation.cutXdocSubstr(docs, textCol, idCol, n))
+
+  def xdocRefresh(st: XdocState, v2: DataFrame, textCol: String,
+                  idCol: String, n: Int = 5): XdocDelta = {
+    def idsAs(ids: DataFrame, c: String): DataFrame =
+      if (c == "doc_id") ids else ids.withColumnRenamed("doc_id", c)
+    val sig2 = v2.select(col(idCol).as("doc_id"),
+        xxhash64(coalesce(col(textCol), lit(""))).as("th"))
+      .localCheckpoint(true) // diff side + the returned state frame
+    val dj = st.sig.as("a").join(sig2.as("b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("a.th").as("t1"), col("b.th").as("t2"))
+      .localCheckpoint(true) // consumed by both delta classifications
+    val touched = dj.filter(col("t1").isNotNull &&
+        (col("t2").isNull || col("t1") =!= col("t2")))
+      .select("doc_id").localCheckpoint(true) // removed ∪ changed
+    val deltaIds = dj.filter(col("t2").isNotNull &&
+        (col("t1").isNull || col("t1") =!= col("t2")))
+      .select("doc_id").localCheckpoint(true) // changed ∪ fresh
+    // only the delta re-tokenizes; pos2 is materialized once — it is
+    // the new standing index (written once in deployment) and the
+    // fold consumes it three times below
+    val addedPos = Curation.xdocPosFrame(
+      v2.join(hintIfSlim(idsAs(deltaIds, idCol)), Seq(idCol), "left_semi"),
+      textCol, idCol, n).localCheckpoint(true)
+    val removedPos = st.pos.join(hintIfSlim(touched), Seq("doc_id"),
+      "left_semi")
+    val pos2 = st.pos.join(hintIfSlim(touched), Seq("doc_id"), "left_anti")
+      .unionByName(addedPos).localCheckpoint(true)
+    // per-hash stats before/after, restricted to the hashes the delta
+    // can have changed; occurrences of affH are the only mark bits
+    // that can flip
+    val affH = removedPos.select("h").union(addedPos.select("h"))
+      .distinct().localCheckpoint(true)
+    val affHH = hintIfSlim(affH)
+    def stats(p: DataFrame): DataFrame = p.groupBy("h").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("kp"))
+    def marked(p: DataFrame): DataFrame = p.join(stats(p), Seq("h"))
+      .select(col("doc_id"), col("pos"),
+        (col("cnt") >= 2 && !(col("kp.doc_id") === col("doc_id") &&
+          col("kp.pos") === col("pos"))).as("m"))
+    val oldAff = st.pos.join(affHH, Seq("h"), "left_semi")
+      .localCheckpoint(true) // stats + mark join
+    val newAff = pos2.join(affHH, Seq("h"), "left_semi")
+      .localCheckpoint(true)
+    val flipped = marked(oldAff).as("o")
+      .join(marked(newAff).as("n"), Seq("doc_id", "pos"), "full_outer")
+      .filter(!(coalesce(col("o.m"), lit(false)) <=>
+        coalesce(col("n.m"), lit(false))))
+      .select("doc_id").distinct()
+      // removed docs are gone, changed/fresh recut anyway — flips on
+      // them are alignment artifacts of the (doc, pos) join, not
+      // unchanged-document work
+      .join(hintIfSlim(touched.unionByName(deltaIds).distinct()
+        .localCheckpoint(true)), Seq("doc_id"), "left_anti")
+    val recut = deltaIds.unionByName(flipped).distinct()
+      .localCheckpoint(true)
+    val recutHint = hintIfSlim(recut)
+    val recutPos = pos2.join(recutHint, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // recutH + the anchor join
+    val recutH = recutPos.select("h").distinct().localCheckpoint(true)
+    val anchors = recutPos.join(
+        stats(pos2.join(hintIfSlim(recutH), Seq("h"), "left_semi"))
+          .filter(col("cnt") >= 2), Seq("h"))
+      .filter(!(col("kp.doc_id") === col("doc_id") &&
+        col("kp.pos") === col("pos")))
+      .select("doc_id", "pos")
+    val recutRows = Curation.applySpanCut(
+      v2.join(hintIfSlim(idsAs(recut, idCol)), Seq(idCol), "left_semi"),
+      textCol, idCol, Curation.mergeAnchorSpans(anchors, n))
+    val cut2 = st.cut.join(hintIfSlim(touched.unionByName(recut)
+        .distinct().localCheckpoint(true)), Seq("doc_id"), "left_anti")
+      .unionByName(recutRows)
+    XdocDelta(XdocState(pos2, sig2, cut2), recut)
+  }
 }

@@ -383,6 +383,137 @@ object Declared {
       p
     }
 
+
+  /** x131's body downstream of the standing v1 state — the container
+    * drop folded through the standing URL index, keeper-moved
+    * extraction delta, asmRefresh, and the full-history rebuild with
+    * per-shard incr_match. Shared by x131 (plain containers) and x137
+    * (the same records as per-record-gzip containers read at split
+    * parallelism) so the two entries cannot drift — the x130/x135
+    * sharing, lifted to the refresh twin.
+    */
+  private def crawlAssemblyRefreshFrom(s: SparkSession, dir: String,
+      v1Store: String, v2Store: String,
+      read: String => DataFrame): DataFrame = {
+        val docs = t(s, dir, "documents")
+        val (_, _, idx1, ex1, st1, lm, thr) = crawlRefreshArtifact(s, dir)
+        val bench = docs.filter(col("doc_id") % 37 === 0)
+        val merged1 = assemblyMerged(assemblyUnion(ex1))
+        val pages2 = crawlPages(read(v2Store))
+          .localCheckpoint(true) // read by the fold, the delta extract, the rebuild
+        val idx2 = graft.ext.Urls.urlDedupRefresh(idx1,
+          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id",
+          latestWins = true)
+        val ex2 = graft.ext.Refresh.crawlExtractRefresh(ex1, idx1, idx2,
+          pages2)
+        val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
+        val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
+          tokenLines12, lm, thr, bench, CrawlAsmParams)
+        val inc = graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
+        val pagesAll = crawlPages(read(v1Store))
+          .unionByName(pages2)
+        val keepAll = graft.ext.Urls.urlDedup(
+            pagesAll.select(col("url"), col("fetch_id")), "url", "fetch_id",
+            latestWins = true)
+          .select(col("keeper_id").as("fetch_id"))
+        val mergedF = assemblyMerged(assemblyUnion(
+          crawlKeeperCorpus(pagesAll, keepAll))).localCheckpoint(true)
+        val fullSt = graft.ext.Refresh.asmBuildState(mergedF, tokenLines12,
+          lm, thr, bench, CrawlAsmParams)
+        val full = graft.ext.Refresh.asmManifestFrom(fullSt.docMeta,
+          fullSt.clusters)
+        full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
+          .select(col("shard"), col("f.n_docs").as("n_docs"),
+            col("f.token_mass").as("token_mass"),
+            col("f.id_xor").as("id_xor"),
+            col("f.lead_doc").as("lead_doc"),
+            (col("f.n_docs") <=> col("i.n_docs") &&
+              col("f.token_mass") <=> col("i.token_mass") &&
+              col("f.id_xor") <=> col("i.id_xor") &&
+              col("f.lead_doc") <=> col("i.lead_doc")).as("incr_match"))
+          .orderBy("shard")
+      }
+
+  /** The x131 refresh-fixture snapshots recompressed to per-record-gzip
+    * containers — x137's entry points: `writeWarcGz` over the SAME
+    * record constructors as [[crawlRefreshArtifact]]'s plain stores
+    * (the x132/x135 recompression argument applied to both snapshots).
+    */
+  private def crawlGzRefreshStoresArtifact(s: SparkSession, dir: String): (String, String) =
+    artifact(s, "crawl_refresh_gz_stores_v1", dir) {
+      val docs = t(s, dir, "documents")
+      val g1 = java.nio.file.Files
+        .createTempDirectory("graft-crawlgz-ref-v1").toString
+      graft.sources.FileSources.writeWarcGz(
+        crawlRecords(crawlV1Docs(docs), col("doc_id")), g1)
+      val g2 = java.nio.file.Files
+        .createTempDirectory("graft-crawlgz-ref-v2").toString
+      graft.sources.FileSources.writeWarcGz(
+        crawlRecords(crawlV2Docs(docs), col("doc_id") + CrawlV2Offset,
+          Some(crawlV2Url)), g2)
+      (g1, g2)
+    }
+
+  /** x131/x137's shared oracle — the DuckDB replay of the crawl
+    * refresh REBUILD front to back; container framing is pinned by
+    * x120 (plain) and x132 (gz) on their own rows (the x130/x135
+    * shared-oracle argument, lifted to the refresh twin).
+    */
+  private def crawlRefreshOracleSql: String = s"""WITH RECURSIVE cf1 AS MATERIALIZED (
+        |  SELECT doc_id AS fid, doc_id AS sdoc, text
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 17 <> 5),
+        |cf2 AS MATERIALIZED (
+        |  SELECT doc_id + $CrawlV2Offset AS fid, doc_id AS sdoc,
+        |    CASE WHEN doc_id % 13 = 4 THEN coalesce(text, '') || ' spark refresh delta'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |    AND (doc_id % 13 = 4 OR doc_id % 11 = 9 OR doc_id % 23 = 3)),
+        |cu1 AS MATERIALIZED (
+        |  SELECT fid AS doc_id,
+        |    ${crawlUrlSql("sdoc")}
+        |    AS url, text
+        |  FROM cf1),
+        |cu2 AS MATERIALIZED (
+        |  SELECT fid AS doc_id,
+        |    CASE WHEN sdoc % 23 = 3 THEN 'https://crawl.graft/q/' || sdoc::varchar
+        |      ELSE ${crawlUrlSql("sdoc")}
+        |    END AS url, text
+        |  FROM cf2),
+        |${urlCanonCtes("ca", "cu1")},
+        |cakeep AS MATERIALIZED (
+        |  SELECT max(doc_id) AS doc_id FROM cacanon GROUP BY canonical_url),
+        |cadocs AS MATERIALIZED (
+        |  SELECT u2.doc_id, u2.text FROM cu1 u2 JOIN cakeep USING (doc_id)),
+        |${htmlExtractCtes("ce", "cadocs")},
+        |crawl1 AS MATERIALIZED (
+        |  SELECT c.doc_id, coalesce(a.text, '') AS text
+        |  FROM cadocs c LEFT JOIN (
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos) AS text
+        |    FROM cetok GROUP BY doc_id) a USING (doc_id)),
+        |cuall AS MATERIALIZED (
+        |  SELECT * FROM cu1 UNION ALL SELECT * FROM cu2),
+        |${urlCanonCtes("cb", "cuall")},
+        |cbkeep AS MATERIALIZED (
+        |  SELECT max(doc_id) AS doc_id FROM cbcanon GROUP BY canonical_url),
+        |cbdocs AS MATERIALIZED (
+        |  SELECT u2.doc_id, u2.text FROM cuall u2 JOIN cbkeep USING (doc_id)),
+        |${htmlExtractCtes("cg", "cbdocs")},
+        |crawl2 AS MATERIALIZED (
+        |  SELECT c.doc_id, coalesce(a.text, '') AS text
+        |  FROM cbdocs c LEFT JOIN (
+        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
+        |      chr(10) ORDER BY pos) AS text
+        |    FROM cgtok GROUP BY doc_id) a USING (doc_id)),
+        |${assemblyHeadCtes("crawl1", "o")},
+        |${assemblyLmCtes("o")},
+        |${assemblyScoreCte("o", "o")},
+        |${assemblyThrCte("o")},
+        |${assemblyHeadCtes("crawl2", "n")},
+        |${assemblyScoreCte("n", "o")},
+        |${assemblyKeptCorpusCte("n", "o", "n")},
+        |${assemblyTailSql(", true AS incr_match", asmBandedPairsCtes)}""".stripMargin
+
   /** x130/x135's shared oracle — the DuckDB replay of the crawl
     * front-to-back order (URL carve → canonicalization → min-id
     * keepers → extraction → the eleven-stage assembly); container
@@ -2813,6 +2944,26 @@ object Declared {
         graft.ext.Artifacts.loadIndex(s, s"$base/pairs"))
     }
 
+  /** x136's standing v1 state — the slim window index, the per-doc
+    * text-hash index (the diff side: v1 text is never re-read by the
+    * refresh) and the standing cut corpus, all persisted through the
+    * parquet index store and RELOADED (the x85 hand-off discipline).
+    */
+  private def xdocRefreshArtifact(s: SparkSession, dir: String): graft.ext.Refresh.XdocState =
+    artifact(s, "xdoc_refresh_state_v1", dir) {
+      val st = graft.ext.Refresh.xdocBuildState(
+        refreshV1(t(s, dir, "documents")), "text", "doc_id", n = 5)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-xdoc-state").toString
+      graft.ext.Artifacts.saveIndex(st.pos, s"$base/pos")
+      graft.ext.Artifacts.saveIndex(st.sig, s"$base/sig")
+      graft.ext.Artifacts.saveIndex(st.cut, s"$base/cut")
+      graft.ext.Refresh.XdocState(
+        graft.ext.Artifacts.loadIndex(s, s"$base/pos"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/sig"),
+        graft.ext.Artifacts.loadIndex(s, s"$base/cut"))
+    }
+
   /** x87's standing cluster map — v1's duplicate clusters, the FIFTH
     * slim state frame a deployment carries between refreshes, persisted
     * and RELOADED like the other four (it seeds the delta-bound cluster
@@ -5237,6 +5388,78 @@ object Declared {
         |SELECT t.doc_id, len(t.w)::bigint AS n_tokens,
         |  coalesce(p.n_cov, 0)::bigint AS n_cut,
         |  coalesce(c.ct, '') AS clean_text
+        |FROM toks t LEFT JOIN per p USING (doc_id)
+        |  LEFT JOIN clean c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
+
+    // X7e-c (r18): INCREMENTAL cross-document exact-substring dedup —
+    // x134's deployment form: corpus v2 arrives (the x85 v1/v2 carves:
+    // removed %19 slice, changed %13 marker append, fresh %17 slice)
+    // and the keeper-preserving cut corpus refreshes against the
+    // standing slim state (window index + per-doc text hashes + cut
+    // rows, persisted and RELOADED) — only changed ∪ fresh docs
+    // re-tokenize, only mark-flipped ∪ delta docs re-cut, every other
+    // row carries forward bit-for-bit. The declared claim is the
+    // x85/x112 duality: the query runs BOTH the incremental path (from
+    // the persisted v1 state) and the from-scratch rebuild, emits the
+    // rebuild's per-doc cut rows with an incr_match boolean, and
+    // DuckDB independently replays the REBUILD over the v2 carve
+    // (string-keyed keeper election — the x133/x134 hash-vs-string
+    // cross-check, now covering the fold's keeper moves too).
+    "x136_xdoc_substr_refresh" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val st1 = xdocRefreshArtifact(s, dir)
+        val v2 = refreshV2(docs)
+        val d = graft.ext.Refresh.xdocRefresh(st1, v2, "text", "doc_id",
+          n = 5)
+        val full = Curation.cutXdocSubstr(v2, "text", "doc_id", n = 5)
+        full.as("f").join(d.state2.cut.as("i"), Seq("doc_id"),
+            "full_outer")
+          .select(col("doc_id"),
+            col("f.n_tokens").as("n_tokens"),
+            col("f.n_cut").as("n_cut"),
+            col("f.clean_text").as("clean_text"),
+            (col("f.n_tokens") <=> col("i.n_tokens") &&
+              col("f.n_cut") <=> col("i.n_cut") &&
+              col("f.clean_text") <=> col("i.clean_text"))
+              .as("incr_match"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v2 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 4 THEN text || ' spark refresh delta'
+        |      ELSE text END AS text
+        |  FROM documents WHERE doc_id % 19 <> 7),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
+        |  FROM v2),
+        |shp AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |  FROM toks, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |d AS (
+        |  SELECT s, (min({'d': doc_id, 'p': p})).d AS kd,
+        |    (min({'d': doc_id, 'p': p})).p AS kpos
+        |  FROM shp GROUP BY s HAVING count(*) >= 2),
+        |a AS (
+        |  SELECT shp.doc_id, shp.p FROM shp JOIN d USING (s)
+        |  WHERE NOT (shp.doc_id = d.kd AND shp.p = d.kpos)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, j FROM a, unnest(range(p, p + 5)) AS u(j)),
+        |per AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+        |kept AS (
+        |  SELECT t.doc_id, i, w[i] AS tok
+        |  FROM toks t, unnest(range(1, len(w) + 1)) AS u(i)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |    WHERE c.doc_id = t.doc_id AND c.j = i - 1)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.w)::bigint AS n_tokens,
+        |  coalesce(p.n_cov, 0)::bigint AS n_cut,
+        |  coalesce(c.ct, '') AS clean_text,
+        |  true AS incr_match
         |FROM toks t LEFT JOIN per p USING (doc_id)
         |  LEFT JOIN clean c USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
@@ -7771,99 +7994,31 @@ object Declared {
     // the full eleven-stage tail).
     "x131_crawl_assembly_refresh" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val (v1Store, v2Store, idx1, ex1, st1, lm, thr) =
-          crawlRefreshArtifact(s, dir)
-        val bench = docs.filter(col("doc_id") % 37 === 0)
-        val merged1 = assemblyMerged(assemblyUnion(ex1))
-        val pages2 = crawlPages(graft.sources.FileSources.readWarc(s, v2Store))
-          .localCheckpoint(true) // read by the fold, the delta extract, the rebuild
-        val idx2 = graft.ext.Urls.urlDedupRefresh(idx1,
-          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id",
-          latestWins = true)
-        val ex2 = graft.ext.Refresh.crawlExtractRefresh(ex1, idx1, idx2,
-          pages2)
-        val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
-        val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
-          tokenLines12, lm, thr, bench, CrawlAsmParams)
-        val inc = graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
-        val pagesAll = crawlPages(graft.sources.FileSources.readWarc(s, v1Store))
-          .unionByName(pages2)
-        val keepAll = graft.ext.Urls.urlDedup(
-            pagesAll.select(col("url"), col("fetch_id")), "url", "fetch_id",
-            latestWins = true)
-          .select(col("keeper_id").as("fetch_id"))
-        val mergedF = assemblyMerged(assemblyUnion(
-          crawlKeeperCorpus(pagesAll, keepAll))).localCheckpoint(true)
-        val fullSt = graft.ext.Refresh.asmBuildState(mergedF, tokenLines12,
-          lm, thr, bench, CrawlAsmParams)
-        val full = graft.ext.Refresh.asmManifestFrom(fullSt.docMeta,
-          fullSt.clusters)
-        full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
-          .select(col("shard"), col("f.n_docs").as("n_docs"),
-            col("f.token_mass").as("token_mass"),
-            col("f.id_xor").as("id_xor"),
-            col("f.lead_doc").as("lead_doc"),
-            (col("f.n_docs") <=> col("i.n_docs") &&
-              col("f.token_mass") <=> col("i.token_mass") &&
-              col("f.id_xor") <=> col("i.id_xor") &&
-              col("f.lead_doc") <=> col("i.lead_doc")).as("incr_match"))
-          .orderBy("shard")
+        val (v1s, v2s, _, _, _, _, _) = crawlRefreshArtifact(s, dir)
+        crawlAssemblyRefreshFrom(s, dir, v1s, v2s,
+          p => graft.sources.FileSources.readWarc(s, p))
       },
-      Some(s"""WITH RECURSIVE cf1 AS MATERIALIZED (
-        |  SELECT doc_id AS fid, doc_id AS sdoc, text
-        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 17 <> 5),
-        |cf2 AS MATERIALIZED (
-        |  SELECT doc_id + $CrawlV2Offset AS fid, doc_id AS sdoc,
-        |    CASE WHEN doc_id % 13 = 4 THEN coalesce(text, '') || ' spark refresh delta'
-        |      ELSE text END AS text
-        |  FROM documents WHERE doc_id IS NOT NULL
-        |    AND (doc_id % 13 = 4 OR doc_id % 11 = 9 OR doc_id % 23 = 3)),
-        |cu1 AS MATERIALIZED (
-        |  SELECT fid AS doc_id,
-        |    ${crawlUrlSql("sdoc")}
-        |    AS url, text
-        |  FROM cf1),
-        |cu2 AS MATERIALIZED (
-        |  SELECT fid AS doc_id,
-        |    CASE WHEN sdoc % 23 = 3 THEN 'https://crawl.graft/q/' || sdoc::varchar
-        |      ELSE ${crawlUrlSql("sdoc")}
-        |    END AS url, text
-        |  FROM cf2),
-        |${urlCanonCtes("ca", "cu1")},
-        |cakeep AS MATERIALIZED (
-        |  SELECT max(doc_id) AS doc_id FROM cacanon GROUP BY canonical_url),
-        |cadocs AS MATERIALIZED (
-        |  SELECT u2.doc_id, u2.text FROM cu1 u2 JOIN cakeep USING (doc_id)),
-        |${htmlExtractCtes("ce", "cadocs")},
-        |crawl1 AS MATERIALIZED (
-        |  SELECT c.doc_id, coalesce(a.text, '') AS text
-        |  FROM cadocs c LEFT JOIN (
-        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
-        |      chr(10) ORDER BY pos) AS text
-        |    FROM cetok GROUP BY doc_id) a USING (doc_id)),
-        |cuall AS MATERIALIZED (
-        |  SELECT * FROM cu1 UNION ALL SELECT * FROM cu2),
-        |${urlCanonCtes("cb", "cuall")},
-        |cbkeep AS MATERIALIZED (
-        |  SELECT max(doc_id) AS doc_id FROM cbcanon GROUP BY canonical_url),
-        |cbdocs AS MATERIALIZED (
-        |  SELECT u2.doc_id, u2.text FROM cuall u2 JOIN cbkeep USING (doc_id)),
-        |${htmlExtractCtes("cg", "cbdocs")},
-        |crawl2 AS MATERIALIZED (
-        |  SELECT c.doc_id, coalesce(a.text, '') AS text
-        |  FROM cbdocs c LEFT JOIN (
-        |    SELECT doc_id, string_agg(CASE WHEN ${graft.ext.Extract.keepSql("n_tok", "n_stop", "lnk", "txt")} THEN txt END,
-        |      chr(10) ORDER BY pos) AS text
-        |    FROM cgtok GROUP BY doc_id) a USING (doc_id)),
-        |${assemblyHeadCtes("crawl1", "o")},
-        |${assemblyLmCtes("o")},
-        |${assemblyScoreCte("o", "o")},
-        |${assemblyThrCte("o")},
-        |${assemblyHeadCtes("crawl2", "n")},
-        |${assemblyScoreCte("n", "o")},
-        |${assemblyKeptCorpusCte("n", "o", "n")},
-        |${assemblyTailSql(", true AS incr_match", asmBandedPairsCtes)}""".stripMargin)),
+      Some(crawlRefreshOracleSql)),
+
+    // X26b-gz+X23e (r18): the SAME crawl refresh entered from
+    // per-record-gzip containers — both snapshots recompressed to
+    // Common Crawl's delivery format and read at SPLIT parallelism by
+    // the x132 member-aware reader, completing gz-path parity with the
+    // plain-container family (ingest x132, assembly x135, refresh
+    // x137). Shares x131's body and oracle verbatim (the x130/x135
+    // argument lifted to the refresh twin): x132's own row pins
+    // gz == plain record parity, so this row flips INDEPENDENTLY iff
+    // member framing, split resync or decompression corrupts anywhere
+    // under the refresh fold's consumption pattern (the standing-index
+    // probe, the keeper-moved extraction delta, and the cumulative
+    // v1 ∪ v2 rebuild all re-read container pages).
+    "x137_crawlgz_assembly_refresh" -> Q(
+      (s, dir) => {
+        val (g1, g2) = crawlGzRefreshStoresArtifact(s, dir)
+        crawlAssemblyRefreshFrom(s, dir, g1, g2,
+          p => graft.sources.FileSources.readWarcGz(s, p))
+      },
+      Some(crawlRefreshOracleSql)),
 
     // X23d (r14): incremental CCNet-HEAD refresh under a frozen
     // reference LM — the deployment reality of the x108 chain (corpus

@@ -44,7 +44,8 @@ object Plans {
     "x127_warc_ccnet_e2e", "x128_wordpiece_byte_encode", "x129_wet_ingest",
     "x130_crawl_assembly_e2e", "x131_crawl_assembly_refresh",
     "x132_warcgz_ingest", "x134_xdoc_substr_cut",
-    "x135_crawlgz_assembly_e2e")
+    "x135_crawlgz_assembly_e2e", "x136_xdoc_substr_refresh",
+    "x137_crawlgz_assembly_refresh")
 
   /** The declared form of these queries materializes eagerly (the pair
     * list is checkpointed — see the Dedup/Search materialization

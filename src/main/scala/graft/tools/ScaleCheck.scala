@@ -960,7 +960,8 @@ object ScaleCheck {
     sb.append("Asserted: exp < 1.5 and witness-pair growth linear.\n\n")
     sb.append("| case | 1x (s / witness / other) | 4x (s / w / o) | 16x (s / w / o) | exp |\n")
     sb.append("|---|---|---|---|---|\n")
-    pairCases.foreach { case (name, run, witness) =>
+    pairCases.filter(c => scaleOnly.forall(c._1.contains(_)))
+      .foreach { case (name, run, witness) =>
       run(1).count() // warm-up
       val timed = scales.map { n =>
         val t0 = System.nanoTime()
@@ -1471,6 +1472,93 @@ object ScaleCheck {
       println(f"SCALE x112 refresh " +
         timedC.map { case (_, a, b, _, _) => f"$a%.2f/$b%.2f" }.mkString(" ") +
         s" rescored=$rescored1/$rescored16 corpus=$corpus1/$corpus16")
+    }
+
+    // --- x136 incremental cross-doc substring refresh at scale ---------
+    // The r18 substring-dedup family's deployment frame, under the x112
+    // discipline: retag-bijected replication (disjoint window spaces per
+    // replica), the v1->v2 delta confined to replica 0 (removed %19
+    // slice, changed %13 marker append, fresh full-duplicate copies of
+    // the %23 slice under new ids above their sources). Disjoint spaces
+    // make every mark flip replica-0-local, so the recut row set is
+    // IDENTICAL at every scale — asserted exactly, the deterministic
+    // delta-boundedness claim — while the rebuild's cut output is
+    // corpus-sized. Refresh == rebuild asserted bit-for-bit by a
+    // distributed full-outer compare (no corpus collect). Walls stay
+    // informational (the r18 x112 rule: row counts, not schedulers).
+    section("x136 incremental xdoc-substr refresh at scale") {
+      import graft.ext.Refresh
+      val R0 = 100000000L
+      def v1p(n: Int): DataFrame =
+        replicateDocsPerturbed(n).filter(col("doc_id").isNotNull)
+      def v2p(n: Int): DataFrame = {
+        val base = v1p(n)
+        base.filter(!(col("doc_id") < R0 && col("doc_id") % 19 === 7))
+          .withColumn("text",
+            when(col("doc_id") < R0 && col("doc_id") % 13 === 4,
+              concat(col("text"), lit(" x136 scale delta")))
+              .otherwise(col("text")))
+          .unionByName(base
+            .filter(col("doc_id") < R0 && col("doc_id") % 23 === 3)
+            .withColumn("doc_id", col("doc_id") + 50000000L))
+      }
+      def run(n: Int): (Double, Double, Long, Long) = {
+        // deployment shape, setup untimed: persisted+reloaded standing
+        // state, the v2 corpus store checkpointed once (both paths
+        // read it)
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-x136-scale").toString
+        val st0 = Refresh.xdocBuildState(v1p(n), "text", "doc_id", 5)
+        graft.ext.Artifacts.saveIndex(st0.pos, s"$base/pos")
+        graft.ext.Artifacts.saveIndex(st0.sig, s"$base/sig")
+        graft.ext.Artifacts.saveIndex(st0.cut, s"$base/cut")
+        val st = Refresh.XdocState(
+          graft.ext.Artifacts.loadIndex(spark, s"$base/pos"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/sig"),
+          graft.ext.Artifacts.loadIndex(spark, s"$base/cut"))
+        val v2 = v2p(n).localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val d = Refresh.xdocRefresh(st, v2, "text", "doc_id", 5)
+        val cut2 = d.state2.cut.localCheckpoint(true)
+        val tRef = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val full = graft.ext.Curation.cutXdocSubstr(v2, "text", "doc_id", 5)
+          .localCheckpoint(true)
+        val tReb = (System.nanoTime() - t1) / 1e9
+        val bad = full.as("f").join(cut2.as("i"), Seq("doc_id"), "full_outer")
+          .filter(!(col("f.n_tokens") <=> col("i.n_tokens")) ||
+            !(col("f.n_cut") <=> col("i.n_cut")) ||
+            !(col("f.clean_text") <=> col("i.clean_text"))).count()
+        assert(bad == 0L,
+          s"x136 scale: refresh != rebuild at ${n}x ($bad mismatched rows)")
+        val nRecut = d.recut.count()
+        val nCorpus = full.count()
+        rmTree(base)
+        (tRef, tReb, nRecut, nCorpus)
+      }
+      val timed = scales.map(run)
+      val (_, _, recut1, corpus1) = timed(0)
+      val (_, _, recut16, corpus16) = timed(2)
+      assert(recut16 == recut1,
+        s"x136 scale: recut set not replica-0-confined " +
+          s"($recut1 at 1x vs $recut16 at 16x)")
+      assert(corpus16 >= 15 * corpus1 && recut16 * 8 < corpus16,
+        s"x136 scale: delta not << corpus at 16x " +
+          s"($recut16 recut vs $corpus16 corpus rows)")
+      sb.append("\n## Incremental cross-doc substring refresh at scale (x136, constant delta)\n\n")
+      sb.append("Retag-bijected replication (disjoint window spaces); the v1->v2 delta\n")
+      sb.append("lives in replica 0. Refresh cut corpus asserted == rebuild bit-for-bit\n")
+      sb.append("at every scale (distributed compare); delta-boundedness asserted on\n")
+      sb.append("recut-ROW counts — the recut set is exactly scale-invariant while the\n")
+      sb.append("rebuild re-cuts the whole corpus. Walls informational.\n\n")
+      sb.append("| case | 1x (s) | 4x (s) | 16x (s) | recut/corpus rows 1x,16x |\n|---|---|---|---|---|\n")
+      sb.append(f"| x136 refresh (delta fixed) | ${timed(0)._1}%.2f | " +
+        f"${timed(1)._1}%.2f | ${timed(2)._1}%.2f | $recut1/$corpus1, $recut16/$corpus16 |\n")
+      sb.append(f"| x136 full rebuild | ${timed(0)._2}%.2f | " +
+        f"${timed(1)._2}%.2f | ${timed(2)._2}%.2f | — |\n")
+      println(f"SCALE x136 refresh " +
+        timed.map { case (a, b, _, _) => f"$a%.2f/$b%.2f" }.mkString(" ") +
+        s" recut=$recut1/$recut16 corpus=$corpus1/$corpus16")
     }
 
     // --- x114 incremental CCNet-extended ASSEMBLY refresh at scale -----

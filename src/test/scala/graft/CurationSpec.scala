@@ -870,6 +870,54 @@ class CurationSpec extends SparkSuite {
       (5L, 9L, 6L, "m n o")), got.toSeq)
   }
 
+  test("X7e-c xdocRefresh: every delta class — keeper vanishes, fresh keeper below standing, changed, carry-forward") {
+    // disjoint vocabularies isolate four delta behaviors; n = 3
+    val v1 = Seq(
+      (10L, "a1 a2 a3 a4"),            // A: keeper owner, REMOVED in v2
+      (11L, "a9 a8 a1 a2 a3 a4"),      // A: marked [2,5] in v1
+      (20L, "b1 b2 b3 b4"),            // B: keeper owner in v1
+      (21L, "b9 b8 b1 b2 b3 b4"),      // B: marked [2,5] in v1 AND v2
+      (30L, "c1 c2 c3 c1 c2 c3"),      // C: within-doc repeat, CHANGED
+      (40L, "d1 d2 d3 d4")             // D: untouched
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (11L, "a9 a8 a1 a2 a3 a4"),      // dup partner gone -> unmark flip
+      (15L, "b7 b1 b2 b3 b4 b6"),      // FRESH below keeper 20 -> keeper moves
+      (20L, "b1 b2 b3 b4"),            // was keeper, now marked -> flip
+      (21L, "b9 b8 b1 b2 b3 b4"),      // still marked (new keeper 15): carry
+      (30L, "c1 c2 c3 c4 c5 c6"),      // changed: repeat removed
+      (40L, "d1 d2 d3 d4")
+    ).toDF("doc_id", "text")
+    val st = graft.ext.Refresh.xdocBuildState(v1, "text", "doc_id", n = 3)
+    val d = graft.ext.Refresh.xdocRefresh(st, v2, "text", "doc_id", n = 3)
+    val got = d.state2.cut.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (11L, 6L, 0L, "a9 a8 a1 a2 a3 a4"),
+      (15L, 6L, 0L, "b7 b1 b2 b3 b4 b6"),
+      (20L, 4L, 4L, ""),
+      (21L, 6L, 4L, "b9 b8"),
+      (30L, 6L, 0L, "c1 c2 c3 c4 c5 c6"),
+      (40L, 4L, 0L, "d1 d2 d3 d4")), got.toSeq)
+    // delta-boundedness: exactly flip ∪ fresh ∪ changed re-cut; the
+    // still-marked (21) and untouched (40) rows carried forward
+    val recut = d.recut.collect().map(_.getLong(0)).toSet
+    assert(recut == Set(11L, 15L, 20L, 30L), recut)
+    // refresh == rebuild bit-for-bit, and the refreshed window index
+    // matches a from-scratch v2 state row-for-row
+    val full = Curation.cutXdocSubstr(v2, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(full.toSeq == got.toSeq, "refresh != rebuild")
+    val v2st = graft.ext.Refresh.xdocBuildState(v2, "text", "doc_id", n = 3)
+    assert(d.state2.pos.count() == v2st.pos.count() &&
+      d.state2.pos.unionByName(v2st.pos).distinct().count() ==
+        d.state2.pos.count(), "pos2 != posFrame(v2)")
+    assert(d.state2.sig.count() == v2st.sig.count() &&
+      d.state2.sig.unionByName(v2st.sig).distinct().count() ==
+        d.state2.sig.count(), "sig2 != sig(v2)")
+  }
+
   test("X22d packBoundaries: hand-computed offsets; every offset inside [0, capacity)") {
     import spark.implicits._
     // capacity 5: cum = 3,7,9,14 -> chunks 0,0,1,1; offsets 0,3 and 2,4

@@ -132,7 +132,18 @@ class PlanSpec extends SparkSuite {
     "x130_crawl_assembly_e2e", "x131_crawl_assembly_refresh",
     // r18: the gz-entered x130 twin — front door gated by the x132
     // scan-parallel gate, assembly by the x110 composed prefix
-    "x135_crawlgz_assembly_e2e")
+    "x135_crawlgz_assembly_e2e",
+    // r18: the x134 refresh twin runs BOTH paths eagerly from artifact
+    // state (the x114/x131 convention); its span/cut machinery is
+    // gated through the x133/x134 lazy twins (equi-join on h) and the
+    // fold's joins are plain equi-joins on h / doc_id / (doc_id, pos)
+    // with size-gated id-list hints (CurationSpec pins the delta
+    // classes, ScaleCheck the recut-row boundedness)
+    "x136_xdoc_substr_refresh",
+    // r18: the gz-entered x131 twin — front door gated by the x132
+    // scan-parallel gate, the refresh machinery shared verbatim with
+    // x131 (one def, cannot drift)
+    "x137_crawlgz_assembly_refresh")
 
   // built once: the lazy twins of every eagerly-materializing operator
   // (training the small plan-shape models runs a few fixture jobs)
