@@ -62,6 +62,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r18 (guide §2.2): let AQE coalescing keep small post-shuffle
+      // stages PARALLEL — the default 1 MB floor collapses the
+      // expression-heavy text stages (LM scoring, extraction, encode)
+      // to 1-3 tasks on compressed sub-MB fixture shuffles while each
+      // carries seconds of per-row CPU. Scale-adaptive by construction:
+      // parallelismFirst sizes partitions at totalBytes/parallelism,
+      // so on any real shuffle (>> 64 KB × cores) this floor is inert.
+      // Env-overridable for cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

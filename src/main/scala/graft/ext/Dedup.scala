@@ -895,9 +895,14 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .select(col("src").as("node"), col("label"))
+      // LAZY checkpoint + signature collect = ONE job per round (r18):
+      // the collect materializes the round's labels into the checkpoint
+      // cache, so the eager variant's separate materialization job was
+      // pure scheduling latency (the refresh family runs this loop 2-3
+      // times per invocation)
       val next = labels.union(nbr)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val sigRow = next.agg(count(lit(1)), sum(col("label"))).collect()(0)
       // empty label frame (a corpus with NO near-dup pairs — real at
       // small carves): sum() is NULL, the signature is just (0, 0)

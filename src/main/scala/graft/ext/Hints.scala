@@ -53,7 +53,10 @@ object Hints {
   /** For LAZILY-derived id lists (an election tail, a contamination
     * scan): materialize once, so the gate count AND every downstream
     * join read the checkpoint instead of re-running the derivation.
+    * The checkpoint is LAZY (r18): the gate count itself materializes
+    * it — one job instead of an eager-materialize job followed by a
+    * count job, with identical caching afterwards.
     */
   def checkpointAndHint(ids: DataFrame): DataFrame =
-    hintIfSlim(ids.localCheckpoint(eager = true))
+    hintIfSlim(ids.localCheckpoint(eager = false))
 }

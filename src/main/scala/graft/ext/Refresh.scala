@@ -99,8 +99,13 @@ object Refresh {
     * several times over and comes out SLOWER than a rebuild
     * (measured: 173 s vs 76 s at ScaleCheck's 16x).
     */
-  def buildState(corpus: DataFrame, p: Params = Params()): State = {
-    val gated = Curation.standardGates(corpus)
+  def buildState(corpus: DataFrame, p: Params = Params(),
+                 spread: DataFrame => DataFrame = identity): State = {
+    // `spread` (r18): caller-supplied starved-scan guard (the Declared
+    // spreadIfStarved idiom — identity at cluster scale). The gated
+    // frame feeds four map-heavy derivations (tokenize, shingle,
+    // minhash); on a single-split fixture they would all serialize.
+    val gated = spread(Curation.standardGates(corpus))
     State(
       meta(gated),
       Dedup.minhashBandIndex(gated, "text", "doc_id", p.k, p.bands, p.rowsPerBand),
@@ -143,8 +148,9 @@ object Refresh {
 
   /** The from-scratch path: P(corpus) end to end. */
   def fullRebuild(corpus: DataFrame, seed: String, numShards: Int,
-                  p: Params = Params()): DataFrame = {
-    val st = buildState(corpus, p)
+                  p: Params = Params(),
+                  spread: DataFrame => DataFrame = identity): DataFrame = {
+    val st = buildState(corpus, p, spread)
     manifestOf(st.meta, st.pairs, seed, numShards)
   }
 
@@ -174,10 +180,14 @@ object Refresh {
 
   def delta(state: State, oldCorpus: DataFrame, newCorpus: DataFrame,
             p: Params = Params()): Delta = {
+    // checkpoint the SLIM diff once: `touched` and `freshIds` both
+    // derive from it, and without the pin each derivation replays the
+    // corpus-sized hash-compare join (two full passes over both
+    // corpora — measured r18, guide §1.2's "don't compute twice")
     val d = CorpusDiff.diff(oldCorpus, newCorpus, "doc_id", "text")
-      .select("doc_id", "status")
+      .select("doc_id", "status").localCheckpoint(false)
     val touched = d.filter(col("status").isin("removed", "changed"))
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id").localCheckpoint(false)
     val freshIds = d.filter(col("status").isin("added", "changed"))
       .select("doc_id")
     val newDocs = newCorpus.join(freshIds, Seq("doc_id"), "left_semi")
@@ -254,14 +264,14 @@ object Refresh {
     // delta-component-sized on a healthy refresh, but a delta touching
     // a giant component (or a mass retirement) blows these up to
     // corpus scale — every hint is size-gated on its checkpointed list
-    val seedIds = seeds.select("doc_id").distinct().localCheckpoint(true)
+    val seedIds = seeds.select("doc_id").distinct().localCheckpoint(false)
     val touchedClusters = standing
       .join(Hints.hintIfSlim(seedIds), Seq("doc_id"), "left_semi")
-      .select("cluster_id").distinct().localCheckpoint(true)
+      .select("cluster_id").distinct().localCheckpoint(false)
     val touchedH = Hints.hintIfSlim(touchedClusters)
     val region = standing
       .join(touchedH, Seq("cluster_id"), "left_semi")
-      .select("doc_id").unionByName(seedIds).distinct().localCheckpoint(true)
+      .select("doc_id").unionByName(seedIds).distinct().localCheckpoint(false)
     val sub = pairs2.join(
       Hints.hintIfSlim(region.withColumnRenamed("doc_id", "id_a")),
       Seq("id_a"), "left_semi") // region is edge-closed: one endpoint test suffices
@@ -376,11 +386,16 @@ object Refresh {
     * x112 does).
     */
   def ccnetBuildState(corpus: DataFrame, linesCol: org.apache.spark.sql.Column,
-                      lm: TextStats.RefLm, minDocs: Int = 2): CcnetState = {
+                      lm: TextStats.RefLm, minDocs: Int = 2,
+                      spread: DataFrame => DataFrame = identity): CcnetState = {
     val lf = Dedup.lineFrame(corpus, "doc_id", linesCol)
     val hist = Dedup.lineHistogram(lf)
-    val cleaned = ccnetCleanedWith(corpus, linesCol,
-      Dedup.lineDropsAgainst(lf, hist, minDocs))
+    // `spread` (r18): the cleaned chain's final join otherwise hands
+    // the whole frozen-LM scoring pass to a near-serial stage on a
+    // single-split fixture (identity at cluster scale — the callers'
+    // spreadIfStarved guard)
+    val cleaned = spread(ccnetCleanedWith(corpus, linesCol,
+      Dedup.lineDropsAgainst(lf, hist, minDocs)))
     CcnetState(lf, hist, ccnetScoredOf(cleaned, lm))
   }
 
@@ -414,12 +429,15 @@ object Refresh {
   def ccnetRefreshDelta(state: CcnetState, oldCorpus: DataFrame,
                         newCorpus: DataFrame, linesCol: org.apache.spark.sql.Column,
                         lm: TextStats.RefLm, minDocs: Int = 2): CcnetDelta = {
+    // one checkpoint of the slim diff: both id carves below derive from
+    // it, and each un-pinned derivation would replay the corpus-sized
+    // hash-compare join (the Refresh.delta fix, same shape)
     val d = CorpusDiff.diff(oldCorpus, newCorpus, "doc_id", "text")
-      .select("doc_id", "status")
+      .select("doc_id", "status").localCheckpoint(false)
     val touched = d.filter(col("status").isin("removed", "changed"))
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id").localCheckpoint(false)
     val freshIds = d.filter(col("status").isin("added", "changed"))
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id").localCheckpoint(false)
     val touchedH = hintIfSlim(touched)
     val freshH = hintIfSlim(freshIds)
     def retire(df: DataFrame): DataFrame =
@@ -442,7 +460,7 @@ object Refresh {
       .select("lh")
     val rescoreIdsRaw = lf2.join(affectedLh, Seq("lh"), "left_semi")
       .select("doc_id").unionByName(freshIds).distinct()
-      .localCheckpoint(true) // usually delta-sized, corpus-sized worst case
+      .localCheckpoint(false) // usually delta-sized, corpus-sized worst case
     val rescoreIds = hintIfSlim(rescoreIdsRaw)
     val rescoreDocs = newCorpus.join(rescoreIds, Seq("doc_id"), "left_semi")
     // delta-sized text; checkpointed because the composed consumer reads
@@ -481,13 +499,16 @@ object Refresh {
   def webExtractRefresh(extractedV1: DataFrame, htmlV1: DataFrame,
                         htmlV2: DataFrame, htmlCol: String = "html",
                         carry: Seq[String] = Seq("source")): DataFrame = {
+    // one checkpoint of the slim diff: the markup diff is the most
+    // expensive diff in the family (page-wrap + md5 over the full
+    // corpus), and `touched`/`fresh` each replayed it before the pin
     val d = CorpusDiff.diff(htmlV1, htmlV2, "doc_id", htmlCol)
-      .select("doc_id", "status")
+      .select("doc_id", "status").localCheckpoint(false)
     val touched = d.filter(col("status").isin("removed", "changed"))
-      .select("doc_id").localCheckpoint(true)
+      .select("doc_id").localCheckpoint(false)
     val fresh = d.filter(col("status").isin("added", "changed"))
       .select("doc_id")
-    val freshExtracted = htmlV2.join(Hints.hintIfSlim(fresh.localCheckpoint(true)),
+    val freshExtracted = htmlV2.join(Hints.hintIfSlim(fresh.localCheckpoint(false)),
         Seq("doc_id"), "left_semi")
       .withColumn("text", Extract.htmlToText(col(htmlCol)))
       .select((Seq("doc_id") ++ carry ++ Seq("text")).map(col): _*)
@@ -519,17 +540,17 @@ object Refresh {
         col("keeper_id").as("_old_keeper")), Seq("canonical_url"), "left")
       .filter(col("_old_keeper").isNull ||
         col("keeper_id") =!= col("_old_keeper"))
-      .localCheckpoint(true) // index-delta-sized; read by both legs
+      .localCheckpoint(false) // index-delta-sized; read by both legs
     val touched = d.filter(col("_old_keeper").isNotNull)
       .select(col("_old_keeper").as("doc_id"))
     val fresh = d.select(col("keeper_id").as("fetch_id"))
     val freshExtracted = pages2
-      .join(Hints.hintIfSlim(fresh.localCheckpoint(true)),
+      .join(Hints.hintIfSlim(fresh.localCheckpoint(false)),
         Seq("fetch_id"), "left_semi")
       .select(col("fetch_id").as("doc_id"),
         Extract.htmlToText(col("body")).as("text"))
     extractedV1
-      .join(Hints.hintIfSlim(touched.localCheckpoint(true)),
+      .join(Hints.hintIfSlim(touched.localCheckpoint(false)),
         Seq("doc_id"), "left_anti")
       .unionByName(freshExtracted)
   }
@@ -652,11 +673,15 @@ object Refresh {
   def asmBuildState(merged: DataFrame, linesCol: org.apache.spark.sql.Column,
                     lm: TextStats.RefLm, thr: Map[String, Double],
                     bench: DataFrame, p: Params = Params(),
-                    minDocs: Int = 2): AsmState = {
+                    minDocs: Int = 2,
+                    spread: DataFrame => DataFrame = identity): AsmState = {
     val lf = Dedup.lineFrame(merged, "doc_id", linesCol)
     val hist = Dedup.lineHistogram(lf)
-    val cleaned = ccnetCleanedWith(merged, linesCol,
-      Dedup.lineDropsAgainst(lf, hist, minDocs))
+    // `spread` (r18): scoring + the kept corpus's four map-heavy
+    // derivations would otherwise serialize on a single-split fixture
+    // (identity at cluster scale — the callers' spreadIfStarved guard)
+    val cleaned = spread(ccnetCleanedWith(merged, linesCol,
+      Dedup.lineDropsAgainst(lf, hist, minDocs)))
     val scored = ccnetScoredOf(cleaned, lm)
     val ck = cleaned
       .join(keptUnderThr(scored, thr), Seq("doc_id"), "left_semi")
@@ -686,7 +711,7 @@ object Refresh {
     val hd = ccnetRefreshDelta(st.head, mergedOld, mergedNew, linesCol,
       lm, minDocs)
     val tailTouched = hd.touched.unionByName(hd.rescoreIds).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tailTouchedH = hintIfSlim(tailTouched)
     def retire(df: DataFrame, cols: String*): DataFrame =
       cols.foldLeft(df) { (acc, c) =>
@@ -862,10 +887,10 @@ object Refresh {
       .localCheckpoint(true) // consumed by both delta classifications
     val touched = dj.filter(col("t1").isNotNull &&
         (col("t2").isNull || col("t1") =!= col("t2")))
-      .select("doc_id").localCheckpoint(true) // removed ∪ changed
+      .select("doc_id").localCheckpoint(false) // removed ∪ changed
     val deltaIds = dj.filter(col("t2").isNotNull &&
         (col("t1").isNull || col("t1") =!= col("t2")))
-      .select("doc_id").localCheckpoint(true) // changed ∪ fresh
+      .select("doc_id").localCheckpoint(false) // changed ∪ fresh
     // only the delta re-tokenizes; pos2 is materialized once — it is
     // the new standing index (written once in deployment) and the
     // fold consumes it three times below
@@ -880,7 +905,7 @@ object Refresh {
     // can have changed; occurrences of affH are the only mark bits
     // that can flip
     val affH = removedPos.select("h").union(addedPos.select("h"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val affHH = hintIfSlim(affH)
     def stats(p: DataFrame): DataFrame = p.groupBy("h").agg(
       count(lit(1)).as("cnt"),
@@ -902,13 +927,13 @@ object Refresh {
       // them are alignment artifacts of the (doc, pos) join, not
       // unchanged-document work
       .join(hintIfSlim(touched.unionByName(deltaIds).distinct()
-        .localCheckpoint(true)), Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)), Seq("doc_id"), "left_anti")
     val recut = deltaIds.unionByName(flipped).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val recutHint = hintIfSlim(recut)
     val recutPos = pos2.join(recutHint, Seq("doc_id"), "left_semi")
       .localCheckpoint(true) // recutH + the anchor join
-    val recutH = recutPos.select("h").distinct().localCheckpoint(true)
+    val recutH = recutPos.select("h").distinct().localCheckpoint(false)
     val anchors = recutPos.join(
         stats(pos2.join(hintIfSlim(recutH), Seq("h"), "left_semi"))
           .filter(col("cnt") >= 2), Seq("h"))
@@ -919,7 +944,7 @@ object Refresh {
       v2.join(hintIfSlim(idsAs(recut, idCol)), Seq(idCol), "left_semi"),
       textCol, idCol, Curation.mergeAnchorSpans(anchors, n))
     val cut2 = st.cut.join(hintIfSlim(touched.unionByName(recut)
-        .distinct().localCheckpoint(true)), Seq("doc_id"), "left_anti")
+        .distinct().localCheckpoint(false)), Seq("doc_id"), "left_anti")
       .unionByName(recutRows)
     XdocDelta(XdocState(pos2, sig2, cut2), recut)
   }

@@ -48,6 +48,21 @@ object Declared {
     if (scanProbe.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** The documents scan, spread when starved (r18): shared front for
+    * the cpu-heavy map-only families — tokenizer encode/pack, pair
+    * finding (shingles/minhash/simhash), span cut, media decode — whose
+    * per-row expression work would otherwise serialize on the local
+    * fixture's single parquet split (measured r18: the x128 WordPiece
+    * byte encode ran 2.7 s on one core, cpu ≈ wall). Same guard as
+    * [[spreadIfStarved]]: at cluster scale the scan arrives in many
+    * splits and this is a no-op — no corpus Exchange enters the plan.
+    */
+  private def tSpread(s: SparkSession, dir: String,
+                      name: String = "documents"): DataFrame = {
+    val tbl = t(s, dir, name)
+    spreadIfStarved(s, tbl, tbl)
+  }
+
   /** Train-once artifact memo for the queries whose construction trains a
     * driver-side model (NB tables, DSIR ratio map, PQ codebooks): at
     * deployment these kilobyte artifacts are built once per corpus refresh
@@ -344,7 +359,13 @@ object Declared {
     val keepers = graft.ext.Urls.urlDedup(
         pages.select(col("url"), col("fetch_id")), "url", "fetch_id")
       .select(col("keeper_id").as("fetch_id"))
+    // extracted once per invocation (r18): the assembly union reads
+    // its corpus through three carve branches and the precedence merge
+    // reads the union twice — six lazy replays of container parse +
+    // keeper join + extraction before this checkpoint (the x119/x121
+    // standing-corpus-store argument)
     val crawl = crawlKeeperCorpus(spreadIfStarved(s, docs, pages), keepers)
+      .localCheckpoint(true)
     val cleaned = ccnetAssemblyCleaned(crawl).localCheckpoint(true)
     val lm = artifact(s, "reflm_crawl_asm_1024", dir) {
       viaStore(s, "reflm_crawl_asm_1024") {
@@ -401,27 +422,37 @@ object Declared {
         val merged1 = assemblyMerged(assemblyUnion(ex1))
         val pages2 = crawlPages(read(v2Store))
           .localCheckpoint(true) // read by the fold, the delta extract, the rebuild
-        val idx2 = graft.ext.Urls.urlDedupRefresh(idx1,
-          pages2.select(col("url"), col("fetch_id")), "url", "fetch_id",
-          latestWins = true)
-        val ex2 = graft.ext.Refresh.crawlExtractRefresh(ex1, idx1, idx2,
-          pages2)
-        val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
-        val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
-          tokenLines12, lm, thr, bench, CrawlAsmParams)
-        val inc = graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
-        val pagesAll = crawlPages(read(v1Store))
-          .unionByName(pages2)
-        val keepAll = graft.ext.Urls.urlDedup(
-            pagesAll.select(col("url"), col("fetch_id")), "url", "fetch_id",
+        // independent legs until the compare join (both read only the
+        // checkpointed pages2 + the persisted v1 state): overlap the
+        // eager refresh fold with the full-history rebuild (Par)
+        val (inc, full) = graft.ext.Par.both {
+          val idx2 = graft.ext.Urls.urlDedupRefresh(idx1,
+            pages2.select(col("url"), col("fetch_id")), "url", "fetch_id",
             latestWins = true)
-          .select(col("keeper_id").as("fetch_id"))
-        val mergedF = assemblyMerged(assemblyUnion(
-          crawlKeeperCorpus(pagesAll, keepAll))).localCheckpoint(true)
-        val fullSt = graft.ext.Refresh.asmBuildState(mergedF, tokenLines12,
-          lm, thr, bench, CrawlAsmParams)
-        val full = graft.ext.Refresh.asmManifestFrom(fullSt.docMeta,
-          fullSt.clusters)
+          val ex2 = graft.ext.Refresh.crawlExtractRefresh(ex1, idx1, idx2,
+            pages2).localCheckpoint(true) // the new standing store (x121 ex2)
+          val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
+          val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
+            tokenLines12, lm, thr, bench, CrawlAsmParams)
+          graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
+            .localCheckpoint(true)
+        } {
+          val pagesAll = crawlPages(read(v1Store))
+            .unionByName(pages2)
+          val keepAll = graft.ext.Urls.urlDedup(
+              pagesAll.select(col("url"), col("fetch_id")), "url", "fetch_id",
+              latestWins = true)
+            .select(col("keeper_id").as("fetch_id"))
+          val crawlF = crawlKeeperCorpus(pagesAll, keepAll)
+            .localCheckpoint(true) // extracted once (the x130 argument)
+          val mergedF = assemblyMerged(assemblyUnion(crawlF))
+            .localCheckpoint(true)
+          val fullSt = graft.ext.Refresh.asmBuildState(mergedF, tokenLines12,
+            lm, thr, bench, CrawlAsmParams,
+            spread = spreadIfStarved(s, docs, _))
+          graft.ext.Refresh.asmManifestFrom(fullSt.docMeta, fullSt.clusters)
+            .localCheckpoint(true)
+        }
         full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
           .select(col("shard"), col("f.n_docs").as("n_docs"),
             col("f.token_mass").as("token_mass"),
@@ -2247,7 +2278,12 @@ object Declared {
     */
   private def webCcnetTiers(s: SparkSession, dir: String,
                             web: DataFrame): DataFrame = {
-    val cleaned = ccnetCleaned(web)
+    // spread before scoring (the x108/x110 idiom): the cleaned chain's
+    // final join otherwise hands the whole LM-scoring pass to a
+    // near-serial stage on the starved fixture (ProbeJobs r18: one
+    // 13.9 s single-task broadcast-build job dominated x119)
+    val cleaned = spreadIfStarved(s, t(s, dir, "documents"),
+      ccnetCleaned(web))
     val lm = artifact(s, "reflm_webccnet_1024", dir) {
       viaStore(s, "reflm_webccnet_1024") {
         TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
@@ -3298,7 +3334,7 @@ object Declared {
 
     // X2 (exact oracle form): n-gram Jaccard near-dup pairs
     "x02_jaccard_pairs" -> Q(
-      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"),
+      (s, dir) => Dedup.jaccardPairs(tSpread(s, dir),
         "text", "doc_id", k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b"),
       Some(jaccardPairsOracleSql)),
@@ -3892,7 +3928,8 @@ object Declared {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val dropDups = Dedup.dupClusters(
-          Dedup.minhashLshPairs(docs, "text", "doc_id", k = 3, threshold = 0.2))
+          Dedup.minhashLshPairs(tSpread(s, dir), "text", "doc_id",
+            k = 3, threshold = 0.2))
           .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
         curationGates(docs, dropDups)
       },
@@ -4014,7 +4051,7 @@ object Declared {
     // fixtures, so the pair lists are identical — any recall loss
     // mismatches rows and turns this red rather than hiding.
     "x09_minhash_pairs" -> Q(
-      (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"),
+      (s, dir) => Dedup.minhashLshPairs(tSpread(s, dir),
         "text", "doc_id", k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b"),
       Some(jaccardPairsOracleSql)),
@@ -4034,7 +4071,7 @@ object Declared {
     // semantics end-to-end (the one fingerprint family the driver can
     // check bit-for-bit; the native xxhash64 form stays the scale path)
     "x10_simhash_portable" -> Q(
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => tSpread(s, dir)
         .withColumn("hs", Dedup.simhashPortableHashes(col("text")))
         .select(col("doc_id"),
           Dedup.simhashPortableVote(col("hs")).as("fp_portable"))
@@ -4064,7 +4101,7 @@ object Declared {
     // x09).
     "x41_cross_dedup" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tSpread(s, dir)
         Dedup.crossDupPairs(
           docs.filter(col("doc_id") % 5 === 0),
           docs.filter(col("doc_id") % 5 =!= 0),
@@ -4085,7 +4122,7 @@ object Declared {
     // (Raw fingerprints stay visible via x10.)
     "x33_simhash_pairs" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tSpread(s, dir)
         val banded = Dedup.simhashPairs(docs, "text", "doc_id")
           .select(col("id_a"), col("id_b"), lit(1).as("b"))
         val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
@@ -4339,7 +4376,7 @@ object Declared {
     // embedding-cosine near-dup pairs (north-star dedup family)
     "x16_embedding_dups" -> Q(
       (s, dir) => Dedup.embeddingNearDupPairs(
-        t(s, dir, "embeddings"), threshold = 0.45)
+        tSpread(s, dir, "embeddings"), threshold = 0.45)
         .orderBy("id_a", "id_b"),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
              |SELECT id_a, id_b, sim FROM (
@@ -4442,7 +4479,7 @@ object Declared {
     // threshold). Same independent DuckDB shingle recomputation as x02.
     "x43_containment" -> Q(
       (s, dir) => Dedup.containmentPairs(
-        t(s, dir, "documents"), "text", "doc_id", k = 3, threshold = 0.3)
+        tSpread(s, dir), "text", "doc_id", k = 3, threshold = 0.3)
         .orderBy("id_a", "id_b"),
       Some(shingleCte + """,
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -4597,7 +4634,7 @@ object Declared {
     // (Spark 0-based, DuckDB 1-based) but only counts are emitted.
     "x46_dup_ngram_coverage" -> Q(
       (s, dir) => Curation.dupNgramCoverage(
-        t(s, dir, "documents"), "text", "doc_id", n = 3)
+        tSpread(s, dir), "text", "doc_id", n = 3)
         .orderBy("doc_id"),
       Some("""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
@@ -4659,7 +4696,7 @@ object Declared {
     // at sf0.001/0.01/0.1 — tools/BoundProbe, provenance in BASELINE.md.
     "x45_ann_lsh_banded" -> Q(
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
+        val e = tSpread(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
         val lsh = Similarity.lshTopKBanded(q, e, k = 5,
           bands = 16, bitsPerBand = 4, dim = 64)
@@ -4694,7 +4731,7 @@ object Declared {
     // 16x replication, where occupancy crosses the cap).
     "x45_ann_capped" -> Q(
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
+        val e = tSpread(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
         val lsh = Similarity.lshTopKBanded(q, e, k = 5,
           bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 256)
@@ -5242,7 +5279,7 @@ object Declared {
     // own window chain; positions 0-based both sides. Exact hash-match.
     "x63_dup_spans" -> Q(
       (s, dir) => Curation.dupSpans(
-        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        tSpread(s, dir), "text", "doc_id", n = 5)
         .orderBy("doc_id", "span_id"),
       Some("""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
@@ -5276,7 +5313,7 @@ object Declared {
     // clean_text included in the hash.
     "x63_cut_spans" -> Q(
       (s, dir) => Curation.cutDupSpans(
-        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        tSpread(s, dir), "text", "doc_id", n = 5)
         .orderBy("doc_id"),
       Some("""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
@@ -5321,7 +5358,7 @@ object Declared {
     // exactly what this hash-vs-string cross-check pins.
     "x133_xdoc_substr_spans" -> Q(
       (s, dir) => Curation.xdocSubstrSpans(
-        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        tSpread(s, dir), "text", "doc_id", n = 5)
         .orderBy("doc_id", "span_id"),
       Some("""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
@@ -5358,7 +5395,7 @@ object Declared {
     // independent covered-position set + ordered string_agg.
     "x134_xdoc_substr_cut" -> Q(
       (s, dir) => Curation.cutXdocSubstr(
-        t(s, dir, "documents"), "text", "doc_id", n = 5)
+        tSpread(s, dir), "text", "doc_id", n = 5)
         .orderBy("doc_id"),
       Some("""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> x <> '') AS w
@@ -5411,10 +5448,17 @@ object Declared {
         val docs = t(s, dir, "documents")
         val st1 = xdocRefreshArtifact(s, dir)
         val v2 = refreshV2(docs)
-        val d = graft.ext.Refresh.xdocRefresh(st1, v2, "text", "doc_id",
-          n = 5)
-        val full = Curation.cutXdocSubstr(v2, "text", "doc_id", n = 5)
-        full.as("f").join(d.state2.cut.as("i"), Seq("doc_id"),
+        // independent legs until the compare join: overlap the eager
+        // parts (the fold's checkpoint chain, the rebuild's span-frame
+        // materialization) on two threads; both cut projections stay
+        // lazy and drain in one job (Par scaladoc)
+        val (incCut, full) = graft.ext.Par.both {
+          graft.ext.Refresh.xdocRefresh(st1, v2, "text", "doc_id", n = 5)
+            .state2.cut
+        } {
+          Curation.cutXdocSubstr(v2, "text", "doc_id", n = 5)
+        }
+        full.as("f").join(incCut.as("i"), Seq("doc_id"),
             "full_outer")
           .select(col("doc_id"),
             col("f.n_tokens").as("n_tokens"),
@@ -5979,7 +6023,7 @@ object Declared {
     // and boundary-at-last-token tail cases.
     "x74_cdc_chunks" -> Q(
       (s, dir) => Curation.cdcChunks(
-          t(s, dir, "documents"), "text", "doc_id", window = 4, modulus = 64)
+          tSpread(s, dir), "text", "doc_id", window = 4, modulus = 64)
         .orderBy("doc_id", "chunk_id"),
       Some("""WITH t AS (
         |  SELECT doc_id,
@@ -6359,7 +6403,7 @@ object Declared {
     "x80_bpe_segment" -> Q(
       (s, dir) => {
         val merges = bpeMergesArtifact(s, dir).map(m => (m._1, m._2)).toSeq
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             TextStats.bpeSegmentCount(col("text"), merges).as("c"))
           .select(col("doc_id"),
@@ -6386,7 +6430,7 @@ object Declared {
       (s, dir) => {
         val merges = bpeMerges64Artifact(s, dir)
         val vocab = bpeVocab64Artifact(s, dir)
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             TextStats.bpeEncodeIds(col("text"),
               merges.map(m => (m._1, m._2)).toSeq, vocab).as("ids"))
@@ -6450,7 +6494,7 @@ object Declared {
       (s, dir) => {
         val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
         val vocab = bpeVocab64Artifact(s, dir)
-        val enc = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val enc = tSpread(s, dir).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             TextStats.bpeEncodeIds(col("text"), merges, vocab).as("ids"))
           .select(col("doc_id"),
@@ -6498,7 +6542,7 @@ object Declared {
       (s, dir) => {
         val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
         val vocab = bpeVocab64Artifact(s, dir)
-        val enc = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val enc = tSpread(s, dir).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             size(TextStats.bpeEncodeIds(col("text"), merges, vocab))
               .cast("long").as("n_ids"))
@@ -6544,7 +6588,7 @@ object Declared {
       (s, dir) => {
         val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
         val vocab = bpeVocab64Artifact(s, dir)
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             TextStats.bpeEncodeIds(col("text"), merges, vocab).as("ids"),
             concat_ws("",
@@ -6585,7 +6629,7 @@ object Declared {
         val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
         val vocab = bpeVocab64Artifact(s, dir)
         TextStats.tokenFertility(
-          t(s, dir, "documents").filter(col("doc_id").isNotNull),
+          tSpread(s, dir).filter(col("doc_id").isNotNull),
           "text", "lang", merges, vocab)
       },
       Some(bpeEncodePrefix(64) + """,
@@ -6712,7 +6756,7 @@ object Declared {
       (s, dir) => {
         val merges = bpeMerges64Artifact(s, dir).map(m => (m._1, m._2)).toSeq
         val vocab = bpeVocab64Artifact(s, dir)
-        val enc = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val enc = tSpread(s, dir).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             size(TextStats.bpeEncodeIds(col("text"), merges, vocab))
               .cast("long").as("n_ids"))
@@ -6959,6 +7003,10 @@ object Declared {
     // connected components with the min-id election.
     "x104_dedup_funnel" -> Q(
       (s, dir) => {
+        // NOT spread (r18): the funnel shuffles its slim keyed frame
+        // immediately and parallelizes through its own exchanges; a
+        // front repartition shuffles the full text through BOTH union
+        // branches and measured 4.9 -> 8.6 s — reverted
         val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
           .select(col("doc_id"), col("text"))
         val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
@@ -7065,7 +7113,7 @@ object Declared {
     // design readout is hash-verified end to end, not trusted theory.
     "x101_lsh_calibration" -> Q(
       (s, dir) => Dedup.lshCalibration(
-        t(s, dir, "documents"), "text", "doc_id"),
+        tSpread(s, dir), "text", "doc_id"),
       Some(shingleCte + s""",
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         |common AS (
@@ -7272,7 +7320,7 @@ object Declared {
     // single mis-kept or mis-dropped line anywhere flips the row red.
     "x107_line_dedup" -> Q(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tSpread(s, dir)
         Dedup.lineDedupRewrite(docs, "doc_id", tokenLines12, minDocs = 2)
           .select(col("doc_id"), col("n_lines"), col("n_dropped"),
             md5(col("clean_text")).as("clean_md5"))
@@ -7454,7 +7502,7 @@ object Declared {
         val merges = bpeByteMergesArtifact(s, dir)
         val vocab = TextStats.bpeVocabBytes(merges.toSeq)
         val unk = vocab.length.toLong
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .withColumn("text", when(col("doc_id") % 5 === 0,
             concat(coalesce(col("text"), lit("")), lit(" "),
               lit(byteMarkerScala))).otherwise(col("text")))
@@ -7482,7 +7530,7 @@ object Declared {
       (s, dir) => {
         val merges = bpeByteMergesArtifact(s, dir)
         val vocab = TextStats.bpeVocabBytes(merges.toSeq)
-        val enc = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        val enc = tSpread(s, dir).filter(col("doc_id").isNotNull)
           .withColumn("text", when(col("doc_id") % 5 === 0,
             concat(coalesce(col("text"), lit("")), lit(" "),
               lit(byteMarkerScala))).otherwise(col("text")))
@@ -7561,7 +7609,7 @@ object Declared {
     "x118_unigram_encode" -> Q(
       (s, dir) => {
         val table = unigramTableArtifact(s, dir)
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             TextStats.unigramEncodeIds(col("text"), table).as("ids"))
           .select(col("doc_id"), size(col("ids")).cast("long").as("n_ids"),
@@ -7610,7 +7658,7 @@ object Declared {
       (s, dir) => {
         val ext = TextStats.unigramTableBytes(unigramByteTableArtifact(s, dir))
         val unk = ext.length.toLong
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .withColumn("text", when(col("doc_id") % 5 === 0,
             concat(coalesce(col("text"), lit("")), lit(" "),
               lit(byteMarkerScala))).otherwise(col("text")))
@@ -7826,7 +7874,7 @@ object Declared {
       (s, dir) => {
         val vocab = wordPieceVocabArtifact(s, dir)
         val unk = vocab.length.toLong
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .withColumn("text", when(col("doc_id") % 3 === 0,
             concat(coalesce(col("text"), lit("")), lit(" zx9q jqw")))
             .otherwise(col("text")))
@@ -7858,7 +7906,7 @@ object Declared {
         val merges = wordPieceByteMergesArtifact(s, dir)
         val vocab = TextStats.wordPieceVocabBytes(merges.toSeq)
         val unk = vocab.length.toLong
-        t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        tSpread(s, dir).filter(col("doc_id").isNotNull)
           .withColumn("text", when(col("doc_id") % 5 === 0,
             concat(coalesce(col("text"), lit("")), lit(" "),
               lit(byteMarkerScala))).otherwise(col("text")))
@@ -7888,12 +7936,18 @@ object Declared {
     "x119_web_ccnet_e2e" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents").filter(col("doc_id").isNotNull)
+        // extracted ONCE per invocation (r18): the head consumes the
+        // extracted corpus three times (line view, rewrite side,
+        // langid), and each lazy replay re-ran the block-feature
+        // extraction — in deployment this frame IS the standing
+        // extracted corpus store, written once (the x121 ex2 argument)
         val web = spreadIfStarved(s, docs, docs)
           .withColumn("html",
             graft.ext.Extract.htmlWrap(col("doc_id"), col("text")))
           .withColumn("_bf", graft.ext.Extract.blockFeatures(col("html")))
           .select(col("doc_id"), col("source"),
             graft.ext.Extract.textOf(col("_bf")).as("text"))
+          .localCheckpoint(true)
         webCcnetTiers(s, dir, web)
       },
       Some(webCcnetOracle)),
@@ -7922,10 +7976,12 @@ object Declared {
         val docs = pages.join(
           t(s, dir, "documents").select(col("doc_id"), col("source")),
           Seq("doc_id"))
+        // extracted once per invocation — the x119 checkpoint argument
         val web = spreadIfStarved(s, docs, docs)
           .withColumn("_bf", graft.ext.Extract.blockFeatures(col("body")))
           .select(col("doc_id"), col("source"),
             graft.ext.Extract.textOf(col("_bf")).as("text"))
+          .localCheckpoint(true)
         webCcnetTiers(s, dir, web)
       },
       Some(webCcnetOracle)),
@@ -8042,11 +8098,19 @@ object Declared {
         val v1 = ccnetV1(docs)
         val v2 = ccnetV2(docs)
         val (st1, lm, thr) = ccnetRefreshArtifact(s, dir)
-        val inc = graft.ext.Refresh.ccnetKeptReport(
-          graft.ext.Refresh.ccnetRefresh(st1, v1, v2, tokenLines12, lm)
-            .scored, thr)
-        val full = graft.ext.Refresh.ccnetKeptReport(
-          graft.ext.Refresh.ccnetBuildState(v2, tokenLines12, lm).scored, thr)
+        // the two legs are independent until the compare join — build
+        // them on two threads so the eager refresh chain and the
+        // rebuild evaluation overlap (Par scaladoc; identical results)
+        val (inc, full) = graft.ext.Par.both {
+          graft.ext.Refresh.ccnetKeptReport(
+            graft.ext.Refresh.ccnetRefresh(st1, v1, v2, tokenLines12, lm)
+              .scored, thr).localCheckpoint(true)
+        } {
+          graft.ext.Refresh.ccnetKeptReport(
+            graft.ext.Refresh.ccnetBuildState(v2, tokenLines12, lm,
+              spread = spreadIfStarved(s, docs, _)).scored,
+            thr).localCheckpoint(true)
+        }
         full.as("f").join(inc.as("i"), Seq("lang"), "full_outer")
           .select(col("lang"), col("f.thr").as("thr"),
             col("f.n_docs").as("n_docs"), col("f.n_kept").as("n_kept"),
@@ -8078,21 +8142,37 @@ object Declared {
     "x121_web_ccnet_refresh" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val htmlV1 = webHtmlOf(ccnetV1(docs))
-        val htmlV2 = webHtmlOf(ccnetV2(docs))
+        // spread the starved single-split carves BEFORE the page wrap:
+        // the markup diff (md5 over wrapped pages) and both extraction
+        // legs are cpu-bound map work that would otherwise serialize on
+        // the fixture's one scan split (the x113/x68 spread precedent;
+        // no-op at cluster scale where the scan arrives in many splits)
+        val htmlV1 = webHtmlOf(spreadIfStarved(s, docs, ccnetV1(docs)))
+        val htmlV2 = webHtmlOf(spreadIfStarved(s, docs, ccnetV2(docs)))
         val (ex1, st1, lm, thr) = webRefreshArtifact(s, dir)
-        // materialized once (the x131 merged2 discipline): the fold
-        // consumes the refreshed corpus several times, and each lazy
-        // replay re-runs the corpus-sized markup diff — in deployment
-        // ex2 IS the new standing corpus store, written once
-        val ex2 = graft.ext.Refresh.webExtractRefresh(ex1, htmlV1, htmlV2)
-          .localCheckpoint(true)
-        val inc = graft.ext.Refresh.ccnetKeptReport(
-          graft.ext.Refresh.ccnetRefresh(st1, ex1, ex2, tokenLines12, lm)
-            .scored, thr)
-        val full = graft.ext.Refresh.ccnetKeptReport(
-          graft.ext.Refresh.ccnetBuildState(webExtractAll(htmlV2),
-            tokenLines12, lm).scored, thr)
+        // the incremental leg (markup diff -> delta extraction -> head
+        // fold) and the rebuild leg (full v2 extraction -> from-scratch
+        // head) are independent until the compare join — build them on
+        // two threads so their eager chains overlap (Par scaladoc)
+        val (inc, full) = graft.ext.Par.both {
+          // materialized once (the x131 merged2 discipline): the fold
+          // consumes the refreshed corpus several times, and each lazy
+          // replay re-runs the corpus-sized markup diff — in deployment
+          // ex2 IS the new standing corpus store, written once
+          val ex2 = graft.ext.Refresh.webExtractRefresh(ex1, htmlV1, htmlV2)
+            .localCheckpoint(true)
+          graft.ext.Refresh.ccnetKeptReport(
+            graft.ext.Refresh.ccnetRefresh(st1, ex1, ex2, tokenLines12, lm)
+              .scored, thr).localCheckpoint(true)
+        } {
+          graft.ext.Refresh.ccnetKeptReport(
+            graft.ext.Refresh.ccnetBuildState(
+              // extracted once — three head consumers (the x119 argument)
+              webExtractAll(htmlV2).localCheckpoint(true),
+              tokenLines12, lm,
+              spread = spreadIfStarved(s, docs, _)).scored, thr)
+            .localCheckpoint(true)
+        }
         full.as("f").join(inc.as("i"), Seq("lang"), "full_outer")
           .select(col("lang"), col("f.thr").as("thr"),
             col("f.n_docs").as("n_docs"), col("f.n_kept").as("n_kept"),
@@ -8203,13 +8283,19 @@ object Declared {
         val merged2 = assemblyMerged(assemblyUnion(refreshV2(docs)))
           .localCheckpoint(true) // read by diff, fresh joins, rebuild
         val bench = docs.filter(col("doc_id") % 37 === 0)
-        val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
-          tokenLines12, lm, thr, bench)
-        val inc = graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
-        val fullSt = graft.ext.Refresh.asmBuildState(merged2, tokenLines12,
-          lm, thr, bench)
-        val full = graft.ext.Refresh.asmManifestFrom(fullSt.docMeta,
-          fullSt.clusters)
+        // independent legs until the compare join: overlap the eager
+        // refresh fold with the from-scratch rebuild (Par scaladoc)
+        val (inc, full) = graft.ext.Par.both {
+          val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
+            tokenLines12, lm, thr, bench)
+          graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
+            .localCheckpoint(true)
+        } {
+          val fullSt = graft.ext.Refresh.asmBuildState(merged2, tokenLines12,
+            lm, thr, bench, spread = spreadIfStarved(s, docs, _))
+          graft.ext.Refresh.asmManifestFrom(fullSt.docMeta, fullSt.clusters)
+            .localCheckpoint(true)
+        }
         full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
           .select(col("shard"), col("f.n_docs").as("n_docs"),
             col("f.token_mass").as("token_mass"),
@@ -8261,7 +8347,12 @@ object Declared {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val (_, lm, _) = ccnetRefreshArtifact(s, dir)
-        TextStats.refLmDriftReport(ccnetCleaned(ccnetV2(docs)),
+        // spread the cleaned chain (the x108 idiom): the bigram explode
+        // otherwise serializes on the starved carve; the KL fold's float
+        // layout is untouched (it sums over the lang×bucket domain join,
+        // whose partitioning comes from the shuffle, not the corpus)
+        TextStats.refLmDriftReport(
+          spreadIfStarved(s, docs, ccnetCleaned(ccnetV2(docs))),
           "clean_text", "lang_pred", lm, klThreshold = 0.25)
           .orderBy("lang")
       },
@@ -8448,9 +8539,17 @@ object Declared {
         val docs = t(s, dir, "documents")
         val v1 = refreshV1(docs)
         val v2 = refreshV2(docs)
-        val (_, inc) = graft.ext.Refresh.refresh(
-          refreshStateArtifact(s, dir), v1, v2, seed = "ref-v2", numShards = 4)
-        val full = graft.ext.Refresh.fullRebuild(v2, seed = "ref-v2", numShards = 4)
+        // independent legs until the compare join: overlap the eager
+        // refresh fold with the from-scratch rebuild (Par scaladoc)
+        val (inc, full) = graft.ext.Par.both {
+          graft.ext.Refresh.refresh(
+            refreshStateArtifact(s, dir), v1, v2, seed = "ref-v2",
+            numShards = 4)._2.localCheckpoint(true)
+        } {
+          graft.ext.Refresh.fullRebuild(v2, seed = "ref-v2", numShards = 4,
+              spread = spreadIfStarved(s, docs, _))
+            .localCheckpoint(true)
+        }
         full.as("f").join(inc.as("i"), Seq("shard"), "full_outer")
           .select(col("shard"),
             col("f.n_docs").as("n_docs"),

@@ -21,26 +21,53 @@ class PlanSpec extends SparkSuite {
       org.apache.spark.sql.execution.SimpleMode)
   }
 
+  // r18: exchanges excluding the guarded starved-scan spread (tSpread —
+  // one round-robin repartition on the local single-split fixture, a
+  // no-op at cluster scale); gates on spread queries count everything
+  // else so a real shuffle regression still trips them
+  private def exchangesBeyondSpread(p: String): Int = {
+    val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(rr <= 1, s"more than one round-robin spread:\n$p")
+    "Exchange".r.findAllIn(p).size - rr
+  }
+
   // map-only pipelines: the ONLY exchange allowed is the range partition
   // of the final presentation sort — a hash/single-partition shuffle or a
   // broadcast appearing here means the pipeline stopped being map-only
   private val mapOnly = Seq("x06_quality_score", "x07_fingerprint",
     "x18_pii_redact", "x19_repetition", "x21_hash_sample", "x26_url_strip",
     "x34_media_probe", "x35_chunk_overlap", "x37_split_assign",
-    "x70_random_projection",
-    // r15: unigram Viterbi encode — codegen'd segmenter + literal-map
-    // id lookup; the model rides as reference objects, never a join
-    "x118_unigram_encode",
-    // r16: WordPiece greedy encode — same claim shape as x118
+    "x70_random_projection")
+
+  // r18: the declared encode rows spread a STARVED fixture scan
+  // (tSpread — the x113/x68 idiom), so their declared plans carry one
+  // guarded round-robin exchange on the local single-split fixture; a
+  // sharded corpus arrives pre-spread and takes the map-only plan,
+  // which stays pinned here on the un-spread form (the x113 lazy-twin
+  // convention). The model rides as reference objects, never a join.
+  private val mapOnlySpread = Seq("x118_unigram_encode",
     "x126_wordpiece_encode", "x128_wordpiece_byte_encode")
 
+  private def assertMapOnly(q: String, p: String): Unit = {
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(exchanges == rangeExchanges,
+      s"$q: non-range exchange in a map-only plan:\n$p")
+    assert(!p.contains("BroadcastExchange"), s"$q: unexpected broadcast:\n$p")
+  }
+
   test("map-only queries shuffle only for the presentation sort") {
-    for (q <- mapOnly) {
+    for (q <- mapOnly) assertMapOnly(q, planOf(q))
+  }
+
+  test("spread encode queries: map-only apart from the guarded spread") {
+    for (q <- mapOnlySpread) {
       val p = planOf(q)
       val exchanges = "Exchange ".r.findAllIn(p).size
       val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).size
-      assert(exchanges == rangeExchanges,
-        s"$q: non-range exchange in a map-only plan:\n$p")
+      val rrExchanges = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+      assert(exchanges == rangeExchanges + rrExchanges && rrExchanges <= 1,
+        s"$q: unexpected exchange beyond presentation sort + guarded spread:\n$p")
       assert(!p.contains("BroadcastExchange"), s"$q: unexpected broadcast:\n$p")
     }
   }
@@ -633,7 +660,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bpe_subwords"), s"codegen'd segmenter not in-plan:\n$p")
     assert(!p.contains("Join"), s"join in BPE apply:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation in BPE apply:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
@@ -646,7 +673,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
     assert(!p.contains("Join"), s"join in byte-level encode:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation in byte-level encode:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
@@ -658,7 +685,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
     assert(!p.contains("Join"), s"join in BPE encode:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation in BPE encode:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
@@ -686,7 +713,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
     assert(!p.contains("Join"), s"join in BPE decode:\n$p")
     assert(!p.contains("Aggregate"), s"aggregation in BPE decode:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 1, s"$exchanges exchanges (only the orderBy allowed):\n$p")
   }
 
@@ -699,7 +726,7 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), s"join in fertility plan:\n$p")
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"no partial aggregation:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 2, s"$exchanges exchanges (agg + orderBy allowed):\n$p")
   }
 
@@ -918,7 +945,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bpe_encode"), s"codegen'd encoder not in-plan:\n$p")
     assert(!p.contains("Join"), s"join in x90:\n$p")
     assert("Window".r.findAllIn(p).size == 1, s"window count != 1:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 3,
       s"$exchanges exchanges (shard hash + rollup + presentation sort):\n$p")
   }
@@ -931,7 +958,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("byte_map_tokens"), s"byte mapper not in-plan:\n$p")
     assert(!p.contains("Join"), s"join in x116:\n$p")
     assert("Window".r.findAllIn(p).size == 1, s"window count != 1:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 3,
       s"$exchanges exchanges (shard hash + rollup + presentation sort):\n$p")
   }
