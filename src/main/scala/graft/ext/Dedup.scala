@@ -454,7 +454,16 @@ object Dedup {
     */
   def dedupFunnel(docs: DataFrame, textCol: String, idCol: String,
                   tokens: Column, k: Int = 3,
-                  threshold: Double = 0.2): DataFrame = {
+                  threshold: Double = 0.2,
+                  spread: DataFrame => DataFrame = identity): DataFrame = {
+    // `spread` (r19): caller-supplied starved-scan guard applied to the
+    // TIER-3 shingle input only (the slim survivor slice with text) —
+    // the r18 front spread pushed full text through both union branches
+    // and regressed; carving here parallelizes the one expensive
+    // expression stage (shingle explode + jaccard verify, measured 13
+    // task-seconds on a single starved task) without touching the slim
+    // keyed tiers. Identity at cluster scale; integer-count outputs, so
+    // no float-summation-order hazard.
     val base = docs.select(col(idCol).as("doc_id"),
       col(textCol).as("_text"), tokens.cast("long").as("_tok"))
     // ONE hashing pass over the text, persisted slim (id, tok, 2×32-byte
@@ -473,8 +482,8 @@ object Dedup {
         .select("doc_id")
       val s2ids = s1.join(nmKeep, Seq("doc_id"), "left_semi").select("doc_id")
       val nonSurv = dupClusters(jaccardPairs(
-          base.join(s2ids, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("_text")),
+          spread(base.join(s2ids, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("_text"))),
           "_text", "doc_id", k, threshold))
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       // one labeling pass: each doc gets the CHEAPEST tier that drops it
@@ -878,11 +887,134 @@ object Dedup {
         round(col("w._score"), 6).as("survivor_score"), col("n_members"))
   }
 
+  /** Session-conf gate for the driver-local connected-components path
+    * (r19): an edge list verifiably under this many (directed,
+    * deduplicated) rows is collected and labeled with a driver
+    * union-find — ONE job plus O(E α(E)) local work — instead of the
+    * iterative join-per-round min-label propagation, whose per-round
+    * jobs (join + groupBy + signature collect, each an AQE stage
+    * cascade) dominate the refresh family's wall at fixture scale.
+    * Identical labels by construction: both compute, per node, the
+    * minimum id reachable in its component (PropertySpec pins the
+    * equivalence on random graphs over BOTH paths). Above the gate —
+    * the 100 TB crawl case, where the pair list is billions of rows —
+    * the iterative path runs unchanged on the same persisted edge
+    * frame, so the gate count is the only extra job.
+    */
+  val CcDriverEdgeRowsKey = "graft.cc.driverEdgeRows"
+  val DefaultCcDriverEdgeRows: Long = 2L << 20
+
+  /** Driver union-find over a collected edge list, min-id labels. Only
+    * id types whose driver ordering provably matches Spark's `min`
+    * semantics take this path (integral numerics; strings compare as
+    * unsigned UTF-8 bytes — UTF8String's binary order).
+    */
+  private def driverMinOrdering(dt: org.apache.spark.sql.types.DataType)
+    : Option[Ordering[Any]] = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+    case org.apache.spark.sql.types.IntegerType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+    case org.apache.spark.sql.types.ShortType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Short]))
+    case org.apache.spark.sql.types.StringType =>
+      Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
+    case _ => None
+  }
+
+  private def driverUnionFind(rows: Array[org.apache.spark.sql.Row],
+                              ord: Ordering[Any]): Seq[(Any, Any)] = {
+    val index = new java.util.HashMap[Any, Integer]()
+    def idOf(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else { val i = index.size(); index.put(v, i); i }
+    }
+    val srcIdx = new Array[Int](rows.length)
+    val dstIdx = new Array[Int](rows.length)
+    var r = 0
+    while (r < rows.length) {
+      srcIdx(r) = idOf(rows(r).get(0)); dstIdx(r) = idOf(rows(r).get(1))
+      r += 1
+    }
+    val n = index.size()
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    r = 0
+    while (r < rows.length) {
+      val (ra, rb) = (find(srcIdx(r)), find(dstIdx(r)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      r += 1
+    }
+    // min member VALUE per component root
+    val values = new Array[Any](n)
+    val it0 = index.entrySet().iterator()
+    while (it0.hasNext) { val e = it0.next(); values(e.getValue) = e.getKey }
+    val minOf = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < n) {
+      val root = find(i)
+      val cur = minOf.get(root)
+      if (cur == null || ord.lt(values(i), cur)) minOf.put(root, values(i))
+      i += 1
+    }
+    (0 until n).map(i => values(i) -> minOf.get(find(i)))
+  }
+
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
+    // size-gated driver path (r19, scaladoc above): the count doubles as
+    // the cache materialization the iterative path paid on its first
+    // round anyway; both branches read the persisted frame
+    val gate = pairs.sparkSession.conf.getOption(CcDriverEdgeRowsKey)
+      .map(_.toLong).getOrElse(DefaultCcDriverEdgeRows)
+    val ordOpt = driverMinOrdering(edges.schema.fields(0).dataType)
+    val smallEnough = ordOpt.isDefined && edges.count() <= gate
+    val rows = if (smallEnough) edges.collect() else Array.empty[org.apache.spark.sql.Row]
+    if (smallEnough && !rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+      val dt = edges.schema.fields(0).dataType
+      edges.unpersist()
+      val labeled = driverUnionFind(rows, ordOpt.get)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", dt),
+        org.apache.spark.sql.types.StructField("cluster_id", dt)))
+      import scala.jdk.CollectionConverters._
+      pairs.sparkSession.createDataFrame(
+        labeled.map { case (a, b) => org.apache.spark.sql.Row(a, b) }.asJava,
+        schema)
+    } else dupClustersIterative(edges, maxIter)
+  }
+
+  /** The distributed min-label propagation loop — the 100 TB path; the
+    * driver union-find above must agree with it exactly (PropertySpec).
+    * Takes the already-persisted bidirectional edge frame and
+    * unpersists it on exit.
+    */
+  private def dupClustersIterative(edges: DataFrame, maxIter: Int): DataFrame = {
     var labels = edges.select(col("src").as("node"), col("src").as("label")).distinct()
     var iter = 0
     var done = false

@@ -50,6 +50,39 @@ object Hints {
   def hintIfSlim(ids: DataFrame): DataFrame =
     if (isSlim(ids)) broadcast(ids) else ids
 
+  /** Gate TWO independent materialized frames with ONE Spark job (r19):
+    * the union of their global-count aggregates runs both count stages
+    * concurrently inside a single action, halving the per-gate job
+    * latency the refresh family pays (guide §2.6 — actions are only
+    * sequential because driver code calls them sequentially). Both
+    * frames materialize into their caches exactly as two separate
+    * counts would (the count IS the materializing action for lazy
+    * localCheckpoints). Falls back gracefully for empty frames: a
+    * global count always yields one row.
+    */
+  def hintIfSlim2(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    val out = hintIfSlimN(Seq(a, b))
+    (out(0), out(1))
+  }
+
+  /** N-frame form of [[hintIfSlim2]] — one job, N concurrent count
+    * stages, one gate decision per frame.
+    */
+  def hintIfSlimN(frames: Seq[DataFrame]): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(frames.nonEmpty)
+    val counts = frames.zipWithIndex
+      .map { case (f, i) =>
+        f.groupBy().count().select(lit(i).as("_i"), col("count"))
+      }
+      .reduce(_.unionAll(_))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val g = gate(frames.head.sparkSession)
+    frames.zipWithIndex.map { case (f, i) =>
+      if (counts(i) <= g) broadcast(f) else f
+    }
+  }
+
   /** For LAZILY-derived id lists (an election tail, a contamination
     * scan): materialize once, so the gate count AND every downstream
     * join read the checkpoint instead of re-running the derivation.

@@ -163,8 +163,9 @@ object Refresh {
     */
   def refresh(state: State, oldCorpus: DataFrame, newCorpus: DataFrame,
               seed: String, numShards: Int,
-              p: Params = Params()): (State, DataFrame) = {
-    val d = delta(state, oldCorpus, newCorpus, p)
+              p: Params = Params(),
+              spread: DataFrame => DataFrame = identity): (State, DataFrame) = {
+    val d = delta(state, oldCorpus, newCorpus, p, spread)
     (d.state2, manifestOf(d.state2.meta, d.state2.pairs, seed, numShards))
   }
 
@@ -179,7 +180,8 @@ object Refresh {
                          addedPairs: DataFrame)
 
   def delta(state: State, oldCorpus: DataFrame, newCorpus: DataFrame,
-            p: Params = Params()): Delta = {
+            p: Params = Params(),
+            spread: DataFrame => DataFrame = identity): Delta = {
     // checkpoint the SLIM diff once: `touched` and `freshIds` both
     // derive from it, and without the pin each derivation replays the
     // corpus-sized hash-compare join (two full passes over both
@@ -191,13 +193,18 @@ object Refresh {
     val freshIds = d.filter(col("status").isin("added", "changed"))
       .select("doc_id")
     val newDocs = newCorpus.join(freshIds, Seq("doc_id"), "left_semi")
-    val newGated = Curation.standardGates(newDocs)
-      .localCheckpoint(true) // consumed by meta, band, shingle, 2 pair legs
+    // consumed by meta, band, shingle, 2 pair legs; LAZY + explicit
+    // count so its materialization overlaps the touched gate count on
+    // a second driver thread (r19 — the two actions are independent).
+    // `spread` so the pair legs' shingle/minhash passes don't starve on
+    // the AQE-coalesced join output (identity at cluster scale).
+    val newGated = spread(Curation.standardGates(newDocs))
+      .localCheckpoint(false)
 
     // touched is delta-sized on a healthy refresh but corpus-sized on a
     // mass retirement (a full re-crawl replacing most rows) — gate the
     // hint once on the checkpointed list, reuse the decision per column
-    val touchedSlim = Hints.isSlim(touched)
+    val (touchedSlim, _) = Par.both(Hints.isSlim(touched))(newGated.count())
     def retire(df: DataFrame, idCols: String*): DataFrame =
       idCols.foldLeft(df) { (acc, c) =>
         val side = touched.withColumnRenamed("doc_id", c)
@@ -418,9 +425,10 @@ object Refresh {
     */
   def ccnetRefresh(state: CcnetState, oldCorpus: DataFrame,
                    newCorpus: DataFrame, linesCol: org.apache.spark.sql.Column,
-                   lm: TextStats.RefLm, minDocs: Int = 2): CcnetState =
-    ccnetRefreshDelta(state, oldCorpus, newCorpus, linesCol, lm, minDocs)
-      .state2
+                   lm: TextStats.RefLm, minDocs: Int = 2,
+                   spread: DataFrame => DataFrame = identity): CcnetState =
+    ccnetRefreshDelta(state, oldCorpus, newCorpus, linesCol, lm, minDocs,
+      spread).state2
 
   /** [[ccnetRefresh]] exposing its delta — shared body, so the solo
     * head refresh (x112) and the composed assembly refresh (x114)
@@ -428,7 +436,8 @@ object Refresh {
     */
   def ccnetRefreshDelta(state: CcnetState, oldCorpus: DataFrame,
                         newCorpus: DataFrame, linesCol: org.apache.spark.sql.Column,
-                        lm: TextStats.RefLm, minDocs: Int = 2): CcnetDelta = {
+                        lm: TextStats.RefLm, minDocs: Int = 2,
+                        spread: DataFrame => DataFrame = identity): CcnetDelta = {
     // one checkpoint of the slim diff: both id carves below derive from
     // it, and each un-pinned derivation would replay the corpus-sized
     // hash-compare join (the Refresh.delta fix, same shape)
@@ -438,8 +447,9 @@ object Refresh {
       .select("doc_id").localCheckpoint(false)
     val freshIds = d.filter(col("status").isin("added", "changed"))
       .select("doc_id").localCheckpoint(false)
-    val touchedH = hintIfSlim(touched)
-    val freshH = hintIfSlim(freshIds)
+    // both carves gate-count in ONE job (r19): they are independent
+    // reads of the cached diff, so the two counts' stages overlap
+    val (touchedH, freshH) = Hints.hintIfSlim2(touched, freshIds)
     def retire(df: DataFrame): DataFrame =
       df.join(touchedH, Seq("doc_id"), "left_anti")
     val freshDocs = newCorpus.join(freshH, Seq("doc_id"), "left_semi")
@@ -464,11 +474,13 @@ object Refresh {
     val rescoreIds = hintIfSlim(rescoreIdsRaw)
     val rescoreDocs = newCorpus.join(rescoreIds, Seq("doc_id"), "left_semi")
     // delta-sized text; checkpointed because the composed consumer reads
-    // it twice (scores below + the tail's fresh corpus slice)
-    val cleanedDelta = ccnetCleanedWith(rescoreDocs, linesCol,
+    // it twice (scores below + the tail's fresh corpus slice). `spread`
+    // so the frozen-LM scoring pass over it doesn't starve on the
+    // AQE-coalesced join output (identity at cluster scale).
+    val cleanedDelta = spread(ccnetCleanedWith(rescoreDocs, linesCol,
       Dedup.lineDropsAgainst(
         lf2.join(rescoreIds, Seq("doc_id"), "left_semi"),
-        hist2, minDocs))
+        hist2, minDocs)))
       .localCheckpoint(true)
     val scoredDelta = ccnetScoredOf(cleanedDelta, lm)
       .select("lang", "doc_id", "n_bigrams", "lp")
@@ -683,10 +695,15 @@ object Refresh {
     val cleaned = spread(ccnetCleanedWith(merged, linesCol,
       Dedup.lineDropsAgainst(lf, hist, minDocs)))
     val scored = ccnetScoredOf(cleaned, lm)
-    val ck = cleaned
+    // `spread` again on the kept corpus (r19): the join output above is
+    // AQE-coalesced to 1-2 post-shuffle partitions on a fixture-sized
+    // corpus, so without it the four map-heavy consumers below each ran
+    // their shingle/minhash pass on 2 starved tasks (measured: 4x 3.9 s
+    // 2-task jobs in x131's rebuild leg)
+    val ck = spread(cleaned
       .join(keptUnderThr(scored, thr), Seq("doc_id"), "left_semi")
       .join(merged.select("doc_id", "src"), Seq("doc_id"))
-      .select(col("doc_id"), col("clean_text").as("text"), col("src"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("src")))
       .localCheckpoint(true) // consumed by meta, band, shingles, pairs
     val pairs = Dedup.minhashLshPairs(ck, "text", "doc_id", p.k,
       p.threshold, p.bands, p.rowsPerBand, portable = p.portableSig)
@@ -707,22 +724,30 @@ object Refresh {
   def asmRefresh(st: AsmState, mergedOld: DataFrame, mergedNew: DataFrame,
                  linesCol: org.apache.spark.sql.Column, lm: TextStats.RefLm,
                  thr: Map[String, Double], bench: DataFrame,
-                 p: Params = Params(), minDocs: Int = 2): AsmState = {
+                 p: Params = Params(), minDocs: Int = 2,
+                 spread: DataFrame => DataFrame = identity): AsmState = {
     val hd = ccnetRefreshDelta(st.head, mergedOld, mergedNew, linesCol,
-      lm, minDocs)
+      lm, minDocs, spread)
     val tailTouched = hd.touched.unionByName(hd.rescoreIds).distinct()
       .localCheckpoint(false)
-    val tailTouchedH = hintIfSlim(tailTouched)
+    // consumed by meta, band, shingles, 2 pair legs; LAZY + explicit
+    // count so its materialization overlaps the retire-list gate count
+    // on a second driver thread (r19 — independent actions). `spread`
+    // for the same reason as the rebuild's kept corpus: the join output
+    // coalesces to 1-2 partitions at fixture scale and the pair legs'
+    // shingle/minhash passes starve (measured: 2x 3.7 s 2-task jobs in
+    // x131's refresh leg); identity at cluster scale.
+    val freshCk = spread(hd.cleanedDelta
+      .join(keptUnderThr(hd.scoredDelta, thr), Seq("doc_id"), "left_semi")
+      .join(mergedNew.select("doc_id", "src"), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("src")))
+      .localCheckpoint(false)
+    val (tailTouchedH, _) = Par.both(hintIfSlim(tailTouched))(freshCk.count())
     def retire(df: DataFrame, cols: String*): DataFrame =
       cols.foldLeft(df) { (acc, c) =>
         acc.join(tailTouchedH.withColumnRenamed("doc_id", c), Seq(c),
           "left_anti")
       }
-    val freshCk = hd.cleanedDelta
-      .join(keptUnderThr(hd.scoredDelta, thr), Seq("doc_id"), "left_semi")
-      .join(mergedNew.select("doc_id", "src"), Seq("doc_id"))
-      .select(col("doc_id"), col("clean_text").as("text"), col("src"))
-      .localCheckpoint(true) // consumed by meta, band, shingles, 2 pair legs
     val meta2 = retire(st.docMeta, "doc_id")
       .unionByName(asmDocMeta(freshCk, bench))
     val band2 = retire(st.bandIdx, "doc_id")
@@ -891,15 +916,22 @@ object Refresh {
     val deltaIds = dj.filter(col("t2").isNotNull &&
         (col("t1").isNull || col("t1") =!= col("t2")))
       .select("doc_id").localCheckpoint(false) // changed ∪ fresh
+    // gate all three id carves in ONE job and reuse each decision at
+    // every consumer (r19 — the repeated per-site counts were pure job
+    // latency; the carves are independent reads of the cached diff)
+    val touchedOrDelta = touched.unionByName(deltaIds).distinct()
+      .localCheckpoint(false)
+    val hinted = Hints.hintIfSlimN(Seq(touched, deltaIds, touchedOrDelta))
+    val (touchedH, deltaIdsH, touchedOrDeltaH) = (hinted(0), hinted(1), hinted(2))
     // only the delta re-tokenizes; pos2 is materialized once — it is
     // the new standing index (written once in deployment) and the
     // fold consumes it three times below
     val addedPos = Curation.xdocPosFrame(
-      v2.join(hintIfSlim(idsAs(deltaIds, idCol)), Seq(idCol), "left_semi"),
+      v2.join(idsAs(deltaIdsH, idCol), Seq(idCol), "left_semi"),
       textCol, idCol, n).localCheckpoint(true)
-    val removedPos = st.pos.join(hintIfSlim(touched), Seq("doc_id"),
+    val removedPos = st.pos.join(touchedH, Seq("doc_id"),
       "left_semi")
-    val pos2 = st.pos.join(hintIfSlim(touched), Seq("doc_id"), "left_anti")
+    val pos2 = st.pos.join(touchedH, Seq("doc_id"), "left_anti")
       .unionByName(addedPos).localCheckpoint(true)
     // per-hash stats before/after, restricted to the hashes the delta
     // can have changed; occurrences of affH are the only mark bits
@@ -926,8 +958,7 @@ object Refresh {
       // removed docs are gone, changed/fresh recut anyway — flips on
       // them are alignment artifacts of the (doc, pos) join, not
       // unchanged-document work
-      .join(hintIfSlim(touched.unionByName(deltaIds).distinct()
-        .localCheckpoint(false)), Seq("doc_id"), "left_anti")
+      .join(touchedOrDeltaH, Seq("doc_id"), "left_anti")
     val recut = deltaIds.unionByName(flipped).distinct()
       .localCheckpoint(false)
     val recutHint = hintIfSlim(recut)
@@ -941,7 +972,7 @@ object Refresh {
         col("kp.pos") === col("pos")))
       .select("doc_id", "pos")
     val recutRows = Curation.applySpanCut(
-      v2.join(hintIfSlim(idsAs(recut, idCol)), Seq(idCol), "left_semi"),
+      v2.join(idsAs(recutHint, idCol), Seq(idCol), "left_semi"),
       textCol, idCol, Curation.mergeAnchorSpans(anchors, n))
     val cut2 = st.cut.join(hintIfSlim(touched.unionByName(recut)
         .distinct().localCheckpoint(false)), Seq("doc_id"), "left_anti")

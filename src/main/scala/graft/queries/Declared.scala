@@ -433,7 +433,8 @@ object Declared {
             pages2).localCheckpoint(true) // the new standing store (x121 ex2)
           val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
           val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
-            tokenLines12, lm, thr, bench, CrawlAsmParams)
+            tokenLines12, lm, thr, bench, CrawlAsmParams,
+            spread = spreadIfStarved(s, docs, _))
           graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
             .localCheckpoint(true)
         } {
@@ -1680,9 +1681,18 @@ object Declared {
                                    dropDups: DataFrame): DataFrame = {
     // both anti-join sides size-gated (Hints scaladoc): dropDups is
     // checkpoint-backed (assemblyDropDups), contam is lazily derived so
-    // it is materialized once for the gate count and the join
+    // it is materialized once for the gate count and the join.
+    // `gated` itself is LAZILY checkpointed (r19): four consumers read
+    // it (the contamination shingle probe, the mixture-rates aggregate,
+    // the mixture apply join, the budget-fill scan), and each lazy
+    // replay re-ran the merge join + gate expressions over corpus text
+    // — the contam gate count materializes the cache as a side effect,
+    // so evaluate-once costs ZERO extra jobs (in deployment this frame
+    // IS the standing gated store, written once — the r18 extract-once
+    // argument one stage later)
     val gated = Curation.standardGates(
       merged.join(graft.ext.Hints.hintIfSlim(dropDups), Seq("doc_id"), "left_anti"))
+      .localCheckpoint(false)
     val contam = Curation.contaminationOverlap(
       gated, docs.filter(col("doc_id") % 37 === 0),
       "text", "doc_id", k = 3, minOverlap = 5).select("doc_id")
@@ -7013,7 +7023,8 @@ object Declared {
           concat(upper(coalesce(col("text"), lit(""))), lit("  !!  "))
             .as("text"))
         Dedup.dedupFunnel(docs.unionByName(twins), "text", "doc_id",
-          TextStats.tokenCount(coalesce(col("text"), lit(""))))
+          TextStats.tokenCount(coalesce(col("text"), lit(""))),
+          spread = spreadIfStarved(s, docs, _))
       },
       Some("""WITH RECURSIVE base AS MATERIALIZED (
         |  SELECT doc_id, text,
@@ -8103,7 +8114,8 @@ object Declared {
         // rebuild evaluation overlap (Par scaladoc; identical results)
         val (inc, full) = graft.ext.Par.both {
           graft.ext.Refresh.ccnetKeptReport(
-            graft.ext.Refresh.ccnetRefresh(st1, v1, v2, tokenLines12, lm)
+            graft.ext.Refresh.ccnetRefresh(st1, v1, v2, tokenLines12, lm,
+              spread = spreadIfStarved(s, docs, _))
               .scored, thr).localCheckpoint(true)
         } {
           graft.ext.Refresh.ccnetKeptReport(
@@ -8162,7 +8174,8 @@ object Declared {
           val ex2 = graft.ext.Refresh.webExtractRefresh(ex1, htmlV1, htmlV2)
             .localCheckpoint(true)
           graft.ext.Refresh.ccnetKeptReport(
-            graft.ext.Refresh.ccnetRefresh(st1, ex1, ex2, tokenLines12, lm)
+            graft.ext.Refresh.ccnetRefresh(st1, ex1, ex2, tokenLines12, lm,
+              spread = spreadIfStarved(s, docs, _))
               .scored, thr).localCheckpoint(true)
         } {
           graft.ext.Refresh.ccnetKeptReport(
@@ -8287,7 +8300,8 @@ object Declared {
         // refresh fold with the from-scratch rebuild (Par scaladoc)
         val (inc, full) = graft.ext.Par.both {
           val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
-            tokenLines12, lm, thr, bench)
+            tokenLines12, lm, thr, bench,
+            spread = spreadIfStarved(s, docs, _))
           graft.ext.Refresh.asmManifestFrom(st2.docMeta, st2.clusters)
             .localCheckpoint(true)
         } {
@@ -8544,7 +8558,8 @@ object Declared {
         val (inc, full) = graft.ext.Par.both {
           graft.ext.Refresh.refresh(
             refreshStateArtifact(s, dir), v1, v2, seed = "ref-v2",
-            numShards = 4)._2.localCheckpoint(true)
+            numShards = 4,
+            spread = spreadIfStarved(s, docs, _))._2.localCheckpoint(true)
         } {
           graft.ext.Refresh.fullRebuild(v2, seed = "ref-v2", numShards = 4,
               spread = spreadIfStarved(s, docs, _))

@@ -141,9 +141,25 @@ class PropertySpec extends SparkSuite {
         val expect = nodes.groupBy(find).flatMap { case (_, ms) =>
           val root = ms.min; ms.map(_ -> root)
         }.toMap
+        // r19: BOTH execution paths must agree with the ground truth —
+        // the size-gated driver union-find (default gate) and the
+        // distributed min-label loop (gate forced to 0)
         val got = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == expect, s"n=$n edges=$edges")
+        assert(got == expect, s"n=$n edges=$edges (driver path)")
+        spark.conf.set(Dedup.CcDriverEdgeRowsKey, "0")
+        try {
+          val gotIter = Dedup.dupClusters(edges.toDF("id_a", "id_b")).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(gotIter == expect, s"n=$n edges=$edges (iterative path)")
+        } finally spark.conf.unset(Dedup.CcDriverEdgeRowsKey)
+        // string ids: driver byte-wise UTF-8 min must match Spark's
+        // UTF8String binary min (same components, labels = min string)
+        val sEdges = edges.map { case (a, b) => (f"d$a%03d", f"d$b%03d") }
+        val sExpect = expect.map { case (k, v) => (f"d$k%03d", f"d$v%03d") }
+        val gotS = Dedup.dupClusters(sEdges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(gotS == sExpect, s"n=$n edges=$edges (string driver path)")
       }
     }
   }
