@@ -68,10 +68,13 @@ object Bench {
       // to 1-3 tasks on compressed sub-MB fixture shuffles while each
       // carries seconds of per-row CPU. Scale-adaptive by construction:
       // parallelismFirst sizes partitions at totalBytes/parallelism,
-      // so on any real shuffle (>> 64 KB × cores) this floor is inert.
-      // Env-overridable for cluster profiles.
+      // so on any real shuffle (>> 8 KB × cores) this floor is inert.
+      // Env-overridable for cluster profiles. r19: 64k -> 8k after the
+      // refresh-family probe still showed 0.3-1.2 s single-task stages
+      // on slim-but-CPU-heavy frames (A/B: x131 18.2 -> 12.4 s at 8k;
+      // 1k measured WORSE — scheduling overhead passes the win).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "8k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

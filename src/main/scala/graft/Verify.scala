@@ -13,7 +13,7 @@ object Verify {
       // r18: same AQE coalescing floor as Bench (keeps tiny post-shuffle
       // compute stages parallel; inert at real shuffle sizes)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "8k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -4708,9 +4708,13 @@ object Declared {
       (s, dir) => {
         val e = tSpread(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
+        // lazily pinned (r19): `lsh` is consumed by both readout
+        // branches and `bf`'s n^2 re-rank tree is heavy to PLAN — the
+        // pins cut the banding/cosine subtrees out of the final action's
+        // analysis and replay (top-k-sized frames; zero extra jobs)
         val lsh = Similarity.lshTopKBanded(q, e, k = 5,
-          bands = 16, bitsPerBand = 4, dim = 64)
-        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+          bands = 16, bitsPerBand = 4, dim = 64).localCheckpoint(false)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(false)
         val hits = bf.select("query_id", "neighbor_id")
           .join(lsh.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
@@ -4743,9 +4747,11 @@ object Declared {
       (s, dir) => {
         val e = tSpread(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
+        // same pins as x45_ann_lsh_banded (r19)
         val lsh = Similarity.lshTopKBanded(q, e, k = 5,
           bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 256)
-        val bf = Similarity.bruteForceTopK(q, e, k = 5)
+          .localCheckpoint(false)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(false)
         val hits = bf.select("query_id", "neighbor_id")
           .join(lsh.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")

@@ -32,7 +32,7 @@ object ProbeJobs {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "8k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
