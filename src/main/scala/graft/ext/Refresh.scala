@@ -186,8 +186,12 @@ object Refresh {
     // derive from it, and without the pin each derivation replays the
     // corpus-sized hash-compare join (two full passes over both
     // corpora — measured r18, guide §1.2's "don't compute twice")
+    // d EAGER (r19): the touched gate count and the fresh-slice
+    // materialization below run on two driver threads, and a lazy d
+    // first-read from both would duplicate the corpus-sized
+    // hash-compare join (the cleanedDelta race note)
     val d = CorpusDiff.diff(oldCorpus, newCorpus, "doc_id", "text")
-      .select("doc_id", "status").localCheckpoint(false)
+      .select("doc_id", "status").localCheckpoint(true)
     val touched = d.filter(col("status").isin("removed", "changed"))
       .select("doc_id").localCheckpoint(false)
     val freshIds = d.filter(col("status").isin("added", "changed"))
@@ -441,21 +445,29 @@ object Refresh {
     // one checkpoint of the slim diff: both id carves below derive from
     // it, and each un-pinned derivation would replay the corpus-sized
     // hash-compare join (the Refresh.delta fix, same shape)
+    // d EAGER (r19): the batched carve gate count below reads it from
+    // two concurrent count branches, which would race a lazy first
+    // materialization of the corpus-sized hash-compare join (the
+    // cleanedDelta race note)
     val d = CorpusDiff.diff(oldCorpus, newCorpus, "doc_id", "text")
-      .select("doc_id", "status").localCheckpoint(false)
+      .select("doc_id", "status").localCheckpoint(true)
     val touched = d.filter(col("status").isin("removed", "changed"))
       .select("doc_id").localCheckpoint(false)
     val freshIds = d.filter(col("status").isin("added", "changed"))
       .select("doc_id").localCheckpoint(false)
-    // both carves gate-count in ONE job (r19): they are independent
-    // reads of the cached diff, so the two counts' stages overlap
+    // both carves gate-count in ONE job (r19): independent reads of the
+    // cached diff, so the two counts' stages overlap
     val (touchedH, freshH) = Hints.hintIfSlim2(touched, freshIds)
     def retire(df: DataFrame): DataFrame =
       df.join(touchedH, Seq("doc_id"), "left_anti")
     val freshDocs = newCorpus.join(freshH, Seq("doc_id"), "left_semi")
+    // lf2 LAZY (r19): hist2's eager materialization computes it into
+    // its cache in the SAME job — the separate lf2 job was pure
+    // scheduling latency (the r18 gate-count fusion, applied to the
+    // checkpoint chain); read 3x below from the cache either way
     val lf2 = retire(state.lf)
       .unionByName(Dedup.lineFrame(freshDocs, "doc_id", linesCol))
-      .localCheckpoint(true) // next standing state; read 3x below
+      .localCheckpoint(false)
     val hist2 = Dedup.lineHistogram(lf2).localCheckpoint(true)
     // election-relevant change per hash: dup status flipped, or both
     // dup and the first owner moved (missing side = not dup)
@@ -477,6 +489,11 @@ object Refresh {
     // it twice (scores below + the tail's fresh corpus slice). `spread`
     // so the frozen-LM scoring pass over it doesn't starve on the
     // AQE-coalesced join output (identity at cluster scale).
+    // EAGER deliberately: the composed consumer (freshCk) reads it
+    // through TWO join branches of one job — a lazy checkpoint's first
+    // read from concurrent branches duplicates the whole extraction
+    // subtree (getOrElseUpdate does not cross-task lock; measured as a
+    // 2x leg regression when this was briefly lazy in r19)
     val cleanedDelta = spread(ccnetCleanedWith(rescoreDocs, linesCol,
       Dedup.lineDropsAgainst(
         lf2.join(rescoreIds, Seq("doc_id"), "left_semi"),
@@ -514,17 +531,22 @@ object Refresh {
     // one checkpoint of the slim diff: the markup diff is the most
     // expensive diff in the family (page-wrap + md5 over the full
     // corpus), and `touched`/`fresh` each replayed it before the pin
+    // d EAGER (r19): the batched gate count reads it from two branches
+    // — the markup diff is the most expensive diff in the family, and a
+    // lazy first read would compute it twice (the cleanedDelta race note)
     val d = CorpusDiff.diff(htmlV1, htmlV2, "doc_id", htmlCol)
-      .select("doc_id", "status").localCheckpoint(false)
+      .select("doc_id", "status").localCheckpoint(true)
     val touched = d.filter(col("status").isin("removed", "changed"))
       .select("doc_id").localCheckpoint(false)
     val fresh = d.filter(col("status").isin("added", "changed"))
-      .select("doc_id")
-    val freshExtracted = htmlV2.join(Hints.hintIfSlim(fresh.localCheckpoint(false)),
-        Seq("doc_id"), "left_semi")
+      .select("doc_id").localCheckpoint(false)
+    // both carves gate-count in ONE job (r19 — independent reads of the
+    // cached diff)
+    val (touchedH, freshH) = Hints.hintIfSlim2(touched, fresh)
+    val freshExtracted = htmlV2.join(freshH, Seq("doc_id"), "left_semi")
       .withColumn("text", Extract.htmlToText(col(htmlCol)))
       .select((Seq("doc_id") ++ carry ++ Seq("text")).map(col): _*)
-    extractedV1.join(Hints.hintIfSlim(touched), Seq("doc_id"), "left_anti")
+    extractedV1.join(touchedH, Seq("doc_id"), "left_anti")
       .unionByName(freshExtracted)
   }
 
@@ -552,18 +574,22 @@ object Refresh {
         col("keeper_id").as("_old_keeper")), Seq("canonical_url"), "left")
       .filter(col("_old_keeper").isNull ||
         col("keeper_id") =!= col("_old_keeper"))
-      .localCheckpoint(false) // index-delta-sized; read by both legs
+      .localCheckpoint(true) // index-delta-sized; read by both carve
+                              // branches of the batched gate count (a
+                              // lazy first read would race — r19)
     val touched = d.filter(col("_old_keeper").isNotNull)
-      .select(col("_old_keeper").as("doc_id"))
+      .select(col("_old_keeper").as("doc_id")).localCheckpoint(false)
     val fresh = d.select(col("keeper_id").as("fetch_id"))
+      .localCheckpoint(false)
+    // both carves gate-count in ONE job (r19 — independent reads of the
+    // cached index delta)
+    val (touchedH, freshH) = Hints.hintIfSlim2(touched, fresh)
     val freshExtracted = pages2
-      .join(Hints.hintIfSlim(fresh.localCheckpoint(false)),
-        Seq("fetch_id"), "left_semi")
+      .join(freshH, Seq("fetch_id"), "left_semi")
       .select(col("fetch_id").as("doc_id"),
         Extract.htmlToText(col("body")).as("text"))
     extractedV1
-      .join(Hints.hintIfSlim(touched.localCheckpoint(false)),
-        Seq("doc_id"), "left_anti")
+      .join(touchedH, Seq("doc_id"), "left_anti")
       .unionByName(freshExtracted)
   }
 
@@ -765,6 +791,8 @@ object Refresh {
         p.k, p.threshold, p.bands, p.rowsPerBand,
         portable = p.portableSig)
       .select("id_a", "id_b")
+    // EAGER deliberately: `seeds` reads it through two concurrent union
+    // branches (the cleanedDelta race note)
     val added = cross.unionByName(within).localCheckpoint(true)
     val pairs2 = retire(st.pairs, "id_a", "id_b").unionByName(added)
     val seeds = added.select(col("id_a").as("doc_id"))
@@ -904,12 +932,17 @@ object Refresh {
                   idCol: String, n: Int = 5): XdocDelta = {
     def idsAs(ids: DataFrame, c: String): DataFrame =
       if (c == "doc_id") ids else ids.withColumnRenamed("doc_id", c)
+    // sig2 LAZY (r19): dj's eager materialization computes it into its
+    // cache in the same job (single-branch read). dj itself stays EAGER:
+    // the batched carve count below reads it through THREE concurrent
+    // count branches, which would race a lazy first materialization
+    // (the cleanedDelta race note).
     val sig2 = v2.select(col(idCol).as("doc_id"),
         xxhash64(coalesce(col(textCol), lit(""))).as("th"))
-      .localCheckpoint(true) // diff side + the returned state frame
+      .localCheckpoint(false)
     val dj = st.sig.as("a").join(sig2.as("b"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("a.th").as("t1"), col("b.th").as("t2"))
-      .localCheckpoint(true) // consumed by both delta classifications
+      .localCheckpoint(true)
     val touched = dj.filter(col("t1").isNotNull &&
         (col("t2").isNull || col("t1") =!= col("t2")))
       .select("doc_id").localCheckpoint(false) // removed ∪ changed
@@ -928,11 +961,13 @@ object Refresh {
     // fold consumes it three times below
     val addedPos = Curation.xdocPosFrame(
       v2.join(idsAs(deltaIdsH, idCol), Seq(idCol), "left_semi"),
-      textCol, idCol, n).localCheckpoint(true)
+      textCol, idCol, n).localCheckpoint(false)
     val removedPos = st.pos.join(touchedH, Seq("doc_id"),
       "left_semi")
+    // LAZY like addedPos: the affH gate count materializes both in one
+    // job; downstream consumers are sequential actions reading caches
     val pos2 = st.pos.join(touchedH, Seq("doc_id"), "left_anti")
-      .unionByName(addedPos).localCheckpoint(true)
+      .unionByName(addedPos).localCheckpoint(false)
     // per-hash stats before/after, restricted to the hashes the delta
     // can have changed; occurrences of affH are the only mark bits
     // that can flip
@@ -947,9 +982,15 @@ object Refresh {
         (col("cnt") >= 2 && !(col("kp.doc_id") === col("doc_id") &&
           col("kp.pos") === col("pos"))).as("m"))
     val oldAff = st.pos.join(affHH, Seq("h"), "left_semi")
-      .localCheckpoint(true) // stats + mark join
+      .localCheckpoint(false)
     val newAff = pos2.join(affHH, Seq("h"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // materialize BOTH affected-window caches in ONE job (one
+    // single-branch read each) before `marked` reads each through two
+    // branches (p + stats(p)) — a lazy first read from concurrent
+    // branches would duplicate the semi-join subtrees (the cleanedDelta
+    // race note); this also materializes pos2 via newAff's single read
+    oldAff.groupBy().count().unionAll(newAff.groupBy().count()).collect()
     val flipped = marked(oldAff).as("o")
       .join(marked(newAff).as("n"), Seq("doc_id", "pos"), "full_outer")
       .filter(!(coalesce(col("o.m"), lit(false)) <=>
@@ -963,7 +1004,7 @@ object Refresh {
       .localCheckpoint(false)
     val recutHint = hintIfSlim(recut)
     val recutPos = pos2.join(recutHint, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true) // recutH + the anchor join
+      .localCheckpoint(false) // recutH's gate count materializes it
     val recutH = recutPos.select("h").distinct().localCheckpoint(false)
     val anchors = recutPos.join(
         stats(pos2.join(hintIfSlim(recutH), Seq("h"), "left_semi"))

@@ -366,7 +366,10 @@ object Declared {
     // standing-corpus-store argument)
     val crawl = crawlKeeperCorpus(spreadIfStarved(s, docs, pages), keepers)
       .localCheckpoint(true)
-    val cleaned = ccnetAssemblyCleaned(crawl).localCheckpoint(true)
+    // the merge spread when starved before the cleaned chain (r19 —
+    // the x78 argument; same rows as ccnetAssemblyCleaned(crawl))
+    val cleaned = ccnetCleanedOfMerged(spreadIfStarved(s, docs,
+      assemblyMerged(assemblyUnion(crawl)))).localCheckpoint(true)
     val lm = artifact(s, "reflm_crawl_asm_1024", dir) {
       viaStore(s, "reflm_crawl_asm_1024") {
         TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
@@ -419,7 +422,9 @@ object Declared {
         val docs = t(s, dir, "documents")
         val (_, _, idx1, ex1, st1, lm, thr) = crawlRefreshArtifact(s, dir)
         val bench = docs.filter(col("doc_id") % 37 === 0)
-        val merged1 = assemblyMerged(assemblyUnion(ex1))
+        // spread when starved (the x114 merged-corpus argument)
+        val merged1 = spreadIfStarved(s, docs,
+          assemblyMerged(assemblyUnion(ex1)))
         val pages2 = crawlPages(read(v2Store))
           .localCheckpoint(true) // read by the fold, the delta extract, the rebuild
         // independent legs until the compare join (both read only the
@@ -431,7 +436,10 @@ object Declared {
             latestWins = true)
           val ex2 = graft.ext.Refresh.crawlExtractRefresh(ex1, idx1, idx2,
             pages2).localCheckpoint(true) // the new standing store (x121 ex2)
-          val merged2 = assemblyMerged(assemblyUnion(ex2)).localCheckpoint(true)
+          // LAZY: asmRefresh's batched diff count materializes it; its
+          // consumers inside the leg are sequential actions
+          val merged2 = spreadIfStarved(s, docs,
+            assemblyMerged(assemblyUnion(ex2))).localCheckpoint(false)
           val st2 = graft.ext.Refresh.asmRefresh(st1, merged1, merged2,
             tokenLines12, lm, thr, bench, CrawlAsmParams,
             spread = spreadIfStarved(s, docs, _))
@@ -446,7 +454,8 @@ object Declared {
             .select(col("keeper_id").as("fetch_id"))
           val crawlF = crawlKeeperCorpus(pagesAll, keepAll)
             .localCheckpoint(true) // extracted once (the x130 argument)
-          val mergedF = assemblyMerged(assemblyUnion(crawlF))
+          val mergedF = spreadIfStarved(s, docs,
+            assemblyMerged(assemblyUnion(crawlF)))
             .localCheckpoint(true)
           val fullSt = graft.ext.Refresh.asmBuildState(mergedF, tokenLines12,
             lm, thr, bench, CrawlAsmParams,
@@ -6228,7 +6237,10 @@ object Declared {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val union = assemblyUnion(docs)
-        val merged = assemblyMerged(union)
+        // spread when starved (r19): the precedence join preserves the
+        // 3-partition carve union, so the gated frame's one
+        // materialization pass ran 3-task; no-op at cluster scale
+        val merged = spreadIfStarved(s, docs, assemblyMerged(union))
         // near-dup clustering + survivor election is the one memoized
         // per-refresh artifact (slim non-survivor id list; the x23/x75
         // sharing discipline) — persisted through the parquet index
@@ -8177,8 +8189,11 @@ object Declared {
           // consumes the refreshed corpus several times, and each lazy
           // replay re-runs the corpus-sized markup diff — in deployment
           // ex2 IS the new standing corpus store, written once
+          // LAZY (r19): the head fold's batched diff gate count is the
+          // first consumer and materializes it in the same job; later
+          // readers hit the cache (consumers are sequential actions)
           val ex2 = graft.ext.Refresh.webExtractRefresh(ex1, htmlV1, htmlV2)
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           graft.ext.Refresh.ccnetKeptReport(
             graft.ext.Refresh.ccnetRefresh(st1, ex1, ex2, tokenLines12, lm,
               spread = spreadIfStarved(s, docs, _))
@@ -8247,7 +8262,10 @@ object Declared {
     "x110_assembly_ccnet" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val cleaned = ccnetAssemblyCleaned(docs).localCheckpoint(true)
+        // the merge spread when starved before the cleaned chain (r19 —
+        // the x78 argument; same rows as ccnetAssemblyCleaned(docs))
+        val cleaned = ccnetCleanedOfMerged(spreadIfStarved(s, docs,
+          assemblyMerged(assemblyUnion(docs)))).localCheckpoint(true)
         val lm = artifact(s, "reflm_asm_ccnet_1024", dir) {
           viaStore(s, "reflm_asm_ccnet_1024") {
             TextStats.refLmTrain(cleaned, "clean_text", "lang_pred",
@@ -8298,8 +8316,15 @@ object Declared {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val (st1, lm, thr) = asmRefreshArtifact(s, dir)
-        val merged1 = assemblyMerged(assemblyUnion(refreshV1(docs)))
-        val merged2 = assemblyMerged(assemblyUnion(refreshV2(docs)))
+        // both merges spread when starved (r19): the precedence join
+        // preserves the 3-partition union of single-split carve scans,
+        // so every downstream pass (diff md5, line fold, the rebuild's
+        // whole head) ran 3-task stages (measured 0.5-1.6 s each);
+        // no-op at cluster scale
+        val merged1 = spreadIfStarved(s, docs,
+          assemblyMerged(assemblyUnion(refreshV1(docs))))
+        val merged2 = spreadIfStarved(s, docs,
+          assemblyMerged(assemblyUnion(refreshV2(docs))))
           .localCheckpoint(true) // read by diff, fresh joins, rebuild
         val bench = docs.filter(col("doc_id") % 37 === 0)
         // independent legs until the compare join: overlap the eager

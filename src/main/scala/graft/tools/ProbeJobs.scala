@@ -56,6 +56,10 @@ object ProbeJobs {
         override def onJobStart(js: SparkListenerJobStart): Unit = {
           val desc = Option(js.properties)
             .flatMap(p => Option(p.getProperty("spark.job.description")))
+            // callSite.short survives Par-thread submission where the
+            // stage name collapses to the FutureTask frame (r19)
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
             .orElse(js.stageInfos.lastOption.map(_.name))
             .getOrElse("")
           js.stageInfos.foreach(si => stageNames.put(si.stageId,
