@@ -1687,7 +1687,8 @@ object Declared {
     * global sort.
     */
   private[graft] def assemblyMixed(docs: DataFrame, merged: DataFrame,
-                                   dropDups: DataFrame): DataFrame = {
+                                   dropDups: DataFrame,
+                                   pin: Boolean = true): DataFrame = {
     // both anti-join sides size-gated (Hints scaladoc): dropDups is
     // checkpoint-backed (assemblyDropDups), contam is lazily derived so
     // it is materialized once for the gate count and the join.
@@ -1698,10 +1699,14 @@ object Declared {
     // — the contam gate count materializes the cache as a side effect,
     // so evaluate-once costs ZERO extra jobs (in deployment this frame
     // IS the standing gated store, written once — the r18 extract-once
-    // argument one stage later)
-    val gated = Curation.standardGates(
+    // argument one stage later). `pin = false` is the PLAN-SHAPE form
+    // (PlanSpec / the Plans lazy registry): the checkpoint truncates
+    // the composed prefix to an ExistingRDD scan, so the shape gates
+    // inspect the un-pinned composition (the budgetFillPlanShape
+    // convention) — never execute the un-pinned form for data.
+    val gated0 = Curation.standardGates(
       merged.join(graft.ext.Hints.hintIfSlim(dropDups), Seq("doc_id"), "left_anti"))
-      .localCheckpoint(false)
+    val gated = if (pin) gated0.localCheckpoint(false) else gated0
     val contam = Curation.contaminationOverlap(
       gated, docs.filter(col("doc_id") % 37 === 0),
       "text", "doc_id", k = 3, minOverlap = 5).select("doc_id")
@@ -4717,13 +4722,9 @@ object Declared {
       (s, dir) => {
         val e = tSpread(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        // lazily pinned (r19): `lsh` is consumed by both readout
-        // branches and `bf`'s n^2 re-rank tree is heavy to PLAN — the
-        // pins cut the banding/cosine subtrees out of the final action's
-        // analysis and replay (top-k-sized frames; zero extra jobs)
         val lsh = Similarity.lshTopKBanded(q, e, k = 5,
-          bands = 16, bitsPerBand = 4, dim = 64).localCheckpoint(false)
-        val bf = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(false)
+          bands = 16, bitsPerBand = 4, dim = 64)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
         val hits = bf.select("query_id", "neighbor_id")
           .join(lsh.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
@@ -4756,11 +4757,9 @@ object Declared {
       (s, dir) => {
         val e = tSpread(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        // same pins as x45_ann_lsh_banded (r19)
         val lsh = Similarity.lshTopKBanded(q, e, k = 5,
           bands = 16, bitsPerBand = 4, dim = 64, maxBucketSize = 256)
-          .localCheckpoint(false)
-        val bf = Similarity.bruteForceTopK(q, e, k = 5).localCheckpoint(false)
+        val bf = Similarity.bruteForceTopK(q, e, k = 5)
         val hits = bf.select("query_id", "neighbor_id")
           .join(lsh.select("query_id", "neighbor_id"),
             Seq("query_id", "neighbor_id"), "left_semi")
@@ -6930,8 +6929,13 @@ object Declared {
     "x97_perceptual_dedup" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents").filter(col("doc_id").isNotNull)
-          .select(col("doc_id")).as[Long]
+        // spread the id frame when starved (r19): the typed encode+decode
+        // map otherwise runs on the fixture's single scan split; group
+        // membership seals via sort_array, so partitioning cannot move
+        // the output
+        val media = spreadIfStarved(s, t(s, dir, "documents"),
+            t(s, dir, "documents").filter(col("doc_id").isNotNull)
+              .select(col("doc_id"))).as[Long]
           .map { id =>
             val base = if (id % 4 == 1) id - 1 else id
             // ×37/×23: step sizes that WRAP the mod-150 ramp between
@@ -6987,8 +6991,10 @@ object Declared {
     "x100_audio_dedup" -> Q(
       (s, dir) => {
         import s.implicits._
-        val media = t(s, dir, "documents").filter(col("doc_id").isNotNull)
-          .select(col("doc_id")).as[Long]
+        // spread when starved (the x97 argument; sealed via sort_array)
+        val media = spreadIfStarved(s, t(s, dir, "documents"),
+            t(s, dir, "documents").filter(col("doc_id").isNotNull)
+              .select(col("doc_id"))).as[Long]
           .map { id =>
             val base = if (id % 4 == 1) id - 1 else id
             val a = (base % 9 + 1).toInt * 7

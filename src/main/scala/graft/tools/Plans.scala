@@ -274,7 +274,8 @@ object Plans {
         val corpus = cleaned.join(kept.select("doc_id"), Seq("doc_id"))
           .select(col("doc_id"), col("clean_text").as("text"), col("src"))
         val drop = docs.select((col("doc_id") + 20000).as("doc_id")).limit(1)
-        graft.queries.Declared.assemblyMixed(docs, corpus, drop)
+        // pin = false: the plan-shape form (see assemblyMixed)
+        graft.queries.Declared.assemblyMixed(docs, corpus, drop, pin = false)
       })
   }
 

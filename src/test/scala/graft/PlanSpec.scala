@@ -613,7 +613,10 @@ class PlanSpec extends SparkSuite {
     // crafted slim drop list: the gate asserts plan SHAPE, so training
     // the real cluster artifact here would only add runtime
     val drop = Seq(20002L).toDF("doc_id")
-    val p = graft.queries.Declared.assemblyMixed(docs, merged, drop)
+    // pin = false: the plan-shape form (the declared query's pinned
+    // gated frame truncates the composed prefix to an ExistingRDD)
+    val p = graft.queries.Declared.assemblyMixed(docs, merged, drop,
+        pin = false)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     assert(p.contains("partial_greatest_row"), s"merge lost its partial agg:\n$p")
     assert(p.contains("ObjectHashAggregate"), s"merge not hash-aggregated:\n$p")
@@ -984,15 +987,16 @@ class PlanSpec extends SparkSuite {
   }
 
   // x97: decode + dHash are a typed map (per-partition codec init) —
-  // the ONLY exchanges are the fingerprint groupBy and the presentation
-  // sort; grouping a corpus by an 8-byte hash must never join
+  // the ONLY exchanges are the guarded starved-scan spread (r19),
+  // the fingerprint groupBy and the presentation sort; grouping a
+  // corpus by an 8-byte hash must never join
   test("perceptual dedup plans map-side decode + one fingerprint agg, no join") {
     val p = planOf("x97_perceptual_dedup")
     assert(!p.contains("Join"), s"join in perceptual dedup:\n$p")
     assert(!p.contains("Window"), s"window in perceptual dedup:\n$p")
     assert(p.contains("ObjectHashAggregate"),
       s"collect_list group must plan as ObjectHashAggregate:\n$p")
-    val exchanges = "Exchange ".r.findAllIn(p).size
+    val exchanges = exchangesBeyondSpread(p)
     assert(exchanges <= 2, s"$exchanges exchanges (agg + orderBy allowed):\n$p")
   }
 
